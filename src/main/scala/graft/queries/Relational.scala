@@ -1,0 +1,573 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import Q._
+
+/** One query definition: the Spark-side plan builder plus (optionally)
+  * the DuckDB oracle SQL the driver replays on the same parquet.
+  */
+final case class Qdef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Relational operator suite (SURVEY.md §2.A) — the DataFusion-equivalent
+  * core of the reference (select/filter/aggregate/join/sort/window/…,
+  * /root/reference/src/execute_impl/select.rs:1), re-expressed with the
+  * Spark DataFrame API so Catalyst plans it (pushdown, broadcast, AQE).
+  *
+  * Determinism contract (driver hash-compares vs DuckDB): every query is
+  * fully ORDER BY'd with tie-breaks, every computed column is aliased
+  * identically on both sides, double aggregates go through Q.dsum/davg.
+  */
+object Relational {
+
+  // ---- A4/A5/A6: TPC-H Q1-style pricing summary (flagship) -------------
+  private val q01 = Qdef(
+    "q01_pricing_summary",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${sqlDsum("l_quantity")} AS sum_qty,
+      ${sqlDsum("l_extendedprice")} AS sum_base_price,
+      ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${sqlDavg("l_quantity")} AS avg_qty,
+      ${sqlDavg("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---- A2: projection / expression evaluation --------------------------
+  private val q02 = Qdef(
+    "q02_projection",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          (col("p_retailprice") * lit(1.1)).cast(D).cast("double").as("marked_up"),
+          (col("p_size") + lit(10)).as("size_plus"),
+          col("p_type").contains("BRASS").as("is_brass"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, UPPER(p_brand) AS brand_uc,
+      CAST(CAST(p_retailprice * 1.1 AS DECIMAL(18,6)) AS DOUBLE) AS marked_up,
+      p_size + 10 AS size_plus,
+      contains(p_type, 'BRASS') AS is_brass
+    FROM part ORDER BY p_partkey"""))
+
+  // ---- A3: filter forms (comparison, BETWEEN, IN, LIKE, bool ops) ------
+  private val q03 = Qdef(
+    "q03_filter",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_quantity").between(10, 20) &&
+          col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          (col("l_linestatus").like("F%") || col("l_discount") < 0.02) &&
+          !col("l_tax").isNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A','R')
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND (l_linestatus LIKE 'F%' OR l_discount < 0.02)
+      AND l_tax IS NOT NULL
+    ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---- A4: count(distinct) --------------------------------------------
+  private val q04 = Qdef(
+    "q04_agg_distinct",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus")),
+    Some(s"""SELECT o_orderstatus,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      COUNT(*) AS n_orders,
+      ${sqlDsum("o_totalprice")} AS sum_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // ---- A4b: statistical aggregates (rounded: accumulation noise) -------
+  private val q05 = Qdef(
+    "q05_stats_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_pop(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+      ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+      ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      ROUND(COVAR_POP(l_discount, l_tax), 6) AS covar_disc_tax
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---- A4c: exact percentiles (continuous interpolation) ---------------
+  private val q06 = Qdef(
+    "q06_percentiles",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50_price,
+      ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---- A4c: approximate distinct (HLL) — rows-only oracle ---------------
+  private val q06b = Qdef(
+    "q06b_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  // ---- A5: GROUP BY multi-key + HAVING ----------------------------------
+  private val q07 = Qdef(
+    "q07_groupby_having",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .filter(col("n") > 10)
+        .orderBy(col("o_orderpriority"), col("o_orderstatus")),
+    Some(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      ${sqlDsum("o_totalprice")} AS total
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    HAVING COUNT(*) > 10
+    ORDER BY o_orderpriority, o_orderstatus"""))
+
+  // ---- A6/A7: top-N (sort + limit → TakeOrderedAndProject) --------------
+  private val q08 = Qdef(
+    "q08_topn",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  // ---- A8: inner join chain over broadcast-able dims --------------------
+  private val q09 = Qdef(
+    "q09_join_inner",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name")),
+    Some(s"""SELECT r_name, COUNT(*) AS n_customers, ${sqlDsum("c_acctbal")} AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name"""))
+
+  // ---- A8: left outer join ----------------------------------------------
+  private val q10 = Qdef(
+    "q10_join_left",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  // ---- A8: full outer join ----------------------------------------------
+  private val q11 = Qdef(
+    "q11_join_full",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk1"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("nk1") === col("nk2"), "full")
+        .select(
+          coalesce(col("nk1"), col("nk2")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT COALESCE(c.nk, s.nk) AS nationkey,
+      COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.nk = s.nk
+    ORDER BY nationkey"""))
+
+  // ---- A8/A11: left semi join (IN-subquery) ------------------------------
+  private val q12 = Qdef(
+    "q12_join_semi",
+    (s, dir) => {
+      val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_lines, ${sqlDsum("l_extendedprice")} AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')"""))
+
+  // ---- A8/A11: left anti join (NOT EXISTS) -------------------------------
+  private val q13 = Qdef(
+    "q13_join_anti",
+    (s, dir) => {
+      val pOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      t(s, dir, "customer")
+        .join(pOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    ORDER BY c_custkey"""))
+
+  // ---- A8: cross join -----------------------------------------------------
+  private val q14 = Qdef(
+    "q14_join_cross",
+    (s, dir) => {
+      val statuses = t(s, dir, "orders").select(col("o_orderstatus")).distinct()
+      t(s, dir, "region").crossJoin(statuses)
+        .select(col("r_name"), col("o_orderstatus"))
+        .orderBy(col("r_name"), col("o_orderstatus"))
+    },
+    Some("""SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    ORDER BY r_name, o_orderstatus"""))
+
+  // ---- A9: distinct --------------------------------------------------------
+  private val q15 = Qdef(
+    "q15_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---- A10: union / union all ---------------------------------------------
+  private val q16 = Qdef(
+    "q16_union",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nkey"))
+      c.union(su).distinct().orderBy(col("nkey"))
+    },
+    Some("""SELECT c_nationkey AS nkey FROM customer
+    UNION SELECT s_nationkey FROM supplier ORDER BY nkey"""))
+
+  // ---- A11: scalar subquery (decorrelated threshold) -----------------------
+  private val q17 = Qdef(
+    "q17_scalar_subq",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(s"""SELECT COUNT(*) AS n_above, ${sqlDsum("o_totalprice")} AS sum_above
+        FROM orders
+        WHERE o_totalprice > (SELECT ${sqlDsum("o_totalprice")} / COUNT(*) FROM orders)""")
+    },
+    Some(s"""SELECT COUNT(*) AS n_above, ${sqlDsum("o_totalprice")} AS sum_above
+    FROM orders
+    WHERE o_totalprice > (SELECT ${sqlDsum("o_totalprice")} / COUNT(*) FROM orders)"""))
+
+  // ---- A11: correlated subquery (Catalyst decorrelates to a join) ----------
+  private val q18 = Qdef(
+    "q18_corr_subq",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey,
+          (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer
+        WHERE c_acctbal > 5000
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer
+    WHERE c_acctbal > 5000
+    ORDER BY c_custkey"""))
+
+  // ---- A12: CTE (TPC-H Q15-style revenue view) ------------------------------
+  private val q19 = Qdef(
+    "q19_cte",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(s"""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    },
+    Some(s"""WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""))
+
+  // ---- A13: ranking window functions ---------------------------------------
+  private val q20 = Qdef(
+    "q20_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey, c_acctbal, rn, rk, drk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+        ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk,
+        DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drk
+      FROM customer) x
+    WHERE rn <= 3 ORDER BY c_mktsegment, rn"""))
+
+  // ---- A13: lag/lead ---------------------------------------------------------
+  private val q21 = Qdef(
+    "q21_window_lag",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(
+          col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .select(
+          col("user_id"), col("event_id"),
+          coalesce(col("prev_value"), lit(0.0)).as("prev_value"),
+          (col("value") - coalesce(col("prev_value"), lit(0.0))).as("delta"),
+          coalesce(col("next_type"), lit("none")).as("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      COALESCE(prev_value, 0.0) AS prev_value,
+      value - COALESCE(prev_value, 0.0) AS delta,
+      COALESCE(next_type, 'none') AS next_type
+    FROM (
+      SELECT user_id, event_id, value,
+        LAG(value, 1)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events WHERE user_id < 50) x
+    ORDER BY user_id, event_id"""))
+
+  // ---- A13: sliding frame aggregate (exact decimal inside the frame) --------
+  private val q22 = Qdef(
+    "q22_window_frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, 0)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(D)).over(w).cast("double").as("trailing3_sum"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3_sum
+    FROM orders WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey"""))
+
+  // ---- A14: CASE WHEN / CAST / COALESCE / NULLIF -----------------------------
+  private val q23 = Qdef(
+    "q23_case_cast",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "medium")
+            .otherwise("small").as("bucket"),
+          floor(col("o_totalprice")).cast("long").as("price_floor"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("done")).as("status_or_done"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_totalprice > 300000 THEN 'big'
+           WHEN o_totalprice > 100000 THEN 'medium'
+           ELSE 'small' END AS bucket,
+      CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+      COALESCE(NULLIF(o_orderstatus, 'O'), 'done') AS status_or_done
+    FROM orders ORDER BY o_orderkey"""))
+
+  // ---- A15: string functions --------------------------------------------------
+  private val q24 = Qdef(
+    "q24_string_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_uc"),
+          lower(col("p_brand")).as("brand_lc"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          length(col("p_name")).cast("long").as("name_len"),
+          trim(col("p_name")).as("name_trim"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      UPPER(p_name) AS name_uc, LOWER(p_brand) AS brand_lc,
+      SUBSTRING(p_name, 1, 5) AS name_pfx,
+      p_brand || '#' || p_type AS brand_type,
+      REPLACE(p_name, ' ', '_') AS name_snake,
+      CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      TRIM(p_name) AS name_trim
+    FROM part ORDER BY p_partkey"""))
+
+  // ---- A15: math functions (engine-exact subset: sqrt is IEEE-correct) --------
+  private val q25 = Qdef(
+    "q25_math_funcs",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") - lit(50000.0)).as("abs_dev"),
+          round(col("l_extendedprice") / lit(1000.0), 2).as("price_k"),
+          floor(col("l_quantity") / lit(10.0)).cast("long").as("qty_bucket"),
+          ceil(col("l_tax") * lit(100.0)).cast("long").as("tax_pct_ceil"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+      ABS(l_extendedprice - 50000.0) AS abs_dev,
+      ROUND(l_extendedprice / 1000.0, 2) AS price_k,
+      CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
+      CAST(CEIL(l_tax * 100.0) AS BIGINT) AS tax_pct_ceil,
+      ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+      l_orderkey % 7 AS key_mod7
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---- A15: date/time functions ----------------------------------------------
+  private val q26 = Qdef(
+    "q26_date_funcs",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("month_total"))
+        .orderBy(col("o_year"), col("o_month")),
+    Some(s"""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+      COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS month_total
+    FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month"""))
+
+  // ---- A16: ROLLUP -------------------------------------------------------------
+  private val q27 = Qdef(
+    "q27_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls")),
+    Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      COALESCE(l_linestatus, 'ALL') AS ls,
+      ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY rf, ls"""))
+
+  // ---- A18: multi-join composite (market share by region/year) -----------------
+  private val q28 = Qdef(
+    "q28_market_share",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("r_name"), col("o_year")),
+    Some(s"""SELECT r_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, CAST(YEAR(o_orderdate) AS BIGINT)
+    ORDER BY r_name, o_year"""))
+
+  // ---- events table rollup by day/type ------------------------------------------
+  private val q29 = Qdef(
+    "q29_events_agg",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"), col("day")),
+    Some(s"""SELECT event_type, DATE_TRUNC('day', ts) AS day,
+      COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+      MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type, DATE_TRUNC('day', ts)
+    ORDER BY event_type, day"""))
+
+  val all: Seq[Qdef] = Seq(
+    q01, q02, q03, q04, q05, q06, q06b, q07, q08, q09, q10, q11, q12, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+    q28, q29)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Relational
+
+/** Every relational query runs at sf0.001, returns rows, and its plan has
+  * the scale-critical properties (pushdown, broadcast) we designed for.
+  */
+class RelationalSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  for (q <- Relational.all) {
+    test(s"${q.name} runs and returns rows") {
+      val df = q.fn(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q03_filter pushes predicates into the parquet scan") {
+    val df = Relational.all.find(_.name == "q03_filter").get.fn(spark, sfDir)
+    val physical = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("GreaterThanOrEqual(l_shipdate"),
+      s"expected pushed filters in:\n$physical")
+  }
+
+  test("q01 scan prunes columns (no l_comment-ish wide read)") {
+    val df = Relational.all.find(_.name == "q01_pricing_summary").get.fn(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    // ReadSchema should carry only the 6 referenced columns
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("l_partkey"), "q01 must not read unused l_partkey")
+  }
+
+  test("q09 joins dims via broadcast") {
+    val df = Relational.all.find(_.name == "q09_join_inner").get.fn(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), s"expected broadcast join:\n$physical")
+  }
+
+  test("q08 top-N plans as TakeOrderedAndProject (no full sort)") {
+    val df = Relational.all.find(_.name == "q08_topn").get.fn(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"), s"plan:\n$physical")
+  }
+
+  test("queries and oracleSql keys line up") {
+    val qkeys = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qkeys))
+    assert(SparkEntry.queries.nonEmpty)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
