@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions._
+
+/** Column-API surface of graft's text/vector function library
+  * (SURVEY.md §2.D/E4). Everything here is either a native codegen
+  * expression or a composition of codegen'd built-ins — no Scala UDFs in
+  * any hot path, so whole-stage codegen spans stay wide.
+  */
+object GraftFunctions {
+
+  private def expr2col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ExpressionUtils.column(e)
+  private def exprOf(c: Column) = ExpressionUtils.expression(c)
+
+  // ---- native expressions ------------------------------------------------
+
+  /** Cosine similarity over array<float> (native codegen, double accum). */
+  def cosineSim(a: Column, b: Column): Column =
+    expr2col(CosineSimilarityF(exprOf(a), exprOf(b)))
+
+  /** Dot product over array<float> (native codegen). */
+  def dotF(a: Column, b: Column): Column =
+    expr2col(DotProductF(exprOf(a), exprOf(b)))
+
+  /** 64-bit SimHash of a token array (native codegen). */
+  def simhash64(tokens: Column): Column =
+    expr2col(SimHash64(exprOf(tokens)))
+
+  /** Rolling position-weighted fingerprint of a document (native codegen). */
+  def fingerprint(text: Column): Column =
+    expr2col(RollingFingerprint(exprOf(text)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+
+  // ---- tokenization / shingling -----------------------------------------
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct k-word shingles of a token array (empty if < k tokens). */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => concat_ws(" ", slice(toks, i + 1, k)))))
+      .otherwise(array().cast("array<string>"))
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** Number of hash permutations / LSH banding shape (16 bands × 4 rows:
+    * catches jaccard ≳ 0.5 with high recall at 64 permutations).
+    */
+  val MinhashPerms = 64
+  val MinhashBands = 16
+  val MinhashRows: Int = MinhashPerms / MinhashBands
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic universal-hash coefficients (splitmix64 from seed 42). */
+  private val hashCoefs: IndexedSeq[(Long, Long)] = {
+    var state = 42L
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until MinhashPerms).map(_ => ((next() | 1L), next()))
+  }
+
+  /** MinHash signature (array<bigint> of length `MinhashPerms`) of a
+    * shingle set. Per-row array_min over codegen'd transforms — no
+    * explode, no shuffle; the signature is computed in a single pass over
+    * the scan.
+    */
+  def minhashSig(sh: Column): Column =
+    array(hashCoefs.map { case (a, b) =>
+      array_min(transform(sh, s => pmod(xxhash64(s) * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+
+  /** LSH band keys of a signature: one 64-bit key per band. Docs sharing
+    * any band key become candidate pairs — the linear-time scale path
+    * (never O(n²) over the corpus).
+    */
+  def bandKeys(sig: Column): Column =
+    array((0 until MinhashBands).map { bnd =>
+      xxhash64(lit(bnd), slice(sig, bnd * MinhashRows + 1, MinhashRows))
+    }: _*)
+
+  // ---- quantized vector ops (oracle-exact cross-engine arithmetic) ------
+
+  /** Embedding quantized to 6-decimal fixed point as array<bigint>.
+    * float→double is exact, ×1e6 and HALF_UP round are deterministic, so
+    * DuckDB's `list_transform(v, x -> CAST(ROUND(x*1000000,0) AS BIGINT))`
+    * produces the identical integers — all downstream arithmetic is then
+    * engine-exact (SURVEY.md §4).
+    */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def quantDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Bitwise-reproducible cosine over quantized vectors: integer sums are
+    * exact, the final double ops (mul/sqrt/div) are IEEE-correctly-rounded
+    * in every engine.
+    */
+  def quantCosine(qa: Column, qb: Column): Column =
+    quantDot(qa, qb).cast("double") /
+      sqrt(quantDot(qa, qa).cast("double") * quantDot(qb, qb).cast("double"))
+
+  // ---- registration ------------------------------------------------------
+
+  /** Register the native expressions as SQL functions so `spark.sql`
+    * queries can call them (cosine_sim, dot_f, simhash64,
+    * doc_fingerprint). Also done by GraftExtensions at session build.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def put(name: String, arity: Int, f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(args.length == arity, s"$name expects $arity args")
+          f(args)
+        })
+    put("cosine_sim", 2, a => CosineSimilarityF(a(0), a(1)))
+    put("dot_f", 2, a => DotProductF(a(0), a(1)))
+    put("simhash64", 1, a => SimHash64(a(0)))
+    put("doc_fingerprint", 1, a => RollingFingerprint(a(0)))
+  }
+}

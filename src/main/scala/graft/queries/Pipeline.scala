@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.GraftFunctions._
+
+/** LLM-training-data pipeline suite (SURVEY.md §2.D): dedup (exact /
+  * MinHash-LSH / SimHash / n-gram / embedding), ANN search, language ID,
+  * quality scoring, token counting, fingerprinting — over the driver's
+  * `documents` / `embeddings` tables.
+  *
+  * Scale design (§5): every near-dup operator is candidates-by-key-join
+  * (linear in corpus size), never O(n²) over the corpus; pairwise exact
+  * verification happens only inside LSH buckets. The two intentionally
+  * exact-pairwise queries (q33, q34) are the verification primitives and
+  * say so in their scaladoc.
+  *
+  * Oracle determinism: jaccard/cosine are computed over exact integers
+  * (shingle-set sizes; 1e6-quantized embeddings), so the final double
+  * division is bit-identical in Spark and DuckDB (tools/check.py compares
+  * floats with ==).
+  */
+object Pipeline {
+
+  // ---- D1: exact dedup by content hash ----------------------------------
+  private val q30 = Qdef(
+    "q30_dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_md5")),
+    Some("""SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper,
+      COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY content_md5"""))
+
+  // ---- D2: MinHash + LSH near-dedup -------------------------------------
+  // Spark path: shingle -> 64-perm minhash signature -> 32 bands x 2 rows
+  // -> band-key self-join -> exact jaccard verify inside buckets only.
+  // Recall: a pair at jaccard j collides with prob 1-(1-j^2)^32; the
+  // corpus' qualifying pairs sit at j >= 0.7 where the miss probability is
+  // (1-0.49)^32 = 4e-10 — effectively exact, which is what lets the O(n²)
+  // DuckDB oracle below agree. At 100 TB only the band-key shuffle and the
+  // in-bucket verify scale with data; nothing is quadratic in the corpus.
+  private val q31 = Qdef(
+    "q31_dedup_minhash",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
+        .filter(size(col("sh")) > 0)
+      // band keys only (no shingle payload) through the wide self-join
+      val bands = docs
+        .select(col("doc_id"), explode(bandKeys(minhashSig(col("sh")))).as("bk"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val jac = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH sh AS (
+      SELECT doc_id,
+        list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 5)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        len(list_intersect(a.s, b.s)) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""))
+
+  // ---- D3: SimHash near-dedup (64-bit, hamming <= 3) ---------------------
+  // 4 bands x 16 bits: any pair within hamming 3 shares >= 1 exact band
+  // (pigeonhole), so the band join is EXACT, not probabilistic — but the
+  // signature itself (FNV-1a + bit-majority) is not SQL-expressible, so
+  // this query gets the driver's rows-only check.
+  private val q32 = Qdef(
+    "q32_dedup_simhash",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      val bands = docs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"), shiftrightunsigned(col("sig"), 16 * b)
+            .bitwiseAND(lit(0xFFFFL)).as("bval"))
+        }: _*)).as("bk"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
+  // ---- D4: n-gram Jaccard pair similarity (exact, oracled) ---------------
+  // The exact-verification primitive: 3-gram jaccard over an explicit
+  // candidate subset (doc_id < 150). At scale candidates come from q31's
+  // LSH buckets, never from a corpus cross-join.
+  private val q33 = Qdef(
+    "q33_ngram_jaccard",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val jac = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.05)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH sh AS (
+      SELECT doc_id,
+        list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id < 150)
+      WHERE len(toks) >= 3)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        len(list_intersect(a.s, b.s)) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b"""))
+
+  // ---- D5: embedding-cosine near-dup (exact, oracled) --------------------
+  // Exact pairwise cosine over 1e6-quantized vectors — integer dot
+  // products are bit-identical across engines (SURVEY.md §4). This is the
+  // in-bucket verifier; the corpus-scale candidate generator is q36's
+  // hyperplane LSH.
+  private val q34 = Qdef(
+    "q34_dedup_embedding",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      val a = embs.select(col("vec_id").as("vec_a"), col("qv").as("qa"))
+      val b = embs.select(col("vec_id").as("vec_b"), col("qv").as("qb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          quantCosine(col("qa"), col("qb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some("""WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings)
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_dot_product(a.qv, b.qv) /
+          sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS cos_sim
+      FROM q a JOIN q b ON a.vec_id < b.vec_id)
+    WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b"""))
+
+  // ---- D6: brute-force cosine top-k ANN baseline -------------------------
+  // Query batch (vec_id < 10) broadcast against the corpus scan — at scale
+  // this is one embarrassingly-parallel pass, no shuffle of the corpus;
+  // the per-query top-k is a window over |queries| x k rows.
+  private val q35 = Qdef(
+    "q35_ann_bruteforce",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("c").desc, col("vec_id"))
+      embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          quantCosine(col("q_qv"), col("qv")).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id").as("neighbor"),
+          col("c").as("cos_sim"), col("rn").cast("int").as("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some("""WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings)
+    SELECT q_id, neighbor, cos_sim, rn FROM (
+      SELECT qs.vec_id AS q_id, c.vec_id AS neighbor,
+        list_dot_product(qs.qv, c.qv) /
+          sqrt(list_dot_product(qs.qv, qs.qv) * list_dot_product(c.qv, c.qv)) AS cos_sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qs.vec_id ORDER BY
+          list_dot_product(qs.qv, c.qv) /
+          sqrt(list_dot_product(qs.qv, qs.qv) * list_dot_product(c.qv, c.qv)) DESC,
+          c.vec_id) AS INT) AS rn
+      FROM q qs JOIN q c ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id)
+    WHERE rn <= 10 ORDER BY q_id, rn"""))
+
+  // ---- D7: LSH-bucketed ANN (random hyperplane signs) --------------------
+  // 16 deterministic Rademacher hyperplanes (sign from xxhash64(plane,
+  // dim)) -> 16-bit signature -> 4 bands x 4 bits -> band join -> exact
+  // cosine verify. Candidate volume scales with bucket occupancy, not
+  // corpus²; not SQL-expressible (xxhash64) -> rows-only check.
+  private val q36 = Qdef(
+    "q36_ann_lsh",
+    (s, dir) => {
+      val dim = 64
+      def sigBit(p: Int) = {
+        val proj = aggregate(
+          zip_with(
+            col("qv"),
+            sequence(lit(0), lit(dim - 1)),
+            (x, i) => x * (pmod(xxhash64(lit(p), i), lit(2)) * lit(2L) - lit(1L))),
+          lit(0L), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("sig", (0 until 16).map(sigBit).reduce(_ + _))
+      val bands = embs.select(col("vec_id"), col("qv"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"), shiftrightunsigned(col("sig"), 4 * b)
+            .bitwiseAND(lit(0xFL)).as("bval"))
+        }: _*)).as("bk"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          quantCosine(col("a.qv"), col("b.qv")).as("cos_sim"))
+        .distinct()
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    None)
+
+  // ---- D8: language ID (stopword-hit heuristic) --------------------------
+  // Token-exact stopword counts per language, argmax with a fixed
+  // tie-break order — arithmetic mirrored verbatim in the oracle.
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "es" -> Seq("el", "la", "que", "por"),
+    "fr" -> Seq("le", "les", "et", "dans"))
+
+  private val q37 = Qdef(
+    "q37_langid",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val hits = langStops.map { case (lang, stops) =>
+        lang -> size(filter(toks, t => stops.map(t === _).reduce(_ || _)))
+      }
+      val Seq(en, de, es, fr) = hits.map(_._2)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+          when(en >= de && en >= es && en >= fr && en > 0, "en")
+            .when(de >= es && de >= fr && de > 0, "de")
+            .when(es >= fr && es > 0, "es")
+            .when(fr > 0, "fr")
+            .otherwise("und").as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+      CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+           WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+           WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+           WHEN fr_hits > 0 THEN 'fr'
+           ELSE 'und' END AS predicted
+    FROM (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to'))) AS en_hits,
+        len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','ist'))) AS de_hits,
+        len(list_filter(string_split(text, ' '), t -> t IN ('el','la','que','por'))) AS es_hits,
+        len(list_filter(string_split(text, ' '), t -> t IN ('le','les','et','dans'))) AS fr_hits
+      FROM documents)
+    ORDER BY doc_id"""))
+
+  // ---- D9: quality scoring -----------------------------------------------
+  // Integer counts + double division only — every ratio is bit-identical
+  // across engines without rounding tricks.
+  private val q38 = Qdef(
+    "q38_quality",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val nWords = size(toks)
+      val nUniq = size(array_distinct(toks))
+      val nChars = length(col("text"))
+      val stops = size(filter(toks, t => t === "the" || t === "a"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          nChars.cast("long").as("n_chars_m"),
+          nWords.cast("long").as("n_words"),
+          (nUniq / nWords).as("uniq_ratio"),
+          (stops / nWords).as("stop_ratio"),
+          ((nChars - (nWords - lit(1))) / nWords).as("avg_word_len"),
+          when(nWords >= 50 && (nUniq / nWords) >= 0.3, "keep")
+            .otherwise("drop").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars_m,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS uniq_ratio,
+      len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+      (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) AS avg_word_len,
+      CASE WHEN len(string_split(text, ' ')) >= 50
+             AND len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) >= 0.3
+           THEN 'keep' ELSE 'drop' END AS verdict
+    FROM documents ORDER BY doc_id"""))
+
+  // ---- D10: token counting (whitespace + BPE-ish regex) ------------------
+  private val q39 = Qdef(
+    "q39_tokens",
+    (s, dir) => {
+      val ws = size(split(col("text"), " "))
+      val re = size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          ws.cast("long").as("ws_tokens"),
+          re.cast("long").as("re_tokens"),
+          (length(col("text")) / re).as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+      length(text) * 1.0 / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+    FROM documents ORDER BY doc_id"""))
+
+  // ---- D11: document fingerprint (rolling position-weighted hash) --------
+  // Native codegen expression on the Spark side; the oracle replays the
+  // identical integer arithmetic per character (text is ASCII).
+  private val q42 = Qdef(
+    "q42_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT d.doc_id,
+      SUM(CAST(ascii(substring(d.text, t.i, 1)) AS BIGINT) * (((t.i * 131) % 997) + 1)) AS fp
+    FROM documents d, UNNEST(range(1, length(d.text) + 1)) AS t(i)
+    GROUP BY d.doc_id ORDER BY d.doc_id"""))
+
+  val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q42)
+}
