@@ -19,6 +19,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
+    if (args.contains("--run")) println(s"rows=${df.count()}")
     spark.stop()
   }
 }

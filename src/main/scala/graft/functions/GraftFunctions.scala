@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotProductF, RollingFingerprint, SimHash64}
 
 /** Column-API surface of graft's text/vector function library
   * (SURVEY.md §2.D/E4). Everything here is either a native codegen
@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
 object GraftFunctions {
 
   private def expr2col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
-    ExpressionUtils.column(e)
-  private def exprOf(c: Column) = ExpressionUtils.expression(c)
+    Bridge.column(e)
+  private def exprOf(c: Column) = Bridge.expression(c)
 
   // ---- native expressions ------------------------------------------------
 
@@ -47,7 +47,7 @@ object GraftFunctions {
     when(size(toks) >= k,
       array_distinct(transform(
         sequence(lit(0), size(toks) - lit(k)),
-        i => concat_ws(" ", slice(toks, i + 1, k)))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
 
   // ---- MinHash ----------------------------------------------------------
@@ -59,29 +59,16 @@ object GraftFunctions {
   val MinhashBands = 16
   val MinhashRows: Int = MinhashPerms / MinhashBands
 
-  private val MersennePrime = (1L << 61) - 1
-
-  /** Deterministic universal-hash coefficients (splitmix64 from seed 42). */
-  private val hashCoefs: IndexedSeq[(Long, Long)] = {
-    var state = 42L
-    def next(): Long = {
-      state += 0x9e3779b97f4a7c15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (0 until MinhashPerms).map(_ => ((next() | 1L), next()))
-  }
-
   /** MinHash signature (array<bigint> of length `MinhashPerms`) of a
-    * shingle set. Per-row array_min over codegen'd transforms — no
-    * explode, no shuffle; the signature is computed in a single pass over
-    * the scan.
+    * shingle set: permutation i = min over shingles of the seeded hash
+    * xxhash64(i, shingle) — k independent hash functions without any
+    * multiply (ANSI-safe: a universal `a*h+b mod p` overflows int64).
+    * Per-row array_min over codegen'd transforms — no explode, no
+    * shuffle; the signature is computed in a single pass over the scan.
     */
   def minhashSig(sh: Column): Column =
-    array(hashCoefs.map { case (a, b) =>
-      array_min(transform(sh, s => pmod(xxhash64(s) * lit(a) + lit(b), lit(MersennePrime))))
+    array((0 until MinhashPerms).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)
 
   /** LSH band keys of a signature: one 64-bit key per band. Docs sharing

@@ -1,11 +1,12 @@
-package graft.functions
+package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.VectorOps
 
 /** ArrayData-facing kernels called from both interpreted eval and the
   * generated code (one call site keeps the two paths bit-identical).
@@ -48,7 +49,7 @@ case class CosineSimilarityF(left: Expression, right: Expression)
     ExprKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.cosine($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.ExprKernels.cosine($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarityF =
@@ -68,7 +69,7 @@ case class DotProductF(left: Expression, right: Expression)
     ExprKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.dot($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.ExprKernels.dot($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductF =
@@ -87,9 +88,9 @@ case class SimHash64(child: Expression)
     ExprKernels.simhash(tokens.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t => s"graft.functions.ExprKernels.simhash($t)")
+    defineCodeGen(ctx, ev, t => s"org.apache.spark.sql.graft.ExprKernels.simhash($t)")
 
-  override protected def withNewChildrenInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
@@ -107,8 +108,8 @@ case class RollingFingerprint(child: Expression)
     ExprKernels.fingerprint(s.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.functions.ExprKernels.fingerprint($s)")
+    defineCodeGen(ctx, ev, s => s"org.apache.spark.sql.graft.ExprKernels.fingerprint($s)")
 
-  override protected def withNewChildrenInternal(newChild: Expression): RollingFingerprint =
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
     copy(child = newChild)
 }
