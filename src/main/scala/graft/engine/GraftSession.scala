@@ -1,0 +1,430 @@
+package graft.engine
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, not, when}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** MySQL-surface SQL session: every command of the reference's
+  * `execute_impl` dispatcher (/root/reference/src/execute_impl/mod.rs:1)
+  * re-expressed over Spark.
+  *
+  * Split of responsibilities, Spark-first:
+  *  - Anything relational (SELECT / EXPLAIN / INSERT-source subqueries /
+  *    UPDATE-SET expressions / DELETE predicates) is handed to Spark SQL —
+  *    Catalyst plans it, so graft-managed tables get pushdown, pruning,
+  *    broadcast and AQE identically to any other Spark table.
+  *  - Only the MySQL-isms Spark cannot parse are handled here: the DDL /
+  *    SHOW / USE / SET command surface, `@@variable` references, MySQL
+  *    column types, and `information_schema` virtual tables.
+  *
+  * Statefulness is driver-side and O(#tables) only (catalog entries);
+  * table DATA never passes through the driver — inserts/updates run as
+  * distributed Spark jobs writing parquet, so the same code path holds on
+  * a 1000-executor cluster.
+  */
+class GraftSession(val spark: SparkSession, warehouse: String) {
+
+  val catalog = new Catalog(spark, warehouse)
+  val variables = new Variables
+  private var currentSchema: String = "mysql"
+  spark.catalog.setCurrentDatabase("mysql")
+
+  /** Execute one statement. Result-set commands return their rows; DDL/DML
+    * return a single-row `affected_rows` frame (the reference's FinalCount,
+    * /root/reference/src/core/output.rs:1).
+    */
+  def sql(statement: String): DataFrame = {
+    val stmt = statement.trim.stripSuffix(";").trim
+    val lower = stmt.toLowerCase
+
+    if (lower.startsWith("create schema") || lower.startsWith("create database")) createSchema(stmt)
+    else if (lower.startsWith("drop schema") || lower.startsWith("drop database")) dropSchema(stmt)
+    else if (lower.startsWith("create table")) createTable(stmt)
+    else if (lower.startsWith("drop table")) dropTable(stmt)
+    else if (lower.startsWith("alter table")) alterTable(stmt)
+    else if (lower.startsWith("insert")) insert(stmt)
+    else if (lower.startsWith("update")) update(stmt)
+    else if (lower.startsWith("delete")) delete(stmt)
+    else if (lower.startsWith("use ")) use(stmt)
+    else if (lower.startsWith("set ")) setVariable(stmt)
+    else if (lower.startsWith("show ")) show(stmt)
+    else query(stmt)
+  }
+
+  // ---- schemas (create_db.rs / drop_schema.rs / set_default_schema.rs) ---
+
+  private val CreateSchemaR =
+    "(?is)create\\s+(?:schema|database)\\s+(if\\s+not\\s+exists\\s+)?([`\\w]+)".r
+  private def createSchema(stmt: String): DataFrame = stmt match {
+    case CreateSchemaR(ine, name) =>
+      catalog.createSchema(clean(name), ifNotExists = ine != null); count(1)
+  }
+
+  private val DropSchemaR =
+    "(?is)drop\\s+(?:schema|database)\\s+(if\\s+exists\\s+)?([`\\w]+)".r
+  private def dropSchema(stmt: String): DataFrame = stmt match {
+    case DropSchemaR(ie, name) =>
+      catalog.dropSchema(clean(name), ifExists = ie != null); count(1)
+  }
+
+  private def use(stmt: String): DataFrame = {
+    val db = clean(stmt.drop(4).trim)
+    require(catalog.schemaExists(db), s"Unknown database '$db'")
+    currentSchema = db
+    spark.catalog.setCurrentDatabase(db)
+    count(1)
+  }
+
+  // ---- tables (create_table.rs / drop_table.rs / add|drop_column.rs) -----
+
+  private val CreateTableR =
+    "(?is)create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([`\\w.]+)\\s*\\((.*)\\)\\s*(?:engine\\s*=\\s*(\\w+))?\\s*".r
+  private def createTable(stmt: String): DataFrame = stmt match {
+    case CreateTableR(ine, name, body, engine) =>
+      val (db, t) = qualify(name)
+      var pk = Seq.empty[String]
+      val cols = Seq.newBuilder[catalog.Col]
+      splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty).foreach { d =>
+        val dl = d.toLowerCase
+        if (dl.startsWith("primary key")) {
+          pk = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
+            .split(',').map(c => clean(c.trim)).toSeq
+        } else if (dl.startsWith("key ") || dl.startsWith("index ") ||
+                   dl.startsWith("unique ") || dl.startsWith("constraint ")) {
+          // secondary indexes: parquet min-max stats make these implicit
+        } else {
+          val parts = d.split("\\s+", 2)
+          val cname = clean(parts(0))
+          val rest = if (parts.length > 1) parts(1) else "text"
+          val mysqlType = rest.split("\\s+")(0)
+          if (rest.toLowerCase.contains("primary key")) pk = pk :+ cname
+          cols += catalog.Col(cname, mysqlType, sparkDdl(mysqlType))
+        }
+      }
+      catalog.createTable(
+        catalog.TableMeta(db, t, cols.result(), pk,
+          if (engine != null) engine.toLowerCase else "parquet"),
+        ifNotExists = ine != null)
+      count(1)
+  }
+
+  private val DropTableR = "(?is)drop\\s+table\\s+(if\\s+exists\\s+)?([`\\w.]+)".r
+  private def dropTable(stmt: String): DataFrame = stmt match {
+    case DropTableR(ie, name) =>
+      val (db, t) = qualify(name)
+      catalog.dropTable(db, t, ifExists = ie != null); count(1)
+  }
+
+  private val AddColR =
+    "(?is)alter\\s+table\\s+([`\\w.]+)\\s+add\\s+(?:column\\s+)?([`\\w]+)\\s+([\\w()]+).*".r
+  private val DropColR =
+    "(?is)alter\\s+table\\s+([`\\w.]+)\\s+drop\\s+(?:column\\s+)?([`\\w]+)\\s*".r
+  private def alterTable(stmt: String): DataFrame = stmt match {
+    case AddColR(name, cname, ctype) =>
+      val (db, t) = qualify(name)
+      val m = catalog.meta(db, t)
+      val ddl = sparkDdl(ctype)
+      val df = catalog.read(db, t).withColumn(clean(cname), lit(null).cast(ddl))
+      catalog.rewrite(db, t, df)
+      catalog.replaceMeta(m.copy(cols = m.cols :+ catalog.Col(clean(cname), ctype, ddl)))
+      count(0)
+    case DropColR(name, cname) =>
+      val (db, t) = qualify(name)
+      val m = catalog.meta(db, t)
+      catalog.rewrite(db, t, catalog.read(db, t).drop(clean(cname)))
+      catalog.replaceMeta(m.copy(cols = m.cols.filterNot(_.name == clean(cname))))
+      count(0)
+  }
+
+  // ---- DML (insert.rs / update.rs / delete.rs) ---------------------------
+
+  private val InsertR =
+    "(?is)insert\\s+into\\s+([`\\w.]+)\\s*(\\([^)]*\\))?\\s*(values\\b.*|select\\b.*|with\\b.*)".r
+
+  /** INSERT … VALUES / INSERT … SELECT. The source rows are parsed and
+    * planned by Spark (`VALUES` is an inline table; a SELECT source runs
+    * through the full query path), then aligned positionally to the target
+    * schema and cast. Tables with a PRIMARY KEY are written sorted by the
+    * key within each output file, so parquet row-group min/max statistics
+    * give sled-style point-lookup pruning (store/engine/sled.rs:1
+    * semantics) without any KV store.
+    */
+  private def insert(stmt: String): DataFrame = stmt match {
+    case InsertR(name, colsOpt, source) =>
+      val (db, t) = qualify(name)
+      val m = catalog.meta(db, t)
+      val src =
+        if (source.toLowerCase.startsWith("values"))
+          spark.sql(s"SELECT * FROM ${source}")
+        else query(source)
+      val targetCols: Seq[catalog.Col] =
+        if (colsOpt == null) m.cols
+        else colsOpt.stripPrefix("(").stripSuffix(")")
+          .split(',').map(c => m.cols.find(_.name == clean(c.trim))
+            .getOrElse(sys.error(s"Unknown column '${c.trim}'"))).toSeq
+      require(src.columns.length == targetCols.length,
+        s"Column count doesn't match value count (${src.columns.length} vs ${targetCols.length})")
+      val positioned = src.toDF(targetCols.map(_.name): _*)
+      val aligned = positioned.select(m.cols.map { c =>
+        (if (targetCols.exists(_.name == c.name)) col(s"`${c.name}`")
+         else lit(null)).cast(c.sparkDdl).as(c.name)
+      }: _*)
+      val rows = aligned.count()
+      val sorted =
+        if (m.pk.nonEmpty) aligned.sortWithinPartitions(m.pk.map(col): _*)
+        else aligned
+      catalog.append(db, t, sorted)
+      count(rows)
+  }
+
+  private val UpdateR =
+    "(?is)update\\s+([`\\w.]+)\\s+set\\s+(.+?)(?:\\s+where\\s+(.+))?".r
+  private def update(stmt: String): DataFrame = stmt match {
+    case UpdateR(name, sets, whereOpt) =>
+      val (db, t) = qualify(name)
+      val m = catalog.meta(db, t)
+      val cond = if (whereOpt == null) lit(true) else expr(whereOpt)
+      val assignments = splitTopLevel(sets, ',').map { a =>
+        val Array(c, e) = a.split("=", 2)
+        clean(c.trim) -> e.trim
+      }
+      var df = catalog.read(db, t)
+      val affected = df.filter(cond).count()
+      for ((c, e) <- assignments) {
+        val ddl = m.cols.find(_.name == c)
+          .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
+        df = df.withColumn(c, when(cond, expr(e).cast(ddl)).otherwise(col(s"`$c`")))
+      }
+      catalog.rewrite(db, t, df)
+      count(affected)
+  }
+
+  private val DeleteR =
+    "(?is)delete\\s+from\\s+([`\\w.]+)(?:\\s+where\\s+(.+))?".r
+  private def delete(stmt: String): DataFrame = stmt match {
+    case DeleteR(name, whereOpt) =>
+      val (db, t) = qualify(name)
+      val df = catalog.read(db, t)
+      if (whereOpt == null) {
+        val n = df.count()
+        catalog.rewrite(db, t, df.limit(0))
+        count(n)
+      } else {
+        val affected = df.filter(expr(whereOpt)).count()
+        catalog.rewrite(db, t, df.filter(not(expr(whereOpt))))
+        count(affected)
+      }
+  }
+
+  // ---- variables (set_variable.rs / variable/system.rs) ------------------
+
+  private val SetR =
+    "(?is)set\\s+(global\\s+|session\\s+)?@?@?([\\w.]+)\\s*=\\s*(.+)".r
+  private def setVariable(stmt: String): DataFrame = stmt match {
+    case SetR(scope, name, value) =>
+      val n = name.toLowerCase.stripPrefix("global.").stripPrefix("session.")
+      variables.set(n, unquote(value.trim),
+        global = scope != null && scope.trim.equalsIgnoreCase("global"))
+      count(0)
+  }
+
+  // ---- SHOW surface (show_*.rs) ------------------------------------------
+
+  private def show(stmt: String): DataFrame = {
+    val lower = stmt.toLowerCase
+    val likeR = "(?is).*\\blike\\s+'([^']*)'.*".r
+    val like: Option[String] = stmt match {
+      case likeR(p) => Some(p)
+      case _        => None
+    }
+    def likeFilter(s: String): Boolean = like.forall { p =>
+      Pattern.compile("(?i)^" + Pattern.quote(p).replace("%", "\\E.*\\Q")
+        .replace("_", "\\E.\\Q") + "$").matcher(s).matches()
+    }
+
+    if (lower.startsWith("show databases"))
+      frame(Seq("Database"), catalog.listSchemas().filter(likeFilter).map(Seq(_)))
+    else if (lower.startsWith("show tables"))
+      frame(Seq(s"Tables_in_$currentSchema"),
+        catalog.listTables(currentSchema).filter(likeFilter).map(Seq(_)))
+    else if (lower.startsWith("show full columns") || lower.startsWith("show columns")) {
+      val nameR = "(?is)show\\s+(?:full\\s+)?columns\\s+from\\s+([`\\w.]+).*".r
+      val n = stmt match { case nameR(x) => x }
+      val (db, t) = qualify(n)
+      val m = catalog.meta(db, t)
+      frame(Seq("Field", "Type", "Null", "Key", "Default", "Extra"),
+        m.cols.map(c => Seq(c.name, c.mysqlType.toLowerCase,
+          if (m.pk.contains(c.name)) "NO" else "YES",
+          if (m.pk.contains(c.name)) "PRI" else "", "NULL", "")))
+    } else if (lower.startsWith("show create table")) {
+      val n = clean(stmt.substring("show create table".length).trim)
+      val (db, t) = qualify(n)
+      val m = catalog.meta(db, t)
+      val colDefs = m.cols.map(c => s"  `${c.name}` ${c.mysqlType.toLowerCase}")
+      val pkDef = if (m.pk.nonEmpty)
+        Seq(s"  PRIMARY KEY (${m.pk.map(k => s"`$k`").mkString(", ")})") else Nil
+      val ddl = s"CREATE TABLE `$t` (\n" + (colDefs ++ pkDef).mkString(",\n") +
+        s"\n) ENGINE=${m.engine.toUpperCase}"
+      frame(Seq("Table", "Create Table"), Seq(Seq(t, ddl)))
+    } else if (lower.startsWith("show variables") || lower.startsWith("show global variables") ||
+               lower.startsWith("show session variables"))
+      frame(Seq("Variable_name", "Value"),
+        variables.all.filter(v => likeFilter(v._1)).map(v => Seq(v._1, v._2)))
+    else if (lower.startsWith("show engines"))
+      // reference lists MEMORY/CSV/Rocksdb (show_engines.rs:44); graft's
+      // engines are its storage modes on Spark.
+      frame(Seq("Engine", "Support", "Comment", "Transactions", "XA", "Savepoints"),
+        Seq(
+          Seq("PARQUET", "DEFAULT", "Columnar parquet storage, min-max pruned, distributed scan", "NO", "NO", "NO"),
+          Seq("SLED", "YES", "Key-value semantics: PK-sorted parquet with row-group point-lookup pruning", "NO", "NO", "NO"),
+          Seq("MEMORY", "YES", "Hash based, stored in memory, useful for temporary tables", "NO", "NO", "NO")))
+    else if (lower.startsWith("show charset") || lower.startsWith("show character set"))
+      frame(Seq("Charset", "Description", "Default collation", "Maxlen"),
+        Seq(Seq("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_ai_ci", "4"),
+            Seq("binary", "Binary pseudo charset", "binary", "1")))
+    else if (lower.startsWith("show collation"))
+      frame(Seq("Collation", "Charset", "Id", "Default", "Compiled", "Sortlen"),
+        Seq(Seq("utf8mb4_0900_ai_ci", "utf8mb4", "255", "Yes", "Yes", "0"),
+            Seq("utf8mb4_general_ci", "utf8mb4", "45", "", "Yes", "1"),
+            Seq("binary", "binary", "63", "Yes", "Yes", "1")))
+    else if (lower.startsWith("show grants"))
+      frame(Seq("Grants for root@%"),
+        Seq(Seq("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%' WITH GRANT OPTION")))
+    else if (lower.startsWith("show privileges"))
+      frame(Seq("Privilege", "Context", "Comment"),
+        Seq(Seq("Alter", "Tables", "To alter the table"),
+            Seq("Create", "Databases,Tables,Indexes", "To create new databases and tables"),
+            Seq("Delete", "Tables", "To delete existing rows"),
+            Seq("Drop", "Databases,Tables", "To drop databases, tables, and views"),
+            Seq("Insert", "Tables", "To insert data into tables"),
+            Seq("Select", "Tables", "To retrieve rows from table"),
+            Seq("Update", "Tables", "To update existing rows")))
+    else if (lower.startsWith("show table status"))
+      frame(Seq("Name", "Engine", "Version", "Row_format", "Rows", "Comment"),
+        catalog.listTables(currentSchema).filter(likeFilter).map { t =>
+          val rows = catalog.read(currentSchema, t).count()
+          Seq(t, catalog.meta(currentSchema, t).engine.toUpperCase, "10",
+            "Dynamic", rows.toString, "")
+        })
+    else sys.error(s"Unsupported SHOW command: $stmt")
+  }
+
+  // ---- query path (select.rs / explain.rs; B7/B10/B12) -------------------
+
+  private val VarRef = "@@(?:(?:global|session)\\.)?(\\w+)".r
+  private val SelectVarsR = "(?is)select\\s+(@@[\\w.]+(?:\\s*,\\s*@@[\\w.]+)*)\\s*".r
+
+  /** SELECT / EXPLAIN / WITH / VALUES — Spark SQL with two MySQL-isms
+    * rewritten first: `@@variable` references and `information_schema`
+    * virtual tables (meta/initial.rs parity, computed on demand from the
+    * catalog — O(#tables) driver work, no data scan).
+    */
+  def query(stmt: String): DataFrame = stmt match {
+    case SelectVarsR(vars) =>
+      // pure variable select keeps MySQL column naming: `@@version` etc.
+      val names = vars.split(',').map(_.trim)
+      val row = Row(names.map(n =>
+        variables.get(VarRef.findFirstMatchIn(n).get.group(1)).orNull): _*)
+      spark.createDataFrame(java.util.List.of(row),
+        StructType(names.map(n => StructField(n, StringType))))
+    case _ =>
+      var q = stmt
+      if (q.toLowerCase.contains("information_schema.")) {
+        registerInformationSchema()
+        q = q.replaceAll("(?i)information_schema\\.tables", "information_schema_tables")
+          .replaceAll("(?i)information_schema\\.columns", "information_schema_columns")
+      }
+      q = VarRef.replaceAllIn(q,
+        m => "'" + variables.get(m.group(1)).getOrElse("") + "'")
+      spark.sql(q)
+  }
+
+  private def registerInformationSchema(): Unit = {
+    val tables = for {
+      db <- catalog.listSchemas(); t <- catalog.listTables(db)
+    } yield Seq(db, t, "BASE TABLE", catalog.meta(db, t).engine.toUpperCase)
+    frame(Seq("table_schema", "table_name", "table_type", "engine"), tables)
+      .createOrReplaceTempView("information_schema_tables")
+    val cols = for {
+      db <- catalog.listSchemas(); t <- catalog.listTables(db)
+      m = catalog.meta(db, t)
+      (c, i) <- m.cols.zipWithIndex
+    } yield Seq(db, t, c.name, (i + 1).toString, c.mysqlType.toLowerCase,
+      if (m.pk.contains(c.name)) "PRI" else "")
+    frame(Seq("table_schema", "table_name", "column_name", "ordinal_position",
+      "data_type", "column_key"), cols)
+      .createOrReplaceTempView("information_schema_columns")
+  }
+
+  // ---- helpers -----------------------------------------------------------
+
+  private def clean(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
+
+  private def unquote(s: String): String =
+    if ((s.startsWith("'") && s.endsWith("'")) ||
+        (s.startsWith("\"") && s.endsWith("\""))) s.substring(1, s.length - 1)
+    else s
+
+  private def qualify(name: String): (String, String) = {
+    val parts = clean(name).split('.')
+    if (parts.length == 2) (clean(parts(0)), clean(parts(1)))
+    else (currentSchema, clean(name))
+  }
+
+  /** MySQL column type → Spark DDL type. */
+  private def sparkDdl(mysqlType: String): String = {
+    val t = mysqlType.toLowerCase
+    val base = t.takeWhile(c => c != '(')
+    base match {
+      case "int" | "integer" | "mediumint" => "INT"
+      case "bigint"                        => "BIGINT"
+      case "smallint"                      => "SMALLINT"
+      case "tinyint"                       => "TINYINT"
+      case "float"                         => "FLOAT"
+      case "double" | "real"               => "DOUBLE"
+      case "decimal" | "numeric"           =>
+        if (t.contains('(')) "DECIMAL" + t.dropWhile(_ != '(') else "DECIMAL(10,0)"
+      case "char" | "varchar" | "text" | "tinytext" | "mediumtext" |
+           "longtext" | "string"           => "STRING"
+      case "date"                          => "DATE"
+      case "datetime" | "timestamp"        => "TIMESTAMP"
+      case "boolean" | "bool"              => "BOOLEAN"
+      case "blob" | "binary" | "varbinary" | "longblob" => "BINARY"
+      case other => sys.error(s"Unsupported column type '$other'")
+    }
+  }
+
+  private def count(n: Long): DataFrame =
+    spark.createDataFrame(java.util.List.of(Row(n)),
+      StructType(Seq(StructField("affected_rows", LongType))))
+
+  private def frame(names: Seq[String], rows: Seq[Seq[Any]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map(r => Row(r: _*)).asJava,
+      StructType(names.map(n => StructField(n, StringType))))
+  }
+
+  /** Split on a separator, ignoring separators nested in parens/quotes
+    * (column def lists, SET assignment lists).
+    */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"'        => quote = c; cur += c
+        case '('               => depth += 1; cur += c
+        case ')'               => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => out += cur.toString; cur.clear()
+        case x                 => cur += x
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+}

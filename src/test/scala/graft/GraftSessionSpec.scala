@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.GraftSession
+
+/** MySQL-surface engine spec — follows the reference's own test suite
+  * (/root/reference/src/test/base_sql.rs: show databases, create schema,
+  * create table, insert, select *, delete + count(*), show create table)
+  * and then the rest of SURVEY.md §2.B.
+  */
+class GraftSessionSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val g = {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    new GraftSession(spark, wh)
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    g.sql(sql).collect().toSeq.map(_.toSeq)
+
+  test("B1 show databases lists seeded mysql + performance_schema") {
+    val dbs = rows("show databases").map(_.head)
+    assert(dbs.contains("mysql") && dbs.contains("performance_schema"))
+  }
+
+  test("B1 create schema / use / drop schema") {
+    g.sql("create schema test")
+    assert(rows("show databases").map(_.head).contains("test"))
+    g.sql("use test")
+    g.sql("create schema scratch")
+    g.sql("drop schema scratch")
+    assert(!rows("show databases").map(_.head).contains("scratch"))
+  }
+
+  test("B2 create table / show tables / show create table / drop table") {
+    g.sql("use test")
+    g.sql("create table user (id int, name char, PRIMARY KEY(id, name))")
+    g.sql("create table user1 (id int, name char, PRIMARY KEY(id, name))")
+    assert(rows("show tables").map(_.head) == Seq("user", "user1"))
+    val ddl = rows("show create table user").head(1).toString
+    assert(ddl.contains("`id` int") && ddl.contains("PRIMARY KEY (`id`, `name`)"))
+    g.sql("drop table user1")
+    assert(rows("show tables").map(_.head) == Seq("user"))
+  }
+
+  test("B4 insert values / select star") {
+    g.sql("use test")
+    g.sql("create table t4 (id int, name char)")
+    val n = rows("insert into t4 values (1,'a'), (2,'b'), (3,'c')").head.head
+    assert(n == 3L)
+    assert(rows("select * from t4 order by id") ==
+      Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+  }
+
+  test("B4 insert with column list fills missing with null, insert-select") {
+    g.sql("use test")
+    g.sql("create table t4b (id int, name char, score double)")
+    g.sql("insert into t4b (id, name) values (1,'x')")
+    assert(rows("select * from t4b") == Seq(Seq(1, "x", null)))
+    g.sql("insert into t4b select id + 10, name, 1.5 from t4b")
+    assert(rows("select count(*) c from t4b").head.head == 2L)
+  }
+
+  test("B5 update with and without where") {
+    g.sql("use test")
+    g.sql("create table t5 (id int, v int)")
+    g.sql("insert into t5 values (1,10),(2,20),(3,30)")
+    assert(rows("update t5 set v = v + 1 where id >= 2").head.head == 2L)
+    assert(rows("select v from t5 order by id") == Seq(Seq(10), Seq(21), Seq(31)))
+    g.sql("update t5 set v = 0")
+    assert(rows("select sum(v) s from t5").head.head == 0L)
+  }
+
+  test("B6 delete + count(*) (reference base_sql.rs delete test)") {
+    g.sql("use test")
+    g.sql("create table t6 (id int)")
+    g.sql("insert into t6 values (1),(2),(3),(4)")
+    assert(rows("delete from t6 where id > 2").head.head == 2L)
+    assert(rows("select count(*) c from t6").head.head == 2L)
+  }
+
+  test("B3 alter table add / drop column") {
+    g.sql("use test")
+    g.sql("create table t3 (id int)")
+    g.sql("insert into t3 values (7)")
+    g.sql("alter table t3 add column tag varchar(10)")
+    assert(rows("select * from t3") == Seq(Seq(7, null)))
+    g.sql("update t3 set tag = 'x' where id = 7")
+    g.sql("alter table t3 drop column id")
+    assert(rows("select * from t3") == Seq(Seq("x")))
+    val fields = rows("show columns from t3").map(_.head)
+    assert(fields == Seq("tag"))
+  }
+
+  test("B7 select joins graft tables with testdata temp views") {
+    Tables.registerAll(spark, sfDir)
+    g.sql("use test")
+    g.sql("create table rnames (r_regionkey int, alias char)")
+    g.sql("insert into rnames select r_regionkey, r_name from region")
+    val joined = rows(
+      "select count(*) c from region join test.rnames using (r_regionkey)")
+    assert(joined.head.head == 5L)
+  }
+
+  test("B8 show columns / variables / engines / charset / collation / grants / privileges / table status") {
+    g.sql("use test")
+    val cols = rows("show columns from user")
+    assert(cols.map(_.head) == Seq("id", "name"))
+    assert(cols.head(3) == "PRI")
+    assert(rows("show variables like 'version'") ==
+      Seq(Seq("version", "8.0.26-graft")))
+    assert(rows("show variables like 'max_%'").nonEmpty)
+    assert(rows("show engines").map(_.head).contains("PARQUET"))
+    assert(rows("show charset").map(_.head).contains("utf8mb4"))
+    assert(rows("show collation").map(_.head).contains("utf8mb4_0900_ai_ci"))
+    assert(rows("show grants").head.head.toString.startsWith("GRANT"))
+    assert(rows("show privileges").map(_.head).contains("Select"))
+    assert(rows("show table status like 'user'").head.head == "user")
+  }
+
+  test("B9 set variable and select @@variable") {
+    assert(rows("select @@version").head.head == "8.0.26-graft")
+    g.sql("set max_connections = 500")
+    assert(rows("select @@max_connections").head.head == "500")
+    g.sql("set global wait_timeout = 100")
+    assert(rows("show variables like 'wait_timeout'") ==
+      Seq(Seq("wait_timeout", "100")))
+    // variable reference embedded in a bigger query is substituted
+    assert(rows("select concat('v=', @@protocol_version) x").head.head == "v=10")
+  }
+
+  test("B10 information_schema.tables / columns") {
+    g.sql("use test")
+    val ts = rows(
+      "select table_name from information_schema.tables where table_schema = 'test' order by table_name")
+    assert(ts.map(_.head).contains("user"))
+    val cs = rows(
+      "select column_name, column_key from information_schema.columns " +
+        "where table_schema = 'test' and table_name = 'user' order by ordinal_position")
+    assert(cs == Seq(Seq("id", "PRI"), Seq("name", "PRI")))
+  }
+
+  test("B11/B12 sled-style PK table: sorted write + pushed-down point lookup") {
+    g.sql("use test")
+    g.sql("create table kv (k bigint, v char, PRIMARY KEY(k)) engine=sled")
+    g.sql("insert into kv select id * 7 % 1000, cast(id as string) from range(1000)")
+    assert(rows("show create table kv").head(1).toString.contains("ENGINE=SLED"))
+    val lookup = g.sql("select * from kv where k = 421")
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,421)"),
+      s"point lookup must push the PK predicate to parquet:\n$plan")
+    assert(lookup.collect().nonEmpty)
+  }
+
+  test("A17 explain select surfaces a plan") {
+    g.sql("use test")
+    val out = rows("explain select count(*) from user")
+    assert(out.head.head.toString.contains("Aggregate"))
+  }
+}
