@@ -1,0 +1,197 @@
+package graft.streaming
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** One event of the driver's `events` table (µs-precision Instant so
+  * stream/batch/DuckDB all compare timestamps at full parquet precision).
+  */
+case class Event(event_id: Long, ts: Instant, user_id: Long,
+                 event_type: String, value: Double)
+
+/** A closed user session. `sum_value` is quantized (cents) before
+  * accumulation so the sum is order-independent — the same trick as
+  * Q.dsum, needed because streaming accumulation order is arbitrary.
+  */
+case class Session(user_id: Long, session_start: Instant, session_end: Instant,
+                   n_events: Long, sum_value: Double)
+
+/** Open-session accumulator carried in stream state. */
+case class OpenSession(startMicros: Long, lastMicros: Long,
+                       n: Long, sumCents: Long)
+
+/** Structured-Streaming surface over the events schema (SURVEY.md §2.C).
+  *
+  * The reference has no stream processing (ebike is a batch OLAP server);
+  * this is the scale-path addition: the same event analytics the batch
+  * suite runs (q29/q40/q41), expressed as incremental queries with
+  * watermarked state so they run unbounded on a cluster. Batch and stream
+  * share one sessionization core (`foldSessions`), which is what lets the
+  * driver oracle the streaming semantics with a window-gap SQL batch
+  * equivalent.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+  /** Default session gap and watermark delay. */
+  val SessionGap = "30 minutes"
+  val SessionGapMicros: Long = 30L * 60 * 1000 * 1000
+
+  private def micros(i: Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  private def instant(us: Long): Instant =
+    Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+
+  // ---- C1: sources -------------------------------------------------------
+
+  /** File stream over a directory of events-schema parquet — the
+    * production shape: a 1000-executor cluster tails an object-store
+    * prefix; `maxFilesPerTrigger` bounds per-batch work.
+    */
+  def fileSource(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  // ---- C2: windowed aggregation + watermark ------------------------------
+
+  /** Tumbling 1-hour counts/sums per event type. Watermark bounds state:
+    * windows older than `delay` behind max event time are finalized and
+    * dropped, so state size is O(active windows), not O(stream length).
+    */
+  def tumbling(events: DataFrame, width: String = "1 hour",
+               delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window variant (1h window every 15min). */
+  def sliding(events: DataFrame, width: String = "1 hour",
+              slide: String = "15 minutes", delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  // ---- C3: sessionization ------------------------------------------------
+
+  /** Fold time-ordered events into gap-separated sessions. Shared by the
+    * streaming path (per-microbatch, with carried state) and the batch
+    * path (one call per user with all events) — a single definition of
+    * the session semantics keeps the two modes provably consistent.
+    *
+    * Returns (closed sessions in start order, still-open accumulator).
+    */
+  def foldSessions(events: Seq[Event], open0: Option[OpenSession],
+                   gapMicros: Long): (Seq[Session], Option[OpenSession]) = {
+    val closed = Seq.newBuilder[Session]
+    var open = open0
+    for (e <- events.sortBy(ev => (micros(ev.ts), ev.event_id))) {
+      val t = micros(e.ts)
+      val cents = math.round(e.value * 100)
+      open match {
+        case Some(o) if t - o.lastMicros <= gapMicros =>
+          open = Some(o.copy(lastMicros = math.max(o.lastMicros, t),
+            n = o.n + 1, sumCents = o.sumCents + cents))
+        case Some(o) =>
+          closed += close(e.user_id, o)
+          open = Some(OpenSession(t, t, 1, cents))
+        case None =>
+          open = Some(OpenSession(t, t, 1, cents))
+      }
+    }
+    (closed.result(), open)
+  }
+
+  private def close(userId: Long, o: OpenSession): Session =
+    Session(userId, instant(o.startMicros), instant(o.lastMicros),
+      o.n, o.sumCents / 100.0)
+
+  /** Streaming sessionization: append-mode flatMapGroupsWithState keyed by
+    * user. State = one OpenSession per active user (bounded by the
+    * watermark timeout, set to last-event + gap); sessions emit when the
+    * gap is exceeded by a later event or the event-time timeout fires.
+    */
+  def sessionizeStream(events: Dataset[Event],
+                       delay: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val done = state.getOption.map(close(userId, _))
+            state.remove()
+            done.iterator
+          } else {
+            val (closedSessions, open) =
+              foldSessions(it.toSeq, state.getOption, SessionGapMicros)
+            open match {
+              case Some(o) =>
+                state.update(o)
+                state.setTimeoutTimestamp((o.lastMicros / 1000L) +
+                  SessionGapMicros / 1000L)
+              case None => state.remove()
+            }
+            closedSessions.iterator
+          }
+      }
+  }
+
+  /** Batch sessionization over the same core — this is q41's plan. One
+    * shuffle on user_id; each user's events fold in one task (skew-safe:
+    * per-user event counts are human-scale, not power-law unbounded).
+    */
+  def sessionizeBatch(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (userId: Long, it: Iterator[Event]) =>
+        val (closedSessions, open) =
+          foldSessions(it.toSeq, None, SessionGapMicros)
+        (closedSessions ++ open.map(close(userId, _))).iterator
+      }
+  }
+
+  // ---- C4: stream-static join -------------------------------------------
+
+  /** Enrich the stream with a static dimension (broadcast — the static
+    * side is planned per-microbatch exactly like a batch broadcast join,
+    * no stream-state).
+    */
+  def withDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  // ---- C5: streaming dedup ----------------------------------------------
+
+  /** Exactly-once by event_id within the watermark horizon: state keeps
+    * one key per event inside the delay window and is dropped beyond it —
+    * bounded state for an unbounded stream.
+    */
+  def dedup(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+}

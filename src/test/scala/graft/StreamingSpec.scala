@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Event, EventStreams}
+
+/** Drives the real streaming paths (SURVEY.md §2.C) through MemoryStream
+  * and a parquet file source; asserts the stream results agree with the
+  * shared batch core where both exist.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkFixture._
+  import spark.implicits._
+
+  private def ts(minute: Int): Instant =
+    Instant.parse("2024-01-01T00:00:00Z").plusSeconds(minute * 60L)
+
+  private def chk(): String = Files.createTempDirectory("graft-chk").toString
+
+  test("C1 file stream source reads events-schema parquet incrementally") {
+    val events = Tables.t(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft-stream-src").toString
+    events.limit(200).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.fileSource(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("c1_sink")
+      .option("checkpointLocation", chk()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("c1_sink").count() == 200)
+  }
+
+  test("C2 tumbling window agg + watermark over a memory stream") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.tumbling(input.toDF(), width = "1 hour", delay = "2 hours")
+      .writeStream.format("memory").queryName("c2_sink")
+      .outputMode("complete")
+      .option("checkpointLocation", chk()).start()
+    input.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.5))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("c2_sink")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(rows == Set(
+      Seq(java.sql.Timestamp.from(ts(0)), "click", 2L, 3.0),
+      Seq(java.sql.Timestamp.from(ts(60)), "view", 1L, 3.5)))
+  }
+
+  test("C3 streaming sessionization emits gap-closed sessions") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeStream(input.toDS(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("c3_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    // session A: minutes 0..10; 40-min gap; session B starts at minute 50.
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(50), 7, "view", 4.0))
+    q.processAllAvailable()
+    // advance watermark far past B's gap so its event-time timeout fires
+    input.addData(Event(4, ts(300), 8, "click", 0.5))
+    q.processAllAvailable()
+    input.addData(Event(5, ts(400), 9, "click", 0.25))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("c3_sink")
+      .select("user_id", "n_events", "sum_value").collect().map(_.toSeq).toSet
+    assert(sessions.contains(Seq(7L, 2L, 3.0)), s"gap-closed session missing: $sessions")
+    assert(sessions.contains(Seq(7L, 1L, 4.0)), s"timeout-closed session missing: $sessions")
+  }
+
+  test("C3 stream and batch sessionization agree (shared core)") {
+    val events = Tables.t(spark, sfDir, "events").limit(300)
+    val batch = EventStreams.sessionizeBatch(events)
+      .collect().map(s => (s.user_id, s.session_start, s.n_events, s.sum_value)).toSet
+    // replay the same events through the streaming path in one batch,
+    // then a far-future event per-user-free to flush all timeouts
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeStream(input.toDS(), delay = "1 minute")
+      .writeStream.format("memory").queryName("c3b_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq)
+    q.processAllAvailable()
+    input.addData(Event(-1, Instant.parse("2030-01-01T00:00:00Z"), -1, "x", 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("c3b_sink")
+      .filter($"user_id" =!= -1L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant,
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
+  test("C4 stream-static join enriches with broadcast dim") {
+    val input = MemoryStream[Event](spark)
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val q = EventStreams.withDim(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("c4_sink")
+      .option("checkpointLocation", chk()).start()
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 3, "view", 2.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("c4_sink").select("user_id", "tier")
+      .collect().map(_.toSeq).toSet
+    assert(out == Set(Seq(1L, "gold"), Seq(3L, null)))
+  }
+
+  test("C5 streaming dedup drops duplicate event_ids within watermark") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.dedup(input.toDF())
+      .writeStream.format("memory").queryName("c5_sink")
+      .option("checkpointLocation", chk()).start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(1, ts(2), 1, "click", 1.0)) // late duplicate
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("c5_sink").count() == 2)
+  }
+}
