@@ -105,25 +105,34 @@ object GraftFunctions {
 
   // ---- registration ------------------------------------------------------
 
-  /** Register the native expressions as SQL functions so `spark.sql`
-    * queries can call them (cosine_sim, dot_f, simhash64,
-    * doc_fingerprint). Also done by GraftExtensions at session build.
+  /** Function descriptors shared by `register` (imperative, any live
+    * session) and `GraftExtensions` (declarative, at session build).
     */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  lazy val descriptors: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    def put(name: String, arity: Int, f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      reg.registerFunction(
-        FunctionIdentifier(name),
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def d(name: String, arity: Int, f: Seq[Expression] => Expression) =
+      (FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
-        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        (args: Seq[Expression]) => {
           require(args.length == arity, s"$name expects $arity args")
           f(args)
         })
-    put("cosine_sim", 2, a => CosineSimilarityF(a(0), a(1)))
-    put("dot_f", 2, a => DotProductF(a(0), a(1)))
-    put("simhash64", 1, a => SimHash64(a(0)))
-    put("doc_fingerprint", 1, a => RollingFingerprint(a(0)))
+    Seq(
+      d("cosine_sim", 2, a => CosineSimilarityF(a(0), a(1))),
+      d("dot_f", 2, a => DotProductF(a(0), a(1))),
+      d("simhash64", 1, a => SimHash64(a(0))),
+      d("doc_fingerprint", 1, a => RollingFingerprint(a(0))))
   }
+
+  /** Register the native expressions as SQL functions on a live session
+    * (cosine_sim, dot_f, simhash64, doc_fingerprint). Sessions built with
+    * GraftExtensions get the same set declaratively.
+    */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Skew}
+import graft.sources.Bucketing
+
+/** Scale-infrastructure operators (SURVEY.md §2.D12/E2/E3/E5). */
+class OperatorsSpec extends AnyFunSuite {
+  import SparkFixture._
+  import spark.implicits._
+
+  test("E2 saltedJoin equals the plain join and joins on the salt key") {
+    val lineitem = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val orders = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = lineitem.join(orders, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(lineitem, orders, "l_orderkey", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq, "salt column must not leak")
+    val cond = salted.queryExecution.optimizedPlan.toString
+    assert(cond.contains("_graft_salt"), s"join must include the salt key:\n$cond")
+  }
+
+  test("E3 same-key bucketed tables join with no shuffle exchange") {
+    val li = Tables.t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.t(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "b_lineitem", 4, Seq("l_orderkey"))
+    Bucketing.writeBucketed(ord, "b_orders", 4, Seq("o_orderkey"))
+    val joined = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = Bucketing.table(spark, "b_lineitem")
+        .join(Bucketing.table(spark, "b_orders"),
+          $"l_orderkey" === $"o_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free:\n$plan")
+      j.count()
+    }
+    assert(joined > 0)
+  }
+
+  test("D12 media pack: schema and metadata are typed") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val media = Multimodal.packDocuments(docs)
+    assert(media.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "doc_id" -> "bigint", "media_type" -> "string", "content" -> "binary",
+      "byte_len" -> "long" , "width" -> "int", "height" -> "int")
+      .map { case (n, t) => (n, if (t == "long") "bigint" else t) })
+    val r = media.limit(1).collect()(0)
+    assert(r.getAs[Array[Byte]]("content").nonEmpty)
+  }
+
+  test("D12 feature extraction is distributed, batched, fixed-dim, deterministic") {
+    val media = Multimodal.packDocuments(Tables.t(spark, sfDir, "documents"))
+      .repartition(3)
+    val feats = Multimodal.extractFeatures(media, dim = 8, batchSize = 16)
+    val rows = feats.collect()
+    assert(rows.length == media.count())
+    assert(rows.forall(_.feature.length == 8))
+    // deterministic: second run bit-identical
+    val again = Multimodal.extractFeatures(media, dim = 8, batchSize = 16).collect()
+    assert(rows.map(r => (r.doc_id, r.feature.toSeq)).sortBy(_._1).toSeq ==
+      again.map(r => (r.doc_id, r.feature.toSeq)).sortBy(_._1).toSeq)
+    // no driver-side loop: the plan is a mapPartitions over the scan
+    assert(feats.queryExecution.executedPlan.toString.contains("MapPartitions"))
+  }
+
+  test("D12 resize and frame sampling keep the media contract") {
+    val media = Multimodal.packDocuments(
+      Tables.t(spark, sfDir, "documents").limit(30))
+    val resized = Multimodal.resize(media, 64, 48)
+    val r = resized.limit(1).collect()(0)
+    assert(r.getAs[Int]("width") == 64 && r.getAs[Int]("height") == 48)
+    val frames = Multimodal.sampleFrames(media, frames = 4)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) == 4))
+  }
+
+  test("E5 GraftExtensions exposes native functions to spark.sql") {
+    Tables.registerAll(spark, sfDir)
+    val out = spark.sql(
+      """SELECT e1.vec_id, cosine_sim(e1.embedding, e1.embedding) AS self_sim,
+        |  simhash64(split('a b c', ' ')) AS sh,
+        |  doc_fingerprint('abc') AS fp
+        |FROM embeddings e1 LIMIT 5""".stripMargin).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    // whole-stage codegen covers the native expressions (no UDF break):
+    // the `*(1)` star prefix marks the codegen stage containing the Project
+    val plan = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) FROM embeddings")
+      .queryExecution.executedPlan.toString
+    assert(plan.trim.startsWith("*(1) Project [cosine_sim"),
+      s"native expression must sit inside a codegen stage:\n$plan")
+  }
+
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
