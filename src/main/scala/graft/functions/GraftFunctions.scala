@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotProductF, RollingFingerprint, SimHash64}
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, MinHashBandsE, MinHashSigE, RollingFingerprint, SimHash64}
 
 /** Column-API surface of graft's text/vector function library
   * (SURVEY.md §2.D/E4). Everything here is either a native codegen
@@ -63,13 +63,12 @@ object GraftFunctions {
     * shingle set: permutation i = min over shingles of the seeded hash
     * xxhash64(i, shingle) — k independent hash functions without any
     * multiply (ANSI-safe: a universal `a*h+b mod p` overflows int64).
-    * Per-row array_min over codegen'd transforms — no explode, no
-    * shuffle; the signature is computed in a single pass over the scan.
+    * Native one-pass codegen expression (MinHashSigE): no explode, no
+    * shuffle, no per-element lambda interpretation; bit-identical to the
+    * equivalent array_min(transform(...)) per permutation.
     */
   def minhashSig(sh: Column): Column =
-    array((0 until MinhashPerms).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
+    expr2col(MinHashSigE(exprOf(sh), MinhashPerms))
 
   /** LSH band keys of a signature: one 64-bit key per band. Docs sharing
     * any band key become candidate pairs — the linear-time scale path
@@ -79,6 +78,13 @@ object GraftFunctions {
     array((0 until MinhashBands).map { bnd =>
       xxhash64(lit(bnd), slice(sig, bnd * MinhashRows + 1, MinhashRows))
     }: _*)
+
+  /** Shingles → band keys in one native evaluation (sig computed once,
+    * not once per band — see MinHashBandsE). Equals
+    * bandKeys(minhashSig(sh)) value-for-value.
+    */
+  def minhashBandKeys(sh: Column): Column =
+    expr2col(MinHashBandsE(exprOf(sh), MinhashPerms, MinhashBands))
 
   // ---- quantized vector ops (oracle-exact cross-engine arithmetic) ------
 
@@ -91,9 +97,17 @@ object GraftFunctions {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native codegen
+    * (DotLong), the per-pair kernel of q34/q35/q36.
+    */
   def quantDot(qa: Column, qb: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    expr2col(DotLong(exprOf(qa), exprOf(qb)))
+
+  /** 16-plane deterministic Rademacher LSH signature of a quantized
+    * vector (native codegen) — q36's corpus-scale candidate generator.
+    */
+  def hyperplaneSig(qv: Column, planes: Int = 16): Column =
+    expr2col(HyperplaneSigE(exprOf(qv), planes))
 
   /** Bitwise-reproducible cosine over quantized vectors: integer sums are
     * exact, the final double ops (mul/sqrt/div) are IEEE-correctly-rounded

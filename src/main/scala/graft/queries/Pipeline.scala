@@ -45,12 +45,21 @@ object Pipeline {
   private val q31 = Qdef(
     "q31_dedup_minhash",
     (s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      // The shingle and band-key tables are each read by 2+ plan branches
+      // (self-join sides, verify joins); stage them once instead of
+      // recomputing per branch. MEMORY_AND_DISK: at 100 TB the shingle
+      // table is corpus-sized, so this is a spillable staging table —
+      // the standard shape for a multi-pass dedup pipeline.
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
         .filter(size(col("sh")) > 0)
-      // band keys only (no shingle payload) through the wide self-join
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // band keys only (no shingle payload) through the wide self-join;
+      // one native evaluation per doc (sig NOT recomputed per band)
       val bands = docs
-        .select(col("doc_id"), explode(bandKeys(minhashSig(col("sh")))).as("bk"))
+        .select(col("doc_id"), explode(minhashBandKeys(col("sh"))).as("bk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -144,13 +153,21 @@ object Pipeline {
   private val q34 = Qdef(
     "q34_dedup_embedding",
     (s, dir) => {
+      // self-dot precomputed per row (O(n)), so each of the O(n²) pairs
+      // costs ONE native 64-long dot — same doubles as quantCosine since
+      // the integer dots are identical and the final mul/sqrt/div are
+      // IEEE-correctly-rounded in any order of computation.
       val embs = t(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      val a = embs.select(col("vec_id").as("vec_a"), col("qv").as("qa"))
-      val b = embs.select(col("vec_id").as("vec_b"), col("qv").as("qb"))
+        .withColumn("selfdot", quantDot(col("qv"), col("qv")).cast("double"))
+      val a = embs.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+        col("selfdot").as("aa"))
+      val b = embs.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+        col("selfdot").as("bb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          quantCosine(col("qa"), col("qb")).as("cos_sim"))
+          (quantDot(col("qa"), col("qb")).cast("double") /
+            sqrt(col("aa") * col("bb"))).as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
     },
@@ -211,19 +228,11 @@ object Pipeline {
   private val q36 = Qdef(
     "q36_ann_lsh",
     (s, dir) => {
-      val dim = 64
-      def sigBit(p: Int) = {
-        val proj = aggregate(
-          zip_with(
-            col("qv"),
-            sequence(lit(0), lit(dim - 1)),
-            (x, i) => x * (pmod(xxhash64(lit(p), i), lit(2)) * lit(2L) - lit(1L))),
-          lit(0L), (acc, v) => acc + v)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
+      // native one-pass 16-plane signature (HyperplaneSigE) — same ±1
+      // sequence as pmod(xxhash64(plane, dim), 2) * 2 - 1 per plane
       val embs = t(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        .withColumn("sig", (0 until 16).map(sigBit).reduce(_ + _))
+        .withColumn("sig", hyperplaneSig(col("qv")))
       val bands = embs.select(col("vec_id"), col("qv"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"), shiftrightunsigned(col("sig"), 4 * b)

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -30,6 +30,106 @@ object ExprKernels {
   }
 
   def fingerprint(s: UTF8String): Long = VectorOps.fingerprint(s.getBytes)
+
+  /** Exact integer dot product over array<bigint> (quantized vectors).
+    * Values fit long: 6-decimal-quantized unit floats are ≤ 1e6, so a
+    * dim-64 dot is ≤ 6.4e13 ≪ Long.MaxValue.
+    */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** Per-permutation seeds for the MinHash hash family: seed(i) =
+    * xxhash64 of the Int literal i with Spark's default seed 42 — exactly
+    * the inner state `xxhash64(lit(i), shingle)` reaches after its first
+    * child, so signatures are bit-identical to the HOF formulation
+    * (array_min(transform(sh, s => xxhash64(lit(i), s)))) they replace.
+    */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]
+  private def seeds(perms: Int): Array[Long] =
+    seedCache.computeIfAbsent(perms, p =>
+      Array.tabulate(p)(i => XxHash64Function.hash(i, IntegerType, 42L)))
+
+  /** MinHash signature in ONE pass over the shingle array: perms × |sh|
+    * seeded xxhash64 calls with no per-element lambda interpretation —
+    * the hot loop of the dedup family at corpus scale. Returns null for
+    * an empty shingle set (callers filter those upstream).
+    */
+  def minhashSig(sh: ArrayData, perms: Int): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return null
+    val sd = seeds(perms)
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val s = sh.getUTF8String(t)
+      var i = 0
+      while (i < perms) {
+        val h = XxHash64Function.hash(s, StringType, sd(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** MinHash LSH band keys straight from the shingle set: signature (as
+    * `minhashSig`) then, per band b, the xxhash64 fold of (b, sig-slice)
+    * — bit-identical to xxhash64(lit(b), slice(sig, b*rows+1, rows)),
+    * whose interpreted form folds seed→hashInt(b)→hashLong(elem)… over
+    * the slice. One expression means one evaluation per row under a
+    * Generate (explode): the signature is NOT recomputed per band, which
+    * is the difference between |sh|·perms and |sh|·perms·bands hashes at
+    * corpus scale.
+    */
+  def minhashBands(sh: ArrayData, perms: Int, bands: Int): ArrayData = {
+    val sigArr = minhashSig(sh, perms)
+    if (sigArr == null) return null
+    val rows = perms / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XxHash64Function.hash(b, IntegerType, 42L)
+      var j = b * rows
+      while (j < (b + 1) * rows) {
+        h = XxHash64Function.hash(sigArr.getLong(j), LongType, h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Deterministic Rademacher hyperplane signature (q36's LSH family):
+    * bit p of the result = sign of Σ_d qv[d] * (xxhash64(p, d) mod 2 * 2
+    * - 1) — the same ±1 sequence as the HOF formulation
+    * pmod(xxhash64(lit(p), i), 2) * 2 - 1.
+    */
+  def hyperplaneSig(qv: ArrayData, planes: Int): Long = {
+    val dim = qv.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val seedP = XxHash64Function.hash(p, IntegerType, 42L)
+      var proj = 0L
+      var d = 0
+      while (d < dim) {
+        val h = XxHash64Function.hash(d, IntegerType, seedP)
+        val sign = java.lang.Math.floorMod(h, 2L) * 2L - 1L
+        proj += qv.getLong(d) * sign
+        d += 1
+      }
+      if (proj >= 0L) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
 }
 
 /** Native codegen cosine similarity over `array<float>` — the hot kernel
@@ -111,5 +211,94 @@ case class RollingFingerprint(child: Expression)
     defineCodeGen(ctx, ev, s => s"org.apache.spark.sql.graft.ExprKernels.fingerprint($s)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+/** Exact long dot product over quantized vectors — the per-pair kernel of
+  * the similarity family (q34/q35/q36). Replaces an interpreted
+  * aggregate(zip_with(...)) pair of higher-order functions with one
+  * codegen'd static call: at 2M candidate pairs that is the difference
+  * between ~100M interpreted lambda evals and one tight loop per pair.
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_l"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.ExprKernels.dotL($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass MinHash signature (SURVEY.md §2.D2 hot loop). Bit-identical
+  * to array_min(transform(sh, s => xxhash64(lit(i), s))) per permutation
+  * — see ExprKernels.seeds.
+  */
+case class MinHashSigE(child: Expression, perms: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(sh: Any): Any =
+    ExprKernels.minhashSig(sh.asInstanceOf[ArrayData], perms)
+
+  // kernel returns null for an empty shingle set — propagate as SQL NULL
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = org.apache.spark.sql.graft.ExprKernels.minhashSig($s, $perms);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigE =
+    copy(child = newChild)
+}
+
+/** Shingles → LSH band keys in one evaluation (SURVEY.md §2.D2). */
+case class MinHashBandsE(child: Expression, perms: Int, bands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(sh: Any): Any =
+    ExprKernels.minhashBands(sh.asInstanceOf[ArrayData], perms, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = org.apache.spark.sql.graft.ExprKernels.minhashBands($s, $perms, $bands);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsE =
+    copy(child = newChild)
+}
+
+/** Rademacher hyperplane LSH signature (SURVEY.md §2.D7). */
+case class HyperplaneSigE(child: Expression, planes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(qv: Any): Any =
+    ExprKernels.hyperplaneSig(qv.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"org.apache.spark.sql.graft.ExprKernels.hyperplaneSig($s, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigE =
     copy(child = newChild)
 }
