@@ -50,8 +50,75 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     else if (lower.startsWith("use ")) use(stmt)
     else if (lower.startsWith("set ")) setVariable(stmt)
     else if (lower.startsWith("show ")) show(stmt)
+    else if (lower.startsWith("prepare ")) prepare(stmt)
+    else if (lower.startsWith("execute ")) executePrepared(stmt)
+    else if (lower.startsWith("deallocate ")) deallocate(stmt)
     else query(stmt)
   }
+
+  // ---- prepared statements (com_stmt_prepare.rs) -------------------------
+
+  private val preparedStmts = scala.collection.mutable.Map.empty[String, String]
+
+  private val PrepareR = "(?is)prepare\\s+(\\w+)\\s+from\\s+(.+)".r
+  private def prepare(stmt: String): DataFrame = stmt match {
+    case PrepareR(name, body) =>
+      val sqlText = unquote(body.trim)
+      preparedStmts(name.toLowerCase) = sqlText
+      // reference counts the ? parameter markers at prepare time
+      count(countPlaceholders(sqlText))
+  }
+
+  private val ExecuteR = "(?is)execute\\s+(\\w+)(?:\\s+using\\s+(.+))?".r
+  private def executePrepared(stmt: String): DataFrame = stmt match {
+    case ExecuteR(name, usingOpt) =>
+      val template = preparedStmts.getOrElse(name.toLowerCase,
+        sys.error(s"Unknown prepared statement handler ($name) given to EXECUTE"))
+      val args: Seq[String] =
+        if (usingOpt == null) Seq.empty
+        else splitTopLevel(usingOpt, ',').map(_.trim).map { a =>
+          if (a.startsWith("@") && !a.startsWith("@@"))
+            userVars.getOrElse(a.drop(1).toLowerCase,
+              sys.error(s"Undefined user variable $a"))
+          else a
+        }
+      require(args.length == countPlaceholders(template),
+        s"Incorrect arguments to EXECUTE: expected ${countPlaceholders(template)}, got ${args.length}")
+      sql(bindPlaceholders(template, args))
+  }
+
+  private val DeallocateR = "(?is)deallocate\\s+prepare\\s+(\\w+)".r
+  private def deallocate(stmt: String): DataFrame = stmt match {
+    case DeallocateR(name) =>
+      preparedStmts.remove(name.toLowerCase); count(0)
+  }
+
+  private def countPlaceholders(s: String): Int = {
+    var n = 0; var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '?') n += 1
+    }
+    n
+  }
+
+  private def bindPlaceholders(s: String, args: Seq[String]): String = {
+    val out = new StringBuilder
+    var quote: Char = 0; var i = 0
+    for (c <- s) {
+      if (quote != 0) { out += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; out += c }
+      else if (c == '?') { out ++= args(i); i += 1 }
+      else out += c
+    }
+    out.toString
+  }
+
+  /** COM_FIELD_LIST parity (com_field_list.rs): the table's column
+    * definitions, same shape as SHOW COLUMNS.
+    */
+  def fieldList(table: String): DataFrame = show(s"show columns from $table")
 
   // ---- schemas (create_db.rs / drop_schema.rs / set_default_schema.rs) ---
 
@@ -218,16 +285,49 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       }
   }
 
-  // ---- variables (set_variable.rs / variable/system.rs) ------------------
+  // ---- variables (set_variable.rs / variable/system.rs + user_defined.rs)
 
+  /** User-defined session variables (`SET @a = …`); values kept as raw
+    * SQL text and substituted into later statements, so `SELECT @a + 1`
+    * works for any literal type.
+    */
+  private val userVars = scala.collection.mutable.Map.empty[String, String]
+
+  private val SetUserR = "(?is)set\\s+@(\\w+)\\s*:?=\\s*(.+)".r
   private val SetR =
     "(?is)set\\s+(global\\s+|session\\s+)?@?@?([\\w.]+)\\s*=\\s*(.+)".r
   private def setVariable(stmt: String): DataFrame = stmt match {
+    case SetUserR(name, value) =>
+      userVars(name.toLowerCase) = value.trim; count(0)
     case SetR(scope, name, value) =>
       val n = name.toLowerCase.stripPrefix("global.").stripPrefix("session.")
       variables.set(n, unquote(value.trim),
         global = scope != null && scope.trim.equalsIgnoreCase("global"))
       count(0)
+  }
+
+  /** Quote-aware `@name` → value substitution (single @, not @@). */
+  private def substituteUserVars(s: String): String = {
+    if (userVars.isEmpty || !s.contains("@")) return s
+    val out = new StringBuilder
+    var quote: Char = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { out += c; if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; out += c; i += 1 }
+      else if (c == '@' && i + 1 < s.length && s.charAt(i + 1) != '@' &&
+               (i == 0 || s.charAt(i - 1) != '@')) {
+        val end = (i + 1 to s.length).find(j =>
+          j == s.length || !Character.isLetterOrDigit(s.charAt(j)) && s.charAt(j) != '_').get
+        val name = s.substring(i + 1, end).toLowerCase
+        userVars.get(name) match {
+          case Some(v) => out ++= v
+          case None    => out ++= s.substring(i, end)
+        }
+        i = end
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   // ---- SHOW surface (show_*.rs) ------------------------------------------
@@ -338,6 +438,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       }
       q = VarRef.replaceAllIn(q,
         m => "'" + variables.get(m.group(1)).getOrElse("") + "'")
+      q = substituteUserVars(q)
       spark.sql(q)
   }
 

@@ -52,11 +52,15 @@ object GraftFunctions {
 
   // ---- MinHash ----------------------------------------------------------
 
-  /** Number of hash permutations / LSH banding shape (16 bands × 4 rows:
-    * catches jaccard ≳ 0.5 with high recall at 64 permutations).
+  /** Number of hash permutations / LSH banding shape. 32 bands × 2 rows:
+    * a pair at jaccard j collides in ≥1 band with prob 1-(1-j²)^32 —
+    * miss 1e-4 at j=0.5, 4.6e-10 at j=0.7 — so recall over the oracle's
+    * j≥0.5 threshold is effectively exact. The narrower rows (2 vs 4)
+    * admit more low-j candidates, but background shingle collisions are
+    * rare and the in-bucket exact verify bounds the cost.
     */
   val MinhashPerms = 64
-  val MinhashBands = 16
+  val MinhashBands = 32
   val MinhashRows: Int = MinhashPerms / MinhashBands
 
   /** MinHash signature (array<bigint> of length `MinhashPerms`) of a

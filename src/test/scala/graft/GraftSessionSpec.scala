@@ -155,6 +155,33 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(lookup.collect().nonEmpty)
   }
 
+  test("B13 prepare / execute with ? params / deallocate (com_stmt_prepare parity)") {
+    g.sql("use test")
+    g.sql("create table prep (id int, name char)")
+    g.sql("insert into prep values (1,'a'),(2,'b'),(3,'c')")
+    val nParams = g.sql("prepare p1 from 'select * from prep where id > ? and name <> ? order by id'")
+      .collect()(0).getLong(0)
+    assert(nParams == 2L)
+    assert(rows("execute p1 using 1, 'zz'") == Seq(Seq(2, "b"), Seq(3, "c")))
+    // user-variable arguments (reference variable/user_defined.rs)
+    g.sql("set @lo = 2")
+    assert(rows("execute p1 using @lo, 'b'") == Seq(Seq(3, "c")))
+    g.sql("deallocate prepare p1")
+    assertThrows[Exception](g.sql("execute p1 using 1, 'x'"))
+  }
+
+  test("B13 user variables substitute into queries") {
+    g.sql("set @x = 40")
+    assert(rows("select @x + 2 as v").head.head == 42)
+    // quoted '@' untouched
+    assert(rows("select 'a@x.com' as e").head.head == "a@x.com")
+  }
+
+  test("B13 com_field_list surface matches show columns") {
+    g.sql("use test")
+    assert(g.fieldList("user").collect().map(_.getString(0)).toSeq == Seq("id", "name"))
+  }
+
   test("A17 explain select surfaces a plan") {
     g.sql("use test")
     val out = rows("explain select count(*) from user")
