@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.GraftFunctions._
+import Q.{dsum, sqlDsum}
 
 /** LLM-training-data pipeline suite (SURVEY.md §2.D): dedup (exact /
   * MinHash-LSH / SimHash / n-gram / embedding), ANN search, language ID,
@@ -358,5 +360,105 @@ object Pipeline {
     FROM documents d, UNNEST(range(1, length(d.text) + 1)) AS t(i)
     GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
-  val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q42)
+  // ---- D7b: IVF ANN (coarse quantizer -> probe -> exact re-rank) ---------
+  // The production-scale ANN path beyond hyperplane LSH (q36): a fixed
+  // centroid codebook partitions the corpus into cells; a query probes
+  // its `nprobe` nearest cells and re-ranks exactly inside them. At 100 TB
+  // the corpus is scanned ONCE for assignment (broadcast codebook), the
+  // probe is a cell-key equi-join, and nothing is ever corpus × corpus.
+  // Deterministic codebook (vectors vec_id < 16) + exact quantized
+  // arithmetic make the whole pipeline SQL-expressible for the oracle.
+  private val q43 = Qdef(
+    "q43_ann_ivf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 16; val nprobe = 4; val topk = 10
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("selfdot", quantDot(col("qv"), col("qv")).cast("double"))
+      val cents = embs.filter(col("vec_id") < k)
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+          col("selfdot").as("c_dot"))
+      def cos(qa: Column, qb: Column, da: Column, db: Column) =
+        quantDot(qa, qb).cast("double") / sqrt(da * db)
+      val scored = embs.join(broadcast(cents), lit(true))
+        .withColumn("c_cos", cos(col("qv"), col("c_qv"), col("selfdot"), col("c_dot")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val assign = scored
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("qv"), col("selfdot"), col("c_id").as("cell"))
+      val probes = scored.filter(col("vec_id") < 10)
+        .withColumn("prn", row_number().over(wAssign))
+        .filter(col("prn") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("selfdot").as("q_dot"), col("c_id").as("cell"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor"))
+      probes.join(assign, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor"),
+          cos(col("q_qv"), col("qv"), col("q_dot"), col("selfdot")).as("cos_sim"))
+        .distinct() // a neighbor reachable via several probed cells counts once
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= topk)
+        .select(col("q_id"), col("neighbor"), col("cos_sim"),
+          col("rn").cast("int").as("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some("""WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q WHERE vec_id < 16),
+    scored AS (
+      SELECT q.vec_id, q.qv, c.c_id,
+        list_dot_product(q.qv, c.c_qv) /
+          sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) AS c_cos
+      FROM q CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, qv, c_id AS cell FROM (
+        SELECT vec_id, qv, c_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
+        FROM scored) WHERE crn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, qv AS q_qv, c_id AS cell FROM (
+        SELECT vec_id, qv, c_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS prn
+        FROM scored WHERE vec_id < 10) WHERE prn <= 4),
+    cand AS (
+      SELECT DISTINCT p.q_id, a.vec_id AS neighbor,
+        list_dot_product(p.q_qv, a.qv) /
+          sqrt(list_dot_product(p.q_qv, p.q_qv) * list_dot_product(a.qv, a.qv)) AS cos_sim
+      FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id)
+    SELECT q_id, neighbor, cos_sim, rn FROM (
+      SELECT q_id, neighbor, cos_sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor) AS INT) AS rn
+      FROM cand)
+    WHERE rn <= 10 ORDER BY q_id, rn"""))
+
+  // ---- semi-structured: JSON props extraction ----------------------------
+  // events.props is a JSON string; extraction stays codegen'd
+  // (get_json_object) and the aggregate is grouped on the extracted key —
+  // the standard shape for log analytics over semi-structured columns.
+  private val q44 = Qdef(
+    "q44_json_props",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"), col("k_mod")),
+    Some(s"""SELECT event_type,
+      CAST(json_extract_string(props, '$$.k') AS INT) % 10 AS k_mod,
+      COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+    FROM events
+    GROUP BY event_type, CAST(json_extract_string(props, '$$.k') AS INT) % 10
+    ORDER BY event_type, k_mod"""))
+
+  val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q42, q43, q44)
 }
