@@ -32,6 +32,12 @@ class Catalog(spark: SparkSession, val warehouse: String) {
                        pk: Seq[String], engine: String) {
     def schema: StructType =
       StructType.fromDDL(cols.map(c => s"`${c.name}` ${c.sparkDdl}").mkString(", "))
+
+    /** Storage format: the CSV engine stores rows as headerless CSV
+      * (schema comes from the catalog); every other engine — parquet and
+      * the sled-semantics KV engine — stores columnar parquet.
+      */
+    def format: String = if (engine == "csv") "csv" else "parquet"
   }
 
   Files.createDirectories(Paths.get(warehouse))
@@ -140,14 +146,14 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   def rewrite(db: String, t: String, df: DataFrame): Unit = {
     val dir = Paths.get(dataPath(db, t))
     val tmp = tablePath(db, t).resolve("data_tmp")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    df.write.mode("overwrite").format(meta(db, t).format).save(tmp.toString)
     deleteRecursively(dir)
     Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     spark.catalog.refreshTable(s"`$db`.`$t`")
   }
 
   def append(db: String, t: String, df: DataFrame): Unit = {
-    df.write.mode("append").parquet(dataPath(db, t))
+    df.write.mode("append").format(meta(db, t).format).save(dataPath(db, t))
     spark.catalog.refreshTable(s"`$db`.`$t`")
   }
 
@@ -165,7 +171,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   private def register(m: TableMeta): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `${m.db}`")
     if (!spark.catalog.tableExists(s"`${m.db}`.`${m.table}`")) {
-      spark.catalog.createTable(s"`${m.db}`.`${m.table}`", "parquet",
+      spark.catalog.createTable(s"`${m.db}`.`${m.table}`", m.format,
         m.schema, Map("path" -> dataPath(m.db, m.table)))
     }
   }

@@ -379,7 +379,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         Seq(
           Seq("PARQUET", "DEFAULT", "Columnar parquet storage, min-max pruned, distributed scan", "NO", "NO", "NO"),
           Seq("SLED", "YES", "Key-value semantics: PK-sorted parquet with row-group point-lookup pruning", "NO", "NO", "NO"),
-          Seq("MEMORY", "YES", "Hash based, stored in memory, useful for temporary tables", "NO", "NO", "NO")))
+          Seq("CSV", "YES", "CSV storage engine", "NO", "NO", "NO")))
     else if (lower.startsWith("show charset") || lower.startsWith("show character set"))
       frame(Seq("Charset", "Description", "Default collation", "Maxlen"),
         Seq(Seq("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_ai_ci", "4"),

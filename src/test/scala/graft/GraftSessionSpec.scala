@@ -155,6 +155,19 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(lookup.collect().nonEmpty)
   }
 
+  test("B11 csv engine stores csv, supports insert/select/update") {
+    g.sql("use test")
+    g.sql("create table clog (id int, msg char) engine=csv")
+    g.sql("insert into clog values (1,'a'),(2,'b')")
+    assert(rows("select * from clog order by id") == Seq(Seq(1, "a"), Seq(2, "b")))
+    g.sql("update clog set msg = 'z' where id = 2")
+    assert(rows("select msg from clog order by id") == Seq(Seq("a"), Seq("z")))
+    val dataDir = new java.io.File(g.catalog.dataPath("test", "clog"))
+    assert(dataDir.listFiles().exists(_.getName.endsWith(".csv")),
+      s"csv engine must store csv files: ${dataDir.listFiles().map(_.getName).toSeq}")
+    assert(rows("show engines").exists(r => r.head == "CSV"))
+  }
+
   test("B13 prepare / execute with ? params / deallocate (com_stmt_prepare parity)") {
     g.sql("use test")
     g.sql("create table prep (id int, name char)")
