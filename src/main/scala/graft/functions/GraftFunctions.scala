@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, MinHashBandsE, MinHashSigE, RollingFingerprint, SimHash64}
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, MinHashBandsE, MinHashSigE, RollingFingerprint, SimHash64, TextShinglesE}
 
 /** Column-API surface of graft's text/vector function library
   * (SURVEY.md §2.D/E4). Everything here is either a native codegen
@@ -49,6 +49,15 @@ object GraftFunctions {
         sequence(lit(0), size(toks) - lit(k)),
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct k-word shingles straight from the text — native zero-copy
+    * kernel (TextShinglesE), value-identical to
+    * shingles(tokens(text), k). The corpus-scan hot path of the dedup
+    * family: no per-shingle slice/concat allocation, no lambda
+    * interpretation.
+    */
+  def textShingles(text: Column, k: Int): Column =
+    expr2col(TextShinglesE(exprOf(text), k))
 
   // ---- MinHash ----------------------------------------------------------
 

@@ -54,7 +54,7 @@ object Pipeline {
       // table is corpus-sized, so this is a spillable staging table —
       // the standard shape for a multi-pass dedup pipeline.
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
+        .select(col("doc_id"), textShingles(col("text"), 5).as("sh"))
         .filter(size(col("sh")) > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // band keys only (no shingle payload) through the wide self-join;
@@ -123,7 +123,7 @@ object Pipeline {
     (s, dir) => {
       val docs = t(s, dir, "documents")
         .filter(col("doc_id") < 150)
-        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"), textShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
       val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

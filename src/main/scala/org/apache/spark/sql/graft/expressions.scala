@@ -78,6 +78,41 @@ object ExprKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Distinct k-token shingles of a text, natively. Tokens are the
+    * single-space splits of the text (split(' ', -1) semantics, empty
+    * tokens kept); a shingle of k consecutive tokens joined with ' ' is
+    * therefore exactly the original byte span from the first token's
+    * start to the last token's end — so each shingle is a zero-copy
+    * UTF8String slice. Distinctness keeps first occurrence, matching
+    * array_distinct(transform(sequence(...), concat_ws(slice(...)))).
+    * Returns an empty array when there are fewer than k tokens.
+    */
+  def textShingles(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // token boundaries: split at 0x20 (never part of a UTF-8 multibyte seq)
+    val starts = new java.util.ArrayList[Int]
+    starts.add(0)
+    var i = 0
+    while (i < n) { if (bytes(i) == ' '.toByte) starts.add(i + 1); i += 1 }
+    val tokens = starts.size
+    if (tokens < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var t = 0
+    while (t <= tokens - k) {
+      val from = starts.get(t)
+      val until = if (t + k == tokens) n else starts.get(t + k) - 1
+      seen.add(UTF8String.fromBytes(bytes, from, until - from))
+      t += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** MinHash LSH band keys straight from the shingle set: signature (as
     * `minhashSig`) then, per band b, the xxhash64 fold of (b, sig-slice)
     * — bit-identical to xxhash64(lit(b), slice(sig, b*rows+1, rows)),
@@ -261,6 +296,24 @@ case class MinHashSigE(child: Expression, perms: Int)
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigE =
+    copy(child = newChild)
+}
+
+/** Text → distinct k-token shingles in one evaluation (SURVEY.md §2.D2/D4). */
+case class TextShinglesE(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "text_shingles"
+
+  override protected def nullSafeEval(text: Any): Any =
+    ExprKernels.textShingles(text.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"org.apache.spark.sql.graft.ExprKernels.textShingles($s, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextShinglesE =
     copy(child = newChild)
 }
 

@@ -25,6 +25,26 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("textShingles (native) == array_distinct(transform(concat_ws(slice))) incl. order") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(200)
+    for (k <- Seq(3, 5)) {
+      val diffs = docs
+        .select(textShingles(col("text"), k).as("native"),
+          shingles(tokens(col("text")), k).as("ref"))
+        .filter(col("native") =!= col("ref")).count()
+      assert(diffs == 0, s"k=$k shingle mismatch")
+    }
+    // edge cases: consecutive/leading/trailing spaces, short texts
+    val edge = spark.createDataFrame(Seq(
+      Tuple1("a  b c"), Tuple1(" x y"), Tuple1("p q "), Tuple1("one two"),
+      Tuple1(""), Tuple1("a a a a a a"))).toDF("text")
+    val ediffs = edge
+      .select(textShingles(col("text"), 3).as("native"),
+        shingles(tokens(col("text")), 3).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(ediffs == 0)
+  }
+
   test("minhashBandKeys (native) == bandKeys(minhashSig(sh))") {
     val docs = Tables.t(spark, sfDir, "documents").limit(50)
       .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
