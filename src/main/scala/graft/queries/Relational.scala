@@ -330,13 +330,21 @@ object Relational {
     "q19_cte",
     (s, dir) => {
       graft.Tables.registerAll(s, dir)
+      // TPC-H Q15 shape. The textbook scalar-subquery form scans + aggs
+      // lineitem TWICE (Spark does not materialize WITH blocks); the
+      // global-max-over-window form computes revenue once and takes the
+      // max over the (tiny, post-agg) supplier-revenue rows — at 100 TB
+      // that is one fact-table pass instead of two, for identical values.
       s.sql(s"""WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
                  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
           FROM lineitem GROUP BY l_suppkey)
         SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        FROM supplier JOIN (
+          SELECT supplier_no, total_revenue,
+                 MAX(total_revenue) OVER () AS max_revenue
+          FROM revenue) r ON s_suppkey = supplier_no
+        WHERE total_revenue = max_revenue
         ORDER BY s_suppkey""")
     },
     Some(s"""WITH revenue AS (
