@@ -125,6 +125,20 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     TableMeta(db, t, cols.result(), pk, engine)
   }
 
+  /** RENAME TABLE: move the table directory and re-register under the new
+    * name (metadata-only — no data rewrite).
+    */
+  def rename(db1: String, t1: String, db2: String, t2: String): Unit = {
+    require(tableExists(db1, t1), s"Unknown table '$db1.$t1'")
+    require(!tableExists(db2, t2), s"Table '$db2.$t2' already exists")
+    require(schemaExists(db2), s"Unknown database '$db2'")
+    val m = meta(db1, t1)
+    spark.sql(s"DROP TABLE IF EXISTS `$db1`.`$t1`")
+    Files.move(tablePath(db1, t1), tablePath(db2, t2),
+      StandardCopyOption.ATOMIC_MOVE)
+    register(m.copy(db = db2, table = t2))
+  }
+
   /** Replace a table's columns (ALTER ADD/DROP COLUMN): rewrite meta and
     * re-register the Spark catalog entry under the new schema.
     */

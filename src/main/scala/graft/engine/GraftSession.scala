@@ -53,7 +53,29 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     else if (lower.startsWith("prepare ")) prepare(stmt)
     else if (lower.startsWith("execute ")) executePrepared(stmt)
     else if (lower.startsWith("deallocate ")) deallocate(stmt)
+    else if (lower.startsWith("describe ") || lower.startsWith("desc "))
+      show(s"show columns from ${stmt.split("\\s+", 2)(1)}")
+    else if (lower.startsWith("truncate")) truncate(stmt)
+    else if (lower.startsWith("rename table")) renameTable(stmt)
     else query(stmt)
+  }
+
+  private val TruncateR = "(?is)truncate\\s+(?:table\\s+)?([`\\w.]+)".r
+  private def truncate(stmt: String): DataFrame = stmt match {
+    case TruncateR(name) =>
+      val (db, t) = qualify(name)
+      val df = catalog.read(db, t)
+      val n = df.count()
+      catalog.rewrite(db, t, df.limit(0))
+      count(n)
+  }
+
+  private val RenameR =
+    "(?is)rename\\s+table\\s+([`\\w.]+)\\s+to\\s+([`\\w.]+)".r
+  private def renameTable(stmt: String): DataFrame = stmt match {
+    case RenameR(from, to) =>
+      val (db1, t1) = qualify(from); val (db2, t2) = qualify(to)
+      catalog.rename(db1, t1, db2, t2); count(0)
   }
 
   // ---- prepared statements (com_stmt_prepare.rs) -------------------------
@@ -148,7 +170,45 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
 
   private val CreateTableR =
     "(?is)create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([`\\w.]+)\\s*\\((.*)\\)\\s*(?:engine\\s*=\\s*(\\w+))?\\s*".r
+  private val CtasR =
+    "(?is)create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([`\\w.]+)\\s+as\\s+(select\\b.*|with\\b.*)".r
+
+  /** CREATE TABLE … AS SELECT: schema inferred from the (Spark-planned)
+    * query, data written distributed — the select never lands on the
+    * driver.
+    */
+  private def createTableAs(ine: String, name: String, select: String): DataFrame = {
+    val (db, t) = qualify(name)
+    val src = query(select)
+    val cols = src.schema.fields.map(f =>
+      catalog.Col(f.name, mysqlTypeOf(f.dataType.sql), f.dataType.sql)).toSeq
+    catalog.createTable(catalog.TableMeta(db, t, cols, Seq.empty, "parquet"),
+      ifNotExists = ine != null)
+    val n = src.count()
+    catalog.append(db, t, src)
+    count(n)
+  }
+
+  /** Spark DDL type → MySQL-surface type name (CTAS, SHOW COLUMNS). */
+  private def mysqlTypeOf(sparkDdl: String): String =
+    sparkDdl.toUpperCase.takeWhile(_ != '(') match {
+      case "INT"       => "int"
+      case "BIGINT"    => "bigint"
+      case "SMALLINT"  => "smallint"
+      case "TINYINT"   => "tinyint"
+      case "FLOAT"     => "float"
+      case "DOUBLE"    => "double"
+      case "DECIMAL"   => sparkDdl.toLowerCase
+      case "STRING"    => "text"
+      case "DATE"      => "date"
+      case "TIMESTAMP" => "timestamp"
+      case "BOOLEAN"   => "boolean"
+      case "BINARY"    => "blob"
+      case other       => other.toLowerCase
+    }
+
   private def createTable(stmt: String): DataFrame = stmt match {
+    case CtasR(ine, name, select) => createTableAs(ine, name, select)
     case CreateTableR(ine, name, body, engine) =>
       val (db, t) = qualify(name)
       var pk = Seq.empty[String]
@@ -438,6 +498,11 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       }
       q = VarRef.replaceAllIn(q,
         m => "'" + variables.get(m.group(1)).getOrElse("") + "'")
+      // MySQL connection-info functions (clients issue these on connect)
+      q = q.replaceAll("(?i)\\bdatabase\\(\\)", s"'$currentSchema'")
+        .replaceAll("(?i)\\bversion\\(\\)",
+          "'" + variables.get("version").getOrElse("") + "'")
+        .replaceAll("(?i)\\b(?:current_user|user)\\(\\)", "'root@%'")
       q = substituteUserVars(q)
       spark.sql(q)
   }

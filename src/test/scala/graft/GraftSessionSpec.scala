@@ -195,6 +195,33 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(g.fieldList("user").collect().map(_.getString(0)).toSeq == Seq("id", "name"))
   }
 
+  test("B14 describe / truncate / rename / CTAS / connection-info functions") {
+    g.sql("use test")
+    g.sql("create table src14 (id int, v double)")
+    g.sql("insert into src14 values (1, 1.5), (2, 2.5), (3, 3.5)")
+    // DESCRIBE == SHOW COLUMNS
+    assert(rows("describe src14").map(_.head) == Seq("id", "v"))
+    // CTAS infers schema from the select
+    g.sql("create table agg14 as select id, v * 2 as dbl from src14 where id < 3")
+    assert(rows("select * from agg14 order by id") ==
+      Seq(Seq(1, 3.0), Seq(2, 5.0)))
+    assert(rows("show columns from agg14").map(r => (r.head, r(1))) ==
+      Seq(("id", "int"), ("dbl", "double")))
+    // RENAME moves data without rewrite
+    g.sql("rename table agg14 to agg14b")
+    assert(rows("select count(*) c from agg14b").head.head == 2L)
+    assert(!rows("show tables").map(_.head).contains("agg14"))
+    // TRUNCATE reports removed rows and empties the table
+    assert(rows("truncate table src14").head.head == 3L)
+    assert(rows("select count(*) c from src14").head.head == 0L)
+    // connection-info functions
+    assert(rows("select database() as d").head.head == "test")
+    assert(rows("select version() as v").head.head == "8.0.26-graft")
+    assert(rows("select current_user() as u").head.head == "root@%")
+    // ANALYZE passes through to Spark (stats for CBO/broadcast decisions)
+    g.sql("analyze table test.src14 compute statistics")
+  }
+
   test("A17 explain select surfaces a plan") {
     g.sql("use test")
     val out = rows("explain select count(*) from user")
