@@ -184,6 +184,22 @@ object EventStreams {
   def withDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  // ---- sink ---------------------------------------------------------------
+
+  /** Append-mode parquet sink with checkpointing — the durable end of the
+    * pipeline (object-store prefix in production). Pair with
+    * `graft.sources.Compaction` on a schedule: streaming appends produce
+    * per-trigger files that compaction later rewrites to scan-sized ones.
+    */
+  def toParquetSink(df: DataFrame, path: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   // ---- C5: streaming dedup ----------------------------------------------
 
   /** Exactly-once by event_id within the watermark horizon: state keeps

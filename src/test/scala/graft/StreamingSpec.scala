@@ -112,6 +112,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(Seq(1L, "gold"), Seq(3L, null)))
   }
 
+  test("parquet sink persists the stream; compaction merges the per-trigger files") {
+    val input = MemoryStream[Event](spark)
+    val out = Files.createTempDirectory("graft-sink").toString + "/events"
+    val q = graft.streaming.EventStreams.toParquetSink(
+      input.toDF(), out, chk())
+    for (i <- 1 to 5) {
+      input.addData(Event(i, ts(i), 1, "click", i.toDouble))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(spark.read.parquet(out).count() == 5)
+    val (before, after) = graft.sources.Compaction.compact(spark, out)
+    assert(before == 5 && after == 1, s"expected 5 -> 1 files, got $before -> $after")
+    assert(spark.read.parquet(out).count() == 5, "compaction must preserve rows")
+  }
+
   test("C5 streaming dedup drops duplicate event_ids within watermark") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.dedup(input.toDF())
