@@ -574,8 +574,61 @@ object Relational {
     FROM events GROUP BY event_type, DATE_TRUNC('day', ts)
     ORDER BY event_type, day"""))
 
+  // ---- A10b: INTERSECT / EXCEPT / OFFSET ---------------------------------
+  // Set-operator completion of the union family (DataFusion supports
+  // INTERSECT/EXCEPT — components/arrow-datafusion SQL surface). Both
+  // operators plan as aggregations + joins in Spark (no row-by-row
+  // comparison), and OFFSET pushes into the limit operator.
+  private val q45 = Qdef(
+    "q45_setops",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val buyers = ord.select(col("o_custkey").as("c_custkey"))
+      val segA = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val withOrders = segA.intersect(buyers.select(col("c_custkey")))
+      val withoutOrders = segA.except(buyers.select(col("c_custkey")))
+      withOrders.withColumn("grp", lit("with_orders"))
+        .unionAll(withoutOrders.withColumn("grp", lit("no_orders")))
+        .orderBy(col("grp"), col("c_custkey"))
+        .offset(5)
+    },
+    Some("""SELECT * FROM (
+      SELECT c_custkey, 'with_orders' AS grp FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT c_custkey, 'no_orders' AS grp FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders))
+    ORDER BY grp, c_custkey OFFSET 5"""))
+
+  // ---- A15b: regexp functions --------------------------------------------
+  // Patterns restricted to the syntax subset where Java regex (Spark) and
+  // RE2 (DuckDB) agree; regexp_replace carries the 'g' flag on the DuckDB
+  // side because Spark replaces globally by default.
+  private val q46 = Qdef(
+    "q46_regexp",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").rlike("^[A-Za-z]"))
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "^([A-Za-z]+)", 1).as("first_word"),
+          length(regexp_replace(col("text"), "[^aeiou]", "")).as("vowels"),
+          length(regexp_replace(col("text"), "[0-9]+", "#")).as("masked_len"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      regexp_extract(text, '^([A-Za-z]+)', 1) AS first_word,
+      length(regexp_replace(text, '[^aeiou]', '', 'g')) AS vowels,
+      length(regexp_replace(text, '[0-9]+', '#', 'g')) AS masked_len
+    FROM documents WHERE regexp_matches(text, '^[A-Za-z]')
+    ORDER BY doc_id"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29)
+    q28, q29, q45, q46)
 }

@@ -21,4 +21,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query batch must broadcast:\n$plan")
   }
+
+  test("q31 LSH candidates come from an equi-join, never a cartesian product") {
+    val df = Pipeline.all.find(_.name == "q31_dedup_minhash").get.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q31 must never go corpus x corpus:\n$plan")
+  }
+
+  test("q43 IVF codebook is broadcast; probe is an equi-join on the cell key") {
+    val df = Pipeline.all.find(_.name == "q43_ann_ivf").get.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"codebook must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"probe must be an equi-join:\n$plan")
+  }
 }
