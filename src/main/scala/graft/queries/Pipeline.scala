@@ -459,6 +459,36 @@ object Pipeline {
     GROUP BY event_type, CAST(json_extract_string(props, '$$.k') AS INT) % 10
     ORDER BY event_type, k_mod"""))
 
+  // ---- D14: reproducible train/val/test split ----------------------------
+  // Hash-based splitting, not random sampling: split membership is a pure
+  // function of doc content (md5 prefix -> bucket 0..99), so it is stable
+  // across runs, engines, and cluster sizes — the property a training
+  // pipeline needs so re-runs never leak val docs into train. Buckets:
+  // 0-79 train, 80-89 val, 90-99 test.
+  private val q47 = Qdef(
+    "q47_hash_split",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+        .cast("int") % 100
+      val split = when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split.as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("split"))
+    },
+    Some("""SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS first_doc
+    FROM (
+      SELECT doc_id, lang,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, lang,
+          CAST(('0x' || substring(md5(text), 1, 4))::INT64 AS INT) % 100 AS bucket
+        FROM documents))
+    GROUP BY lang, split ORDER BY lang, split"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44)
+    q42, q43, q44, q47)
 }
