@@ -489,6 +489,31 @@ object Pipeline {
         FROM documents))
     GROUP BY lang, split ORDER BY lang, split"""))
 
+  // ---- as-of join (event enrichment) -------------------------------------
+  // Each purchase picks up the latest prior-or-simultaneous view of the
+  // same user (graft.operators.AsOf — union + carry-forward window, one
+  // key shuffle). Oracle: DuckDB's native ASOF LEFT JOIN.
+  private val q48 = Qdef(
+    "q48_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOf.asofJoin(purchases, views,
+          Seq("user_id"), "ts", "ts")
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts, p.value, v.view_value
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS view_value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts) v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44, q47)
+    q42, q43, q44, q47, q48)
 }

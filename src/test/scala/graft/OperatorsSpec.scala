@@ -80,6 +80,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) == 4))
   }
 
+  test("asofJoin picks the latest right row at-or-before each left ts, per key") {
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val trades = Seq((1L, t(5), "T1"), (1L, t(10), "T2"), (2L, t(3), "T3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1L, t(4), 100.0), (1L, t(10), 101.0), (2L, t(7), 50.0))
+      .toDF("k", "ts", "px")
+    val out = graft.operators.AsOf.asofJoin(trades, quotes, Seq("k"), "ts", "ts")
+      .select("trade", "px").collect().map(r => (r.getString(0), r.get(1))).toMap
+    assert(out == Map(
+      "T1" -> 100.0,  // latest quote <= 00:05 is 00:04
+      "T2" -> 101.0,  // equal timestamps match (inclusive)
+      "T3" -> null))  // no quote at or before 00:03
+  }
+
   test("E5 GraftExtensions exposes native functions to spark.sql") {
     Tables.registerAll(spark, sfDir)
     val out = spark.sql(
