@@ -514,6 +514,67 @@ object Pipeline {
     ON p.user_id = v.user_id AND p.ts >= v.ts
     ORDER BY p.event_id"""))
 
+  // ---- range join (point-in-interval) ------------------------------------
+  // Error events matched into the user session that contains them
+  // (sessions built from non-error activity). The bucketed range join
+  // (graft.operators.RangeJoin) keeps this linear; the naive form is a
+  // theta join. Oracle: DuckDB inequality join over the same window-gap
+  // session SQL as q41.
+  private val q49 = Qdef(
+    "q49_range_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = graft.streaming.EventStreams
+        .sessionizeBatch(ev.filter(col("event_type") =!= "error"))
+        .toDF()
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+      val contained = graft.operators.RangeJoin.pointInInterval(
+        errors, sessions, Seq("user_id"), "ts_us", "start_us", "end_us",
+        bucketWidth = 3600L * 1000000L)
+      // epoch sentinel instead of NULL for uncontained errors: null
+      // timestamps hash engine-dependently in the driver compare
+      errors
+        .join(contained.select(col("event_id"),
+          timestamp_micros(col("start_us")).as("session_start"),
+          timestamp_micros(col("end_us")).as("session_end")),
+          Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("session_start"), timestamp_micros(lit(0L)))
+            .as("session_start"),
+          coalesce(col("session_end"), timestamp_micros(lit(0L)))
+            .as("session_end"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH activity AS (
+      SELECT user_id, ts FROM events WHERE event_type <> 'error'),
+    brk AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_session
+      FROM activity WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM brk)
+      GROUP BY user_id, session_id)
+    SELECT e.event_id, e.user_id, e.ts,
+      COALESCE(s.session_start, TIMESTAMP '1970-01-01') AS session_start,
+      COALESCE(s.session_end, TIMESTAMP '1970-01-01') AS session_end
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+    LEFT JOIN sess s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.session_start AND e.ts <= s.session_end
+    ORDER BY e.event_id"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44, q47, q48)
+    q42, q43, q44, q47, q48, q49)
 }

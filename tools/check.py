@@ -42,7 +42,11 @@ for name, sql in sorted(oracle.items()):
     for c in got.columns:
         a, b = got[c].tolist(), exp[c].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
-            same = (x == y) or (x is None and y is None)
+            try:
+                both_na = bool(pd.isna(x)) and bool(pd.isna(y))
+            except (TypeError, ValueError):
+                both_na = False
+            same = both_na or (x == y) or (x is None and y is None)
             if not same and isinstance(x, float) and isinstance(y, float):
                 same = (math.isnan(x) and math.isnan(y)) or x == y
             if not same:
