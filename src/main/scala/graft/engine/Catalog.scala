@@ -187,6 +187,11 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     if (!spark.catalog.tableExists(s"`${m.db}`.`${m.table}`")) {
       spark.catalog.createTable(s"`${m.db}`.`${m.table}`", m.format,
         m.schema, Map("path" -> dataPath(m.db, m.table)))
+      // MEMORY engine (reference show_engines.rs MEMORY row): Spark's
+      // native in-memory columnar cache over the durable files — reads
+      // hit InMemoryRelation, writes persist then refresh the cache.
+      if (m.engine == "memory")
+        spark.catalog.cacheTable(s"`${m.db}`.`${m.table}`")
     }
   }
 

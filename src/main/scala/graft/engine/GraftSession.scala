@@ -439,7 +439,19 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         Seq(
           Seq("PARQUET", "DEFAULT", "Columnar parquet storage, min-max pruned, distributed scan", "NO", "NO", "NO"),
           Seq("SLED", "YES", "Key-value semantics: PK-sorted parquet with row-group point-lookup pruning", "NO", "NO", "NO"),
-          Seq("CSV", "YES", "CSV storage engine", "NO", "NO", "NO")))
+          Seq("CSV", "YES", "CSV storage engine", "NO", "NO", "NO"),
+          Seq("MEMORY", "YES", "In-memory columnar cache over durable files, useful for hot dimension tables", "NO", "NO", "NO")))
+    else if (lower.startsWith("show index") || lower.startsWith("show keys")) {
+      val nameR = "(?is)show\\s+(?:index|keys)\\s+from\\s+([`\\w.]+).*".r
+      val n = stmt match { case nameR(x) => x }
+      val (db, t) = qualify(n)
+      val m = catalog.meta(db, t)
+      frame(Seq("Table", "Non_unique", "Key_name", "Seq_in_index",
+        "Column_name", "Index_type"),
+        m.pk.zipWithIndex.map { case (c, i) =>
+          Seq(t, "0", "PRIMARY", (i + 1).toString, c, "BTREE")
+        })
+    }
     else if (lower.startsWith("show charset") || lower.startsWith("show character set"))
       frame(Seq("Charset", "Description", "Default collation", "Maxlen"),
         Seq(Seq("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_ai_ci", "4"),

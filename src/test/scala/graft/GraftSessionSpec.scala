@@ -168,6 +168,17 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("show engines").exists(r => r.head == "CSV"))
   }
 
+  test("B11 memory engine caches the table; show index lists the PK") {
+    g.sql("use test")
+    g.sql("create table hotdim (id int, nm char, PRIMARY KEY(id)) engine=memory")
+    g.sql("insert into hotdim values (1,'a'),(2,'b')")
+    assert(rows("select * from hotdim order by id") == Seq(Seq(1, "a"), Seq(2, "b")))
+    assert(spark.catalog.isCached("test.hotdim"), "memory engine must cache")
+    val idx = rows("show index from hotdim")
+    assert(idx == Seq(Seq("hotdim", "0", "PRIMARY", "1", "id", "BTREE")))
+    assert(rows("show engines").exists(_.head == "MEMORY"))
+  }
+
   test("B13 prepare / execute with ? params / deallocate (com_stmt_prepare parity)") {
     g.sql("use test")
     g.sql("create table prep (id int, name char)")
