@@ -575,6 +575,47 @@ object Pipeline {
      AND e.ts >= s.session_start AND e.ts <= s.session_end
     ORDER BY e.event_id"""))
 
+  // ---- end-to-end corpus curation ----------------------------------------
+  // The composed training-data flow — length gate → exact dedup
+  // (keep-first) → reproducible split → per-language corpus stats — as
+  // ONE declarative plan: Catalyst fuses the gates into the scan, the
+  // dedup is a single hash shuffle, and the split adds no shuffle at all.
+  private val q50 = Qdef(
+    "q50_corpus_curation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ntokens = size(split(col("text"), " "))
+      val bucket = conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+        .cast("int") % 100
+      val split_ = when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test")
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+        .orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .filter(ntokens >= 30)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), split_.as("split"), ntokens.as("ntok"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+        .orderBy(col("lang"), col("split"))
+    },
+    Some("""SELECT lang, split, COUNT(*) AS n_docs,
+      SUM(ntok) AS sum_tokens
+    FROM (
+      SELECT lang,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        ntok
+      FROM (
+        SELECT lang, text, len(string_split(text, ' ')) AS ntok,
+          CAST(('0x' || substring(md5(text), 1, 4))::INT64 AS INT) % 100 AS bucket,
+          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 30)
+      WHERE rn = 1)
+    GROUP BY lang, split ORDER BY lang, split"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44, q47, q48, q49)
+    q42, q43, q44, q47, q48, q49, q50)
 }
