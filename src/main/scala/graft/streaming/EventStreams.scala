@@ -184,6 +184,30 @@ object EventStreams {
   def withDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  // ---- C7: stream-stream join --------------------------------------------
+
+  /** Watermarked stream-stream inner join: each left event pairs with
+    * right events of the same key whose ts falls within `within` BEFORE
+    * the left ts. Both sides carry watermarks and the join has a
+    * two-sided time bound, so Spark can expire buffered state — without
+    * the bound, stream-stream join state grows without limit.
+    */
+  def withinJoin(left: DataFrame, right: DataFrame, key: String,
+                 within: String = "1 hour",
+                 delay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+      .select(col(key), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", delay)
+      .select(col(key).as("_rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col(key) === col("_rk") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts"))
+      .drop("_rk")
+  }
+
   // ---- sink ---------------------------------------------------------------
 
   /** Append-mode parquet sink with checkpointing — the durable end of the

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Property tests: the scale-shaped operators (as-of join, range join,
+  * sessionization, native shingles) agree with naive reference
+  * implementations on randomized inputs — the composition tricks (union
+  * + carry-forward window; bucket-grid explode; shared fold) must never
+  * change semantics, only the plan shape.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkFixture._
+  import spark.implicits._
+
+  /** Run a scalacheck property (20 random cases) and fail the test with
+    * the shrunk counterexample on violation.
+    */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val smallTs = Gen.choose(0L, 5000L)
+  private val key = Gen.choose(1L, 4L)
+
+  test("asofJoin == naive per-row max-prior lookup on random data") {
+    val rows = Gen.listOfN(60, Gen.zip(key, smallTs))
+    check(Prop.forAll(rows, rows) { (lefts, rights) =>
+      val left = lefts.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t)) }
+        .toDF("id", "k", "ts")
+      // unique (k, ts) on the right: as-of is ambiguous under ties
+      val right = rights.distinctBy(r => (r._1, r._2))
+        .map { case (k, t) => (k, new Timestamp(t), t * 10.0) }
+        .toDF("k", "ts", "px")
+      val got = graft.operators.AsOf.asofJoin(left, right, Seq("k"), "ts", "ts")
+        .select("id", "px").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val rightArr = rights.distinctBy(r => (r._1, r._2))
+      val want = lefts.zipWithIndex.map { case ((k, t), i) =>
+        val prior = rightArr.filter(r => r._1 == k && r._2 <= t)
+        i.toLong -> (if (prior.isEmpty) None
+                     else Some(prior.maxBy(_._2)._2 * 10.0))
+      }.toMap
+      got == want
+    })
+  }
+
+  test("RangeJoin.pointInInterval == naive theta join on random intervals") {
+    val points = Gen.listOfN(50, Gen.zip(key, smallTs))
+    val ivals = Gen.listOfN(20, Gen.zip(key, smallTs, Gen.choose(0L, 800L)))
+    check(Prop.forAll(points, ivals) { (ps, ivs) =>
+      val pdf = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      val idf = ivs.zipWithIndex
+        .map { case ((k, s, len), i) => (i.toLong, k, s, s + len) }
+        .toDF("iid", "k", "lo", "hi")
+      val got = graft.operators.RangeJoin
+        .pointInInterval(pdf, idf, Seq("k"), "t", "lo", "hi", bucketWidth = 300L)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        ((pk, pt), pi) <- ps.zipWithIndex
+        ((ik, lo, len), ii) <- ivs.zipWithIndex
+        if pk == ik && pt >= lo && pt <= lo + len
+      } yield (pi.toLong, ii.toLong)).toSet
+      got == want
+    })
+  }
+
+  test("sessionizeBatch: sessions partition each user's events with gaps > threshold") {
+    val evs = Gen.listOfN(80, Gen.zip(key, Gen.choose(0L, 400L)))
+    check(Prop.forAll(evs) { es =>
+      val events = es.zipWithIndex.map { case ((u, min), i) =>
+        (i.toLong, Timestamp.from(Instant.ofEpochSecond(min * 60)), u, "e", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val sessions = EventStreams.sessionizeBatch(events).collect()
+      val byUser = es.groupBy(_._1).view.mapValues(_.map(_._2 * 60).sorted)
+      sessions.groupBy(_.user_id).forall { case (u, ss) =>
+        val sorted = ss.sortBy(_.session_start)
+        val gapsOk = sorted.sliding(2).forall {
+          case Array(a, b) =>
+            b.session_start.getEpochSecond - a.session_end.getEpochSecond >
+              30 * 60
+          case _ => true
+        }
+        val countOk = ss.map(_.n_events).sum == byUser(u).size
+        val coverOk = sorted.forall(s =>
+          s.session_end.getEpochSecond - s.session_start.getEpochSecond <=
+            (s.n_events - 1) * 30 * 60)
+        gapsOk && countOk && coverOk
+      }
+    })
+  }
+
+  test("textShingles == HOF shingles on random space-laden strings") {
+    val word = Gen.oneOf("a", "bb", "ccc", "", "dd")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(40, text)) { texts =>
+      val df = texts.toDF("text")
+      df.select(
+          graft.functions.GraftFunctions.textShingles(col("text"), 3).as("a"),
+          graft.functions.GraftFunctions.shingles(
+            graft.functions.GraftFunctions.tokens(col("text")), 3).as("b"))
+        .filter(col("a") =!= col("b")).count() == 0
+    })
+  }
+}

@@ -128,6 +128,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 5, "compaction must preserve rows")
   }
 
+  test("C7 stream-stream join pairs events within the time bound only") {
+    val purchases = MemoryStream[Event](spark)
+    val views = MemoryStream[Event](spark)
+    val joined = graft.streaming.EventStreams.withinJoin(
+      purchases.toDF(), views.toDF(), "user_id", within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("c7_sink")
+      .option("checkpointLocation", chk()).start()
+    views.addData(
+      Event(10, ts(0), 1, "view", 1.0),    // 40 min before -> outside bound
+      Event(11, ts(30), 1, "view", 2.0),   // 10 min before -> inside
+      Event(12, ts(45), 1, "view", 3.0),   // 5 min AFTER   -> excluded
+      Event(13, ts(35), 2, "view", 4.0))   // other user    -> excluded
+    purchases.addData(Event(20, ts(40), 1, "purchase", 9.0))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("c7_sink")
+      .select("l_event_id", "r_event_id").collect().map(_.toSeq).toSet
+    assert(pairs == Set(Seq(20L, 11L)), s"got $pairs")
+  }
+
   test("C5 streaming dedup drops duplicate event_ids within watermark") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.dedup(input.toDF())
