@@ -43,8 +43,12 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   Files.createDirectories(Paths.get(warehouse))
   // Seed the reference's initial databases (meta/initial.rs parity).
   Seq("mysql", "performance_schema").foreach(db => createSchema(db, ifNotExists = true))
-  // Re-register any pre-existing tables (fresh session over an old warehouse).
-  listSchemas().foreach(db => listTables(db).foreach(t => register(meta(db, t))))
+  // Re-sync the (session-scoped) Spark catalog from the warehouse: a fresh
+  // session over an existing warehouse must see every schema and table.
+  listSchemas().foreach { db =>
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    listTables(db).foreach(t => register(meta(db, t)))
+  }
 
   private def dbPath(db: String): Path = Paths.get(warehouse, db)
   private def tablePath(db: String, t: String): Path = Paths.get(warehouse, db, t)

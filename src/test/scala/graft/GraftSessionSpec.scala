@@ -233,6 +233,14 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("analyze table test.src14 compute statistics")
   }
 
+  test("warehouse reopen: a fresh session over an existing warehouse sees all schemas/tables") {
+    g.sql("use test")  // ensure state from earlier tests exists
+    val g2 = new GraftSession(spark, g.catalog.warehouse)
+    g2.sql("use test")
+    assert(g2.sql("show tables").collect().map(_.getString(0)).contains("user"))
+    assert(g2.sql("select count(*) c from user").collect()(0).getLong(0) >= 0)
+  }
+
   test("A17 explain select surfaces a plan") {
     g.sql("use test")
     val out = rows("explain select count(*) from user")
