@@ -20,15 +20,25 @@ object Tables {
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
     * rejects by default; read it as a long and floor-divide to micros —
     * exactly the ns→µs truncation DuckDB applies, so oracles agree.
+    *
+    * Handles are memoized per (session, dir, table): `spark.read.parquet`
+    * reads footers for schema inference at creation, a fixed per-call tax
+    * that 50 bench queries would otherwise pay 1-3× each. DataFrames are
+    * immutable plans, so sharing one handle is safe.
     */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+    cache.computeIfAbsent((spark, dir, name), { case (s, d, n) =>
+      if (n == "events") {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$d/$n.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      } else {
+        s.read.parquet(s"$d/$n.parquet")
+      }
+    })
 
   /** Register every table as a temp view (for spark.sql-based queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
