@@ -80,6 +80,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) == 4))
   }
 
+  test("D12->D6 integration: media features feed the ANN cosine operators") {
+    import graft.functions.GraftFunctions._
+    val media = Multimodal.packDocuments(
+      Tables.t(spark, sfDir, "documents").limit(100))
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+      .select($"doc_id", quantize($"feature").as("qv"))
+    val pairs = feats.as("a").join(feats.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        quantCosine($"a.qv", $"b.qv").as("cos"))
+    val n = pairs.filter($"cos".between(-1.0000001, 1.0000001)).count()
+    assert(n == 100L * 99 / 2, "every pair must produce a valid cosine")
+  }
+
   test("asofJoin picks the latest right row at-or-before each left ts, per key") {
     import java.sql.Timestamp
     def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
