@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.GraftFunctions._
+
+/** Reusable corpus-deduplication operators (SURVEY.md §2.D1–D3). The
+  * oracled queries q30–q32 are thin wrappers over these; library users
+  * call them directly on any DataFrame with (id, text) columns.
+  *
+  * Scale contract shared by all three: candidate generation is a key
+  * equi-join (content hash / LSH band / SimHash band), never corpus ×
+  * corpus; exact verification runs only inside buckets.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct
+    * content, with the keeper (min id) and copy count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_md5"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Near-duplicate pairs by MinHash LSH: shingle → signature → band-key
+    * self-join → exact jaccard ≥ `threshold` inside buckets. Returns
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * Staged intermediates (persist MEMORY_AND_DISK): the shingle and
+    * band-key tables are each read by 2+ plan branches.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val docs = df
+      .select(col(idCol).as("doc_id"), textShingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = docs
+      .select(col("doc_id"), explode(minhashBandKeys(col("sh"))).as("bk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac: Column = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-duplicate pairs by 64-bit SimHash within `maxHamming` bit
+    * flips. Band count is pigeonhole-derived (maxHamming+1 bands ⇒ any
+    * qualifying pair agrees exactly on ≥1 band), so the band join is
+    * EXACT, not probabilistic.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val docs = df.select(col(idCol).as("doc_id"),
+      simhash64(tokens(col(textCol))).as("sig"))
+    val bands = docs.select(col("doc_id"), col("sig"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("sig"), bandBits * b)
+          .bitwiseAND(lit(mask)).as("bval"))
+      }: _*)).as("bk"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -28,9 +28,7 @@ object Pipeline {
   private val q30 = Qdef(
     "q30_dedup_exact",
     (s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(md5(col("text").cast("binary")).as("content_md5"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      graft.operators.Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("content_md5")),
     Some("""SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper,
       COUNT(*) AS n_copies
@@ -46,36 +44,11 @@ object Pipeline {
   // in-bucket verify scale with data; nothing is quadratic in the corpus.
   private val q31 = Qdef(
     "q31_dedup_minhash",
-    (s, dir) => {
-      import org.apache.spark.storage.StorageLevel
-      // The shingle and band-key tables are each read by 2+ plan branches
-      // (self-join sides, verify joins); stage them once instead of
-      // recomputing per branch. MEMORY_AND_DISK: at 100 TB the shingle
-      // table is corpus-sized, so this is a spillable staging table —
-      // the standard shape for a multi-pass dedup pipeline.
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), textShingles(col("text"), 5).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // band keys only (no shingle payload) through the wide self-join;
-      // one native evaluation per doc (sig NOT recomputed per band)
-      val bands = docs
-        .select(col("doc_id"), explode(minhashBandKeys(col("sh"))).as("bk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      val jac = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
-      cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) =>
+      graft.operators.Dedup
+        .minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 5, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
     Some("""WITH sh AS (
       SELECT doc_id,
         list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)]) AS s
@@ -95,23 +68,10 @@ object Pipeline {
   // this query gets the driver's rows-only check.
   private val q32 = Qdef(
     "q32_dedup_simhash",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
-      val bands = docs.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"), shiftrightunsigned(col("sig"), 16 * b)
-            .bitwiseAND(lit(0xFFFFL)).as("bval"))
-        }: _*)).as("bk"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          hamming64(col("a.sig"), col("b.sig")).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) =>
+      graft.operators.Dedup
+        .simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b")),
     None)
 
   // ---- D4: n-gram Jaccard pair similarity (exact, oracled) ---------------
