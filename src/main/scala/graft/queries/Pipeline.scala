@@ -151,20 +151,10 @@ object Pipeline {
   private val q35 = Qdef(
     "q35_ann_bruteforce",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val embs = t(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      val queries = embs.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("c").desc, col("vec_id"))
-      embs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          quantCosine(col("q_qv"), col("qv")).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .select(col("q_id"), col("vec_id").as("neighbor"),
-          col("c").as("cos_sim"), col("rn").cast("int").as("rn"))
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      graft.operators.Ann
+        .bruteForceTopK(embs, embs.filter(col("id") < 10), k = 10)
         .orderBy(col("q_id"), col("rn"))
     },
     Some("""WITH q AS (
@@ -190,23 +180,10 @@ object Pipeline {
   private val q36 = Qdef(
     "q36_ann_lsh",
     (s, dir) => {
-      // native one-pass 16-plane signature (HyperplaneSigE) — same ±1
-      // sequence as pmod(xxhash64(plane, dim), 2) * 2 - 1 per plane
       val embs = t(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        .withColumn("sig", hyperplaneSig(col("qv")))
-      val bands = embs.select(col("vec_id"), col("qv"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"), shiftrightunsigned(col("sig"), 4 * b)
-            .bitwiseAND(lit(0xFL)).as("bval"))
-        }: _*)).as("bk"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          quantCosine(col("a.qv"), col("b.qv")).as("cos_sim"))
-        .distinct()
-        .filter(col("cos_sim") >= 0.3)
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      graft.operators.Ann
+        .lshPairs(embs, planes = 16, bands = 4, threshold = 0.3)
         .orderBy(col("vec_a"), col("vec_b"))
     },
     None)
@@ -331,40 +308,11 @@ object Pipeline {
   private val q43 = Qdef(
     "q43_ann_ivf",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 16; val nprobe = 4; val topk = 10
       val embs = t(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        .withColumn("selfdot", quantDot(col("qv"), col("qv")).cast("double"))
-      val cents = embs.filter(col("vec_id") < k)
-        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
-          col("selfdot").as("c_dot"))
-      def cos(qa: Column, qb: Column, da: Column, db: Column) =
-        quantDot(qa, qb).cast("double") / sqrt(da * db)
-      val scored = embs.join(broadcast(cents), lit(true))
-        .withColumn("c_cos", cos(col("qv"), col("c_qv"), col("selfdot"), col("c_dot")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("c_id"))
-      val assign = scored
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("qv"), col("selfdot"), col("c_id").as("cell"))
-      val probes = scored.filter(col("vec_id") < 10)
-        .withColumn("prn", row_number().over(wAssign))
-        .filter(col("prn") <= nprobe)
-        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-          col("selfdot").as("q_dot"), col("c_id").as("cell"))
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor"))
-      probes.join(assign, Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor"),
-          cos(col("q_qv"), col("qv"), col("q_dot"), col("selfdot")).as("cos_sim"))
-        .distinct() // a neighbor reachable via several probed cells counts once
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= topk)
-        .select(col("q_id"), col("neighbor"), col("cos_sim"),
-          col("rn").cast("int").as("rn"))
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      graft.operators.Ann
+        .ivfTopK(embs, queryFilter = col("vec_id") < 10,
+          centroidFilter = col("vec_id") < 16, nprobe = 4, k = 10)
         .orderBy(col("q_id"), col("rn"))
     },
     Some("""WITH q AS (
