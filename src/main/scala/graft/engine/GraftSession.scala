@@ -142,6 +142,27 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     */
   def fieldList(table: String): DataFrame = show(s"show columns from $table")
 
+  /** Continuous ingestion: append a stream into a catalog table's storage
+    * (checkpointed parquet sink writing straight into the table's data
+    * dir; the catalog entry is refreshed after each micro-batch so SQL
+    * reads see new rows). The streaming half of INSERT INTO.
+    */
+  def ingest(stream: DataFrame, table: String,
+             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (db, t) = qualify(table)
+    val m = catalog.meta(db, t)
+    require(m.format == "parquet", s"ingest requires a parquet-backed table, got ${m.engine}")
+    val aligned = stream.select(m.cols.map(c =>
+      col(s"`${c.name}`").cast(c.sparkDdl).as(c.name)): _*)
+    aligned.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        catalog.append(db, t, batch.toDF())
+      }
+      .start()
+  }
+
   // ---- schemas (create_db.rs / drop_schema.rs / set_default_schema.rs) ---
 
   private val CreateSchemaR =

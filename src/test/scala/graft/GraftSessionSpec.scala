@@ -241,6 +241,22 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(g2.sql("select count(*) c from user").collect()(0).getLong(0) >= 0)
   }
 
+  test("streaming ingest appends micro-batches into a catalog table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    g.sql("use test")
+    g.sql("create table live (id bigint, v double)")
+    val input = MemoryStream[(Long, Double)](spark)
+    val q = g.ingest(input.toDF().toDF("id", "v"), "live",
+      Files.createTempDirectory("graft-ingest-chk").toString)
+    input.addData((1L, 1.5), (2L, 2.5))
+    q.processAllAvailable()
+    assert(rows("select count(*) c from live").head.head == 2L)
+    input.addData((3L, 3.5))
+    q.processAllAvailable(); q.stop()
+    assert(rows("select sum(id) s from live").head.head == 6L)
+  }
+
   test("A17 explain select surfaces a plan") {
     g.sql("use test")
     val out = rows("explain select count(*) from user")
