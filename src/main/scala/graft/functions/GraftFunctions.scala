@@ -151,7 +151,12 @@ object GraftFunctions {
       d("cosine_sim", 2, a => CosineSimilarityF(a(0), a(1))),
       d("dot_f", 2, a => DotProductF(a(0), a(1))),
       d("simhash64", 1, a => SimHash64(a(0))),
-      d("doc_fingerprint", 1, a => RollingFingerprint(a(0))))
+      d("doc_fingerprint", 1, a => RollingFingerprint(a(0))),
+      d("dot_l", 2, a => DotLong(a(0), a(1))),
+      d("minhash_sig", 1, a => MinHashSigE(a(0), MinhashPerms)),
+      d("minhash_bands", 1, a => MinHashBandsE(a(0), MinhashPerms, MinhashBands)),
+      d("text_shingles_5", 1, a => TextShinglesE(a(0), 5)),
+      d("hyperplane_sig", 1, a => HyperplaneSigE(a(0), 16)))
   }
 
   /** Register the native expressions as SQL functions on a live session

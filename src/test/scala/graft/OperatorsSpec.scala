@@ -117,6 +117,16 @@ class OperatorsSpec extends AnyFunSuite {
         |FROM embeddings e1 LIMIT 5""".stripMargin).collect()
     assert(out.length == 5)
     assert(out.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    // the full native-function surface resolves in SQL
+    val sigRow = spark.sql(
+      """SELECT minhash_sig(text_shingles_5(text)) AS sig,
+        |  size(minhash_bands(text_shingles_5(text))) AS nbands,
+        |  dot_l(array(1L, 2L), array(3L, 4L)) AS d
+        |FROM documents WHERE size(text_shingles_5(text)) > 0 LIMIT 1""".stripMargin)
+      .collect()(0)
+    assert(sigRow.getSeq[Long](0).length == 64)
+    assert(sigRow.getAs[Int]("nbands") == 32)
+    assert(sigRow.getAs[Long]("d") == 11L)
     // whole-stage codegen covers the native expressions (no UDF break):
     // the `*(1)` star prefix marks the codegen stage containing the Project
     val plan = spark.sql(
