@@ -51,9 +51,11 @@ object Ann {
                threshold: Double = 0.3): DataFrame = {
     val bits = planes / bands
     val mask = (1L << bits) - 1
-    val embs = corpus.select(col("id").as("vec_id"), col("qv"))
+    // self-dots precomputed per row: the in-bucket verify then costs ONE
+    // native dot per candidate pair (same doubles as quantCosine)
+    val embs = withSelfDot(corpus.select(col("id").as("vec_id"), col("qv")))
       .withColumn("sig", hyperplaneSig(col("qv"), planes))
-    val banded = embs.select(col("vec_id"), col("qv"),
+    val banded = embs.select(col("vec_id"), col("qv"), col("selfdot"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("sig"), bits * b)
           .bitwiseAND(lit(mask)).as("bval"))
@@ -62,7 +64,8 @@ object Ann {
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        quantCosine(col("a.qv"), col("b.qv")).as("cos_sim"))
+        cos(col("a.qv"), col("b.qv"), col("a.selfdot"), col("b.selfdot"))
+          .as("cos_sim"))
       .distinct()
       .filter(col("cos_sim") >= threshold)
   }
