@@ -43,9 +43,11 @@ object Shell {
         val text = buf.toString.trim
         if (text.equalsIgnoreCase("exit") || text.equalsIgnoreCase("quit")) {
           done = true
-        } else if (text.endsWith(";")) {
+        } else if (graft.engine.SqlText.endsStatement(text)) {
           buf.clear()
-          text.split(';').map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+          // quote-aware split: ';' inside string literals is content
+          graft.engine.SqlText.splitTopLevel(text, ';')
+            .map(_.trim).filter(_.nonEmpty).foreach { stmt =>
             try {
               val t0 = System.nanoTime()
               val df = g.sql(stmt)

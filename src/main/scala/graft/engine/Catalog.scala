@@ -164,9 +164,13 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   def rewrite(db: String, t: String, df: DataFrame): Unit = {
     val dir = Paths.get(dataPath(db, t))
     val tmp = tablePath(db, t).resolve("data_tmp")
+    val old = tablePath(db, t).resolve(s"data_old_${System.nanoTime()}")
     df.write.mode("overwrite").format(meta(db, t).format).save(tmp.toString)
-    deleteRecursively(dir)
+    // two atomic renames instead of delete-then-move: the data path always
+    // resolves to a complete directory (old or new), never to nothing
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
     spark.catalog.refreshTable(s"`$db`.`$t`")
   }
 

@@ -205,9 +205,12 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       catalog.Col(f.name, mysqlTypeOf(f.dataType.sql), f.dataType.sql)).toSeq
     catalog.createTable(catalog.TableMeta(db, t, cols, Seq.empty, "parquet"),
       ifNotExists = ine != null)
-    val n = src.count()
-    catalog.append(db, t, src)
-    count(n)
+    val staged = src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = staged.count()
+      catalog.append(db, t, staged)
+      count(n)
+    } finally staged.unpersist()
   }
 
   /** Spark DDL type → MySQL-surface type name (CTAS, SHOW COLUMNS). */
@@ -266,7 +269,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   }
 
   private val AddColR =
-    "(?is)alter\\s+table\\s+([`\\w.]+)\\s+add\\s+(?:column\\s+)?([`\\w]+)\\s+([\\w()]+).*".r
+    "(?is)alter\\s+table\\s+([`\\w.]+)\\s+add\\s+(?:column\\s+)?([`\\w]+)\\s+([\\w(),]+).*".r
   private val DropColR =
     "(?is)alter\\s+table\\s+([`\\w.]+)\\s+drop\\s+(?:column\\s+)?([`\\w]+)\\s*".r
   private def alterTable(stmt: String): DataFrame = stmt match {
@@ -319,35 +322,54 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         (if (targetCols.exists(_.name == c.name)) col(s"`${c.name}`")
          else lit(null)).cast(c.sparkDdl).as(c.name)
       }: _*)
-      val rows = aligned.count()
-      val sorted =
-        if (m.pk.nonEmpty) aligned.sortWithinPartitions(m.pk.map(col): _*)
-        else aligned
-      catalog.append(db, t, sorted)
-      count(rows)
+      // one execution of the source plan: the count and the write read
+      // the same materialization (an INSERT…SELECT over a big source
+      // must not scan it twice, and a non-deterministic source must not
+      // report a different count than it wrote)
+      val staged = aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rows = staged.count()
+        val sorted =
+          if (m.pk.nonEmpty) staged.sortWithinPartitions(m.pk.map(col): _*)
+          else staged
+        catalog.append(db, t, sorted)
+        count(rows)
+      } finally staged.unpersist()
   }
 
-  private val UpdateR =
-    "(?is)update\\s+([`\\w.]+)\\s+set\\s+(.+?)(?:\\s+where\\s+(.+))?".r
+  private val UpdateHeadR = "(?is)update\\s+([`\\w.]+)\\s+set\\s+(.+)".r
   private def update(stmt: String): DataFrame = stmt match {
-    case UpdateR(name, sets, whereOpt) =>
+    case UpdateHeadR(name, rest) =>
       val (db, t) = qualify(name)
       val m = catalog.meta(db, t)
+      // quote-aware WHERE search: a 'where' inside a SET string literal
+      // must not split the statement
+      val wherePos = topLevelIndexOfWord(rest, "where")
+      val (sets, whereOpt) =
+        if (wherePos < 0) (rest, null)
+        else (rest.substring(0, wherePos), rest.substring(wherePos + 5))
       val cond = if (whereOpt == null) lit(true) else expr(whereOpt)
       val assignments = splitTopLevel(sets, ',').map { a =>
         val Array(c, e) = a.split("=", 2)
         clean(c.trim) -> e.trim
       }
-      var df = catalog.read(db, t)
-      val affected = df.filter(cond).count()
+      // Evaluate WHERE exactly once against the ORIGINAL row (MySQL
+      // semantics): a later assignment must not see the condition
+      // re-resolved against columns an earlier assignment just changed.
+      var df = catalog.read(db, t).withColumn("_graft_upd", cond)
+      val affected = df.filter(col("_graft_upd")).count()
       for ((c, e) <- assignments) {
         val ddl = m.cols.find(_.name == c)
           .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
-        df = df.withColumn(c, when(cond, expr(e).cast(ddl)).otherwise(col(s"`$c`")))
+        df = df.withColumn(c,
+          when(col("_graft_upd"), expr(e).cast(ddl)).otherwise(col(s"`$c`")))
       }
-      catalog.rewrite(db, t, df)
+      catalog.rewrite(db, t, df.drop("_graft_upd"))
       count(affected)
   }
+
+  private def topLevelIndexOfWord(s: String, word: String): Int =
+    SqlText.topLevelIndexOfWord(s, word)
 
   private val DeleteR =
     "(?is)delete\\s+from\\s+([`\\w.]+)(?:\\s+where\\s+(.+))?".r
@@ -529,12 +551,16 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         q = q.replaceAll("(?i)information_schema\\.tables", "information_schema_tables")
           .replaceAll("(?i)information_schema\\.columns", "information_schema_columns")
       }
-      q = VarRef.replaceAllIn(q,
-        m => "'" + variables.get(m.group(1)).getOrElse("") + "'")
+      // quoteReplacement: variable values containing '$'/'\' must be
+      // inlined literally, not treated as regex replacement templates
+      import java.util.regex.Matcher
+      q = VarRef.replaceAllIn(q, m =>
+        Matcher.quoteReplacement("'" + variables.get(m.group(1)).getOrElse("") + "'"))
       // MySQL connection-info functions (clients issue these on connect)
-      q = q.replaceAll("(?i)\\bdatabase\\(\\)", s"'$currentSchema'")
+      q = q.replaceAll("(?i)\\bdatabase\\(\\)",
+          Matcher.quoteReplacement(s"'$currentSchema'"))
         .replaceAll("(?i)\\bversion\\(\\)",
-          "'" + variables.get("version").getOrElse("") + "'")
+          Matcher.quoteReplacement("'" + variables.get("version").getOrElse("") + "'"))
         .replaceAll("(?i)\\b(?:current_user|user)\\(\\)", "'root@%'")
       q = substituteUserVars(q)
       spark.sql(q)
@@ -606,24 +632,6 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       StructType(names.map(n => StructField(n, StringType))))
   }
 
-  /** Split on a separator, ignoring separators nested in parens/quotes
-    * (column def lists, SET assignment lists).
-    */
-  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0; var quote: Char = 0
-    for (c <- s) {
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"'        => quote = c; cur += c
-        case '('               => depth += 1; cur += c
-        case ')'               => depth -= 1; cur += c
-        case x if x == sep && depth == 0 => out += cur.toString; cur.clear()
-        case x                 => cur += x
-      }
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.result()
-  }
+  private def splitTopLevel(s: String, sep: Char): Seq[String] =
+    SqlText.splitTopLevel(s, sep)
 }

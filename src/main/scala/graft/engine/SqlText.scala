@@ -1,0 +1,65 @@
+package graft.engine
+
+/** Quote/paren-aware SQL text scanning shared by GraftSession and the
+  * shell — a ';' or ',' or keyword inside a string literal is content,
+  * not syntax.
+  */
+object SqlText {
+
+  /** Split on a separator, ignoring separators nested in parens/quotes. */
+  def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`'  => quote = c; cur += c
+        case '('               => depth += 1; cur += c
+        case ')'               => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => out += cur.toString; cur.clear()
+        case x                 => cur += x
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  /** First top-level occurrence of a standalone keyword (case-insensitive,
+    * outside quotes/parens); -1 if absent.
+    */
+  def topLevelIndexOfWord(s: String, word: String): Int = {
+    var quote: Char = 0; var depth = 0; var i = 0
+    val n = s.length; val wl = word.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; i += 1
+        case '('              => depth += 1; i += 1
+        case ')'              => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && i + wl <= n &&
+              s.regionMatches(true, i, word, 0, wl) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i + wl == n || !Character.isLetterOrDigit(s.charAt(i + wl))))
+            return i
+          i += 1
+      }
+    }
+    -1
+  }
+
+  /** True when the trimmed text ends with a ';' that is outside any
+    * string literal (i.e. the statement is complete).
+    */
+  def endsStatement(s: String): Boolean = {
+    val t = s.trim
+    if (!t.endsWith(";")) return false
+    var quote: Char = 0
+    for (c <- t)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') quote = c
+    quote == 0
+  }
+}

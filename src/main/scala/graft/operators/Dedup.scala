@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions._
 
@@ -27,18 +26,21 @@ object Dedup {
     * self-join → exact jaccard ≥ `threshold` inside buckets. Returns
     * (doc_a, doc_b, jaccard) with doc_a < doc_b.
     *
-    * Staged intermediates (persist MEMORY_AND_DISK): the shingle and
-    * band-key tables are each read by 2+ plan branches.
+    * The shingle/band-key subtrees are read by multiple plan branches and
+    * recomputed per branch; with the native kernels that recompute is a
+    * cheap scan, so nothing is persisted — the operator holds no executor
+    * storage after the query finishes (a persist here would leak until
+    * session end, since a lazily-returned DataFrame gives no unpersist
+    * point). Callers running MANY queries over the same corpus should
+    * stage `docs` themselves and persist/unpersist at their own scope.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
     val docs = df
       .select(col(idCol).as("doc_id"), textShingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = docs
       .select(col("doc_id"), explode(minhashBandKeys(col("sh"))).as("bk"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))

@@ -24,14 +24,24 @@ object Compaction {
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val p = Paths.get(dir)
+    // A live FileStreamSink dir is governed by its _spark_metadata log:
+    // rewriting the files while (a restart of) the stream re-creates the
+    // log would hide every compacted row from readers. Decommission the
+    // sink first (stop the stream, delete _spark_metadata), then compact.
+    require(!Files.exists(p.resolve("_spark_metadata")),
+      s"$dir has a _spark_metadata streaming-sink log; stop the stream and " +
+        "remove the log (decommission the sink into a plain table) before compacting")
     val parquetFiles = listParquet(p)
     val totalBytes = parquetFiles.map(f => Files.size(f)).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(dir)
     val tmp = p.resolveSibling(p.getFileName.toString + "_compact_tmp")
+    val old = p.resolveSibling(p.getFileName.toString + s"_old_${System.nanoTime()}")
     df.repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
-    deleteRecursively(p)
+    // two atomic renames: readers always see a complete directory
+    Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
     (parquetFiles.size, listParquet(p).size)
   }
 

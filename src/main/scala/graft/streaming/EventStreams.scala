@@ -105,6 +105,18 @@ object EventStreams {
       val t = micros(e.ts)
       val cents = math.round(e.value * 100)
       open match {
+        // late event from BEFORE the carried session (cross-batch
+        // disorder): within the gap of its start it extends the session
+        // backwards; further back it is its own earlier session — it can
+        // never merge forward with anything else, being already late.
+        // Without this branch, t - lastMicros is negative and the event
+        // silently merges into a session that started after it.
+        case Some(o) if t < o.startMicros =>
+          if (o.startMicros - t <= gapMicros)
+            open = Some(o.copy(startMicros = t, n = o.n + 1,
+              sumCents = o.sumCents + cents))
+          else
+            closed += close(e.user_id, OpenSession(t, t, 1, cents))
         case Some(o) if t - o.lastMicros <= gapMicros =>
           open = Some(o.copy(lastMicros = math.max(o.lastMicros, t),
             n = o.n + 1, sumCents = o.sumCents + cents))

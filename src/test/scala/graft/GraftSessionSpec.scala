@@ -257,6 +257,38 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select sum(id) s from live").head.head == 6L)
   }
 
+  test("regression: multi-column UPDATE evaluates WHERE once against original rows") {
+    g.sql("use test")
+    g.sql("create table upd2 (a int, b int)")
+    g.sql("insert into upd2 values (0, 0), (5, 5)")
+    // the first assignment changes `a`; the second must still fire
+    assert(rows("update upd2 set a = 1, b = 2 where a = 0").head.head == 1L)
+    assert(rows("select a, b from upd2 order by a") ==
+      Seq(Seq(1, 2), Seq(5, 5)))
+  }
+
+  test("regression: quoted 'where'/';'/'$' don't break parsing or substitution") {
+    g.sql("use test")
+    g.sql("create table strq (id int, msg char)")
+    g.sql("insert into strq values (1, 'x')")
+    g.sql("update strq set msg = 'a where b' where id = 1")
+    assert(rows("select msg from strq").head.head == "a where b")
+    g.sql("set session my_marker = 'A$B'")
+    assert(rows("select @@my_marker as m").head.head == "A$B")
+    assert(rows("select concat('v=', @@my_marker) as m").head.head == "v=A$B")
+  }
+
+  test("regression: ALTER TABLE ADD COLUMN with decimal(p,s)") {
+    g.sql("use test")
+    g.sql("create table decc (id int)")
+    g.sql("insert into decc values (1)")
+    g.sql("alter table decc add column amt decimal(10,2)")
+    g.sql("update decc set amt = 12.34 where id = 1")
+    assert(rows("select amt from decc").head.head.toString == "12.34")
+    val cols = rows("show columns from decc").map(r => (r.head, r(1)))
+    assert(cols == Seq(("id", "int"), ("amt", "decimal(10,2)")))
+  }
+
   test("A17 explain select surfaces a plan") {
     g.sql("use test")
     val out = rows("explain select count(*) from user")

@@ -75,6 +75,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains(Seq(7L, 1L, 4.0)), s"timeout-closed session missing: $sessions")
   }
 
+  test("regression: late-but-within-watermark event does not merge forward") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeStream(input.toDS(), delay = "3 hours")
+      .writeStream.format("memory").queryName("c3late_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(Event(1, ts(100), 5, "click", 1.0))
+    q.processAllAvailable()
+    // 50 min BEFORE the open session's start, gap 30 min -> own session
+    input.addData(Event(2, ts(50), 5, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(900), 6, "flush", 0.0)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("c3late_sink").filter($"user_id" === 5L)
+      .select("n_events", "sum_value").collect().map(_.toSeq).toSet
+    assert(sessions == Set(Seq(1L, 2.0), Seq(1L, 1.0)),
+      s"late event must form its own earlier session: $sessions")
+  }
+
   test("C3 stream and batch sessionization agree (shared core)") {
     val events = Tables.t(spark, sfDir, "events").limit(300)
     val batch = EventStreams.sessionizeBatch(events)
@@ -123,6 +142,14 @@ class StreamingSpec extends AnyFunSuite {
     }
     q.stop()
     assert(spark.read.parquet(out).count() == 5)
+    // a live sink dir must be refused (its _spark_metadata log governs
+    // visibility); decommissioning = stop stream + drop the log
+    assertThrows[IllegalArgumentException](
+      graft.sources.Compaction.compact(spark, out))
+    val meta = java.nio.file.Paths.get(out, "_spark_metadata")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(meta).sorted(java.util.Comparator.reverseOrder())
+      .iterator.asScala.foreach(java.nio.file.Files.delete)
     val (before, after) = graft.sources.Compaction.compact(spark, out)
     assert(before == 5 && after == 1, s"expected 5 -> 1 files, got $before -> $after")
     assert(spark.read.parquet(out).count() == 5, "compaction must preserve rows")
