@@ -46,5 +46,19 @@ object Streaming {
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_start"""))
 
-  val all: Seq[Qdef] = Seq(q40, q41)
+  // ---- C2b: sliding window (1h window, 15min hop) ------------------------
+  // Each event lands in 4 overlapping windows; the DuckDB oracle explodes
+  // the 4 hops per event explicitly.
+  private val q51 = Qdef(
+    "q51_stream_sliding",
+    (s, dir) =>
+      EventStreams.sliding(t(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT time_bucket(INTERVAL '15 minutes', ts)
+        - k.k * INTERVAL '15 minutes' AS window_start,
+      event_type, COUNT(*) AS n
+    FROM events, (SELECT UNNEST(range(0, 4)) AS k) k
+    GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  val all: Seq[Qdef] = Seq(q40, q41, q51)
 }
