@@ -166,8 +166,12 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val tmp = tablePath(db, t).resolve("data_tmp")
     val old = tablePath(db, t).resolve(s"data_old_${System.nanoTime()}")
     df.write.mode("overwrite").format(meta(db, t).format).save(tmp.toString)
-    // two atomic renames instead of delete-then-move: the data path always
-    // resolves to a complete directory (old or new), never to nothing
+    // two atomic renames instead of delete-then-move: each name the
+    // reader can observe is a complete directory. The rename-to-rename
+    // gap still exists (single-FS limitation — a listing in that instant
+    // sees a missing path, and crash recovery may find data under
+    // data_old_<nanos>); true multi-version atomicity needs a table
+    // format with a commit log (Delta/Iceberg), noted in SURVEY §2.B5.
     Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)

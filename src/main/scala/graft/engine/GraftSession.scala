@@ -115,27 +115,9 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       preparedStmts.remove(name.toLowerCase); count(0)
   }
 
-  private def countPlaceholders(s: String): Int = {
-    var n = 0; var quote: Char = 0
-    for (c <- s) {
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '\'' || c == '"') quote = c
-      else if (c == '?') n += 1
-    }
-    n
-  }
-
-  private def bindPlaceholders(s: String, args: Seq[String]): String = {
-    val out = new StringBuilder
-    var quote: Char = 0; var i = 0
-    for (c <- s) {
-      if (quote != 0) { out += c; if (c == quote) quote = 0 }
-      else if (c == '\'' || c == '"') { quote = c; out += c }
-      else if (c == '?') { out ++= args(i); i += 1 }
-      else out += c
-    }
-    out.toString
-  }
+  private def countPlaceholders(s: String): Int = SqlText.countPlaceholders(s)
+  private def bindPlaceholders(s: String, args: Seq[String]): String =
+    SqlText.bindPlaceholders(s, args)
 
   /** COM_FIELD_LIST parity (com_field_list.rs): the table's column
     * definitions, same shape as SHOW COLUMNS.
@@ -146,6 +128,11 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     * (checkpointed parquet sink writing straight into the table's data
     * dir; the catalog entry is refreshed after each micro-batch so SQL
     * reads see new rows). The streaming half of INSERT INTO.
+    *
+    * Single-writer contract (same as the reference's session model): a
+    * table being ingested into must not concurrently receive UPDATE /
+    * DELETE / TRUNCATE / ALTER — those rewrite the data directory from a
+    * snapshot and would race the appends. Stop the ingest query first.
     */
   def ingest(stream: DataFrame, table: String,
              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -356,15 +343,18 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       // Evaluate WHERE exactly once against the ORIGINAL row (MySQL
       // semantics): a later assignment must not see the condition
       // re-resolved against columns an earlier assignment just changed.
-      var df = catalog.read(db, t).withColumn("_graft_upd", cond)
-      val affected = df.filter(col("_graft_upd")).count()
+      // Marker column name is made collision-free against user columns.
+      var marker = "_graft_upd"
+      while (m.cols.exists(_.name == marker)) marker += "_"
+      var df = catalog.read(db, t).withColumn(marker, cond)
+      val affected = df.filter(col(s"`$marker`")).count()
       for ((c, e) <- assignments) {
         val ddl = m.cols.find(_.name == c)
           .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
         df = df.withColumn(c,
-          when(col("_graft_upd"), expr(e).cast(ddl)).otherwise(col(s"`$c`")))
+          when(col(s"`$marker`"), expr(e).cast(ddl)).otherwise(col(s"`$c`")))
       }
-      catalog.rewrite(db, t, df.drop("_graft_upd"))
+      catalog.rewrite(db, t, df.drop(marker))
       count(affected)
   }
 

@@ -101,32 +101,59 @@ object EventStreams {
                    gapMicros: Long): (Seq[Session], Option[OpenSession]) = {
     val closed = Seq.newBuilder[Session]
     var open = open0
+    // Accumulator for late events that precede the carried session
+    // (cross-batch disorder). Late events fold amongst THEMSELVES with
+    // normal gap semantics; when the late chain reaches within the gap
+    // of the carried session's start, the two merge — exactly what the
+    // batch fold over the union would produce. Without this, a late
+    // event's negative t - lastMicros always passes the gap test and it
+    // silently merges into a session that started after it.
+    var late: Option[OpenSession] = None
+    var userId = 0L
+
+    def resolveLate(o: OpenSession): OpenSession = late match {
+      case Some(l) =>
+        late = None
+        if (o.startMicros - l.lastMicros <= gapMicros)
+          OpenSession(l.startMicros, o.lastMicros, o.n + l.n,
+            o.sumCents + l.sumCents)
+        else { closed += close(userId, l); o }
+      case None => o
+    }
+
     for (e <- events.sortBy(ev => (micros(ev.ts), ev.event_id))) {
       val t = micros(e.ts)
       val cents = math.round(e.value * 100)
+      userId = e.user_id
       open match {
-        // late event from BEFORE the carried session (cross-batch
-        // disorder): within the gap of its start it extends the session
-        // backwards; further back it is its own earlier session — it can
-        // never merge forward with anything else, being already late.
-        // Without this branch, t - lastMicros is negative and the event
-        // silently merges into a session that started after it.
         case Some(o) if t < o.startMicros =>
-          if (o.startMicros - t <= gapMicros)
-            open = Some(o.copy(startMicros = t, n = o.n + 1,
-              sumCents = o.sumCents + cents))
-          else
-            closed += close(e.user_id, OpenSession(t, t, 1, cents))
-        case Some(o) if t - o.lastMicros <= gapMicros =>
-          open = Some(o.copy(lastMicros = math.max(o.lastMicros, t),
-            n = o.n + 1, sumCents = o.sumCents + cents))
-        case Some(o) =>
-          closed += close(e.user_id, o)
-          open = Some(OpenSession(t, t, 1, cents))
+          late match {
+            case Some(l) if t - l.lastMicros <= gapMicros =>
+              late = Some(l.copy(lastMicros = t, n = l.n + 1,
+                sumCents = l.sumCents + cents))
+            case Some(l) =>
+              closed += close(e.user_id, l)
+              late = Some(OpenSession(t, t, 1, cents))
+            case None =>
+              late = Some(OpenSession(t, t, 1, cents))
+          }
+        case Some(o0) =>
+          // forward region: settle the late chain first (sorted order
+          // means no further late events can precede o's start)
+          val o = resolveLate(o0)
+          open = Some(o)
+          if (t - o.lastMicros <= gapMicros)
+            open = Some(o.copy(lastMicros = math.max(o.lastMicros, t),
+              n = o.n + 1, sumCents = o.sumCents + cents))
+          else {
+            closed += close(e.user_id, o)
+            open = Some(OpenSession(t, t, 1, cents))
+          }
         case None =>
           open = Some(OpenSession(t, t, 1, cents))
       }
     }
+    open = open.map(resolveLate)
     (closed.result(), open)
   }
 
@@ -223,9 +250,12 @@ object EventStreams {
   // ---- sink ---------------------------------------------------------------
 
   /** Append-mode parquet sink with checkpointing — the durable end of the
-    * pipeline (object-store prefix in production). Pair with
-    * `graft.sources.Compaction` on a schedule: streaming appends produce
-    * per-trigger files that compaction later rewrites to scan-sized ones.
+    * pipeline (object-store prefix in production). Streaming appends
+    * produce per-trigger files; once a sink dir is decommissioned (stream
+    * stopped, `_spark_metadata` log removed — the dir becomes a plain
+    * table), `graft.sources.Compaction` rewrites them to scan-sized
+    * files. Compaction refuses LIVE sink dirs: rewriting files the sink
+    * log still governs would hide rows from readers.
     */
   def toParquetSink(df: DataFrame, path: String,
                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -289,6 +289,24 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(cols == Seq(("id", "int"), ("amt", "decimal(10,2)")))
   }
 
+  test("regression: underscore identifiers containing keywords parse correctly") {
+    g.sql("use test")
+    g.sql("create table wcol (where_ts int, val int)")
+    g.sql("insert into wcol values (1, 10), (2, 20)")
+    // 'where_ts' must not be read as the WHERE keyword
+    assert(rows("update wcol set where_ts = 5").head.head == 2L)
+    assert(rows("update wcol set val = where_ts + 1 where where_ts = 5").head.head == 2L)
+    assert(rows("select val from wcol order by val") == Seq(Seq(6), Seq(6)))
+  }
+
+  test("regression: backslash-escaped quotes in literals") {
+    g.sql("use test")
+    g.sql("create table esc (id int, s char)")
+    assert(rows("insert into esc values (1, 'don\\'t')").head.head == 1L)
+    g.sql("update esc set s = 'won\\'t go' where id = 1")
+    assert(rows("select s from esc").head.head == "won't go")
+  }
+
   test("A17 explain select surfaces a plan") {
     g.sql("use test")
     val out = rows("explain select count(*) from user")

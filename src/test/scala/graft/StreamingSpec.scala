@@ -94,6 +94,26 @@ class StreamingSpec extends AnyFunSuite {
       s"late event must form its own earlier session: $sessions")
   }
 
+  test("regression: multiple late events fold into one earlier session; bridging late chain merges") {
+    import graft.streaming.{EventStreams, OpenSession}
+    def ev(id: Long, min: Int) = Event(id, ts(min), 9, "e", 1.0)
+    val gap = EventStreams.SessionGapMicros
+    def us(min: Int) = ts(min).getEpochSecond * 1000000L
+    // carried session at [100, 100]; late events 40 and 50 (gap 30min)
+    val carried = Some(OpenSession(us(100), us(100), 1, 100))
+    val (closed1, open1) =
+      EventStreams.foldSessions(Seq(ev(1, 40), ev(2, 50)), carried, gap)
+    assert(closed1.map(s => (s.n_events, s.session_start)) ==
+      Seq((2L, ts(40))),
+      s"two late events within gap must form ONE earlier session: $closed1")
+    assert(open1.map(_.startMicros) == Some(us(100)))
+    // late chain ending at 79 bridges the 100-start session -> one merged
+    val (closed2, open2) =
+      EventStreams.foldSessions(Seq(ev(1, 60), ev(2, 79)), carried, gap)
+    assert(closed2.isEmpty && open2 == Some(OpenSession(us(60), us(100), 3, 300)),
+      s"bridging late chain must merge: $closed2 / $open2")
+  }
+
   test("C3 stream and batch sessionization agree (shared core)") {
     val events = Tables.t(spark, sfDir, "events").limit(300)
     val batch = EventStreams.sessionizeBatch(events)
