@@ -627,8 +627,60 @@ object Relational {
     FROM documents WHERE regexp_matches(text, '^[A-Za-z]')
     ORDER BY doc_id"""))
 
+  // ---- A15c: extended string functions (DataFusion scalar parity) --------
+  private val q52 = Qdef(
+    "q52_string_ext",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          concat(upper(substring(lower(col("n_name")), 1, 1)),
+            substring(lower(col("n_name")), 2, 1000)).as("cap"),
+          lpad(col("n_name"), 12, ".").as("lp"),
+          rpad(col("n_name"), 12, ".").as("rp"),
+          reverse(col("n_name")).as("rev"),
+          translate(col("n_name"), "AEIOU", "aeiou").as("tr"),
+          repeat(substring(col("n_name"), 1, 2), 3).as("rep"),
+          instr(col("n_name"), "AN").as("pos"),
+          split(col("n_name"), "A").getItem(0).as("part0"))
+        .orderBy(col("n_nationkey")),
+    Some("""SELECT n_nationkey,
+      upper(substring(lower(n_name), 1, 1)) || substring(lower(n_name), 2) AS cap,
+      lpad(n_name, 12, '.') AS lp,
+      rpad(n_name, 12, '.') AS rp,
+      reverse(n_name) AS rev,
+      translate(n_name, 'AEIOU', 'aeiou') AS tr,
+      repeat(substring(n_name, 1, 2), 3) AS rep,
+      strpos(n_name, 'AN') AS pos,
+      split_part(n_name, 'A', 1) AS part0
+    FROM nation ORDER BY n_nationkey"""))
+
+  // ---- A15d: transcendental math (libm) — quantized oracle ---------------
+  // sin/cos/exp/ln come from each engine's libm and can differ in the
+  // last ulp; rounding to 9 decimals on BOTH sides masks that while
+  // still pinning 9 significant digits of agreement.
+  private val q53 = Qdef(
+    "q53_math_ext",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          round(sin(col("n_nationkey")), 9).as("s"),
+          round(cos(col("n_nationkey")), 9).as("c"),
+          round(exp(col("n_nationkey") % 5), 9).as("e"),
+          round(log(col("n_nationkey") + 1), 9).as("l"),
+          round(atan2(col("n_nationkey"), lit(7)), 9).as("a"),
+          signum(col("n_nationkey") - 10).as("sg"))
+        .orderBy(col("n_nationkey")),
+    Some("""SELECT n_nationkey,
+      round(sin(n_nationkey), 9) AS s,
+      round(cos(n_nationkey), 9) AS c,
+      round(exp(n_nationkey % 5), 9) AS e,
+      round(ln(n_nationkey + 1), 9) AS l,
+      round(atan2(n_nationkey, 7), 9) AS a,
+      CAST(sign(n_nationkey - 10) AS DOUBLE) AS sg
+    FROM nation ORDER BY n_nationkey"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q45, q46)
+    q28, q29, q45, q46, q52, q53)
 }
