@@ -307,6 +307,25 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select s from esc").head.head == "won't go")
   }
 
+  test("cross-schema: qualified CTAS, rename across schemas, qualified DML") {
+    g.sql("create schema xs1")
+    g.sql("create schema xs2")
+    g.sql("create table xs1.src (id int)")
+    g.sql("insert into xs1.src values (1),(2),(3)")
+    // CTAS into a different schema than current
+    g.sql("create table xs2.copy as select id * 10 as id10 from xs1.src where id < 3")
+    assert(rows("select * from xs2.copy order by id10") == Seq(Seq(10), Seq(20)))
+    // rename across schemas moves data without rewrite
+    g.sql("rename table xs2.copy to xs1.copied")
+    assert(rows("select count(*) c from xs1.copied").head.head == 2L)
+    // qualified UPDATE/DELETE from an unrelated current schema
+    g.sql("use xs2")
+    g.sql("update xs1.src set id = id + 100 where id = 3")
+    assert(rows("delete from xs1.src where id > 100").head.head == 1L)
+    assert(rows("select count(*) c from xs1.src").head.head == 2L)
+    g.sql("use test")
+  }
+
   test("A17 explain select surfaces a plan") {
     g.sql("use test")
     val out = rows("explain select count(*) from user")
