@@ -100,6 +100,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("withinJoin (batch) == naive time-bounded pair filter") {
+    val evs = Gen.listOfN(40, Gen.zip(key, Gen.choose(0L, 180L)))
+    check(Prop.forAll(evs, evs) { (ls, rs) =>
+      def df(xs: List[(Long, Long)], base: Long) = xs.zipWithIndex.map {
+        case ((u, min), i) =>
+          (base + i, Timestamp.from(Instant.ofEpochSecond(min * 60)), u, "e", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = EventStreams.withinJoin(df(ls, 1000), df(rs, 2000),
+          "user_id", within = "30 minutes")
+        .select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        ((lu, lt), li) <- ls.zipWithIndex
+        ((ru, rt), ri) <- rs.zipWithIndex
+        if lu == ru && rt <= lt && rt >= lt - 30
+      } yield (1000L + li, 2000L + ri)).toSet
+      got == want
+    })
+  }
+
   test("textShingles == HOF shingles on random space-laden strings") {
     val word = Gen.oneOf("a", "bb", "ccc", "", "dd")
     val text = Gen.listOf(word).map(_.mkString(" "))
