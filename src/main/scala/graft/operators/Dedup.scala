@@ -55,6 +55,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The persistent MinHash index of a corpus: shingle and band-key
+    * tables to write once (e.g. as bucketed tables on doc_id / bk) and
+    * reuse for every later incremental batch.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 5): (DataFrame, DataFrame) = {
+    val docs = df
+      .select(col(idCol).as("doc_id"), textShingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bands = docs
+      .select(col("doc_id"), explode(minhashBandKeys(col("sh"))).as("bk"))
+    (docs, bands)
+  }
+
+  /** Incremental near-dedup: pairs involving at least one NEW document,
+    * against a previously-built index (`minhashIndex` of the existing
+    * corpus). Work scales with |new| × bucket occupancy — the existing
+    * corpus is touched only through the band-key equi-join and the
+    * shingle lookups for verified candidates, never rescanned or
+    * re-signed. union(result, previous pairs) equals a full recompute
+    * (pinned by spec).
+    */
+  def incrementalMinhashPairs(newDf: DataFrame, idCol: String, textCol: String,
+                              oldShingles: DataFrame, oldBands: DataFrame,
+                              shingleK: Int = 5,
+                              threshold: Double = 0.5): DataFrame = {
+    val (newShingles, newBands) = minhashIndex(newDf, idCol, textCol, shingleK)
+    // new × old: every cross pair; new × new: ordered to avoid dupes
+    val crossCand = newBands.as("a")
+      .join(oldBands.as("b"), col("a.bk") === col("b.bk"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val newCand = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = crossCand.unionByName(newCand)
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val allShingles = oldShingles.unionByName(newShingles)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac: Column = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+    cand
+      .join(allShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(allShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-duplicate pairs by 64-bit SimHash within `maxHamming` bit
     * flips. Band count is pigeonhole-derived (maxHamming+1 bands ⇒ any
     * qualifying pair agrees exactly on ≥1 band), so the band join is

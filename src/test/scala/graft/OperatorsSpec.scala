@@ -93,6 +93,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == 100L * 99 / 2, "every pair must produce a valid cosine")
   }
 
+  test("incremental minhash dedup == full recompute (old pairs + delta pairs)") {
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, sfDir, "documents")
+    val old = docs.filter($"doc_id" < 300)
+    val fresh = docs.filter($"doc_id" >= 300)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val full = pairSet(Dedup.minhashPairs(docs, "doc_id", "text"))
+    val oldPairs = pairSet(Dedup.minhashPairs(old, "doc_id", "text"))
+    val (oldSh, oldBands) = Dedup.minhashIndex(old, "doc_id", "text")
+    val delta = pairSet(Dedup.incrementalMinhashPairs(
+      fresh, "doc_id", "text", oldSh, oldBands))
+    assert(oldPairs ++ delta == full,
+      s"missing=${full -- (oldPairs ++ delta)} extra=${(oldPairs ++ delta) -- full}")
+    assert(delta.nonEmpty, "testdata should have near-dups spanning the split")
+  }
+
   test("asofJoin picks the latest right row at-or-before each left ts, per key") {
     import java.sql.Timestamp
     def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
