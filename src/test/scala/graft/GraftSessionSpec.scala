@@ -326,6 +326,23 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("use test")
   }
 
+  test("error paths report clearly instead of corrupting state") {
+    g.sql("use test")
+    g.sql("create table errt (id int)")
+    // duplicate create without IF NOT EXISTS
+    assertThrows[Exception](g.sql("create table errt (id int)"))
+    g.sql("create table if not exists errt (id int)") // no-op, no error
+    // column count mismatch
+    assertThrows[Exception](g.sql("insert into errt values (1, 2)"))
+    // unknown column / table / database
+    assertThrows[Exception](g.sql("update errt set nope = 1"))
+    assertThrows[Exception](g.sql("drop table no_such_table"))
+    assertThrows[Exception](g.sql("use no_such_db"))
+    // state intact after the failures
+    g.sql("insert into errt values (7)")
+    assert(rows("select * from errt").head.head == 7)
+  }
+
   test("A17 explain select surfaces a plan") {
     g.sql("use test")
     val out = rows("explain select count(*) from user")

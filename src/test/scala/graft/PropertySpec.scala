@@ -100,6 +100,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Ann.bruteForceTopK == naive exact top-k with the same tie-break") {
+    val vec = Gen.listOfN(8, Gen.choose(-100, 100))
+    val corpus = Gen.listOfN(30, vec)
+    check(Prop.forAll(corpus) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(x => x.toLong * 10000L).toArray)
+      }
+      val df = rows.toDF("id", "qv")
+      val got = graft.operators.Ann
+        .bruteForceTopK(df, df.filter($"id" < 3), k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      def cos(a: Array[Long], b: Array[Long]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = a.map(x => x * x).sum.toDouble
+        val nb = b.map(x => x * x).sum.toDouble
+        dot.toDouble / math.sqrt(na * nb)
+      }
+      val want = (for {
+        (qid, qv) <- rows.take(3)
+        ranked = rows.filter(_._1 != qid)
+          .map { case (id, v) => (id, cos(qv, v)) }
+          .sortBy { case (id, c) => (-c, id) }
+          .take(5).zipWithIndex
+        ((id, _), rank) <- ranked
+      } yield (qid, rank + 1, id)).toSet
+      got == want
+    })
+  }
+
   test("withinJoin (batch) == naive time-bounded pair filter") {
     val evs = Gen.listOfN(40, Gen.zip(key, Gen.choose(0L, 180L)))
     check(Prop.forAll(evs, evs) { (ls, rs) =>
