@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions._
 
@@ -102,6 +103,52 @@ object Dedup {
       .join(allShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Collapse near-dup pairs into groups: every document maps to the
+    * minimum doc_id reachable through the pair graph (connected
+    * components by iterative min-label propagation — "hash-to-min").
+    * Converges in O(component diameter) rounds; each round is one
+    * edge⋈label join + min-aggregate. Previous-round results are
+    * persisted and the old round unpersisted so lineage stays flat —
+    * THE failure mode of iterative Spark jobs at scale is an
+    * ever-growing plan, not the joins themselves.
+    *
+    * Input: (doc_a, doc_b) pairs (any orientation). Output:
+    * (doc_id, keeper) for every document appearing in a pair; docs in no
+    * pair are their own keeper and are omitted.
+    */
+  def keepers(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("keeper", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("keeper", "n_keeper"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_keeper")).as("n_keeper"))
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keeper"), coalesce(col("n_keeper"), col("keeper")))
+            .as("keeper"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("keeper", "old_keeper"),
+        "doc_id").filter(col("keeper") =!= col("old_keeper")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** Near-duplicate pairs by 64-bit SimHash within `maxHamming` bit

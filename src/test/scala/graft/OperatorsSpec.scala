@@ -111,6 +111,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(delta.nonEmpty, "testdata should have near-dups spanning the split")
   }
 
+  test("Dedup.keepers collapses transitive chains to the minimum id") {
+    import graft.operators.Dedup
+    // chain 1-2-3-4, separate pair 10-11, star 20-{21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepers(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // real corpus: every keeper is <= its member and itself a group root
+    val corpus = Dedup.minhashPairs(
+      Tables.t(spark, sfDir, "documents"), "doc_id", "text")
+    val k = Dedup.keepers(corpus.select("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k.nonEmpty && k.forall { case (d, kp) => kp <= d && k(kp) == kp })
+  }
+
   test("asofJoin picks the latest right row at-or-before each left ts, per key") {
     import java.sql.Timestamp
     def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
