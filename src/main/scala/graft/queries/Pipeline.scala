@@ -524,6 +524,44 @@ object Pipeline {
       WHERE rn = 1)
     GROUP BY lang, split ORDER BY lang, split"""))
 
+  // ---- dedup groups: pairs -> connected components -----------------------
+  // The terminal step of the near-dedup pipeline: q31's pair graph
+  // collapsed to (doc, keeper) groups via Dedup.keepers (iterative
+  // min-label propagation). Oracle: recursive-CTE transitive closure in
+  // DuckDB over the same O(n²)-derived pair set.
+  private val q54 = Qdef(
+    "q54_dedup_groups",
+    (s, dir) => {
+      val pairs = graft.operators.Dedup
+        .minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 5, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.Dedup.keepers(pairs)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE sh AS (
+      SELECT doc_id,
+        list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 5),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.s, b.s)) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    closure(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a
+      WHERE c.a <> e.b)
+    SELECT a AS doc_id, LEAST(MIN(b), a) AS keeper
+    FROM closure GROUP BY a ORDER BY doc_id"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44, q47, q48, q49, q50)
+    q42, q43, q44, q47, q48, q49, q50, q54)
 }
