@@ -117,6 +117,11 @@ object Dedup {
     * Input: (doc_a, doc_b) pairs (any orientation). Output:
     * (doc_id, keeper) for every document appearing in a pair; docs in no
     * pair are their own keeper and are omitted.
+    *
+    * The returned DataFrame IS the converged, materialized cache entry
+    * (recomputing it would re-run the iteration); call `.unpersist()` on
+    * it when done — the intermediate per-round caches and the edge table
+    * are already released internally.
     */
   def keepers(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
