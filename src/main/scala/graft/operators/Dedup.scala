@@ -95,7 +95,10 @@ object Dedup {
     val cand = crossCand.unionByName(newCand)
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
+    // defensive: a doc id present in BOTH inputs (caller misuse) must not
+    // duplicate the verify-join rows
     val allShingles = oldShingles.unionByName(newShingles)
+      .dropDuplicates("doc_id")
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac: Column = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
     cand
