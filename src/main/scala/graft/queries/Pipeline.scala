@@ -293,7 +293,7 @@ object Pipeline {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id")),
     Some("""SELECT d.doc_id,
-      SUM(CAST(ascii(substring(d.text, t.i, 1)) AS BIGINT) * (((t.i * 131) % 997) + 1)) AS fp
+      CAST(SUM(CAST(ascii(substring(d.text, t.i, 1)) AS BIGINT) * (((t.i * 131) % 997) + 1)) AS BIGINT) AS fp
     FROM documents d, UNNEST(range(1, length(d.text) + 1)) AS t(i)
     GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
@@ -509,7 +509,7 @@ object Pipeline {
         .orderBy(col("lang"), col("split"))
     },
     Some("""SELECT lang, split, COUNT(*) AS n_docs,
-      SUM(ntok) AS sum_tokens
+      CAST(SUM(ntok) AS BIGINT) AS sum_tokens
     FROM (
       SELECT lang,
         CASE WHEN bucket < 80 THEN 'train'

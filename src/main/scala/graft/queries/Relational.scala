@@ -120,13 +120,16 @@ object Relational {
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
           round(var_samp(col("l_quantity")), 4).as("var_qty"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-          round(covar_pop(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))
+          // `+ 0.0` normalizes IEEE signed zero: Spark rounds to -0.0 where
+          // DuckDB lands on +0.0 — equal by ==, different bit patterns, so the
+          // driver's hash compare fails without it. -0.0 + 0.0 == +0.0.
+          (round(covar_pop(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("covar_disc_tax"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag,
       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-      ROUND(COVAR_POP(l_discount, l_tax), 6) AS covar_disc_tax
+      ROUND(COVAR_POP(l_discount, l_tax), 6) + 0.0 AS covar_disc_tax
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // ---- A4c: exact percentiles (continuous interpolation) ---------------

@@ -6,8 +6,9 @@ Reads <outDir>/oracle_sql.json + each <outDir>/<name>/ parquet written by
 graft.Verify, replays the SQL in DuckDB over the same sf parquet tables,
 and compares (schema by sorted column names, values by sorted rows).
 """
-import sys, json, glob, math
+import sys, json, glob, math, struct
 import duckdb
+import numpy as np
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -38,18 +39,30 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"schema: spark={list(got.columns)} duck={list(exp.columns)}")); continue
     if len(got) != len(exp):
         fails.append((name, f"rows: spark={len(got)} duck={len(exp)}")); continue
+    # Strict, driver-grade cell identity: the driver hashes values after a
+    # dtype-sensitive serialization, so int64(3) != float64(3.0) and
+    # -0.0 != +0.0. cell_key reproduces that: floats compare by their IEEE
+    # bit pattern, ints/floats carry distinct type tags.
+    def cell_key(x):
+        try:
+            if bool(pd.isna(x)):
+                return ("na",)
+        except (TypeError, ValueError):
+            pass
+        if isinstance(x, (bool, np.bool_)):
+            return ("b", bool(x))
+        if isinstance(x, (float, np.floating)):
+            return ("f", struct.pack("<d", float(x)).hex())
+        if isinstance(x, (int, np.integer)):
+            return ("i", int(x))
+        if isinstance(x, (list, tuple, np.ndarray)):
+            return ("l", tuple(cell_key(v) for v in x))
+        return ("o", str(x))
     diffs = []
     for c in got.columns:
         a, b = got[c].tolist(), exp[c].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
-            try:
-                both_na = bool(pd.isna(x)) and bool(pd.isna(y))
-            except (TypeError, ValueError):
-                both_na = False
-            same = both_na or (x == y) or (x is None and y is None)
-            if not same and isinstance(x, float) and isinstance(y, float):
-                same = (math.isnan(x) and math.isnan(y)) or x == y
-            if not same:
+            if cell_key(x) != cell_key(y):
                 diffs.append((c, i, x, y))
                 if len(diffs) > 3: break
         if len(diffs) > 3: break
