@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, MinHashBandsE, MinHashSigE, RollingFingerprint, SimHash64, TextShinglesE}
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, MinHashBandsE, MinHashSigE, NearestCellsE, NearestCentroidE, RollingFingerprint, SimHash64, TextShinglesE, TopKPairs}
 
 /** Column-API surface of graft's text/vector function library
   * (SURVEY.md §2.D/E4). Everything here is either a native codegen
@@ -121,6 +121,27 @@ object GraftFunctions {
     */
   def hyperplaneSig(qv: Column, planes: Int = 16): Column =
     expr2col(HyperplaneSigE(exprOf(qv), planes))
+
+  /** Nearest codebook centroid id (IVF assignment) — native codegen over
+    * a broadcast (c_id, c_qv, c_dot) codebook array; a pure projection,
+    * zero exchange. Tie-break: cosine desc, c_id asc — identical to
+    * ROW_NUMBER() OVER (ORDER BY c_cos DESC, c_id) = 1.
+    */
+  def nearestCentroid(qv: Column, selfdot: Column, codebook: Column): Column =
+    expr2col(NearestCentroidE(exprOf(qv), exprOf(selfdot), exprOf(codebook)))
+
+  /** The `nprobe` nearest codebook centroids, best first (IVF probe). */
+  def nearestCells(qv: Column, selfdot: Column, codebook: Column,
+                   nprobe: Int): Column =
+    expr2col(NearestCellsE(exprOf(qv), exprOf(selfdot), exprOf(codebook), nprobe))
+
+  /** Partial top-k aggregate: best k (score, id) pairs per group, sorted
+    * (score desc, id asc), as array<struct<id,score>>. Map-side partials
+    * keep only k rows per group per partition — the scale-safe
+    * replacement for row_number()-window top-k.
+    */
+  def topKPairs(score: Column, id: Column, k: Int): Column =
+    expr2col(TopKPairs(exprOf(score), exprOf(id), k).toAggregateExpression())
 
   /** Bitwise-reproducible cosine over quantized vectors: integer sums are
     * exact, the final double ops (mul/sqrt/div) are IEEE-correctly-rounded

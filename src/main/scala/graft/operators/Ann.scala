@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -9,11 +8,14 @@ import graft.functions.GraftFunctions._
 /** Reusable approximate-nearest-neighbor operators over quantized
   * embeddings (SURVEY.md §2.D6/D7/D7b). All take a corpus DataFrame with
   * columns (`id`, `qv`) where qv = GraftFunctions.quantize(embedding);
-  * the oracled queries q35/q36/q43 are thin wrappers.
+  * the oracled queries q34/q35/q36/q43 are thin wrappers.
   *
   * Scale contract: the corpus is never self-joined without a key —
-  * brute force broadcasts the (small) query batch over one corpus scan;
-  * LSH and IVF generate candidates through band/cell equi-joins.
+  * brute force broadcasts the (small) query batch over one corpus scan
+  * and reduces with a partial top-k aggregate (no corpus-sized shuffle);
+  * LSH and IVF generate candidates through band/cell equi-joins; IVF
+  * cell assignment is a map-side argmax over a broadcast codebook (zero
+  * exchange).
   */
 object Ann {
 
@@ -23,9 +25,23 @@ object Ann {
   private def withSelfDot(df: DataFrame): DataFrame =
     df.withColumn("selfdot", quantDot(col("qv"), col("qv")).cast("double"))
 
+  /** Scored candidates reduced to per-query top-k via the TopKPairs
+    * partial aggregate: map-side partials carry ≤ k rows per query per
+    * partition into the exchange, so the shuffle is O(partitions ×
+    * |queries| × k) regardless of corpus size. Tie-break (score desc,
+    * id asc) matches the window formulation the oracles replay.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(topKPairs(col("c"), col("id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("neighbor"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rn"))
+
   /** Exact top-k per query by cosine: broadcast query batch × one corpus
-    * scan; per-query top-k via window. The baseline every approximate
-    * path is measured against.
+    * scan, partial top-k per partition, tiny final merge per query. The
+    * baseline every approximate path is measured against.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      k: Int = 10): DataFrame = {
@@ -33,14 +49,11 @@ object Ann {
     val q = withSelfDot(queries)
       .select(col("id").as("q_id"), col("qv").as("q_qv"),
         col("selfdot").as("q_dot"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("id"))
-    c.join(broadcast(q), col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id"),
-        cos(col("q_qv"), col("qv"), col("q_dot"), col("selfdot")).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("id").as("neighbor"), col("c").as("cos_sim"),
-        col("rn").cast("int").as("rn"))
+    topK(
+      c.join(broadcast(q), col("id") =!= col("q_id"))
+        .select(col("q_id"), col("id"),
+          cos(col("q_qv"), col("qv"), col("q_dot"), col("selfdot")).as("c")),
+      k)
   }
 
   /** Candidate near-neighbor pairs via hyperplane LSH: `planes`-bit
@@ -52,7 +65,7 @@ object Ann {
     val bits = planes / bands
     val mask = (1L << bits) - 1
     // self-dots precomputed per row: the in-bucket verify then costs ONE
-    // native dot per candidate pair (same doubles as quantCosine)
+    // native 64-long dot per candidate pair (same doubles as quantCosine)
     val embs = withSelfDot(corpus.select(col("id").as("vec_id"), col("qv")))
       .withColumn("sig", hyperplaneSig(col("qv"), planes))
     val banded = embs.select(col("vec_id"), col("qv"), col("selfdot"),
@@ -70,39 +83,73 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** IVF: assign every vector to its nearest codebook centroid (broadcast
-    * codebook, one corpus pass), probe the `nprobe` nearest cells per
-    * query, exact re-rank inside the probed cells.
+  /** One-row codebook frame: the centroid set collapsed into a single
+    * sorted array<struct<c_id,c_qv,c_dot>> column, hinted broadcast. A
+    * cross join against it is a BroadcastNestedLoopJoin with a ONE-ROW
+    * build side — effectively a free per-row constant, never a corpus
+    * move. Codebooks are small by construction (IVF uses √n..n/1e3
+    * centroids; they fit an executor by the same argument that makes IVF
+    * work at all).
     */
-  def ivfTopK(corpus: DataFrame, queryFilter: Column, centroidFilter: Column,
-              nprobe: Int = 4, k: Int = 10): DataFrame = {
+  private def codebookOf(cents: DataFrame): DataFrame =
+    broadcast(cents.agg(sort_array(collect_list(
+      struct(col("c_id"), col("c_qv"), col("c_dot")))).as("cb")))
+
+  /** Corpus → (vec_id, qv, selfdot, cell): every vector labeled with its
+    * nearest centroid by a map-side native argmax over the broadcast
+    * codebook. Zero exchange — the plan is scan → project.
+    */
+  def ivfAssign(corpus: DataFrame, centroidFilter: Column): DataFrame = {
     val embs = withSelfDot(corpus).withColumnRenamed("id", "vec_id")
     val cents = embs.filter(centroidFilter)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
         col("selfdot").as("c_dot"))
-    val scored = embs.join(broadcast(cents), lit(true))
-      .withColumn("c_cos", cos(col("qv"), col("c_qv"), col("selfdot"), col("c_dot")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assign = scored
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("qv"), col("selfdot"), col("c_id").as("cell"))
-    val probes = scored.filter(queryFilter)
-      .withColumn("prn", row_number().over(wAssign))
-      .filter(col("prn") <= nprobe)
+    embs.crossJoin(codebookOf(cents))
+      .select(col("vec_id"), col("qv"), col("selfdot"),
+        nearestCentroid(col("qv"), col("selfdot"), col("cb")).as("cell"))
+  }
+
+  /** IVF: assign every vector to its nearest codebook centroid (map-side
+    * argmax, zero exchange), probe the `nprobe` nearest cells per query,
+    * exact re-rank inside the probed cells with a partial top-k. Each
+    * vector lives in exactly one cell and a query's probed cells are
+    * distinct, so candidates are already unique — no distinct pass.
+    */
+  def ivfTopK(corpus: DataFrame, queryFilter: Column, centroidFilter: Column,
+              nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val assign = ivfAssign(corpus, centroidFilter)
+    val embs = withSelfDot(corpus).withColumnRenamed("id", "vec_id")
+    val cents = embs.filter(centroidFilter)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("selfdot").as("c_dot"))
+    val probes = embs.filter(queryFilter).crossJoin(codebookOf(cents))
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-        col("selfdot").as("q_dot"), col("c_id").as("cell"))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor"))
-    probes.join(assign, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor"),
-        cos(col("q_qv"), col("qv"), col("q_dot"), col("selfdot")).as("cos_sim"))
-      .distinct()
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("neighbor"), col("cos_sim"),
-        col("rn").cast("int").as("rn"))
+        col("selfdot").as("q_dot"),
+        explode(nearestCells(col("qv"), col("selfdot"), col("cb"), nprobe))
+          .as("cell"))
+    topK(
+      assign.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("id"),
+          cos(col("q_qv"), col("qv"), col("q_dot"), col("selfdot")).as("c")),
+      k)
+  }
+
+  /** Cell-blocked exact near-duplicate pairs: vectors pair only within
+    * their IVF cell (same deterministic assignment as ivfTopK), verified
+    * with exact cosine ≥ `threshold`. The corpus-level embedding-dedup
+    * shape: one zero-exchange assignment pass + one cell-key equi-join —
+    * never corpus × corpus (SURVEY.md §2.D5).
+    */
+  def cellBlockedPairs(corpus: DataFrame, centroidFilter: Column,
+                       threshold: Double): DataFrame = {
+    val assign = ivfAssign(corpus, centroidFilter)
+    assign.as("a")
+      .join(assign.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos(col("a.qv"), col("b.qv"), col("a.selfdot"), col("b.selfdot"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 }

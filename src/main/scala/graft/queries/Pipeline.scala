@@ -107,41 +107,46 @@ object Pipeline {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
     WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b"""))
 
-  // ---- D5: embedding-cosine near-dup (exact, oracled) --------------------
-  // Exact pairwise cosine over 1e6-quantized vectors — integer dot
-  // products are bit-identical across engines (SURVEY.md §4). This is the
-  // in-bucket verifier; the corpus-scale candidate generator is q36's
-  // hyperplane LSH.
+  // ---- D5: embedding-cosine near-dup (cell-blocked, oracled) -------------
+  // Corpus-level near-dup pairs, blocked by the deterministic IVF cell
+  // assignment (same codebook + argmax tie-break as q43): one
+  // zero-exchange assignment pass over the corpus, then a cell-key
+  // equi-join — NEVER corpus × corpus. Integer dot products over
+  // 1e6-quantized vectors are bit-identical across engines (SURVEY.md
+  // §4), and the oracle replays the cell assignment exactly in SQL, so
+  // blocking keeps the oracle exact. The unblocked pairwise verify
+  // primitive remains available as quantCosine over any candidate frame
+  // (q33's bounded shape).
   private val q34 = Qdef(
     "q34_dedup_embedding",
     (s, dir) => {
-      // self-dot precomputed per row (O(n)), so each of the O(n²) pairs
-      // costs ONE native 64-long dot — same doubles as quantCosine since
-      // the integer dots are identical and the final mul/sqrt/div are
-      // IEEE-correctly-rounded in any order of computation.
       val embs = t(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        .withColumn("selfdot", quantDot(col("qv"), col("qv")).cast("double"))
-      val a = embs.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
-        col("selfdot").as("aa"))
-      val b = embs.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
-        col("selfdot").as("bb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          (quantDot(col("qa"), col("qb")).cast("double") /
-            sqrt(col("aa") * col("bb"))).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      graft.operators.Ann
+        .cellBlockedPairs(embs, centroidFilter = col("vec_id") < 16,
+          threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
     },
     Some("""WITH q AS (
       SELECT vec_id,
         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
-      FROM embeddings)
+      FROM embeddings),
+    cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q WHERE vec_id < 16),
+    scored AS (
+      SELECT q.vec_id, q.qv, c.c_id,
+        list_dot_product(q.qv, c.c_qv) /
+          sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) AS c_cos
+      FROM q CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, qv, c_id AS cell FROM (
+        SELECT vec_id, qv, c_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
+        FROM scored) WHERE crn = 1)
     SELECT vec_a, vec_b, cos_sim FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         list_dot_product(a.qv, b.qv) /
           sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS cos_sim
-      FROM q a JOIN q b ON a.vec_id < b.vec_id)
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
     WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b"""))
 
   // ---- D6: brute-force cosine top-k ANN baseline -------------------------

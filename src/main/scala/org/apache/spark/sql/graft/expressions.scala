@@ -1,8 +1,11 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -140,6 +143,46 @@ object ExprKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Nearest-centroid cells of a quantized vector against a codebook of
+    * (c_id, c_qv, c_dot) structs, ordered by cosine desc then c_id asc —
+    * exactly ROW_NUMBER() OVER (ORDER BY c_cos DESC, c_id) ≤ nprobe, with
+    * the same IEEE double sequence (long dot → toDouble → /sqrt(a*b)) as
+    * the pairwise cos used everywhere else, so oracle SQL replaying the
+    * window formulation matches bit-for-bit. Runs map-side over a
+    * broadcast codebook: the IVF assignment pass touches each corpus row
+    * once with ZERO exchange (SURVEY.md §2.D7b).
+    */
+  def nearestCells(qv: ArrayData, selfdot: Double, cb: ArrayData,
+                   nprobe: Int): ArrayData = {
+    val n = cb.numElements()
+    val m = math.min(nprobe, n)
+    val bestCos = Array.fill(m)(Double.NegativeInfinity)
+    val bestId = new Array[Long](m)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val c = cb.getStruct(i, 3)
+      val cid = c.getLong(0)
+      val cos = dotL(qv, c.getArray(1)).toDouble /
+        math.sqrt(selfdot * c.getDouble(2))
+      if (cnt < m || cos > bestCos(m - 1) ||
+          (cos == bestCos(m - 1) && cid < bestId(m - 1))) {
+        var j = math.min(cnt, m - 1)
+        while (j > 0 && (cos > bestCos(j - 1) ||
+            (cos == bestCos(j - 1) && cid < bestId(j - 1)))) {
+          bestCos(j) = bestCos(j - 1); bestId(j) = bestId(j - 1); j -= 1
+        }
+        bestCos(j) = cos; bestId(j) = cid
+        if (cnt < m) cnt += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestId, cnt))
+  }
+
+  def nearestCentroid(qv: ArrayData, selfdot: Double, cb: ArrayData): Long =
+    nearestCells(qv, selfdot, cb, 1).getLong(0)
 
   /** Deterministic Rademacher hyperplane signature (q36's LSH family):
     * bit p of the result = sign of Σ_d qv[d] * (xxhash64(p, d) mod 2 * 2
@@ -354,4 +397,186 @@ case class HyperplaneSigE(child: Expression, planes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigE =
     copy(child = newChild)
+}
+
+/** IVF codebook element type shared by the nearest-centroid expressions:
+  * (c_id, quantized centroid vector, precomputed centroid self-dot).
+  */
+object CodebookType {
+  val entry: StructType = StructType(Seq(
+    StructField("c_id", LongType, nullable = false),
+    StructField("c_qv", ArrayType(LongType), nullable = false),
+    StructField("c_dot", DoubleType, nullable = false)))
+  val array: ArrayType = ArrayType(entry, containsNull = false)
+}
+
+/** Nearest codebook centroid of a quantized vector — the map-side IVF
+  * assignment kernel (SURVEY.md §2.D7b). The codebook arrives as a
+  * broadcast one-row array column, so the corpus assignment pass is a
+  * pure projection: no Window, no Exchange, each row evaluated once.
+  */
+case class NearestCentroidE(first: Expression, second: Expression,
+                            third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), DoubleType, CodebookType.array)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(qv: Any, selfdot: Any, cb: Any): Any =
+    ExprKernels.nearestCentroid(qv.asInstanceOf[ArrayData],
+      selfdot.asInstanceOf[Double], cb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (qv, sd, cb) =>
+      s"org.apache.spark.sql.graft.ExprKernels.nearestCentroid($qv, $sd, $cb)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NearestCentroidE =
+    copy(first = f, second = s, third = t)
+}
+
+/** The `nprobe` nearest codebook centroids of a query vector, best first
+  * (cosine desc, c_id asc) — IVF probe selection with the identical
+  * arithmetic and tie-break as NearestCentroidE.
+  */
+case class NearestCellsE(first: Expression, second: Expression,
+                         third: Expression, nprobe: Int)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), DoubleType, CodebookType.array)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override protected def nullSafeEval(qv: Any, selfdot: Any, cb: Any): Any =
+    ExprKernels.nearestCells(qv.asInstanceOf[ArrayData],
+      selfdot.asInstanceOf[Double], cb.asInstanceOf[ArrayData], nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (qv, sd, cb) =>
+      s"org.apache.spark.sql.graft.ExprKernels.nearestCells($qv, $sd, $cb, $nprobe)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NearestCellsE =
+    copy(first = f, second = s, third = t)
+}
+
+/** Bounded top-k buffer: parallel arrays kept sorted best→worst under
+  * (score desc, id asc). `add` is O(1) reject for a row that doesn't make
+  * the cut — the common case once a partition's heap warms up — and
+  * O(k) shift otherwise (k is small: 10–100).
+  */
+final class TopKBuf(val k: Int) extends Serializable {
+  var n: Int = 0
+  val scores: Array[Double] = new Array[Double](k)
+  val ids: Array[Long] = new Array[Long](k)
+
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  def add(s: Double, id: Long): Unit = {
+    if (n == k) {
+      if (!better(s, id, scores(k - 1), ids(k - 1))) return
+      var j = k - 1
+      while (j > 0 && better(s, id, scores(j - 1), ids(j - 1))) {
+        scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1
+      }
+      scores(j) = s; ids(j) = id
+    } else {
+      var j = n
+      while (j > 0 && better(s, id, scores(j - 1), ids(j - 1))) {
+        scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1
+      }
+      scores(j) = s; ids(j) = id
+      n += 1
+    }
+  }
+
+  def mergeIn(o: TopKBuf): Unit = {
+    var i = 0
+    while (i < o.n) { add(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
+
+/** Partial top-k aggregate: per-group best k (score, id) pairs under
+  * (score desc, id asc), returned as a sorted array<struct<id,score>>
+  * (SURVEY.md §2.D6). The point is the SHUFFLE SHAPE: the map-side
+  * partial keeps only k rows per group per partition, so a brute-force
+  * ANN over |corpus|×|queries| scored pairs exchanges ≤ partitions ×
+  * |queries| × k buffer rows instead of every scored row — the
+  * difference between a corpus-sized shuffle and a constant one at
+  * 100 TB. Tie-break matches ROW_NUMBER() OVER (ORDER BY score DESC,
+  * id) so window-based oracles stay bit-identical.
+  */
+case class TopKPairs(score: Expression, id: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuf]
+    with BinaryLike[Expression] with ExpectsInputTypes {
+
+  require(k > 0, "topk_pairs requires k > 0")
+
+  override def left: Expression = score
+  override def right: Expression = id
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_pairs"
+
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
+
+  override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuf, other: TopKBuf): TopKBuf = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: TopKBuf): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      out(i) = InternalRow(buf.ids(i), buf.scores(i)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buf.n * 16)
+    bb.putInt(buf.k).putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)).putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new TopKBuf(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    // entries arrive already sorted, so add() appends in O(1) each
+    while (i < n) {
+      val s = bb.getDouble(); val id = bb.getLong()
+      buf.add(s, id); i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairs =
+    copy(score = newLeft, id = newRight)
 }

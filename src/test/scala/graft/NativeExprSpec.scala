@@ -66,6 +66,60 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("topKPairs (native agg) == row_number window top-k incl. tie-break") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(spark, sfDir, "embeddings").limit(200)
+      .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+    val q = e.filter(col("id") < 5)
+      .select(col("id").as("q_id"), col("qv").as("q_qv"))
+    val scored = e.join(q, col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        quantCosine(col("q_qv"), col("qv")).as("c"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("id"))
+    val ref = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7)
+      .select(col("q_id"), col("id").as("neighbor"), col("c").as("cos_sim"),
+        col("rn").cast("int").as("rn"))
+    val native = scored.groupBy(col("q_id"))
+      .agg(topKPairs(col("c"), col("id"), 7).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("neighbor"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rn"))
+    assert(native.count() == ref.count())
+    assert(native.except(ref).isEmpty && ref.except(native).isEmpty)
+  }
+
+  test("nearestCentroid/nearestCells (native) == row_number window argmax") {
+    import org.apache.spark.sql.expressions.Window
+    val embs = Tables.t(spark, sfDir, "embeddings").limit(300)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("selfdot", quantDot(col("qv"), col("qv")).cast("double"))
+    val cents = embs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("selfdot").as("c_dot"))
+    val cb = broadcast(cents.agg(sort_array(collect_list(
+      struct(col("c_id"), col("c_qv"), col("c_dot")))).as("cb")))
+    val native = embs.crossJoin(cb)
+      .select(col("vec_id"),
+        nearestCentroid(col("qv"), col("selfdot"), col("cb")).as("cell"),
+        nearestCells(col("qv"), col("selfdot"), col("cb"), 4).as("cells"))
+    val scored = embs.crossJoin(cents)
+      .select(col("vec_id"), col("c_id"),
+        (quantDot(col("qv"), col("c_qv")).cast("double") /
+          sqrt(col("selfdot") * col("c_dot"))).as("c_cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val ref = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("rn"), col("c_id")))),
+        x => x("c_id")).as("ref_cells"))
+    val diffs = native.join(ref, "vec_id")
+      .filter(col("cells") =!= col("ref_cells") ||
+        col("cell") =!= element_at(col("ref_cells"), 1))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("hyperplaneSig (native) == per-plane pmod(xxhash64) HOF formulation") {
     val dim = 64
     def sigBit(p: Int) = {

@@ -20,6 +20,21 @@ class PipelineSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query batch must broadcast:\n$plan")
+    // top-k must be the partial aggregate, not a window over all scored rows:
+    // map-side partials bound the exchange at k rows per query per partition
+    assert(plan.contains("topk_pairs"), s"top-k must use the partial aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no corpus-wide window top-k:\n$plan")
+  }
+
+  test("q43/q34 IVF assignment is map-side: no Window, no corpus exchange before candidates") {
+    for (name <- Seq("q43_ann_ivf", "q34_dedup_embedding")) {
+      val df = Pipeline.all.find(_.name == name).get.fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name: assignment must be the native argmax, not a window:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must never go corpus x corpus:\n$plan")
+    }
   }
 
   test("q31 LSH candidates come from an equi-join, never a cartesian product") {
