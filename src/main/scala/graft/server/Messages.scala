@@ -1,0 +1,179 @@
+package graft.server
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** MySQL wire message payloads (/root/reference/src/mysql/message.rs:1).
+  * Same packet shapes as the reference server: protocol-10 handshake
+  * advertising mysql_native_password, auth-switch, OK/ERR/EOF, text
+  * result sets (column count → ColumnDefinition41s → EOF → text rows →
+  * EOF).
+  */
+object Messages {
+
+  private def buf() = new ByteArrayOutputStream(64)
+
+  /** Initial handshake: protocol 10, server version, 20-byte auth plugin
+    * data, CLIENT_PROTOCOL_41 | CLIENT_PLUGIN_AUTH capabilities
+    * (message.rs:110 handshark_message — same fixed salt; auth is not
+    * verified, exactly like the reference).
+    */
+  def handshake(connectionId: Int): Array[Byte] = {
+    val b = buf()
+    b.write(10)
+    b.write("8.0.25".getBytes("UTF-8")); b.write(0)
+    Lenc.u32(b, connectionId.toLong)
+    b.write(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 0, 8); b.write(0)
+    // capability lower bytes: LONG_PASSWORD|FOUND_ROWS|..|PROTOCOL_41
+    b.write(0xff); b.write(0xf7)
+    b.write(46) // charset utf8mb4_bin
+    Lenc.u16(b, 0x0002) // status: autocommit
+    b.write(0x1b); b.write(0x00) // capability upper bytes (PLUGIN_AUTH)
+    b.write(0x15) // auth-plugin-data length
+    (0 until 10).foreach(_ => b.write(0))
+    b.write(Array[Byte](9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20), 0, 12)
+    b.write(0)
+    b.write("mysql_native_password".getBytes("UTF-8")); b.write(0)
+    b.toByteArray
+  }
+
+  /** Auth switch request (message.rs:96): 0xfe + plugin + salt. */
+  def authSwitch(): Array[Byte] = {
+    val b = buf()
+    b.write(0xfe)
+    b.write("mysql_native_password".getBytes("UTF-8")); b.write(0)
+    (1 to 20).foreach(i => b.write(i))
+    b.write(0)
+    b.toByteArray
+  }
+
+  def ok(affectedRows: Long, lastInsertId: Long = 0,
+         message: String = ""): Array[Byte] = {
+    val b = buf()
+    b.write(0x00)
+    Lenc.int(b, affectedRows)
+    Lenc.int(b, lastInsertId)
+    Lenc.u16(b, 0x0002) // SERVER_STATUS_AUTOCOMMIT
+    Lenc.u16(b, 0)      // warnings
+    if (message.nonEmpty) Lenc.str(b, message)
+    b.toByteArray
+  }
+
+  def err(code: Int, sqlState: String, message: String): Array[Byte] = {
+    val b = buf()
+    b.write(0xff)
+    Lenc.u16(b, code)
+    b.write('#')
+    b.write(sqlState.getBytes("UTF-8"), 0, 5)
+    b.write(message.getBytes("UTF-8"))
+    b.toByteArray
+  }
+
+  def eof(): Array[Byte] = {
+    val b = buf()
+    b.write(0xfe); Lenc.u16(b, 0); Lenc.u16(b, 0x0002)
+    b.toByteArray
+  }
+
+  def columnCount(n: Int): Array[Byte] = {
+    val b = buf(); Lenc.int(b, n.toLong); b.toByteArray
+  }
+
+  /** COM_STMT_PREPARE first response (message.rs:13). */
+  def stmtPrepareOk(stmtId: Int, numColumns: Int, numParams: Int): Array[Byte] = {
+    val b = buf()
+    b.write(0x00)
+    Lenc.u32(b, stmtId.toLong)
+    Lenc.u16(b, numColumns)
+    Lenc.u16(b, numParams)
+    b.write(0x00)
+    Lenc.u16(b, 0) // warnings
+    b.toByteArray
+  }
+
+  // ---- column metadata ----------------------------------------------------
+
+  /** MySQL protocol type codes (mysql_type_code.rs parity + the standard
+    * temporal codes the reference never sends).
+    */
+  def mysqlTypeCode(dt: DataType): Int = dt match {
+    case BooleanType | ByteType => 0x01 // TINY
+    case ShortType              => 0x02 // SHORT
+    case IntegerType            => 0x03 // LONG
+    case LongType               => 0x08 // LONGLONG
+    case FloatType              => 0x04 // FLOAT
+    case DoubleType             => 0x05 // DOUBLE
+    case _: DecimalType         => 0xf6 // NEWDECIMAL
+    case DateType               => 0x0a // DATE
+    case TimestampType | TimestampNTZType => 0x0c // DATETIME
+    case BinaryType             => 0xfc // BLOB
+    case _                      => 0xfd // VAR_STRING
+  }
+
+  /** ColumnDefinition41 (metadata.rs Column::to_response_payload):
+    * catalog "def", schema, table×2, name×2, fixed-length block with
+    * charset/length/type/flags/decimals.
+    */
+  def columnDef(schema: String, table: String, name: String,
+                dt: DataType, nullable: Boolean): Array[Byte] = {
+    val b = buf()
+    Lenc.str(b, "def")
+    Lenc.str(b, schema)
+    Lenc.str(b, table); Lenc.str(b, table)
+    Lenc.str(b, name); Lenc.str(b, name)
+    b.write(0x0c) // length of fixed fields
+    Lenc.u16(b, 46) // charset utf8mb4_bin (metadata.rs:80)
+    Lenc.u32(b, 0x100000L) // column display length
+    b.write(mysqlTypeCode(dt))
+    Lenc.u16(b, if (nullable) 0x0000 else 0x0001) // NOT_NULL_FLAG
+    b.write(dt match {
+      case d: DecimalType => d.scale
+      case FloatType | DoubleType => 0x1f
+      case _ => 0x00
+    })
+    Lenc.u16(b, 0) // filler
+    b.toByteArray
+  }
+
+  // ---- text rows ----------------------------------------------------------
+
+  private val tsFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** One value in the text protocol, matching the MySQL client's
+    * expectations: numbers/strings verbatim, booleans as 1/0, temporals
+    * in MySQL literal format, NULL as 0xfb (response.rs dump_text_row).
+    */
+  def cellText(v: Any): Either[Unit, Array[Byte]] = v match {
+    case null                  => Left(())
+    case s: String             => Right(s.getBytes("UTF-8"))
+    case b: Boolean            => Right(if (b) Array('1'.toByte) else Array('0'.toByte))
+    case b: Array[Byte]        => Right(b)
+    case d: java.math.BigDecimal => Right(d.toPlainString.getBytes("UTF-8"))
+    case d: BigDecimal         => Right(d.bigDecimal.toPlainString.getBytes("UTF-8"))
+    case d: java.sql.Date      => Right(d.toString.getBytes("UTF-8"))
+    case d: java.time.LocalDate => Right(d.toString.getBytes("UTF-8"))
+    case t: java.sql.Timestamp =>
+      Right(tsFormat.format(t.toLocalDateTime).getBytes("UTF-8"))
+    case t: java.time.LocalDateTime => Right(tsFormat.format(t).getBytes("UTF-8"))
+    case t: java.time.Instant =>
+      Right(tsFormat.format(java.time.LocalDateTime.ofInstant(t,
+        java.time.ZoneOffset.UTC)).getBytes("UTF-8"))
+    case other                 => Right(other.toString.getBytes("UTF-8"))
+  }
+
+  def textRow(row: Row): Array[Byte] = {
+    val b = new ByteArrayOutputStream(256)
+    var i = 0
+    while (i < row.length) {
+      cellText(row.get(i)) match {
+        case Left(_)      => Lenc.nul(b)
+        case Right(bytes) => Lenc.bytes(b, bytes)
+      }
+      i += 1
+    }
+    b.toByteArray
+  }
+}
