@@ -100,7 +100,10 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       if (!ifNotExists) sys.error(s"Table '${m.table}' already exists")
       return
     }
-    Files.createDirectories(Paths.get(dataPath(m.db, m.table)))
+    // versioned from birth: v1 is the (empty) initial commit
+    Files.createDirectories(tablePath(m.db, m.table).resolve("versions").resolve("v1"))
+    swapPointer(m.db, m.table, "versions/v1")
+    logCommit(m.db, m.table, 1, "create")
     writeMeta(m)
     register(m)
   }
@@ -155,31 +158,158 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   def read(db: String, t: String): DataFrame =
     spark.table(s"`$db`.`$t`")
 
-  /** Copy-on-write rewrite of a table's data (UPDATE/DELETE/ALTER). The
-    * new contents are fully materialized into a sibling dir before the
-    * old one is swapped out — readers of the old files are never
-    * half-overwritten, which is the same copy-on-write contract
-    * Delta/Iceberg give on object stores.
+  /** Snapshot read pinned to the table's CURRENT committed version: the
+    * `data` pointer is resolved once, so the frame keeps reading a
+    * complete, immutable version directory even while later commits swap
+    * the pointer (the previous version is retained one commit as a grace
+    * period — see the GC note on `rewrite`). This is the manifest-read
+    * half of the commit protocol; `read` (the registered catalog table)
+    * resolves through the live pointer and gets refresh-on-commit
+    * semantics instead.
+    */
+  def readSnapshot(db: String, t: String): DataFrame = {
+    val m = meta(db, t)
+    val real = currentVersionDir(db, t)
+    spark.read.schema(m.schema).format(m.format).load(real.toString)
+  }
+
+  // ---- commit protocol: versioned dirs + atomic pointer swap -------------
+  //
+  // Table layout after the first commit:
+  //   <table>/versions/v<N>/   complete immutable data directories
+  //   <table>/data             SYMLINK to versions/v<N> — the manifest
+  //                            pointer; replaced by an atomic rename, so
+  //                            every reader resolves a complete version
+  //   <table>/_graft_log       one line per commit (version, action)
+  //
+  // The symlink swap is the single-filesystem equivalent of a Delta/
+  // Iceberg manifest-pointer commit: on an object store the same design
+  // writes a manifest listing v<N>'s files and CASes the pointer object.
+  // The old two-rename scheme had a window where the data path did not
+  // exist; the pointer swap has none.
+  //
+  // Writers (append / rewrite-commit) serialize on a per-table in-process
+  // lock — the reference's single-writer session model (sled holds the
+  // process lock; SURVEY §2.B11). Rewrites materialize OUTSIDE the lock
+  // and only link + swap inside it, so a long UPDATE does not block
+  // streaming ingest; appends that land between a rewrite's snapshot and
+  // its commit are hard-linked into the new version before the swap
+  // (ingest-vs-DML consistency).
+
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]
+  private def lockFor(db: String, t: String) =
+    tableLocks.computeIfAbsent(s"$db.$t", _ => new java.util.concurrent.locks.ReentrantLock)
+
+  /** Test seam: invoked by `rewrite` after the new version is fully
+    * materialized but before the commit critical section — the window a
+    * concurrent append can land in.
+    */
+  private[graft] var onRewriteBeforeCommit: () => Unit = () => ()
+
+  private def dataLink(db: String, t: String): Path =
+    tablePath(db, t).resolve("data")
+
+  /** The real directory behind the `data` pointer (handles both the
+    * symlink layout and a legacy plain directory).
+    */
+  def currentVersionDir(db: String, t: String): Path = {
+    val link = dataLink(db, t)
+    if (Files.isSymbolicLink(link))
+      link.getParent.resolve(Files.readSymbolicLink(link)).normalize()
+    else link
+  }
+
+  private def versionNumber(dir: Path): Int = {
+    val name = dir.getFileName.toString
+    if (name.startsWith("v")) name.drop(1).toInt else 0
+  }
+
+  /** Migrate a legacy plain `data` directory to versions/v1 + pointer.
+    * One-time, under the table lock; new tables are created versioned.
+    */
+  private def ensureVersioned(db: String, t: String): Unit = {
+    val link = dataLink(db, t)
+    if (!Files.isSymbolicLink(link)) {
+      val versions = tablePath(db, t).resolve("versions")
+      Files.createDirectories(versions)
+      Files.move(link, versions.resolve("v1"), StandardCopyOption.ATOMIC_MOVE)
+      swapPointer(db, t, "versions/v1")
+      logCommit(db, t, 1, "migrate")
+    }
+  }
+
+  /** Atomically repoint `data` at a (relative) version dir: symlinks
+    * rename over each other in one POSIX rename.
+    */
+  private def swapPointer(db: String, t: String, target: String): Unit = {
+    val tmp = tablePath(db, t).resolve(s".data_ptr_${System.nanoTime()}")
+    Files.createSymbolicLink(tmp, Paths.get(target))
+    Files.move(tmp, dataLink(db, t), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def logCommit(db: String, t: String, v: Int, action: String): Unit =
+    Files.writeString(tablePath(db, t).resolve("_graft_log"),
+      s"v$v\t$action\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+
+  private def listFiles(dir: Path): Set[String] =
+    if (!Files.isDirectory(dir)) Set.empty
+    else Files.list(dir).iterator.asScala
+      .filter(Files.isRegularFile(_))
+      .map(_.getFileName.toString).toSet
+
+  /** Copy-on-write rewrite of a table's data (UPDATE/DELETE/ALTER):
+    * materialize the new contents as version N+1 (no lock held), then —
+    * inside the commit critical section — hard-link any files a
+    * concurrent append added to version N since the snapshot, swap the
+    * pointer, and GC versions older than N (N itself is retained one
+    * commit so in-flight `readSnapshot` frames stay readable).
     */
   def rewrite(db: String, t: String, df: DataFrame): Unit = {
-    val dir = Paths.get(dataPath(db, t))
-    val tmp = tablePath(db, t).resolve("data_tmp")
-    val old = tablePath(db, t).resolve(s"data_old_${System.nanoTime()}")
-    df.write.mode("overwrite").format(meta(db, t).format).save(tmp.toString)
-    // two atomic renames instead of delete-then-move: each name the
-    // reader can observe is a complete directory. The rename-to-rename
-    // gap still exists (single-FS limitation — a listing in that instant
-    // sees a missing path, and crash recovery may find data under
-    // data_old_<nanos>); true multi-version atomicity needs a table
-    // format with a commit log (Delta/Iceberg), noted in SURVEY §2.B5.
-    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+    val lock = lockFor(db, t)
+    lock.lock()
+    val (cur, snapshot) =
+      try {
+        ensureVersioned(db, t)
+        val c = currentVersionDir(db, t)
+        (c, listFiles(c))
+      } finally lock.unlock()
+
+    val versions = tablePath(db, t).resolve("versions")
+    val nextV = versionNumber(cur) + 1
+    val next = versions.resolve(s"v$nextV")
+    df.write.mode("overwrite").format(meta(db, t).format).save(next.toString)
+
+    onRewriteBeforeCommit()
+
+    lock.lock()
+    try {
+      // merge files appended to the old version after our snapshot: the
+      // rewrite never saw those rows, so they carry over untouched
+      (listFiles(cur) -- snapshot).foreach { name =>
+        Files.createLink(next.resolve(name), cur.resolve(name))
+      }
+      swapPointer(db, t, s"versions/v$nextV")
+      logCommit(db, t, nextV, "rewrite")
+      // grace GC: keep the just-replaced version for in-flight snapshot
+      // readers; everything older is unreachable
+      Files.list(versions).iterator.asScala
+        .filter(d => Files.isDirectory(d) && versionNumber(d) < versionNumber(cur))
+        .toSeq.foreach(deleteRecursively)
+    } finally lock.unlock()
     spark.catalog.refreshTable(s"`$db`.`$t`")
   }
 
   def append(db: String, t: String, df: DataFrame): Unit = {
-    df.write.mode("append").format(meta(db, t).format).save(dataPath(db, t))
+    val lock = lockFor(db, t)
+    lock.lock()
+    try {
+      ensureVersioned(db, t)
+      df.write.mode("append").format(meta(db, t).format)
+        .save(currentVersionDir(db, t).toString)
+    } finally lock.unlock()
     spark.catalog.refreshTable(s"`$db`.`$t`")
   }
 

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Catalog, GraftSession}
+
+/** The commit protocol (Catalog versioned dirs + atomic pointer swap):
+  * readers never observe a partial or missing rewrite, concurrent
+  * ingest appends survive an overlapping UPDATE, and old versions are
+  * garbage-collected with a one-commit grace period.
+  */
+class CommitLogSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def freshCatalog(): Catalog = {
+    val wh = Files.createTempDirectory("graft-commit-wh").toString
+    new Catalog(spark, wh)
+  }
+
+  private def mkTable(cat: Catalog, db: String, t: String): Unit = {
+    cat.createSchema(db, ifNotExists = true)
+    cat.createTable(cat.TableMeta(db, t,
+      Seq(cat.Col("id", "int", "int"), cat.Col("flag", "int", "int")),
+      pk = Seq("id"), engine = "parquet"))
+  }
+
+  private def rows(cat: Catalog, n: Int, flag: Int, idBase: Int = 0) = {
+    import SparkFixture.spark.implicits._
+    (0 until n).map(i => (idBase + i, flag)).toDF("id", "flag")
+  }
+
+  test("table layout is versioned from birth: pointer symlink, v1, commit log") {
+    val cat = freshCatalog()
+    mkTable(cat, "clog", "t0")
+    val data = Paths.get(cat.warehouse, "clog", "t0", "data")
+    assert(Files.isSymbolicLink(data))
+    assert(Files.readSymbolicLink(data).toString == "versions/v1")
+    val log = Paths.get(cat.warehouse, "clog", "t0", "_graft_log")
+    assert(Files.readAllLines(log).asScala == Seq("v1\tcreate"))
+  }
+
+  test("rewrite commits are atomic for snapshot readers: never partial, never missing") {
+    val cat = freshCatalog()
+    mkTable(cat, "clog", "atomic")
+    // state i = (100 + i) rows, every flag == i: a torn or mixed read
+    // would show a count/flag combination outside the valid set
+    cat.append("clog", "atomic", rows(cat, 100, 0))
+    val validStates = (0 to 4).map(i => (100L + i, Set(i))).toSet
+
+    val observed = new ConcurrentLinkedQueue[(Long, Set[Int])]
+    val failures = new ConcurrentLinkedQueue[String]
+    val stop = new AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val snap = cat.readSnapshot("clog", "atomic")
+            .agg(count(lit(1)), collect_set(col("flag"))).collect()(0)
+          observed.add((snap.getLong(0), snap.getSeq[Int](1).toSet))
+        } catch {
+          // an in-flight snapshot may outlive the one-commit GC grace —
+          // that read FAILS (like any MVCC reader past retention), it
+          // never returns partial data. Missing table path = real bug.
+          case e: org.apache.spark.SparkException
+            if e.getMessage != null && e.getMessage.contains("FileNotFound") =>
+          case e: Exception
+            if e.getCause != null &&
+              e.getCause.isInstanceOf[java.io.FileNotFoundException] =>
+          case e: Exception => failures.add(e.toString)
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 4).foreach { i =>
+        cat.rewrite("clog", "atomic",
+          rows(cat, 100 + i, i))
+      }
+    } finally { stop.set(true); reader.join() }
+
+    assert(failures.isEmpty, s"reader errors: ${failures.asScala.toSeq}")
+    val bad = observed.asScala.filterNot(validStates.contains)
+    assert(bad.isEmpty, s"torn/mixed states observed: $bad")
+    assert(observed.asScala.nonEmpty, "reader never completed a read")
+  }
+
+  test("append landing between a rewrite's snapshot and its commit survives the commit") {
+    val cat = freshCatalog()
+    mkTable(cat, "clog", "merge")
+    cat.append("clog", "merge", rows(cat, 10, 0))
+    // the UPDATE: all current rows get flag=1 — computed from the live
+    // table, materialized before the hook fires
+    val update = cat.read("clog", "merge").withColumn("flag", lit(1))
+    cat.onRewriteBeforeCommit = () =>
+      cat.append("clog", "merge", rows(cat, 5, 2, idBase = 100))
+    try cat.rewrite("clog", "merge", update)
+    finally cat.onRewriteBeforeCommit = () => ()
+
+    val after = cat.read("clog", "merge")
+      .groupBy(col("flag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // updated old rows AND the concurrently appended rows both present
+    assert(after == Map(1 -> 10L, 2 -> 5L),
+      s"ingest-vs-DML interleave lost rows: $after")
+  }
+
+  test("GC keeps exactly the current and previous versions") {
+    val cat = freshCatalog()
+    mkTable(cat, "clog", "gc")
+    cat.append("clog", "gc", rows(cat, 10, 0))
+    (1 to 3).foreach(i => cat.rewrite("clog", "gc", rows(cat, 10, i)))
+    val versions = Paths.get(cat.warehouse, "clog", "gc", "versions")
+    val present = Files.list(versions).iterator.asScala
+      .map(_.getFileName.toString).toSet
+    assert(present == Set("v3", "v4"), s"unexpected versions: $present")
+    // and the log recorded every commit in order
+    val log = Files.readAllLines(
+      Paths.get(cat.warehouse, "clog", "gc", "_graft_log")).asScala
+    assert(log == Seq("v1\tcreate", "v2\trewrite", "v3\trewrite", "v4\trewrite"))
+  }
+
+  test("legacy plain data directory migrates to the versioned layout on first write") {
+    val cat = freshCatalog()
+    mkTable(cat, "clog", "legacy")
+    // devolve to the pre-commit-log layout: plain dir, no pointer
+    val tdir = Paths.get(cat.warehouse, "clog", "legacy")
+    val data = tdir.resolve("data")
+    Files.delete(data)
+    Files.createDirectories(data)
+    rows(cat, 7, 0).write.mode("overwrite").parquet(data.toString)
+    assert(!Files.isSymbolicLink(data))
+
+    cat.append("clog", "legacy", rows(cat, 3, 1, idBase = 50))
+    assert(Files.isSymbolicLink(tdir.resolve("data")))
+    assert(cat.read("clog", "legacy").count() == 10)
+    cat.rewrite("clog", "legacy",
+      cat.read("clog", "legacy").filter(col("flag") === 1))
+    assert(cat.read("clog", "legacy").count() == 3)
+  }
+
+  test("DML through GraftSession rides the commit protocol end to end") {
+    val wh = Files.createTempDirectory("graft-commit-sess").toString
+    val g = new GraftSession(spark.newSession(), wh)
+    g.sql("create schema sess")
+    g.sql("use sess")
+    g.sql("create table kv (id int, v varchar(20), primary key(id))")
+    g.sql("insert into kv values (1,'a'), (2,'b'), (3,'c')")
+    g.sql("update kv set v = 'z' where id = 2")
+    g.sql("delete from kv where id = 1")
+    val got = g.sql("select id, v from kv order by id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((2, "z"), (3, "c")))
+    // two DML rewrites after the insert: log shows create + 2 commits
+    val log = Files.readAllLines(
+      Paths.get(wh, "sess", "kv", "_graft_log")).asScala
+    assert(log.head == "v1\tcreate" && log.count(_.endsWith("rewrite")) == 2)
+  }
+}
