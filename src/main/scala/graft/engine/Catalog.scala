@@ -29,7 +29,8 @@ class Catalog(spark: SparkSession, val warehouse: String) {
 
   case class Col(name: String, mysqlType: String, sparkDdl: String)
   case class TableMeta(db: String, table: String, cols: Seq[Col],
-                       pk: Seq[String], engine: String) {
+                       pk: Seq[String], engine: String,
+                       partitionCols: Seq[String] = Seq.empty) {
     def schema: StructType =
       StructType.fromDDL(cols.map(c => s"`${c.name}` ${c.sparkDdl}").mkString(", "))
 
@@ -120,16 +121,18 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   def meta(db: String, t: String): TableMeta = {
     require(tableExists(db, t), s"Unknown table '$db.$t'")
     var engine = "parquet"; var pk = Seq.empty[String]
+    var part = Seq.empty[String]
     val cols = Seq.newBuilder[Col]
     Files.readAllLines(tablePath(db, t).resolve("_graft_meta")).asScala.foreach {
       line => line.split('\t') match {
         case Array("engine", e)       => engine = e
         case Array("pk", ks)          => pk = ks.split(',').toSeq
+        case Array("part", ks)        => part = ks.split(',').toSeq
         case Array("col", n, mt, ddl) => cols += Col(n, mt, ddl)
         case _                        =>
       }
     }
-    TableMeta(db, t, cols.result(), pk, engine)
+    TableMeta(db, t, cols.result(), pk, engine, part)
   }
 
   /** RENAME TABLE: move the table directory and re-register under the new
@@ -254,11 +257,14 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
 
+  /** Data files under a version dir as dir-relative paths (recursive:
+    * partitioned tables nest files in partition directories).
+    */
   private def listFiles(dir: Path): Set[String] =
     if (!Files.isDirectory(dir)) Set.empty
-    else Files.list(dir).iterator.asScala
+    else Files.walk(dir).iterator.asScala
       .filter(Files.isRegularFile(_))
-      .map(_.getFileName.toString).toSet
+      .map(p => dir.relativize(p).toString).toSet
 
   /** Copy-on-write rewrite of a table's data (UPDATE/DELETE/ALTER):
     * materialize the new contents as version N+1 (no lock held), then —
@@ -277,10 +283,11 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         (c, listFiles(c))
       } finally lock.unlock()
 
+    val m = meta(db, t)
     val versions = tablePath(db, t).resolve("versions")
     val nextV = versionNumber(cur) + 1
     val next = versions.resolve(s"v$nextV")
-    df.write.mode("overwrite").format(meta(db, t).format).save(next.toString)
+    writer(df, m).mode("overwrite").save(next.toString)
 
     onRewriteBeforeCommit()
 
@@ -289,7 +296,9 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       // merge files appended to the old version after our snapshot: the
       // rewrite never saw those rows, so they carry over untouched
       (listFiles(cur) -- snapshot).foreach { name =>
-        Files.createLink(next.resolve(name), cur.resolve(name))
+        val target = next.resolve(name)
+        Files.createDirectories(target.getParent)
+        Files.createLink(target, cur.resolve(name))
       }
       swapPointer(db, t, s"versions/v$nextV")
       logCommit(db, t, nextV, "rewrite")
@@ -299,18 +308,25 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         .filter(d => Files.isDirectory(d) && versionNumber(d) < versionNumber(cur))
         .toSeq.foreach(deleteRecursively)
     } finally lock.unlock()
+    if (m.partitionCols.nonEmpty) repairPartitions(db, t)
     spark.catalog.refreshTable(s"`$db`.`$t`")
   }
 
   def append(db: String, t: String, df: DataFrame): Unit = {
+    val m = meta(db, t)
     val lock = lockFor(db, t)
     lock.lock()
     try {
       ensureVersioned(db, t)
-      df.write.mode("append").format(meta(db, t).format)
-        .save(currentVersionDir(db, t).toString)
+      writer(df, m).mode("append").save(currentVersionDir(db, t).toString)
     } finally lock.unlock()
+    if (m.partitionCols.nonEmpty) repairPartitions(db, t)
     spark.catalog.refreshTable(s"`$db`.`$t`")
+  }
+
+  private def writer(df: DataFrame, m: TableMeta) = {
+    val w = df.write.format(m.format)
+    if (m.partitionCols.nonEmpty) w.partitionBy(m.partitionCols: _*) else w
   }
 
   // ---- internals ---------------------------------------------------------
@@ -319,6 +335,8 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val lines =
       Seq(s"engine\t${m.engine}") ++
         (if (m.pk.nonEmpty) Seq(s"pk\t${m.pk.mkString(",")}") else Nil) ++
+        (if (m.partitionCols.nonEmpty)
+          Seq(s"part\t${m.partitionCols.mkString(",")}") else Nil) ++
         m.cols.map(c => s"col\t${c.name}\t${c.mysqlType}\t${c.sparkDdl}")
     Files.write(tablePath(m.db, m.table).resolve("_graft_meta"),
       lines.asJava)
@@ -327,8 +345,25 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   private def register(m: TableMeta): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `${m.db}`")
     if (!spark.catalog.tableExists(s"`${m.db}`.`${m.table}`")) {
-      spark.catalog.createTable(s"`${m.db}`.`${m.table}`", m.format,
-        m.schema, Map("path" -> dataPath(m.db, m.table)))
+      if (m.partitionCols.nonEmpty) {
+        // Hive-style directory partitioning (the reference's sled
+        // key-prefix scoping, store/reader/sled.rs:1, re-expressed as the
+        // Spark-native layout): registered PARTITIONED BY so a
+        // partition-key predicate prunes directories before the scan —
+        // PartitionFilters in the plan, zero I/O for pruned partitions.
+        require(m.format == "parquet",
+          s"partitioned tables require the parquet engine, got ${m.engine}")
+        val colDefs = m.cols.map(c => s"`${c.name}` ${c.sparkDdl}").mkString(", ")
+        val partCols = m.partitionCols.map(c => s"`$c`").mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE `${m.db}`.`${m.table}` ($colDefs)
+             |USING parquet PARTITIONED BY ($partCols)
+             |LOCATION '${dataPath(m.db, m.table)}'""".stripMargin)
+        repairPartitions(m.db, m.table)
+      } else {
+        spark.catalog.createTable(s"`${m.db}`.`${m.table}`", m.format,
+          m.schema, Map("path" -> dataPath(m.db, m.table)))
+      }
       // MEMORY engine (reference show_engines.rs MEMORY row): Spark's
       // native in-memory columnar cache over the durable files — reads
       // hit InMemoryRelation, writes persist then refresh the cache.
@@ -336,6 +371,13 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         spark.catalog.cacheTable(s"`${m.db}`.`${m.table}`")
     }
   }
+
+  /** Sync the session catalog's partition list with the directories on
+    * disk (after appends that may create partitions and rewrites that may
+    * drop them).
+    */
+  private def repairPartitions(db: String, t: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE `$db`.`$t` SYNC PARTITIONS")
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

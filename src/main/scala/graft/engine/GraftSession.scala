@@ -177,7 +177,23 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   // ---- tables (create_table.rs / drop_table.rs / add|drop_column.rs) -----
 
   private val CreateTableR =
-    "(?is)create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([`\\w.]+)\\s*\\((.*)\\)\\s*(?:engine\\s*=\\s*(\\w+))?\\s*".r
+    "(?is)create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([`\\w.]+)\\s*\\((.*)\\)\\s*".r
+  private val EngineR = "(?is)engine\\s*=\\s*(\\w+)".r
+  private val PartitionByR = "(?is)partition(?:ed)?\\s+by\\s*\\(([^)]*)\\)".r
+
+  /** Split a CREATE TABLE statement into (head incl. column list, tail of
+    * top-level ENGINE= / PARTITION BY clauses). The tail keywords sit at
+    * paren depth 0 — inside the column list everything is at depth ≥ 1 —
+    * so the quote/paren-aware word scan finds exactly the clause start.
+    */
+  private def splitCreateTail(stmt: String): (String, String) = {
+    val cut = Seq(
+      SqlText.topLevelIndexOfWord(stmt, "partition"),
+      SqlText.topLevelIndexOfWord(stmt, "partitioned"),
+      SqlText.topLevelIndexOfWord(stmt, "engine")).filter(_ >= 0)
+    if (cut.isEmpty) (stmt, "")
+    else (stmt.take(cut.min), stmt.drop(cut.min))
+  }
   private val CtasR =
     "(?is)create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([`\\w.]+)\\s+as\\s+(select\\b.*|with\\b.*)".r
 
@@ -220,8 +236,19 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
 
   private def createTable(stmt: String): DataFrame = stmt match {
     case CtasR(ine, name, select) => createTableAs(ine, name, select)
-    case CreateTableR(ine, name, body, engine) =>
+    case _ => val (head, tail) = splitCreateTail(stmt); createTableFrom(head, tail)
+  }
+
+  private def createTableFrom(head: String, tail: String): DataFrame = head match {
+    case CreateTableR(ine, name, body) =>
       val (db, t) = qualify(name)
+      val engine = EngineR.findFirstMatchIn(tail).map(_.group(1)).orNull
+      // PARTITION BY (sled key-prefix scoping parity): Hive-style
+      // directory partitioning through the catalog — predicates on the
+      // partition key prune directories before the scan
+      val partCols = PartitionByR.findFirstMatchIn(tail)
+        .map(_.group(1).split(',').map(c => clean(c.trim)).toSeq)
+        .getOrElse(Seq.empty)
       var pk = Seq.empty[String]
       val cols = Seq.newBuilder[catalog.Col]
       splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty).foreach { d =>
@@ -243,7 +270,8 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       }
       catalog.createTable(
         catalog.TableMeta(db, t, cols.result(), pk,
-          if (engine != null) engine.toLowerCase else "parquet"),
+          if (engine != null) engine.toLowerCase else "parquet",
+          partitionCols = partCols),
         ifNotExists = ine != null)
       count(1)
   }
