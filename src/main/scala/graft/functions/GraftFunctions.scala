@@ -143,6 +143,26 @@ object GraftFunctions {
   def topKPairs(score: Column, id: Column, k: Int): Column =
     expr2col(TopKPairs(exprOf(score), exprOf(id), k).toAggregateExpression())
 
+  /** KMV (k-minimum-values) distinct-count sketch, fully oracle-able
+    * unlike HLL: hash each value to 48 bits via an md5 prefix (exact in a
+    * double, and replayable in any engine's SQL), keep the k smallest
+    * DISTINCT hashes per group in a bounded buffer (TopKPairs dedup
+    * mode — k entries per group per partition into the shuffle), and
+    * estimate |distinct| = (k-1) * 2^48 / h_k, or the exact count when a
+    * group has fewer than k distinct hashes. Standard KMV estimator
+    * (Bar-Yossef et al.), deterministic bit-for-bit across engines.
+    */
+  def kmvDistinct(value: Column, k: Int = 64): Column = {
+    val h = conv(substring(md5(value.cast("string").cast("binary")), 1, 12),
+      16, 10).cast("long")
+    val top = expr2col(TopKPairs(exprOf((-h).cast("double")), exprOf(h), k,
+      dedup = true).toAggregateExpression())
+    val kth = -element_at(top, k).getField("score") // = h_k as double
+    when(size(top) < k, size(top).cast("long"))
+      .otherwise(round(lit((k - 1).toDouble * 281474976710656.0) / kth)
+        .cast("long"))
+  }
+
   /** Bitwise-reproducible cosine over quantized vectors: integer sums are
     * exact, the final double ops (mul/sqrt/div) are IEEE-correctly-rounded
     * in every engine.

@@ -63,16 +63,46 @@ object Pipeline {
 
   // ---- D3: SimHash near-dedup (64-bit, hamming <= 3) ---------------------
   // 4 bands x 16 bits: any pair within hamming 3 shares >= 1 exact band
-  // (pigeonhole), so the band join is EXACT, not probabilistic — but the
-  // signature itself (FNV-1a + bit-majority) is not SQL-expressible, so
-  // this query gets the driver's rows-only check.
+  // (pigeonhole), so the band join is EXACT, not probabilistic. That
+  // exactness is what makes the oracle possible WITHOUT replaying the
+  // banding: the result set equals "all pairs with hamming <= 3", so the
+  // oracle replays only the signature — FNV-1a-64 per token (a
+  // list_reduce fold in HUGEINT to dodge 64-bit overflow, same modular
+  // arithmetic as the JVM's wrapping multiply) + per-bit majority — and
+  // pairs exhaustively. Text is ASCII (same sanctioned trick as q42's
+  // ascii(substring) byte walk).
   private val q32 = Qdef(
     "q32_dedup_simhash",
     (s, dir) =>
       graft.operators.Dedup
         .simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b")),
-    None)
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    th AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(14695981039346656037 AS UBIGINT),
+            list_transform(range(1, length(tok) + 1),
+              i -> CAST(ascii(substring(tok, i, 1)) AS UBIGINT))),
+          (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                         % 18446744073709551616 AS UBIGINT)) AS h
+      FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+        SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+      FROM th, UNNEST(range(0, 64)) AS u(j)
+      GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT)
+                      ELSE 0 END) AS UBIGINT) AS sig
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY doc_a, doc_b"""))
 
   // ---- D4: n-gram Jaccard pair similarity (exact, oracled) ---------------
   // The exact-verification primitive: 3-gram jaccard over an explicit
@@ -178,10 +208,12 @@ object Pipeline {
     WHERE rn <= 10 ORDER BY q_id, rn"""))
 
   // ---- D7: LSH-bucketed ANN (random hyperplane signs) --------------------
-  // 16 deterministic Rademacher hyperplanes (sign from xxhash64(plane,
-  // dim)) -> 16-bit signature -> 4 bands x 4 bits -> band join -> exact
-  // cosine verify. Candidate volume scales with bucket occupancy, not
-  // corpus²; not SQL-expressible (xxhash64) -> rows-only check.
+  // 16 deterministic Rademacher hyperplanes -> 16-bit signature -> 4
+  // bands x 4 bits -> band join -> exact cosine verify. Candidate volume
+  // scales with bucket occupancy, not corpus². The sign matrix is
+  // md5-nibble parity (ExprKernels.hyperplaneSigns), a data-independent
+  // constant both engines can compute, so the oracle replays the ENTIRE
+  // pipeline — signatures, banding, verify — in SQL (dim = 64).
   private val q36 = Qdef(
     "q36_ann_lsh",
     (s, dir) => {
@@ -191,7 +223,33 @@ object Pipeline {
         .lshPairs(embs, planes = 16, bands = 4, threshold = 0.3)
         .orderBy(col("vec_a"), col("vec_b"))
     },
-    None)
+    Some("""WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    signs AS (
+      SELECT tp.p, td.d,
+        (('0x' || substring(md5(tp.p || ':' || td.d), 1, 1))::INT % 2) * 2 - 1 AS s
+      FROM UNNEST(range(0, 16)) AS tp(p), UNNEST(range(0, 64)) AS td(d)),
+    projs AS (
+      SELECT v.vec_id, s.p, SUM(v.qv[s.d + 1] * s.s) AS proj
+      FROM q v, signs s GROUP BY v.vec_id, s.p),
+    sigs AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN proj >= 0 THEN CAST(CAST(1 AS UBIGINT) << p AS HUGEINT)
+                      ELSE 0 END) AS UBIGINT) AS sig
+      FROM projs GROUP BY vec_id),
+    banded AS (
+      SELECT s.vec_id, q.qv, tb.b AS band, (s.sig >> (4 * tb.b)) & 15 AS bval
+      FROM sigs s JOIN q USING (vec_id), UNNEST(range(0, 4)) AS tb(b)),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_dot_product(a.qv, b.qv) /
+          sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS cos_sim
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cos_sim FROM pairs
+    WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b"""))
 
   // ---- D8: language ID (stopword-hit heuristic) --------------------------
   // Token-exact stopword counts per language, argmax with a fixed

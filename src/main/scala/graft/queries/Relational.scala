@@ -148,6 +148,9 @@ object Relational {
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // ---- A4c: approximate distinct (HLL) — rows-only oracle ---------------
+  // Spark's native HLL++ sketch hashes with xxhash64 and folds register
+  // banks no SQL dialect exposes, so this one is documented
+  // impossible-in-SQL; q06c is the oracle-able approximate-distinct.
   private val q06b = Qdef(
     "q06b_approx_distinct",
     (s, dir) =>
@@ -156,6 +159,40 @@ object Relational {
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
         .orderBy(col("l_returnflag")),
     None)
+
+  // ---- A4c: approximate distinct via KMV — fully oracled ----------------
+  // The oracle-able approximate-distinct: a k-minimum-values sketch over
+  // 48-bit md5-prefix hashes (GraftFunctions.kmvDistinct). Bounded k-entry
+  // buffers with map-side partials (never a per-group value set), and the
+  // whole estimator — hash, k-th minimum, (k-1)*2^48/h_k — replays
+  // bit-for-bit in DuckDB. Companion exact count pins the estimate's
+  // meaning.
+  private val q06c = Qdef(
+    "q06c_kmv_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.GraftFunctions.kmvDistinct(col("l_orderkey"), 64)
+            .as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy(col("l_returnflag")),
+    Some("""WITH hs AS (
+      SELECT DISTINCT l_returnflag,
+        ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM lineitem),
+    ranked AS (
+      SELECT l_returnflag, h,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM hs)
+    SELECT r.l_returnflag,
+      CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+        ELSE ROUND(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                   / CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE), 0)
+        END AS BIGINT) AS approx_orders,
+      (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+        WHERE l.l_returnflag = r.l_returnflag) AS exact_orders
+    FROM ranked r GROUP BY r.l_returnflag ORDER BY r.l_returnflag"""))
 
   // ---- A5: GROUP BY multi-key + HAVING ----------------------------------
   private val q07 = Qdef(
@@ -683,7 +720,7 @@ object Relational {
     FROM nation ORDER BY n_nationkey"""))
 
   val all: Seq[Qdef] = Seq(
-    q01, q02, q03, q04, q05, q06, q06b, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q45, q46, q52, q53)
+    q01, q02, q03, q04, q05, q06, q06b, q06c, q07, q08, q09, q10, q11, q12,
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
+    q27, q28, q29, q45, q46, q52, q53)
 }

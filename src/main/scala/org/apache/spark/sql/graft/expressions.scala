@@ -184,25 +184,38 @@ object ExprKernels {
   def nearestCentroid(qv: ArrayData, selfdot: Double, cb: ArrayData): Long =
     nearestCells(qv, selfdot, cb, 1).getLong(0)
 
-  /** Deterministic Rademacher hyperplane signature (q36's LSH family):
-    * bit p of the result = sign of Σ_d qv[d] * (xxhash64(p, d) mod 2 * 2
-    * - 1) — the same ±1 sequence as the HOF formulation
-    * pmod(xxhash64(lit(p), i), 2) * 2 - 1.
+  /** Deterministic Rademacher hyperplane signs: sign(p, d) = parity of
+    * the first hex nibble of md5("p:d"), mapped to ±1. md5 (not xxhash64)
+    * so the SAME constant matrix is reproducible in plain SQL —
+    * `('0x' || substring(md5(p || ':' || d), 1, 1))::INT % 2 * 2 - 1` —
+    * which is what lets the DuckDB oracle replay the full LSH pipeline
+    * (q36). The matrix is a data-independent constant, computed once per
+    * (planes, dim) and cached.
+    */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Long]]]
+  private def hyperplaneSigns(planes: Int, dim: Int): Array[Array[Long]] =
+    signCache.computeIfAbsent((planes, dim), { case (p0, d0) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(p0, d0) { (p, d) =>
+        val digest = md.digest(s"$p:$d".getBytes("UTF-8"))
+        (((digest(0) >> 4) & 1).toLong * 2L) - 1L
+      }
+    })
+
+  /** Hyperplane LSH signature (q36's family): bit p of the result = sign
+    * of Σ_d qv[d] * sign(p, d) over the cached md5-derived ±1 matrix.
     */
   def hyperplaneSig(qv: ArrayData, planes: Int): Long = {
     val dim = qv.numElements()
+    val signs = hyperplaneSigns(planes, dim)
     var sig = 0L
     var p = 0
     while (p < planes) {
-      val seedP = XxHash64Function.hash(p, IntegerType, 42L)
+      val sp = signs(p)
       var proj = 0L
       var d = 0
-      while (d < dim) {
-        val h = XxHash64Function.hash(d, IntegerType, seedP)
-        val sign = java.lang.Math.floorMod(h, 2L) * 2L - 1L
-        proj += qv.getLong(d) * sign
-        d += 1
-      }
+      while (d < dim) { proj += qv.getLong(d) * sp(d); d += 1 }
       if (proj >= 0L) sig |= (1L << p)
       p += 1
     }
@@ -468,7 +481,7 @@ case class NearestCellsE(first: Expression, second: Expression,
   * the cut — the common case once a partition's heap warms up — and
   * O(k) shift otherwise (k is small: 10–100).
   */
-final class TopKBuf(val k: Int) extends Serializable {
+final class TopKBuf(val k: Int, val dedup: Boolean = false) extends Serializable {
   var n: Int = 0
   val scores: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)
@@ -477,21 +490,21 @@ final class TopKBuf(val k: Int) extends Serializable {
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   def add(s: Double, id: Long): Unit = {
-    if (n == k) {
-      if (!better(s, id, scores(k - 1), ids(k - 1))) return
-      var j = k - 1
-      while (j > 0 && better(s, id, scores(j - 1), ids(j - 1))) {
-        scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1
-      }
-      scores(j) = s; ids(j) = id
-    } else {
-      var j = n
-      while (j > 0 && better(s, id, scores(j - 1), ids(j - 1))) {
-        scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1
-      }
-      scores(j) = s; ids(j) = id
-      n += 1
+    if (n == k && !better(s, id, scores(k - 1), ids(k - 1))) {
+      // a duplicate of the current worst is also (correctly) rejected here
+      return
     }
+    // find the insertion point first (no mutation), so dedup can bail out
+    var j = if (n == k) k - 1 else n
+    while (j > 0 && better(s, id, scores(j - 1), ids(j - 1))) j -= 1
+    // dedup mode keeps k DISTINCT best pairs (the KMV sketch contract):
+    // the scan stops below an equal element, so equality can only sit
+    // immediately above the insertion point
+    if (dedup && j > 0 && scores(j - 1) == s && ids(j - 1) == id) return
+    var m = if (n == k) k - 1 else n
+    while (m > j) { scores(m) = scores(m - 1); ids(m) = ids(m - 1); m -= 1 }
+    scores(j) = s; ids(j) = id
+    if (n < k) n += 1
   }
 
   def mergeIn(o: TopKBuf): Unit = {
@@ -511,6 +524,7 @@ final class TopKBuf(val k: Int) extends Serializable {
   * id) so window-based oracles stay bit-identical.
   */
 case class TopKPairs(score: Expression, id: Expression, k: Int,
+                     dedup: Boolean = false,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuf]
@@ -528,7 +542,7 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
   override def nullable: Boolean = false
   override def prettyName: String = "topk_pairs"
 
-  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k, dedup)
 
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val s = score.eval(input)
@@ -561,7 +575,7 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
 
   override def deserialize(bytes: Array[Byte]): TopKBuf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val buf = new TopKBuf(bb.getInt())
+    val buf = new TopKBuf(bb.getInt(), dedup)
     val n = bb.getInt()
     var i = 0
     // entries arrive already sorted, so add() appends in O(1) each

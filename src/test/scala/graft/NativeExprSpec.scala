@@ -120,12 +120,17 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
-  test("hyperplaneSig (native) == per-plane pmod(xxhash64) HOF formulation") {
+  test("hyperplaneSig (native) == per-plane md5-nibble-parity HOF formulation") {
     val dim = 64
+    // sign(p, d) = parity of the first hex nibble of md5("p:d") — the
+    // exact formulation the DuckDB oracle replays for q36
     def sigBit(p: Int) = {
       val proj = aggregate(
         zip_with(col("qv"), sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * (pmod(xxhash64(lit(p), i), lit(2)) * lit(2L) - lit(1L))),
+          (x, i) => x * (conv(substring(md5(
+              concat_ws(":", lit(p).cast("string"), i.cast("string"))
+                .cast("binary")), 1, 1), 16, 10)
+            .cast("long") % 2 * lit(2L) - lit(1L))),
         lit(0L), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
