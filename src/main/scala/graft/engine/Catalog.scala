@@ -161,6 +161,32 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   def read(db: String, t: String): DataFrame =
     spark.table(s"`$db`.`$t`")
 
+  /** Row count with NO Spark job for parquet tables: summed straight from
+    * the parquet footers of the current committed version — the columnar
+    * equivalent of the reference reading sled's row counter for SHOW
+    * TABLE STATUS. CSV falls back to a count job.
+    */
+  def rowCount(db: String, t: String): Long = {
+    val m = meta(db, t)
+    if (m.format != "parquet") read(db, t).count()
+    else {
+      val dir = currentVersionDir(db, t)
+      if (!Files.isDirectory(dir)) 0L
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        Files.walk(dir).iterator.asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p.toUri), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+      }
+    }
+  }
+
   /** Snapshot read pinned to the table's CURRENT committed version: the
     * `data` pointer is resolved once, so the frame keeps reading a
     * complete, immutable version directory even while later commits swap
@@ -344,6 +370,16 @@ class Catalog(spark: SparkSession, val warehouse: String) {
 
   private def register(m: TableMeta): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `${m.db}`")
+    // the Spark external catalog is shared across sessions in one JVM: a
+    // same-named table registered by a DIFFERENT warehouse (another
+    // Catalog instance) must be re-pointed at this warehouse's path
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(m.table, Some(m.db))
+    val sc = spark.sessionState.catalog
+    if (sc.tableExists(ident)) {
+      val loc = Paths.get(sc.getTableMetadata(ident).location).normalize()
+      if (loc != Paths.get(dataPath(m.db, m.table)).toAbsolutePath.normalize())
+        spark.sql(s"DROP TABLE `${m.db}`.`${m.table}`")
+    }
     if (!spark.catalog.tableExists(s"`${m.db}`.`${m.table}`")) {
       if (m.partitionCols.nonEmpty) {
         // Hive-style directory partitioning (the reference's sled
@@ -384,4 +420,21 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .iterator.asScala.foreach(Files.delete)
     }
+
+  // Seed the privilege table (meta/initial.rs seeds mysql.user with the
+  // superuser row): SHOW GRANTS derives its GRANT strings from here, and
+  // it is an ordinary table — GRANT-less privilege edits are plain DML.
+  // Placed LAST in the class body: seeding appends rows, which needs the
+  // commit-protocol state (tableLocks) already constructed.
+  val privCols: Seq[String] = Seq("Select_priv", "Insert_priv", "Update_priv",
+    "Delete_priv", "Create_priv", "Drop_priv", "Grant_priv", "Super_priv")
+  if (!tableExists("mysql", "user")) {
+    createTable(TableMeta("mysql", "user",
+      Seq(Col("Host", "varchar(255)", "STRING"), Col("User", "varchar(32)", "STRING")) ++
+        privCols.map(c => Col(c, "char(1)", "STRING")),
+      pk = Seq("Host", "User"), engine = "parquet"), ifNotExists = true)
+    val row = org.apache.spark.sql.Row.fromSeq(Seq("%", "root") ++ privCols.map(_ => "Y"))
+    append("mysql", "user",
+      spark.createDataFrame(java.util.List.of(row), meta("mysql", "user").schema))
+  }
 }

@@ -3,7 +3,7 @@ package graft.engine
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, not, when}
+import org.apache.spark.sql.functions.{array, array_join, col, concat, expr, filter, lit, not, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** MySQL-surface SQL session: every command of the reference's
@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 class GraftSession(val spark: SparkSession, warehouse: String) {
 
   val catalog = new Catalog(spark, warehouse)
-  val variables = new Variables
+  val variables = new Variables(Some(java.nio.file.Paths.get(
+    warehouse, "performance_schema", "global_variables.tsv")))
   private var currentSchema: String = "mysql"
   spark.catalog.setCurrentDatabase("mysql")
 
@@ -522,9 +523,26 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         Seq(Seq("utf8mb4_0900_ai_ci", "utf8mb4", "255", "Yes", "Yes", "0"),
             Seq("utf8mb4_general_ci", "utf8mb4", "45", "", "Yes", "1"),
             Seq("binary", "binary", "63", "Yes", "Yes", "1")))
-    else if (lower.startsWith("show grants"))
-      frame(Seq("Grants for root@%"),
-        Seq(Seq("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%' WITH GRANT OPTION")))
+    else if (lower.startsWith("show grants")) {
+      // derived from the seeded mysql.user privilege table (initial.rs
+      // parity) — declaratively, so privilege edits via plain DML show up
+      val privNames = Seq("Select" -> "Select_priv", "Insert" -> "Insert_priv",
+        "Update" -> "Update_priv", "Delete" -> "Delete_priv",
+        "Create" -> "Create_priv", "Drop" -> "Drop_priv")
+      val allY = (privNames.map(_._2) :+ "Super_priv")
+        .map(c => col(c) === "Y").reduce(_ && _)
+      val privList = array_join(filter(
+        array(privNames.map { case (n, c) => when(col(c) === "Y", lit(n)) }: _*),
+        x => x.isNotNull), ", ")
+      catalog.read("mysql", "user")
+        .orderBy(col("User"), col("Host"))
+        .select(concat(
+          lit("GRANT "),
+          when(allY, lit("ALL PRIVILEGES")).otherwise(privList),
+          lit(" ON *.* TO '"), col("User"), lit("'@'"), col("Host"), lit("'"),
+          when(col("Grant_priv") === "Y", lit(" WITH GRANT OPTION"))
+            .otherwise(lit(""))).as("Grants for root@%"))
+    }
     else if (lower.startsWith("show privileges"))
       frame(Seq("Privilege", "Context", "Comment"),
         Seq(Seq("Alter", "Tables", "To alter the table"),
@@ -535,11 +553,12 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
             Seq("Select", "Tables", "To retrieve rows from table"),
             Seq("Update", "Tables", "To update existing rows")))
     else if (lower.startsWith("show table status"))
+      // row counts come from parquet footers (Catalog.rowCount) — zero
+      // Spark jobs for the common case, not O(#tables) count() scans
       frame(Seq("Name", "Engine", "Version", "Row_format", "Rows", "Comment"),
         catalog.listTables(currentSchema).filter(likeFilter).map { t =>
-          val rows = catalog.read(currentSchema, t).count()
           Seq(t, catalog.meta(currentSchema, t).engine.toUpperCase, "10",
-            "Dynamic", rows.toString, "")
+            "Dynamic", catalog.rowCount(currentSchema, t).toString, "")
         })
     else sys.error(s"Unsupported SHOW command: $stmt")
   }
@@ -566,8 +585,16 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       var q = stmt
       if (q.toLowerCase.contains("information_schema.")) {
         registerInformationSchema()
-        q = q.replaceAll("(?i)information_schema\\.tables", "information_schema_tables")
-          .replaceAll("(?i)information_schema\\.columns", "information_schema_columns")
+        q = q.replaceAll(
+          "(?i)information_schema\\.(tables|columns|schemata|statistics|table_constraints|key_column_usage)",
+          "information_schema_$1")
+      }
+      if (q.toLowerCase.contains("performance_schema.global_variables")) {
+        frame(Seq("variable_name", "variable_value"),
+          variables.all.map(v => Seq(v._1, v._2)))
+          .createOrReplaceTempView("performance_schema_global_variables")
+        q = q.replaceAll("(?i)performance_schema\\.global_variables",
+          "performance_schema_global_variables")
       }
       // quoteReplacement: variable values containing '$'/'\' must be
       // inlined literally, not treated as regex replacement templates
@@ -599,6 +626,34 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     frame(Seq("table_schema", "table_name", "column_name", "ordinal_position",
       "data_type", "column_key"), cols)
       .createOrReplaceTempView("information_schema_columns")
+    // initial.rs parity beyond TABLES/COLUMNS: SCHEMATA, STATISTICS,
+    // TABLE_CONSTRAINTS, KEY_COLUMN_USAGE — all computed from the live
+    // catalog (PRIMARY keys are the only constraints/indexes graft has)
+    frame(Seq("catalog_name", "schema_name", "default_character_set_name",
+      "default_collation_name"),
+      catalog.listSchemas().map(db =>
+        Seq("def", db, "utf8mb4", "utf8mb4_0900_ai_ci")))
+      .createOrReplaceTempView("information_schema_schemata")
+    val pkTables = for {
+      db <- catalog.listSchemas(); t <- catalog.listTables(db)
+      m = catalog.meta(db, t) if m.pk.nonEmpty
+    } yield (db, t, m)
+    frame(Seq("constraint_catalog", "constraint_schema", "constraint_name",
+      "table_schema", "table_name", "constraint_type"),
+      pkTables.map { case (db, t, _) =>
+        Seq("def", db, "PRIMARY", db, t, "PRIMARY KEY") })
+      .createOrReplaceTempView("information_schema_table_constraints")
+    val keyCols = for {
+      (db, t, m) <- pkTables
+      (c, i) <- m.pk.zipWithIndex
+    } yield Seq("def", db, "PRIMARY", db, t, c, (i + 1).toString)
+    frame(Seq("constraint_catalog", "constraint_schema", "constraint_name",
+      "table_schema", "table_name", "column_name", "ordinal_position"), keyCols)
+      .createOrReplaceTempView("information_schema_key_column_usage")
+    frame(Seq("table_schema", "table_name", "non_unique", "index_name",
+      "seq_in_index", "column_name"),
+      keyCols.map(k => Seq(k(3), k(4), "0", "PRIMARY", k(6), k(5))))
+      .createOrReplaceTempView("information_schema_statistics")
   }
 
   // ---- helpers -----------------------------------------------------------

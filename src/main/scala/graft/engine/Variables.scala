@@ -1,13 +1,17 @@
 package graft.engine
 
+import java.nio.file.{Files, Path}
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** MySQL-surface system variables (reference: /root/reference/src/variable/
-  * system.rs:1 — global + session scopes backed by the
-  * performance_schema.global_variables meta table; here a plain map, since
-  * the values only feed SHOW VARIABLES / SELECT @@x / SET).
+  * system.rs:1 — global + session scopes). GLOBAL scope persists to the
+  * warehouse's performance_schema/global_variables.tsv (the reference's
+  * meta/variable.rs store), so SET GLOBAL survives a session restart;
+  * SESSION scope is process-lifetime, as in MySQL. Only values that
+  * differ from the defaults are written.
   */
-class Variables {
+class Variables(backing: Option[Path] = None) {
   private val defaults: Map[String, String] = Map(
     "version"                  -> "8.0.26-graft",
     "version_comment"          -> "graft Spark-native analytics engine",
@@ -44,6 +48,17 @@ class Variables {
   private val globals  = mutable.Map(defaults.toSeq: _*)
   private val session  = mutable.Map.empty[String, String]
 
+  // recover persisted GLOBAL overrides from the warehouse meta store
+  backing.filter(Files.exists(_)).foreach { p =>
+    Files.readAllLines(p).asScala.foreach { line =>
+      line.split('\t') match {
+        case Array(k, v) => globals(k) = v
+        case Array(k)    => globals(k) = ""
+        case _           =>
+      }
+    }
+  }
+
   def get(name: String): Option[String] = {
     val n = name.toLowerCase
     session.get(n).orElse(globals.get(n))
@@ -51,7 +66,15 @@ class Variables {
 
   def set(name: String, value: String, global: Boolean = false): Unit = {
     val n = name.toLowerCase
-    if (global) globals(n) = value else session(n) = value
+    if (global) { globals(n) = value; persist() } else session(n) = value
+  }
+
+  private def persist(): Unit = backing.foreach { p =>
+    Files.createDirectories(p.getParent)
+    val overrides = globals.toSeq
+      .filter { case (k, v) => !defaults.get(k).contains(v) }
+      .sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+    Files.write(p, overrides.asJava)
   }
 
   /** Merged view for SHOW VARIABLES, sorted by name. */
