@@ -1,6 +1,27 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Accumulates shuffle-write bytes/records across all tasks; the bench
+    * resets it before each query's steady-state run, so regressions in
+    * exchange volume are attributable per query in BENCH_r{N}.json.
+    */
+  private final class ShuffleMeter extends SparkListener {
+    val bytes = new AtomicLong
+    val records = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def reset(): Unit = { bytes.set(0); records.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -11,6 +32,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     // warm the JVM/codegen paths and parquet file indexes once so the
     // first timed query measures steady-state throughput, not startup
     graft.Tables.names.foreach { n =>
@@ -19,19 +42,29 @@ object Bench {
     }
     // best of 2 runs per query: first pass pays codegen compilation and
     // JIT warm-up; the min is the steady-state throughput a long-running
-    // cluster observes
+    // cluster observes. Shuffle telemetry is read from run 2 (volumes are
+    // deterministic per run; the listener is drained first).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def run(): (Double, Long) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        ((System.nanoTime() - t0) / 1e9, rows)
       }
-      name -> times.min
+      val (t1, _) = run()
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      meter.reset()
+      val (t2, rows) = run()
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      (name, math.min(t1, t2), rows, meter.bytes.get(), meter.records.get())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Long, Long, Long)) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2.toString)
+    val rowsJ = jmap(_._3.toString)
+    val shufB = jmap(_._4.toString)
+    val shufR = jmap(_._5.toString)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"output_rows":$rowsJ,"shuffle_bytes":$shufB,"shuffle_records":$shufR,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -276,4 +276,78 @@ object EventStreams {
     events
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- C5+: streaming NEAR-dup candidates (MinHash band keys) ------------
+
+  /** Near-duplicate candidate pairs on a document stream: each doc
+    * explodes to its MinHash LSH band keys (same native kernel and 32×2
+    * banding as batch q31), and a watermarked stream-stream self-join on
+    * the band key emits pairs whose event times fall within `within` of
+    * each other. Band state expires with the watermark, so an unbounded
+    * stream keeps bounded state — the streaming face of Dedup
+    * .minhashPairs, restricted to a time horizon (unbounded lookback
+    * cannot have bounded state). A second stateful op
+    * (dropDuplicatesWithinWatermark) collapses multi-band hits to one row
+    * per pair.
+    */
+  def nearDupPairsStream(docs: DataFrame, within: String = "1 hour",
+                         delay: String = "2 hours"): DataFrame = {
+    import graft.functions.GraftFunctions.{minhashBandKeys, textShingles}
+    def banded(p: String): DataFrame = docs
+      .withWatermark("ts", delay)
+      .select(col("doc_id").as(s"${p}_id"), col("ts").as(s"${p}_ts"),
+        explode(minhashBandKeys(textShingles(col("text"), 5)))
+          .as(s"${p}_band"))
+    banded("a").join(banded("b"),
+      col("a_band") === col("b_band") && col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $within") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        col("a_ts").as("ts"))
+      // the join's watermark propagates to `ts` — redefining it here is
+      // an error under multiple-stateful-operator support
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+
+  /** Batch face of `nearDupPairsStream` on the same frame shape — used by
+    * the spec to pin stream == batch on identical data.
+    */
+  def nearDupPairsBatch(docs: DataFrame, within: String = "1 hour"): DataFrame = {
+    import graft.functions.GraftFunctions.{minhashBandKeys, textShingles}
+    def banded(p: String): DataFrame = docs
+      .select(col("doc_id").as(s"${p}_id"), col("ts").as(s"${p}_ts"),
+        explode(minhashBandKeys(textShingles(col("text"), 5)))
+          .as(s"${p}_band"))
+    banded("a").join(banded("b"),
+      col("a_band") === col("b_band") && col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $within") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---- C7+: stream-stream as-of join -------------------------------------
+
+  /** Streaming backward as-of within a bounded horizon: each left event
+    * picks the LATEST right event with r_ts in [l_ts - horizon, l_ts]
+    * for the same key. Two chained stateful operators — the watermarked
+    * interval join buffers right rows only inside the horizon, and a
+    * max_by aggregate keyed by the left event finalizes once the
+    * watermark passes l_ts (no earlier right row can still arrive). The
+    * horizon bound is what batch as-of doesn't need but bounded state
+    * demands; left rows with no right match inside it are omitted.
+    */
+  def asOfStream(left: DataFrame, right: DataFrame, key: String,
+                 horizon: String = "1 hour",
+                 delay: String = "2 hours"): DataFrame =
+    withinJoin(left, right, key, horizon, delay)
+      // the join's watermark propagates to l_ts; the aggregate finalizes
+      // a left row once the watermark passes it
+      .groupBy(col("l_event_id"), col(key), col("l_ts"), col("l_value"))
+      .agg(max_by(
+        struct(col("r_ts"), col("r_event_id"), col("r_value")),
+        struct(col("r_ts"), col("r_event_id"))).as("q"))
+      .select(col("l_event_id"), col(key), col("l_ts"), col("l_value"),
+        col("q.r_event_id").as("r_event_id"), col("q.r_ts").as("r_ts"),
+        col("q.r_value").as("r_value"))
 }

@@ -6,7 +6,14 @@ import java.time.Instant
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{col, expr}
+
 import graft.streaming.{Event, EventStreams}
+
+/** Document row for the near-dup streaming tests (top-level: Spark
+  * cannot derive an Encoder for a method-local case class).
+  */
+case class StreamDoc(doc_id: Long, ts: Instant, text: String)
 
 /** Drives the real streaming paths (SURVEY.md §2.C) through MemoryStream
   * and a parquet file source; asserts the stream results agree with the
@@ -20,6 +27,82 @@ class StreamingSpec extends AnyFunSuite {
     Instant.parse("2024-01-01T00:00:00Z").plusSeconds(minute * 60L)
 
   private def chk(): String = Files.createTempDirectory("graft-chk").toString
+
+  test("C5+ streaming near-dup band pairs == batch pairs on the same docs") {
+    val docs = Seq(
+      StreamDoc(1, ts(0), "the quick brown fox jumps over the lazy dog again and again today"),
+      StreamDoc(2, ts(10), "the quick brown fox jumps over the lazy dog again and again tonight"),
+      StreamDoc(3, ts(20), "completely different content about spark streaming joins and state expiry"),
+      StreamDoc(4, ts(400), "the quick brown fox jumps over the lazy dog again and again today"),
+      StreamDoc(5, ts(405), "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = EventStreams
+      .nearDupPairsStream(input.toDF(), within = "1 hour", delay = "2 hours")
+      .writeStream.format("memory").queryName("c5p_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    // advance the watermark far enough to flush the pair-dedup state
+    input.addData(StreamDoc(99, ts(2000), "watermark advancing sentinel document with plenty of words here"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("c5p_sink").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = EventStreams.nearDupPairsBatch(docs.toDF(), within = "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"stream=$got batch=$want")
+    // (1,2) are near-dups in window; (4,5) likewise; (1,4) same text but
+    // outside the 1h horizon — must NOT pair
+    assert(want.contains((1L, 2L)) && want.contains((4L, 5L)))
+    assert(!want.contains((1L, 4L)))
+  }
+
+  test("C7+ stream-stream as-of == batch as-of restricted to the horizon") {
+    val trades = Seq(
+      Event(101, ts(30), 1, "trade", 10.0),
+      Event(102, ts(90), 1, "trade", 20.0),
+      Event(103, ts(50), 2, "trade", 30.0),
+      Event(104, ts(500), 1, "trade", 40.0))
+    val quotes = Seq(
+      Event(201, ts(10), 1, "quote", 1.1),
+      Event(202, ts(25), 1, "quote", 1.2),
+      Event(203, ts(80), 1, "quote", 1.3),
+      Event(204, ts(45), 2, "quote", 2.1))
+    val lIn = MemoryStream[Event](spark)
+    val rIn = MemoryStream[Event](spark)
+    val q = EventStreams
+      .asOfStream(lIn.toDF(), rIn.toDF(), "user_id",
+        horizon = "1 hour", delay = "2 hours")
+      .writeStream.format("memory").queryName("c7p_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    lIn.addData(trades: _*)
+    rIn.addData(quotes: _*)
+    q.processAllAvailable()
+    // push both watermarks past every trade so the aggregates finalize
+    lIn.addData(Event(900, ts(2000), 9, "trade", 0.0))
+    rIn.addData(Event(901, ts(2000), 9, "quote", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("c7p_sink")
+      .select("l_event_id", "r_event_id", "r_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch oracle: full as-of join, then keep rows whose match is
+    // within the horizon (the stream's bounded-state restriction)
+    val batch = graft.operators.AsOf.asofJoin(
+      trades.toDF(), quotes.toDF().select(col("user_id"),
+        col("ts").as("q_ts"), col("ts").as("q_ts_p"),
+        col("event_id").as("q_event_id"), col("value").as("q_value")),
+      Seq("user_id"), "ts", "q_ts")
+      .filter(col("q_event_id").isNotNull &&
+        col("q_ts_p") >= col("ts") - expr("INTERVAL 1 hour"))
+      .select("event_id", "q_event_id", "q_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+    // trade 102 at t=90 sees quote 203 (t=80), not the older 202;
+    // trade 104 at t=500 has no quote within 1h and is absent
+    assert(got.contains((102L, 203L, 1.3)))
+    assert(!got.exists(_._1 == 104L))
+  }
 
   test("C1 file stream source reads events-schema parquet incrementally") {
     val events = Tables.t(spark, sfDir, "events")
