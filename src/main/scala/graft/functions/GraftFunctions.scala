@@ -197,7 +197,15 @@ object GraftFunctions {
       d("minhash_sig", 1, a => MinHashSigE(a(0), MinhashPerms)),
       d("minhash_bands", 1, a => MinHashBandsE(a(0), MinhashPerms, MinhashBands)),
       d("text_shingles_5", 1, a => TextShinglesE(a(0), 5)),
-      d("hyperplane_sig", 1, a => HyperplaneSigE(a(0), 16)))
+      d("hyperplane_sig", 1, a => HyperplaneSigE(a(0), 16)),
+      d("nearest_centroid", 3, a => NearestCentroidE(a(0), a(1), a(2))),
+      // trailing int args must be foldable literals (banding/probe shape
+      // is a plan-time constant, like text_shingles_5's k)
+      d("nearest_cells", 4, a =>
+        NearestCellsE(a(0), a(1), a(2),
+          a(3).eval().asInstanceOf[Number].intValue)),
+      d("topk_pairs", 3, a =>
+        TopKPairs(a(0), a(1), a(2).eval().asInstanceOf[Number].intValue)))
   }
 
   /** Register the native expressions as SQL functions on a live session

@@ -137,26 +137,36 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
+    var cached = labels
     while (iter < maxIter && !converged) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("keeper", "n_keeper"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_keeper")).as("n_keeper"))
+      // old_keeper rides along so convergence is a filter over the cached
+      // round result — no extra labels join per round
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("keeper").as("old_keeper"),
           least(col("keeper"), coalesce(col("n_keeper"), col("keeper")))
             .as("keeper"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("keeper", "old_keeper"),
-        "doc_id").filter(col("keeper") =!= col("old_keeper")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("keeper") =!= col("old_keeper")).count()
+      cached.unpersist()
+      cached = next
+      // selecting off the cached frame reuses its InMemoryRelation scan
+      labels = next.select(col("doc_id"), col("keeper"))
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
-    labels
+    // re-materialize the final labels as their own cache entry so the
+    // documented contract holds (caller unpersists the RETURNED frame),
+    // then release the last round's internal cache
+    val result = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    if (!(cached eq result)) cached.unpersist()
+    result
   }
 
   /** Near-duplicate pairs by 64-bit SimHash within `maxHamming` bit

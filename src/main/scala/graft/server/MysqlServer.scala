@@ -113,15 +113,12 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
             val table = new String(packet, 1, packet.length - 1, "UTF-8")
               .takeWhile(_ != '\u0000').trim
             try {
-              val df = session.fieldList(table)
-              val schema = df.schema
-              df.toLocalIterator().forEachRemaining { row =>
+              session.fieldList(table).toLocalIterator().forEachRemaining { row =>
                 io.write(Messages.columnDef("", table,
                   row.getString(0), fieldType(row.getString(1)),
                   nullable = true))
               }
               io.write(Messages.eof())
-              schema // keep the val referenced
             } catch { case NonFatal(e) => writeError(io, e) }
           case 0x16 => // COM_STMT_PREPARE
             val sql = new String(packet, 1, packet.length - 1, "UTF-8")

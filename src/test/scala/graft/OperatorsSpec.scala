@@ -162,6 +162,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sigRow.getSeq[Long](0).length == 64)
     assert(sigRow.getAs[Int]("nbands") == 32)
     assert(sigRow.getAs[Long]("d") == 11L)
+    // round-3 additions: IVF assignment + partial top-k resolve in SQL
+    val ivfRow = spark.sql(
+      """WITH q AS (SELECT vec_id,
+        |    transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG)) AS qv
+        |  FROM embeddings),
+        |sd AS (SELECT vec_id, qv, CAST(dot_l(qv, qv) AS DOUBLE) AS selfdot FROM q),
+        |cb AS (SELECT sort_array(collect_list(struct(vec_id AS c_id, qv AS c_qv, selfdot AS c_dot))) AS cb
+        |  FROM sd WHERE vec_id < 4)
+        |SELECT nearest_centroid(sd.qv, sd.selfdot, cb.cb) AS cell,
+        |  size(nearest_cells(sd.qv, sd.selfdot, cb.cb, 2)) AS ncells
+        |FROM sd CROSS JOIN cb LIMIT 1""".stripMargin).collect()(0)
+    assert(ivfRow.getLong(0) >= 0L && ivfRow.getInt(1) == 2)
+    val topkRow = spark.sql(
+      """SELECT topk_pairs(CAST(vec_id AS DOUBLE), vec_id, 3) AS top
+        |FROM embeddings""".stripMargin).collect()(0)
+    assert(topkRow.getSeq[org.apache.spark.sql.Row](0).length == 3)
     // whole-stage codegen covers the native expressions (no UDF break):
     // the `*(1)` star prefix marks the codegen stage containing the Project
     val plan = spark.sql(

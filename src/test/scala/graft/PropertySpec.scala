@@ -28,6 +28,35 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("TopKBuf (partial top-k buffer) == naive sort/dedup/take under random splits") {
+    import org.apache.spark.sql.graft.TopKBuf
+    val pairGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(-5.0, 5.0).map(d => math.rint(d * 4) / 4), // forced score ties
+      Gen.chooseNum(0L, 30L)))
+    check(Prop.forAll(pairGen, Gen.chooseNum(1, 8), Gen.oneOf(true, false),
+      Gen.chooseNum(0, 100)) {
+      (pairs: List[(Double, Long)], k: Int, dedup: Boolean, splitSeed: Int) =>
+        // naive reference: global sort (score desc, id asc), optional
+        // distinct, first k
+        val base = if (dedup) pairs.distinct else pairs
+        val want = base.sortBy { case (s, i) => (-s, i) }.take(k)
+        // buffer path: split the stream into 3 partial buffers at random
+        // points, then merge — models map-side partials + final merge
+        val cut1 = if (pairs.isEmpty) 0 else math.abs(splitSeed) % (pairs.size + 1)
+        val cut2 = if (pairs.isEmpty) 0
+          else cut1 + math.abs(splitSeed * 31) % (pairs.size - cut1 + 1)
+        val parts = Seq(pairs.take(cut1), pairs.slice(cut1, cut2), pairs.drop(cut2))
+        val bufs = parts.map { p =>
+          val b = new TopKBuf(k, dedup)
+          p.foreach { case (s, i) => b.add(s, i) }
+          b
+        }
+        val merged = bufs.reduce { (a, b) => a.mergeIn(b); a }
+        val got = (0 until merged.n).map(i => (merged.scores(i), merged.ids(i)))
+        got == want
+    })
+  }
+
   private val smallTs = Gen.choose(0L, 5000L)
   private val key = Gen.choose(1L, 4L)
 
