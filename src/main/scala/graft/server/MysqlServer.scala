@@ -34,10 +34,12 @@ import graft.engine.{GraftSession, SqlText}
   *
   * Protocol notes vs the reference: framing honors the 3-byte length
   * header (handle.rs assumes one read == one packet); COM_STMT_EXECUTE
-  * answers with a TEXT result set exactly like the reference
-  * (handle.rs send_message uses row_message for every ResultSet — a
-  * known simplification of the binary protocol, kept for parity);
-  * COM_PING is answered OK (the reference drops the connection).
+  * answers with BINARY result-set rows as the protocol requires — the
+  * reference sends text rows for every result set (handle.rs
+  * send_message uses row_message — a known simplification that breaks
+  * real binary-protocol clients; we exceed it); COM_PING is answered OK
+  * (the reference drops the connection); COM_CHANGE_USER resets the
+  * connection's session state and re-answers the auth switch.
   */
 final class MysqlServer(spark: SparkSession, warehouse: String,
                         port: Int = 0) {
@@ -83,7 +85,7 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     val io = new PacketIO(
       new DataInputStream(socket.getInputStream),
       new BufferedOutputStream(socket.getOutputStream, 1 << 16))
-    val session = new GraftSession(spark.newSession(), warehouse)
+    var session = new GraftSession(spark.newSession(), warehouse)
     // prepared statements of THIS connection (statement.rs StmtContext)
     val stmts = mutable.Map.empty[Int, String]
     val stmtIds = new AtomicInteger(0)
@@ -139,13 +141,21 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
                 id => SqlText.countPlaceholders(stmts.getOrElse(id,
                   sys.error(s"Unknown prepared statement id $id"))))
               val template = stmts(stmtId)
-              run(io, session, SqlText.bindPlaceholders(template, args))
+              run(io, session, SqlText.bindPlaceholders(template, args),
+                binary = true)
             } catch { case NonFatal(e) => writeError(io, e) }
           case 0x19 => // COM_STMT_CLOSE — no response by protocol
             if (packet.length >= 5) {
               val id = leU32(packet, 1).toInt
               stmts.remove(id)
             }
+          case 0x1a => // COM_STMT_RESET — no cursor state to discard
+            io.write(Messages.ok(0))
+          case 0x11 => // COM_CHANGE_USER: fresh session state on the same
+            // connection (auth is unchecked, like the original handshake)
+            stmts.clear()
+            session = new GraftSession(spark.newSession(), warehouse)
+            io.write(Messages.ok(0))
           case other =>
             io.write(Messages.err(1047, "08S01",
               s"Unknown command: 0x${other.toHexString}"))
@@ -161,14 +171,15 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
   /** Execute one statement and answer with an OK (DDL/DML FinalCount
     * shape: a single `affected_rows` column) or a text result set.
     */
-  private def run(io: PacketIO, session: GraftSession, sql: String): Unit =
+  private def run(io: PacketIO, session: GraftSession, sql: String,
+                  binary: Boolean = false): Unit =
     try {
       val df = session.sql(sql)
       if (isFinalCount(df)) {
         val n = df.toLocalIterator()
         val affected = if (n.hasNext) n.next().getLong(0) else 0L
         io.write(Messages.ok(affected))
-      } else writeResultSet(io, df)
+      } else writeResultSet(io, df, binary)
     } catch { case NonFatal(e) => writeError(io, e) }
 
   /** DDL/DML statements come back as the reference's FinalCount frame
@@ -179,7 +190,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     f.length == 1 && f(0).name == "affected_rows"
   }
 
-  private def writeResultSet(io: PacketIO, df: DataFrame): Unit = {
+  private def writeResultSet(io: PacketIO, df: DataFrame,
+                             binary: Boolean = false): Unit = {
     val schema = df.schema
     io.write(Messages.columnCount(schema.length))
     schema.fields.foreach { f =>
@@ -187,7 +199,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     }
     io.write(Messages.eof())
     df.toLocalIterator().forEachRemaining(row =>
-      io.write(Messages.textRow(row)))
+      io.write(if (binary) Messages.binaryRow(row, schema)
+               else Messages.textRow(row)))
     io.write(Messages.eof())
   }
 

@@ -86,4 +86,9 @@ object Lenc {
     var i = 0
     while (i < 4) { b.write(((n >> (8 * i)) & 0xff).toInt); i += 1 }
   }
+
+  def u64(b: java.io.ByteArrayOutputStream, n: Long): Unit = {
+    var i = 0
+    while (i < 8) { b.write(((n >> (8 * i)) & 0xff).toInt); i += 1 }
+  }
 }

@@ -95,20 +95,25 @@ class MysqlServerSpec extends AnyFunSuite {
       Err(code, new String(p, 9, p.length - 9, "UTF-8"))
     }
 
-    /** Column name from a ColumnDefinition41 payload (5th lenc string). */
-    private def colName(p: Array[Byte]): String = {
+    /** Column (name, wireTypeCode) from a ColumnDefinition41 payload:
+      * name is the 5th lenc string; the type byte sits in the fixed
+      * block after the 6th string, past the 0x0c length marker,
+      * charset u16 and display-length u32.
+      */
+    private def colDef(p: Array[Byte]): (String, Int) = {
       var off = 0
       var skip = 0
       var name = ""
-      while (skip < 5) {
+      while (skip < 6) {
         val (len, ls) = lencInt(p, off)
         off += ls
         if (skip == 4) name = new String(p, off, len.toInt, "UTF-8")
         off += len.toInt
         skip += 1
       }
-      name
+      (name, p(off + 1 + 2 + 4) & 0xff)
     }
+    private def colName(p: Array[Byte]): String = colDef(p)._1
 
     private def readResultSet(first: Array[Byte]): ResultSet = {
       val (nCols, _) = lencInt(first, 0)
@@ -136,12 +141,71 @@ class MysqlServerSpec extends AnyFunSuite {
       ResultSet(columns, rows.result())
     }
 
-    private def response(): Response = {
+    /** Binary-protocol result set: rows are 0x00 + NULL bitmap (2-bit
+      * offset) + per-column values typed by the column definitions.
+      * Values are rendered to strings so scenarios compare uniformly
+      * with the text path.
+      */
+    private def readBinaryResultSet(first: Array[Byte]): ResultSet = {
+      val (nCols, _) = lencInt(first, 0)
+      val n = nCols.toInt
+      val defs = (0 until n).map(_ => colDef(read()))
+      assert(isEof(read()), "EOF after column definitions")
+      val rows = Seq.newBuilder[Seq[Option[String]]]
+      var p = read()
+      while (!isEof(p)) {
+        if ((p(0) & 0xff) == 0xff && p.length >= 9)
+          fail(s"error mid-result: ${parseErr(p)}")
+        assert((p(0) & 0xff) == 0x00, "binary row header")
+        val bitmapLen = (n + 7 + 2) / 8
+        val bitmap = p.slice(1, 1 + bitmapLen)
+        var off = 1 + bitmapLen
+        def leN(k: Int): Long = {
+          var v = 0L; var i = 0
+          while (i < k) { v |= (p(off + i) & 0xffL) << (8 * i); i += 1 }
+          off += k; v
+        }
+        val cells = defs.zipWithIndex.map { case ((_, t), i) =>
+          val bit = i + 2
+          if ((bitmap(bit / 8) & (1 << (bit % 8))) != 0) None
+          else Some(t match {
+            case 0x01 => leN(1).toByte.toString
+            case 0x02 => leN(2).toShort.toString
+            case 0x03 => leN(4).toInt.toString
+            case 0x08 => leN(8).toString
+            case 0x04 => java.lang.Float.intBitsToFloat(leN(4).toInt).toString
+            case 0x05 => java.lang.Double.longBitsToDouble(leN(8)).toString
+            case 0x0a => // packed DATE
+              val len = leN(1).toInt
+              val (y, m, d) = (leN(2).toInt, leN(1).toInt, leN(1).toInt)
+              assert(len == 4)
+              f"$y%04d-$m%02d-$d%02d"
+            case 0x0c => // packed DATETIME
+              val len = leN(1).toInt
+              val (y, mo, d) = (leN(2).toInt, leN(1).toInt, leN(1).toInt)
+              val (h, mi, s) = (leN(1).toInt, leN(1).toInt, leN(1).toInt)
+              val us = if (len == 11) leN(4) else 0L
+              f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.$us%06d"
+            case _ => // lenc bytes (strings, decimals, blobs)
+              val (len, ls) = lencInt(p, off)
+              off += ls
+              val s = new String(p, off, len.toInt, "UTF-8")
+              off += len.toInt
+              s
+          })
+        }
+        rows += cells
+        p = read()
+      }
+      ResultSet(defs.map(_._1), rows.result())
+    }
+
+    private def response(binary: Boolean = false): Response = {
       val p = read()
       (p(0) & 0xff) match {
         case 0x00 => Ok(lencInt(p, 1)._1)
         case 0xff => parseErr(p)
-        case _    => readResultSet(p)
+        case _    => if (binary) readBinaryResultSet(p) else readResultSet(p)
       }
     }
 
@@ -205,6 +269,18 @@ class MysqlServerSpec extends AnyFunSuite {
         params.foreach { case (t, v) => if (t != 0x06) b.write(v, 0, v.length) }
       }
       command(0x17, b.toByteArray)
+      response(binary = true)
+    }
+
+    def resetStmt(stmtId: Int): Response = {
+      val b = new ByteArrayOutputStream()
+      (0 until 4).foreach(i => b.write((stmtId >> (8 * i)) & 0xff))
+      command(0x1a, b.toByteArray)
+      response()
+    }
+
+    def changeUser(): Response = {
+      command(0x11, "root ".getBytes("UTF-8"))
       response()
     }
 
@@ -333,6 +409,51 @@ class MysqlServerSpec extends AnyFunSuite {
     assert(e.isInstanceOf[Err])
     assert(c.query("select 5 as five").asInstanceOf[ResultSet]
       .rows == Seq(Seq(Some("5"))))
+    c.quit()
+  }
+
+  test("binary result rows: every wire type decodes from COM_STMT_EXECUTE") {
+    val c = new Client
+    val (sid, n) = c.prepare(
+      """select cast(1 as tinyint) as i8, cast(300 as smallint) as i16,
+        |  cast(-70000 as int) as i32, cast(5000000000 as bigint) as i64,
+        |  cast(1.5 as float) as f32, cast(2.25 as double) as f64,
+        |  cast(12.3400 as decimal(10,4)) as dec,
+        |  'héllo' as s, cast(null as int) as nl,
+        |  cast('2024-03-15' as date) as d,
+        |  cast('2024-03-15 10:20:30.5' as timestamp) as ts""".stripMargin)
+    assert(n == 0)
+    val rs = c.execute(sid, Seq.empty).asInstanceOf[ResultSet]
+    assert(rs.columns == Seq("i8", "i16", "i32", "i64", "f32", "f64",
+      "dec", "s", "nl", "d", "ts"))
+    assert(rs.rows == Seq(Seq(Some("1"), Some("300"), Some("-70000"),
+      Some("5000000000"), Some("1.5"), Some("2.25"), Some("12.3400"),
+      Some("héllo"), None, Some("2024-03-15"),
+      Some("2024-03-15 10:20:30.500000"))))
+    c.closeStmt(sid)
+    c.quit()
+  }
+
+  test("COM_STMT_RESET answers OK; COM_CHANGE_USER resets session state") {
+    val c = new Client
+    assert(c.query("create schema if not exists wirecu").isInstanceOf[Ok])
+    assert(c.initDb("wirecu").isInstanceOf[Ok])
+    val (sid, _) = c.prepare("select 1 as one")
+    assert(c.resetStmt(sid).isInstanceOf[Ok])
+    // statement still usable after reset
+    assert(c.execute(sid, Seq.empty).asInstanceOf[ResultSet]
+      .rows == Seq(Seq(Some("1"))))
+
+    assert(c.query("create table cu_t (x int)").isInstanceOf[Ok])
+
+    assert(c.changeUser().isInstanceOf[Ok])
+    // prepared statements are gone and current db is back to the default
+    // ("mysql", like the reference's fresh connection)
+    assert(c.execute(sid, Seq.empty).isInstanceOf[Err])
+    val tabs = c.query("show tables").asInstanceOf[ResultSet]
+    assert(tabs.columns == Seq("Tables_in_mysql"))
+    assert(!tabs.rows.flatten.flatten.contains("cu_t"))
+    assert(c.initDb("wirecu").isInstanceOf[Ok]) // connection still usable
     c.quit()
   }
 
