@@ -4,8 +4,19 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+object Catalog {
+  /** Hidden per-row commit-sequence column of merge-on-read tables: data
+    * rows carry the sequence they were written at, tombstones the
+    * sequence they were committed at; a tombstone masks exactly the
+    * matching-pk rows with a strictly older sequence, so an UPDATE's new
+    * row versions (same sequence) and any later re-INSERT survive.
+    */
+  val SeqCol = "_graft_seq"
+}
 
 /** Warehouse-backed catalog: schema = directory, table = directory with a
   * line-based meta file plus a `data/` parquet dir.
@@ -39,6 +50,26 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       * the sled-semantics KV engine — stores columnar parquet.
       */
     def format: String = if (engine == "csv") "csv" else "parquet"
+
+    /** Merge-on-read DML eligibility: PK'd pure-parquet tables. UPDATE/
+      * DELETE on these write pk tombstones (equality deletes) instead of
+      * rewriting the table; reads merge through the registered view.
+      * CSV/MEMORY engines and partitioned tables keep copy-on-write.
+      */
+    def mergeOnRead: Boolean =
+      pk.nonEmpty && engine == "parquet" && partitionCols.isEmpty
+
+    /** Physical parquet schema of a merge-on-read base table: the logical
+      * columns plus the hidden per-row commit sequence.
+      */
+    def baseSchema: StructType =
+      StructType(schema.fields :+ StructField(Catalog.SeqCol, LongType))
+
+    /** Tombstone-file schema: the pk columns plus the delete's commit
+      * sequence — Iceberg's "equality delete" file shape.
+      */
+    def delsSchema: StructType =
+      StructType(pk.map(k => schema(k)) :+ StructField(Catalog.SeqCol, LongType))
   }
 
   Files.createDirectories(Paths.get(warehouse))
@@ -55,6 +86,10 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   private def tablePath(db: String, t: String): Path = Paths.get(warehouse, db, t)
   def dataPath(db: String, t: String): String =
     tablePath(db, t).resolve("data").toString
+  def deletesPath(db: String, t: String): String =
+    tablePath(db, t).resolve("deletes").toString
+  private def baseName(t: String): String = t + "__graft_base"
+  private def delsName(t: String): String = t + "__graft_dels"
 
   // ---- schemas -----------------------------------------------------------
 
@@ -113,7 +148,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     if (!tableExists(db, t)) {
       if (!ifExists) sys.error(s"Unknown table '$db.$t'")
     } else {
-      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+      deregister(db, t)
       deleteRecursively(tablePath(db, t))
     }
   }
@@ -143,7 +178,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     require(!tableExists(db2, t2), s"Table '$db2.$t2' already exists")
     require(schemaExists(db2), s"Unknown database '$db2'")
     val m = meta(db1, t1)
-    spark.sql(s"DROP TABLE IF EXISTS `$db1`.`$t1`")
+    deregister(db1, t1)
     Files.move(tablePath(db1, t1), tablePath(db2, t2),
       StandardCopyOption.ATOMIC_MOVE)
     register(m.copy(db = db2, table = t2))
@@ -154,7 +189,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def replaceMeta(m: TableMeta): Unit = {
     writeMeta(m)
-    spark.sql(s"DROP TABLE IF EXISTS `${m.db}`.`${m.table}`")
+    deregister(m.db, m.table)
     register(m)
   }
 
@@ -170,22 +205,30 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val m = meta(db, t)
     if (m.format != "parquet") read(db, t).count()
     else {
-      val dir = currentVersionDir(db, t)
-      if (!Files.isDirectory(dir)) 0L
-      else {
-        val conf = spark.sessionState.newHadoopConf()
-        Files.walk(dir).iterator.asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .map { p =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(p.toUri), conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getRecordCount finally r.close()
-          }.sum
-      }
+      // every tombstone masks exactly one older row (pk-unique + the
+      // DML discipline writes a tombstone only for a row that was
+      // visible), so live rows = data footers − delete footers
+      val data = footerRowCount(currentVersionDir(db, t))
+      if (m.mergeOnRead) data - footerRowCount(Paths.get(deletesPath(db, t)))
+      else data
     }
   }
+
+  /** Parquet row count summed straight from the file footers — no job. */
+  private def footerRowCount(dir: Path): Long =
+    if (!Files.isDirectory(dir)) 0L
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      Files.walk(dir).iterator.asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    }
 
   /** Snapshot read pinned to the table's CURRENT committed version: the
     * `data` pointer is resolved once, so the frame keeps reading a
@@ -199,7 +242,28 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   def readSnapshot(db: String, t: String): DataFrame = {
     val m = meta(db, t)
     val real = currentVersionDir(db, t)
-    spark.read.schema(m.schema).format(m.format).load(real.toString)
+    if (!m.mergeOnRead)
+      spark.read.schema(m.schema).format(m.format).load(real.toString)
+    else
+      mergedFrom(m, real).select(m.cols.map(c => col(s"`${c.name}`")): _*)
+  }
+
+  /** Base rows under `dataDir` with the table's tombstones applied: a
+    * LEFT ANTI join on pk equality plus the strictly-older-sequence
+    * condition. The tombstone side is small between compactions, so
+    * Catalyst broadcasts it — the merge adds no shuffle on the data side
+    * (the 100 TB-safe merge-on-read shape). Keeps the hidden seq column;
+    * callers project it away.
+    */
+  private def mergedFrom(m: TableMeta, dataDir: Path): DataFrame = {
+    val base = spark.read.schema(m.baseSchema).parquet(dataDir.toString)
+    val dels = spark.read.schema(m.delsSchema)
+      .parquet(deletesPath(m.db, m.table))
+    val cond: Column = m.pk.map(k => base(s"`$k`") === dels(s"`$k`"))
+      .reduce(_ && _) &&
+      dels(s"`${Catalog.SeqCol}`") >
+        coalesce(base(s"`${Catalog.SeqCol}`"), lit(0L))
+    base.join(dels, cond, "left_anti")
   }
 
   // ---- commit protocol: versioned dirs + atomic pointer swap -------------
@@ -292,28 +356,110 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       .filter(Files.isRegularFile(_))
       .map(p => dir.relativize(p).toString).toSet
 
-  /** Copy-on-write rewrite of a table's data (UPDATE/DELETE/ALTER):
+  // ---- merge-on-read sequences and tombstones -----------------------------
+
+  private def seqFile(db: String, t: String): Path =
+    tablePath(db, t).resolve("_graft_seqno")
+
+  private def nextSeqLocked(db: String, t: String): Long = {
+    val f = seqFile(db, t)
+    val cur = if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+    Files.writeString(f, (cur + 1).toString)
+    cur + 1
+  }
+
+  /** Allocate the next commit sequence for a table (monotonic, persisted
+    * alongside the commit log; single-writer like every other commit).
+    */
+  def nextSeq(db: String, t: String): Long = {
+    val lock = lockFor(db, t)
+    lock.lock()
+    try nextSeqLocked(db, t) finally lock.unlock()
+  }
+
+  /** Commit equality-delete tombstones: `pks` must hold exactly the pk
+    * columns of rows visible at `seq` allocation time. Masks take effect
+    * on the next read through the view — no data file is touched
+    * (the merge-on-read half of DELETE/UPDATE).
+    */
+  def appendDeletes(db: String, t: String, pks: DataFrame, seq: Long,
+                    refresh: Boolean = true): Unit = {
+    val m = meta(db, t)
+    require(m.mergeOnRead, s"'$db.$t' is not a merge-on-read table")
+    val out = pks.withColumn(Catalog.SeqCol, lit(seq))
+    val lock = lockFor(db, t)
+    lock.lock()
+    try out.write.mode("append").parquet(deletesPath(db, t))
+    finally lock.unlock()
+    // refresh=false lets an UPDATE keep every in-flight plan (and any
+    // cache recompute) reading the PRE-tombstone snapshot until its new
+    // row versions are appended too — it must call refreshMergeOnRead
+    // itself once both writes land
+    if (refresh) refreshMergeOnRead(db, t)
+  }
+
+  /** Invalidate cached plans and file listings of the merge-on-read trio. */
+  def refreshMergeOnRead(db: String, t: String): Unit = {
+    spark.catalog.refreshTable(s"`$db`.`${delsName(t)}`")
+    spark.catalog.refreshTable(s"`$db`.`${baseName(t)}`")
+    spark.catalog.refreshTable(s"`$db`.`$t`")
+  }
+
+  /** Compaction: fold the accumulated tombstones into a fresh data
+    * version (OPTIMIZE TABLE). Per-row sequences are PRESERVED through
+    * the rewrite, so tombstones committed while the compaction
+    * materializes still mask exactly their rows in the compacted files.
+    */
+  def compact(db: String, t: String): Unit = {
+    val m = meta(db, t)
+    require(m.mergeOnRead, s"'$db.$t' is not a merge-on-read table")
+    rewrite(db, t, mergedFrom(m, currentVersionDir(db, t)))
+  }
+
+  /** Copy-on-write rewrite of a table's data (ALTER / TRUNCATE /
+    * compaction; also UPDATE/DELETE on non-merge-on-read tables):
     * materialize the new contents as version N+1 (no lock held), then —
     * inside the commit critical section — hard-link any files a
     * concurrent append added to version N since the snapshot, swap the
     * pointer, and GC versions older than N (N itself is retained one
     * commit so in-flight `readSnapshot` frames stay readable).
+    *
+    * `df` is by-name and evaluated AFTER the file snapshot, so a frame
+    * that lists files eagerly (spark.read over the version dir, as
+    * `compact` passes) cannot miss an append that lands between its
+    * construction and the snapshot.
+    *
+    * Merge-on-read bookkeeping: a rewrite folds every tombstone that
+    * existed when materialization started into the new data version.
+    * Those tombstone files are retired by MOVING them into the replaced
+    * version dir, so in-flight merge reads keep resolving them and they
+    * are GC'd with that version's grace period. If the frame carries no
+    * seq column (session frames read the merged view), all rows are
+    * stamped with a sequence allocated BEFORE materialization — any
+    * tombstone committed during the window gets a higher sequence and
+    * still masks its rows in the rewritten files.
     */
-  def rewrite(db: String, t: String, df: DataFrame): Unit = {
+  def rewrite(db: String, t: String, df: => DataFrame): Unit = {
     val lock = lockFor(db, t)
     lock.lock()
-    val (cur, snapshot) =
+    val (cur, snapshot, delSnapshot, seq) =
       try {
         ensureVersioned(db, t)
         val c = currentVersionDir(db, t)
-        (c, listFiles(c))
+        (c, listFiles(c), listFiles(Paths.get(deletesPath(db, t))),
+          nextSeqLocked(db, t))
       } finally lock.unlock()
 
     val m = meta(db, t)
+    val frame0 = df
+    val frame =
+      if (m.mergeOnRead && !frame0.columns.contains(Catalog.SeqCol))
+        frame0.withColumn(Catalog.SeqCol, lit(seq))
+      else frame0
     val versions = tablePath(db, t).resolve("versions")
     val nextV = versionNumber(cur) + 1
     val next = versions.resolve(s"v$nextV")
-    writer(df, m).mode("overwrite").save(next.toString)
+    writer(frame, m).mode("overwrite").save(next.toString)
 
     onRewriteBeforeCommit()
 
@@ -326,6 +472,15 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         Files.createDirectories(target.getParent)
         Files.createLink(target, cur.resolve(name))
       }
+      // retire folded tombstones into the replaced version's grace window
+      if (delSnapshot.nonEmpty) {
+        val folded = cur.resolve("_folded_dels")
+        Files.createDirectories(folded)
+        val dels = Paths.get(deletesPath(db, t))
+        delSnapshot.foreach { name =>
+          Files.move(dels.resolve(name), folded.resolve(name.replace('/', '_')))
+        }
+      }
       swapPointer(db, t, s"versions/v$nextV")
       logCommit(db, t, nextV, "rewrite")
       // grace GC: keep the just-replaced version for in-flight snapshot
@@ -335,20 +490,34 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         .toSeq.foreach(deleteRecursively)
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
-    spark.catalog.refreshTable(s"`$db`.`$t`")
+    refreshRegistered(db, t, m)
   }
 
-  def append(db: String, t: String, df: DataFrame): Unit = {
+  /** Append rows. Merge-on-read tables stamp the hidden seq column with
+    * `seqOpt` (an UPDATE passes its own commit sequence so new row
+    * versions survive their tombstones) or a freshly allocated one.
+    */
+  def append(db: String, t: String, df: DataFrame,
+             seqOpt: Option[Long] = None): Unit = {
     val m = meta(db, t)
     val lock = lockFor(db, t)
     lock.lock()
     try {
       ensureVersioned(db, t)
-      writer(df, m).mode("append").save(currentVersionDir(db, t).toString)
+      val out =
+        if (m.mergeOnRead && !df.columns.contains(Catalog.SeqCol))
+          df.withColumn(Catalog.SeqCol,
+            lit(seqOpt.getOrElse(nextSeqLocked(db, t))))
+        else df
+      writer(out, m).mode("append").save(currentVersionDir(db, t).toString)
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
-    spark.catalog.refreshTable(s"`$db`.`$t`")
+    refreshRegistered(db, t, m)
   }
+
+  private def refreshRegistered(db: String, t: String, m: TableMeta): Unit =
+    if (m.mergeOnRead) refreshMergeOnRead(db, t)
+    else spark.catalog.refreshTable(s"`$db`.`$t`")
 
   private def writer(df: DataFrame, m: TableMeta) = {
     val w = df.write.format(m.format)
@@ -368,18 +537,48 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       lines.asJava)
   }
 
+  /** Drop every session-catalog entry of a logical table — the plain
+    * table OR the merge-on-read trio (view + base + dels). Handles both
+    * shapes blindly so re-registration and engine changes stay simple.
+    */
+  private def deregister(db: String, t: String): Unit = {
+    val sc = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+    if (sc.tableExists(ident)) {
+      val isView = sc.getTableMetadata(ident).tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+      spark.sql(
+        if (isView) s"DROP VIEW IF EXISTS `$db`.`$t`"
+        else s"DROP TABLE IF EXISTS `$db`.`$t`")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`${baseName(t)}`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`${delsName(t)}`")
+  }
+
+  /** Location a registered entry must sit at to belong to THIS warehouse
+    * (the Spark external catalog is shared across sessions in one JVM: a
+    * same-named table registered by a DIFFERENT warehouse must be
+    * re-pointed).
+    */
+  private def belongsHere(db: String, t: String, registered: String): Boolean = {
+    val sc = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(registered, Some(db))
+    val ct = sc.getTableMetadata(ident)
+    ct.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW &&
+      Paths.get(ct.location).normalize() ==
+        Paths.get(dataPath(db, t)).toAbsolutePath.normalize()
+  }
+
   private def register(m: TableMeta): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `${m.db}`")
-    // the Spark external catalog is shared across sessions in one JVM: a
-    // same-named table registered by a DIFFERENT warehouse (another
-    // Catalog instance) must be re-pointed at this warehouse's path
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(m.table, Some(m.db))
     val sc = spark.sessionState.catalog
-    if (sc.tableExists(ident)) {
-      val loc = Paths.get(sc.getTableMetadata(ident).location).normalize()
-      if (loc != Paths.get(dataPath(m.db, m.table)).toAbsolutePath.normalize())
-        spark.sql(s"DROP TABLE `${m.db}`.`${m.table}`")
+    if (m.mergeOnRead) {
+      registerMergeOnRead(m, sc)
+      return
     }
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(m.table, Some(m.db))
+    if (sc.tableExists(ident) && !belongsHere(m.db, m.table, m.table))
+      deregister(m.db, m.table)
     if (!spark.catalog.tableExists(s"`${m.db}`.`${m.table}`")) {
       if (m.partitionCols.nonEmpty) {
         // Hive-style directory partitioning (the reference's sled
@@ -406,6 +605,45 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       if (m.engine == "memory")
         spark.catalog.cacheTable(s"`${m.db}`.`${m.table}`")
     }
+  }
+
+  /** Merge-on-read registration: the physical base (data files + hidden
+    * seq) and tombstone (equality deletes) external tables under internal
+    * names, and the LOGICAL name as a view merging them. Every reader —
+    * `spark.table`, qualified SQL, joins — resolves the view and gets
+    * delete-aware rows; the anti-join's tombstone side stays
+    * broadcast-small between compactions.
+    */
+  private def registerMergeOnRead(
+      m: TableMeta,
+      sc: org.apache.spark.sql.catalyst.catalog.SessionCatalog): Unit = {
+    val base = baseName(m.table)
+    val dels = delsName(m.table)
+    val baseIdent =
+      org.apache.spark.sql.catalyst.TableIdentifier(base, Some(m.db))
+    val tIdent =
+      org.apache.spark.sql.catalyst.TableIdentifier(m.table, Some(m.db))
+    if ((sc.tableExists(baseIdent) && !belongsHere(m.db, m.table, base)) ||
+        (!sc.tableExists(baseIdent) && sc.tableExists(tIdent)))
+      deregister(m.db, m.table)
+    Files.createDirectories(Paths.get(deletesPath(m.db, m.table)))
+    if (!sc.tableExists(baseIdent)) {
+      spark.catalog.createTable(s"`${m.db}`.`$base`", "parquet",
+        m.baseSchema, Map("path" -> dataPath(m.db, m.table)))
+      spark.catalog.createTable(s"`${m.db}`.`$dels`", "parquet",
+        m.delsSchema, Map("path" -> deletesPath(m.db, m.table)))
+    }
+    // aliases must not collide with user column names (`b.x` would parse
+    // as field extraction from a column literally named "b")
+    val outCols = m.cols.map(c => s"`__gb`.`${c.name}`").mkString(", ")
+    val pkEq = m.pk.map(k => s"`__gd`.`$k` = `__gb`.`$k`").mkString(" AND ")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW `${m.db}`.`${m.table}` AS
+         |SELECT $outCols FROM `${m.db}`.`$base` `__gb`
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM `${m.db}`.`$dels` `__gd`
+         |  WHERE $pkEq AND `__gd`.`${Catalog.SeqCol}` >
+         |    coalesce(`__gb`.`${Catalog.SeqCol}`, CAST(0 AS BIGINT)))""".stripMargin)
   }
 
   /** Sync the session catalog's partition list with the directories on

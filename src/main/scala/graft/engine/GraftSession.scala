@@ -58,7 +58,24 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       show(s"show columns from ${stmt.split("\\s+", 2)(1)}")
     else if (lower.startsWith("truncate")) truncate(stmt)
     else if (lower.startsWith("rename table")) renameTable(stmt)
+    else if (lower.startsWith("optimize")) optimizeTable(stmt)
     else query(stmt)
+  }
+
+  private val OptimizeR = "(?is)optimize\\s+(?:table\\s+)?([`\\w.]+)".r
+
+  /** OPTIMIZE TABLE: compact a merge-on-read table — fold accumulated
+    * tombstones into a fresh data version (MySQL's OPTIMIZE TABLE
+    * result-set shape: Table/Op/Msg_type/Msg_text).
+    */
+  private def optimizeTable(stmt: String): DataFrame = stmt match {
+    case OptimizeR(name) =>
+      val (db, t) = qualify(name)
+      val msg =
+        if (catalog.meta(db, t).mergeOnRead) { catalog.compact(db, t); "OK" }
+        else "Table does not support optimize, doing nothing"
+      frame(Seq("Table", "Op", "Msg_type", "Msg_text"),
+        Seq(Seq(s"$db.$t", "optimize", "status", msg)))
   }
 
   private val TruncateR = "(?is)truncate\\s+(?:table\\s+)?([`\\w.]+)".r
@@ -369,22 +386,62 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         val Array(c, e) = a.split("=", 2)
         clean(c.trim) -> e.trim
       }
-      // Evaluate WHERE exactly once against the ORIGINAL row (MySQL
-      // semantics): a later assignment must not see the condition
-      // re-resolved against columns an earlier assignment just changed.
-      // Marker column name is made collision-free against user columns.
-      var marker = "_graft_upd"
-      while (m.cols.exists(_.name == marker)) marker += "_"
-      var df = catalog.read(db, t).withColumn(marker, cond)
-      val affected = df.filter(col(s"`$marker`")).count()
-      for ((c, e) <- assignments) {
-        val ddl = m.cols.find(_.name == c)
-          .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
-        df = df.withColumn(c,
-          when(col(s"`$marker`"), expr(e).cast(ddl)).otherwise(col(s"`$c`")))
+      if (m.mergeOnRead) updateMergeOnRead(db, t, m, cond, assignments)
+      else {
+        // Evaluate WHERE exactly once against the ORIGINAL row (MySQL
+        // semantics): a later assignment must not see the condition
+        // re-resolved against columns an earlier assignment just changed.
+        // Marker column name is made collision-free against user columns.
+        var marker = "_graft_upd"
+        while (m.cols.exists(_.name == marker)) marker += "_"
+        var df = catalog.read(db, t).withColumn(marker, cond)
+        val affected = df.filter(col(s"`$marker`")).count()
+        for ((c, e) <- assignments) {
+          val ddl = m.cols.find(_.name == c)
+            .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
+          df = df.withColumn(c,
+            when(col(s"`$marker`"), expr(e).cast(ddl)).otherwise(col(s"`$c`")))
+        }
+        catalog.rewrite(db, t, df.drop(marker))
+        count(affected)
       }
-      catalog.rewrite(db, t, df.drop(marker))
+  }
+
+  /** Merge-on-read UPDATE: tombstone the matched rows' OLD pks, append
+    * the new row versions at the same commit sequence (so the tombstones
+    * mask exactly the old copies), and never touch the rest of the
+    * table — an UPDATE of k rows writes O(k), not O(table)
+    * (update.rs rewrites per-key in sled; this is the columnar
+    * equivalent of that point-write shape).
+    */
+  private def updateMergeOnRead(db: String, t: String, m: catalog.TableMeta,
+                                cond: org.apache.spark.sql.Column,
+                                assignments: Seq[(String, String)]): DataFrame = {
+    val seq = catalog.nextSeq(db, t)
+    // matched rows pin to the CURRENT merged view; persist so the count,
+    // the tombstone write, and the new-version write share one scan
+    val matched = catalog.read(db, t).filter(cond)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = matched.count()
+      if (affected > 0) {
+        var upd = matched
+        for ((c, e) <- assignments) {
+          val ddl = m.cols.find(_.name == c)
+            .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
+          upd = upd.withColumn(c, expr(e).cast(ddl))
+        }
+        // tombstones first: a crash between the writes leaves the rows
+        // briefly deleted, never duplicated (pk uniqueness preserved).
+        // refresh=false keeps `matched` (and any cache recompute of it)
+        // pinned to the pre-tombstone snapshot until both writes land
+        catalog.appendDeletes(db, t,
+          matched.select(m.pk.map(k => col(s"`$k`")): _*), seq,
+          refresh = false)
+        catalog.append(db, t, upd, seqOpt = Some(seq))
+      }
       count(affected)
+    } finally matched.unpersist()
   }
 
   private def topLevelIndexOfWord(s: String, word: String): Int =
@@ -395,11 +452,26 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   private def delete(stmt: String): DataFrame = stmt match {
     case DeleteR(name, whereOpt) =>
       val (db, t) = qualify(name)
+      val m = catalog.meta(db, t)
       val df = catalog.read(db, t)
       if (whereOpt == null) {
+        // full-table delete: the rewrite (empty v+1) also retires any
+        // accumulated tombstones, cheaper than tombstoning every row
         val n = df.count()
         catalog.rewrite(db, t, df.limit(0))
         count(n)
+      } else if (m.mergeOnRead) {
+        // merge-on-read DELETE: write pk tombstones only — O(matched),
+        // not O(table) (delete.rs point-deletes sled keys; same shape)
+        val seq = catalog.nextSeq(db, t)
+        val matched = df.filter(expr(whereOpt))
+          .select(m.pk.map(k => col(s"`$k`")): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val affected = matched.count()
+          if (affected > 0) catalog.appendDeletes(db, t, matched, seq)
+          count(affected)
+        } finally matched.unpersist()
       } else {
         val affected = df.filter(expr(whereOpt)).count()
         catalog.rewrite(db, t, df.filter(not(expr(whereOpt))))

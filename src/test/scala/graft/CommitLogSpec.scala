@@ -149,7 +149,9 @@ class CommitLogSpec extends AnyFunSuite {
     val g = new GraftSession(spark.newSession(), wh)
     g.sql("create schema sess")
     g.sql("use sess")
-    g.sql("create table kv (id int, v varchar(20), primary key(id))")
+    // no PRIMARY KEY: copy-on-write DML, every statement a rewrite commit
+    // (PK'd tables take the merge-on-read path — MergeOnReadSpec)
+    g.sql("create table kv (id int, v varchar(20))")
     g.sql("insert into kv values (1,'a'), (2,'b'), (3,'c')")
     g.sql("update kv set v = 'z' where id = 2")
     g.sql("delete from kv where id = 1")

@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.GraftSession
+
+/** Merge-on-read DML on PK'd parquet tables: UPDATE/DELETE write pk
+  * tombstones (equality deletes, the Iceberg/Hudi shape) instead of
+  * rewriting the table; reads resolve the registered view that anti-joins
+  * the tombstones with a strictly-older-sequence guard; OPTIMIZE TABLE
+  * folds tombstones back into a fresh data version. This re-expresses the
+  * reference's sled point-writes (update.rs / delete.rs mutate per-key)
+  * in a columnar layout: an UPDATE of k rows writes O(k) bytes, not
+  * O(table).
+  */
+class MergeOnReadSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def freshSession(): (GraftSession, String) = {
+    val wh = Files.createTempDirectory("graft-mor-wh").toString
+    val g = new GraftSession(spark.newSession(), wh)
+    g.sql("create schema mor")
+    g.sql("use mor")
+    (g, wh)
+  }
+
+  private def rows(g: GraftSession, sql: String): Seq[Seq[String]] =
+    g.sql(sql).collect().toSeq.map(r =>
+      (0 until r.length).map(i => String.valueOf(r.get(i))))
+
+  private def logLines(wh: String, t: String): Seq[String] =
+    Files.readAllLines(Paths.get(wh, "mor", t, "_graft_log")).asScala.toSeq
+
+  private def tombstoneFiles(wh: String, t: String): Seq[String] = {
+    val d = Paths.get(wh, "mor", t, "deletes")
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator.asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+  }
+
+  test("UPDATE/DELETE write tombstones, not data versions; results match MySQL semantics") {
+    val (g, wh) = freshSession()
+    g.sql("create table kv (id int, v varchar(20), primary key(id))")
+    g.sql("insert into kv values (1,'a'), (2,'b'), (3,'c')")
+    assert(g.sql("update kv set v = 'z' where id = 2").collect()(0).getLong(0) == 1L)
+    assert(g.sql("delete from kv where id = 1").collect()(0).getLong(0) == 1L)
+    assert(rows(g, "select id, v from kv order by id")
+      == Seq(Seq("2", "z"), Seq("3", "c")))
+    // the POINT of merge-on-read: no rewrite commits — still on v1
+    assert(logLines(wh, "kv") == Seq("v1\tcreate"))
+    assert(tombstoneFiles(wh, "kv").nonEmpty)
+  }
+
+  test("re-INSERT of a deleted pk is visible; a second identical DELETE affects 0 rows") {
+    val (g, _) = freshSession()
+    g.sql("create table r (id int, v varchar(10), primary key(id))")
+    g.sql("insert into r values (1,'x'), (2,'y')")
+    assert(g.sql("delete from r where id = 1").collect()(0).getLong(0) == 1L)
+    assert(g.sql("delete from r where id = 1").collect()(0).getLong(0) == 0L)
+    g.sql("insert into r values (1,'x2')")
+    assert(rows(g, "select id, v from r order by id")
+      == Seq(Seq("1", "x2"), Seq("2", "y")))
+  }
+
+  test("chained updates of one row keep exactly the latest version") {
+    val (g, _) = freshSession()
+    g.sql("create table c (id int, n int, primary key(id))")
+    g.sql("insert into c values (7, 0)")
+    (1 to 5).foreach(i => g.sql(s"update c set n = $i where id = 7"))
+    assert(rows(g, "select id, n from c") == Seq(Seq("7", "5")))
+    assert(rows(g, "select count(*) as n from c") == Seq(Seq("1")))
+  }
+
+  test("footer-based row count stays exact under tombstones (SHOW TABLE STATUS path)") {
+    val (g, _) = freshSession()
+    g.sql("create table s (id int, v int, primary key(id))")
+    g.sql("insert into s values (1,1),(2,2),(3,3),(4,4)")
+    g.sql("update s set v = 0 where id <= 2") // +2 rows, +2 tombstones
+    g.sql("delete from s where id = 3")       // +1 tombstone
+    val status = g.sql("show table status").collect()
+      .find(_.getString(0) == "s").get
+    assert(status.getString(4) == "3", s"rows column: $status")
+  }
+
+  test("OPTIMIZE TABLE folds tombstones into a fresh version; non-MoR tables decline") {
+    val (g, wh) = freshSession()
+    g.sql("create table o (id int, v varchar(10), primary key(id))")
+    g.sql("insert into o values (1,'a'), (2,'b'), (3,'c')")
+    g.sql("update o set v = 'bb' where id = 2")
+    g.sql("delete from o where id = 3")
+    assert(tombstoneFiles(wh, "o").nonEmpty)
+
+    val opt = g.sql("optimize table o").collect()(0)
+    assert(opt.getString(3) == "OK")
+    assert(tombstoneFiles(wh, "o").isEmpty, "tombstones retired by compaction")
+    assert(logLines(wh, "o") == Seq("v1\tcreate", "v2\trewrite"))
+    assert(rows(g, "select id, v from o order by id")
+      == Seq(Seq("1", "a"), Seq("2", "bb")))
+    // compaction is idempotent and DML keeps working afterwards
+    g.sql("delete from o where id = 1")
+    assert(rows(g, "select id from o") == Seq(Seq("2")))
+
+    g.sql("create table plain (id int, v int)")
+    val declined = g.sql("optimize table plain").collect()(0)
+    assert(declined.getString(3).contains("does not support"))
+  }
+
+  test("a DELETE landing inside a compaction's materialization window still masks its row") {
+    val (g, wh) = freshSession()
+    g.sql("create table w (id int, v int, primary key(id))")
+    g.sql("insert into w values (1,1), (2,2), (3,3)")
+    g.sql("update w set v = 20 where id = 2") // something to compact
+    val cat = g.catalog
+    cat.onRewriteBeforeCommit = () => g.sql("delete from w where id = 3")
+    try g.sql("optimize table w")
+    finally cat.onRewriteBeforeCommit = () => ()
+    // the window-DELETE's tombstone has a higher sequence than every
+    // compacted row (sequences are preserved through compaction), so the
+    // row stays masked and the tombstone file survived the fold
+    assert(rows(g, "select id, v from w order by id")
+      == Seq(Seq("1", "1"), Seq("2", "20")))
+    assert(tombstoneFiles(wh, "w").nonEmpty)
+    // a second compaction retires it
+    g.sql("optimize table w")
+    assert(tombstoneFiles(wh, "w").isEmpty)
+    assert(rows(g, "select id, v from w order by id")
+      == Seq(Seq("1", "1"), Seq("2", "20")))
+  }
+
+  test("the merge view's tombstone anti-join broadcasts (no shuffle on the data side)") {
+    val (g, _) = freshSession()
+    g.sql("create table p (id int, v int, primary key(id))")
+    g.sql("insert into p values (1,1),(2,2)")
+    g.sql("delete from p where id = 1")
+    val plan = g.sql("select id, v from p").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("ALTER TABLE and TRUNCATE rewrite through; the view tracks the new schema") {
+    val (g, wh) = freshSession()
+    g.sql("create table a (id int, v varchar(10), primary key(id))")
+    g.sql("insert into a values (1,'x'), (2,'y')")
+    g.sql("delete from a where id = 2")
+    g.sql("alter table a add column extra int")
+    // the ALTER's rewrite folded the tombstone and the view has 3 cols
+    assert(tombstoneFiles(wh, "a").isEmpty)
+    assert(rows(g, "select id, v, extra from a order by id")
+      == Seq(Seq("1", "x", "null")))
+    g.sql("update a set extra = 9 where id = 1")
+    assert(rows(g, "select extra from a") == Seq(Seq("9")))
+    g.sql("truncate table a")
+    assert(rows(g, "select count(*) as n from a") == Seq(Seq("0")))
+  }
+}

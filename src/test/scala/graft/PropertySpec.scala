@@ -31,7 +31,10 @@ class PropertySpec extends AnyFunSuite {
   test("TopKBuf (partial top-k buffer) == naive sort/dedup/take under random splits") {
     import org.apache.spark.sql.graft.TopKBuf
     val pairGen = Gen.listOf(Gen.zip(
-      Gen.chooseNum(-5.0, 5.0).map(d => math.rint(d * 4) / 4), // forced score ties
+      // rint forces score ties; +0.0 normalizes -0.0 (the buffer compares
+      // primitively like SQL DOUBLE, the naive reference's boxed
+      // distinct/sortBy would treat -0.0 and 0.0 as distinct values)
+      Gen.chooseNum(-5.0, 5.0).map(d => math.rint(d * 4) / 4 + 0.0),
       Gen.chooseNum(0L, 30L)))
     check(Prop.forAll(pairGen, Gen.chooseNum(1, 8), Gen.oneOf(true, false),
       Gen.chooseNum(0, 100)) {
