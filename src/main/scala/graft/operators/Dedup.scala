@@ -169,6 +169,98 @@ object Dedup {
     result
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the scale path for `keepers`: converges in O(log²
+    * |V|) rounds regardless of component DIAMETER, where min-label
+    * propagation needs O(diameter) rounds. A 100 TB web-dedup graph has
+    * chain-shaped components (page A ≈ B ≈ C …) that make diameter the
+    * binding constraint; star contraction rewires every node toward the
+    * component minimum each round instead of walking one hop.
+    *
+    * Per round: large-star points every node's larger neighbors at its
+    * local minimum (one groupBy + one join over the undirected edge
+    * view), small-star folds the remaining smaller neighbors onto the
+    * minimum (same shape over the canonical larger→smaller edges). Both
+    * are key-partitioned aggregates/joins — no driver-side graph state;
+    * lineage stays flat via per-round persist/unpersist exactly like
+    * `keepers`.
+    *
+    * Same contract as `keepers`: input (doc_a, doc_b) pairs, output
+    * (doc_id, keeper) for every document in a pair, keeper = component
+    * minimum; the returned frame is the materialized cache entry —
+    * caller unpersists.
+    */
+  def keepersStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Lineage control: each round REWRITES the whole edge set (the union
+    // of both orientations roughly triples the plan per round, so the
+    // logical plan grows EXPONENTIALLY — persist truncates execution but
+    // not the plan tree, and Spark stringifies the plan on every action).
+    // localCheckpoint cuts the plan to the materialized RDD each round;
+    // on a cluster with fault-tolerance requirements, substitute
+    // `checkpoint` against a reliable dir — same call site.
+    // materialize the input ONCE: nodes and edges both derive from it,
+    // and `pairs` is typically an expensive subtree (the minhash pair
+    // pipeline) that must not run per derivation
+    val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // every document in a pair is a node (matching `keepers`, a node
+    // whose only pair is a self-loop still keeps itself)
+    val nodes = p0.select(col("doc_a").as("doc_id"))
+      .unionByName(p0.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // canonical u > v edges, self-loops dropped
+    val edges0 = p0
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    var edges = edges0
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star: for every node u (over the undirected neighborhood),
+      // m = min(N(u) ∪ {u}); emit (v, m) for neighbors v > u
+      val und = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val afterLarge = und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: over canonical u > v edges, m = min neighbor of u;
+      // emit (v, m) for the other small neighbors plus (u, m)
+      val sMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val next = afterLarge.join(sMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(sMins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      // converged when the round produced no edge outside the current set
+      val changed = next.join(edges, Seq("u", "v"), "left_anti")
+        .limit(1).count()
+      edges = next
+      converged = changed == 0
+      iter += 1
+    }
+
+    // at convergence edges form stars rooted at component minima; roots
+    // appear only on the v side and keep themselves
+    val result = nodes
+      .join(edges.groupBy(col("u").as("doc_id"))
+        .agg(min(col("v")).as("star_keeper")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("star_keeper"), col("doc_id")).as("keeper"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    nodes.unpersist()
+    result
+  }
+
   /** Near-duplicate pairs by 64-bit SimHash within `maxHamming` bit
     * flips. Band count is pigeonhole-derived (maxHamming+1 bands ⇒ any
     * qualifying pair agrees exactly on ≥1 band), so the band join is

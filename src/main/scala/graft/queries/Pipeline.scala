@@ -599,7 +599,7 @@ object Pipeline {
         .minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleK = 5, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
-      graft.operators.Dedup.keepers(pairs)
+      graft.operators.Dedup.keepersStar(pairs)
         .orderBy(col("doc_id"))
     },
     Some("""WITH RECURSIVE sh AS (

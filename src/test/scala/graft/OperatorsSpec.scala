@@ -128,6 +128,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(k.nonEmpty && k.forall { case (d, kp) => kp <= d && k(kp) == kp })
   }
 
+  test("keepersStar == keepers on chains, stars, forests, and a random graph") {
+    import graft.operators.Dedup
+    def run(pairs: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] = {
+      val df = Dedup.keepersStar(pairs.toDF("doc_a", "doc_b"), maxIter)
+      val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      df.unpersist()
+      m
+    }
+    def naive(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      // union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    // diameter stress: a 60-node chain needs 60 label-prop rounds but
+    // only O(log) star rounds — run with maxIter far below the diameter
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    assert(run(chain, maxIter = 10) == naive(chain))
+    val shapes = Seq(
+      Seq((5L, 1L), (5L, 9L), (5L, 3L)),                    // star, root mid
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 3L)),          // merged chains
+      Seq((7L, 7L), (8L, 9L), (9L, 8L)))                    // self-loop, dup
+    shapes.foreach(p => assert(run(p) == naive(p), s"shape $p"))
+    val rnd = new scala.util.Random(42)
+    val random = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(random) == naive(random))
+    // and against the production pair graph, star == label-prop exactly
+    val corpus = Dedup.minhashPairs(
+      Tables.t(spark, sfDir, "documents"), "doc_id", "text")
+      .select("doc_a", "doc_b").persist()
+    val viaProp = Dedup.keepers(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.keepersStar(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpus.unpersist()
+    assert(viaStar == viaProp)
+  }
+
   test("asofJoin picks the latest right row at-or-before each left ts, per key") {
     import java.sql.Timestamp
     def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
