@@ -99,6 +99,15 @@ object GraftFunctions {
   def minhashBandKeys(sh: Column): Column =
     expr2col(MinHashBandsE(exprOf(sh), MinhashPerms, MinhashBands))
 
+  /** Band keys under an explicit (perms, bands) shape — the cost-based
+    * banding path (operators.Banding). `bands` must divide `perms`.
+    */
+  def minhashBandKeys(sh: Column, perms: Int, bands: Int): Column = {
+    require(bands > 0 && perms % bands == 0,
+      s"bands ($bands) must divide perms ($perms)")
+    expr2col(MinHashBandsE(exprOf(sh), perms, bands))
+  }
+
   // ---- quantized vector ops (oracle-exact cross-engine arithmetic) ------
 
   /** Embedding quantized to 6-decimal fixed point as array<bigint>.

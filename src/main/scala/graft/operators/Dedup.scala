@@ -36,14 +36,18 @@ object Dedup {
     * stage `docs` themselves and persist/unpersist at their own scope.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
+                   shingleK: Int = 5, threshold: Double = 0.5,
+                   perms: Int = graft.functions.GraftFunctions.MinhashPerms,
+                   bands: Int = graft.functions.GraftFunctions.MinhashBands)
+      : DataFrame = {
     val docs = df
       .select(col(idCol).as("doc_id"), textShingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    val bands = docs
-      .select(col("doc_id"), explode(minhashBandKeys(col("sh"))).as("bk"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    val bands0 = docs
+      .select(col("doc_id"),
+        explode(minhashBandKeys(col("sh"), perms, bands)).as("bk"))
+    val cand = bands0.as("a")
+      .join(bands0.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

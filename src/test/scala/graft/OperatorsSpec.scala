@@ -128,6 +128,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(k.nonEmpty && k.forall { case (d, kp) => kp <= d && k(kp) == kp })
   }
 
+  test("cost-based banding: S-curve math, workload-driven shape, auto == fixed on the corpus") {
+    import graft.operators.{Banding, Dedup}
+    // recall floor always honored
+    val lowMass = Map(0.05 -> 10000L, 0.11 -> 5000L, 0.21 -> 1000L)
+    val c50 = Banding.chooseFromHistogram(lowMass, threshold = 0.5)
+    assert(Banding.collisionProb(0.5, c50.bands, c50.rows) >= 0.95)
+    assert(c50.perms == c50.bands * c50.rows && c50.perms <= 64)
+    // heavy sub-threshold mass buys more rows (steeper S-curve) than a
+    // near-empty histogram, where signature cost dominates
+    val tinyMass = Map(0.05 -> 3L)
+    val cTiny = Banding.chooseFromHistogram(tinyMass, threshold = 0.5)
+    assert(c50.rows >= cTiny.rows,
+      s"heavy fp mass chose r=${c50.rows}, tiny mass r=${cTiny.rows}")
+    // a higher threshold admits steeper curves: rows never decrease
+    val c80 = Banding.chooseFromHistogram(lowMass, threshold = 0.8)
+    assert(c80.rows >= c50.rows, s"r(0.8)=${c80.rows} < r(0.5)=${c50.rows}")
+    // predicted fp mass is the histogram-weighted S-curve
+    val byHand = lowMass.map { case (j, n) =>
+      n * Banding.collisionProb(j, c50.bands, c50.rows) }.sum
+    assert(math.abs(c50.expectedFalseCandidates - byHand) < 1e-9)
+
+    // end to end: corpus-chosen banding finds the same verified pair set
+    // as the fixed 32×2 default (both operate above the recall floor, and
+    // the exact in-bucket verify makes the result banding-insensitive)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val fixed = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Banding.minhashPairsAuto(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed,
+      s"missing=${fixed -- auto} extra=${auto -- fixed}")
+  }
+
   test("keepersStar == keepers on chains, stars, forests, and a random graph") {
     import graft.operators.Dedup
     def run(pairs: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] = {
