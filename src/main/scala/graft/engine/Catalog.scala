@@ -416,6 +416,29 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     rewrite(db, t, mergedFrom(m, currentVersionDir(db, t)))
   }
 
+  /** Auto-compaction policy: fold tombstones once they exceed BOTH an
+    * absolute floor (don't churn small tables) and a fraction of the
+    * data rows (the merge anti-join's broadcast side must stay small —
+    * this bound is what keeps the read path shuffle-free at any scale).
+    * Checked from parquet footers only — no Spark job.
+    */
+  var autoCompactMinTombstones: Long = 10000L
+  var autoCompactRatio: Double = 0.2
+
+  /** Called by DML after committing tombstones; compacts when the policy
+    * triggers. Returns whether a compaction ran. Never invoked from
+    * `rewrite` itself, so compaction cannot re-enter.
+    */
+  def maybeAutoCompact(db: String, t: String): Boolean = {
+    val m = meta(db, t)
+    if (!m.mergeOnRead) return false
+    val dels = footerRowCount(Paths.get(deletesPath(db, t)))
+    val trigger = dels >= autoCompactMinTombstones &&
+      dels >= autoCompactRatio * footerRowCount(currentVersionDir(db, t))
+    if (trigger) compact(db, t)
+    trigger
+  }
+
   /** Copy-on-write rewrite of a table's data (ALTER / TRUNCATE /
     * compaction; also UPDATE/DELETE on non-merge-on-read tables):
     * materialize the new contents as version N+1 (no lock held), then —

@@ -439,6 +439,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
           matched.select(m.pk.map(k => col(s"`$k`")): _*), seq,
           refresh = false)
         catalog.append(db, t, upd, seqOpt = Some(seq))
+        catalog.maybeAutoCompact(db, t)
       }
       count(affected)
     } finally matched.unpersist()
@@ -469,7 +470,10 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val affected = matched.count()
-          if (affected > 0) catalog.appendDeletes(db, t, matched, seq)
+          if (affected > 0) {
+            catalog.appendDeletes(db, t, matched, seq)
+            catalog.maybeAutoCompact(db, t)
+          }
           count(affected)
         } finally matched.unpersist()
       } else {

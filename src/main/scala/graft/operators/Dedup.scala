@@ -38,11 +38,17 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, threshold: Double = 0.5,
                    perms: Int = graft.functions.GraftFunctions.MinhashPerms,
-                   bands: Int = graft.functions.GraftFunctions.MinhashBands)
-      : DataFrame = {
-    val docs = df
+                   bands: Int = graft.functions.GraftFunctions.MinhashBands,
+                   stage: Boolean = false): DataFrame = {
+    // stage=true materializes the shingle table ONCE (localCheckpoint —
+    // blocks freed when the frame is GC'd, no cache-ownership leak) so
+    // the band-join and the two verify joins don't re-shingle the
+    // corpus; costs eagerness at construction. The default keeps the
+    // operator lazy — see the cache-ownership note above.
+    val docs0 = df
       .select(col(idCol).as("doc_id"), textShingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+    val docs = if (stage) docs0.localCheckpoint() else docs0
     val bands0 = docs
       .select(col("doc_id"),
         explode(minhashBandKeys(col("sh"), perms, bands)).as("bk"))

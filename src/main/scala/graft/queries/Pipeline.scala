@@ -47,7 +47,7 @@ object Pipeline {
     (s, dir) =>
       graft.operators.Dedup
         .minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleK = 5, threshold = 0.5)
+          shingleK = 5, threshold = 0.5, stage = true)
         .orderBy(col("doc_a"), col("doc_b")),
     Some("""WITH sh AS (
       SELECT doc_id,
@@ -599,7 +599,12 @@ object Pipeline {
         .minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleK = 5, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
-      graft.operators.Dedup.keepersStar(pairs)
+      // label propagation here: near-dup components are shallow at bench
+      // scale, where star contraction's extra per-round jobs (~6 vs ~2)
+      // cost more than its diameter-independent round bound saves.
+      // keepersStar is the 100 TB path for chain-shaped components and
+      // is spec-pinned equal to this on the same pair graph.
+      graft.operators.Dedup.keepers(pairs)
         .orderBy(col("doc_id"))
     },
     Some("""WITH RECURSIVE sh AS (

@@ -131,6 +131,36 @@ class MergeOnReadSpec extends AnyFunSuite {
       == Seq(Seq("1", "1"), Seq("2", "20")))
   }
 
+  test("auto-compaction triggers on the tombstone threshold, not before") {
+    val (g, wh) = freshSession()
+    g.sql("create table ac (id int, v int, primary key(id))")
+    g.sql("insert into ac values (1,1),(2,2),(3,3),(4,4),(5,5)")
+    // default policy: small tables never auto-compact
+    g.sql("delete from ac where id = 1")
+    assert(tombstoneFiles(wh, "ac").nonEmpty)
+    assert(logLines(wh, "ac") == Seq("v1\tcreate"))
+    // tighten the policy: >= 2 tombstones and >= 20% of data rows
+    val cat = g.catalog
+    val (oldMin, oldRatio) = (cat.autoCompactMinTombstones, cat.autoCompactRatio)
+    cat.autoCompactMinTombstones = 2
+    cat.autoCompactRatio = 0.2
+    try {
+      g.sql("delete from ac where id = 2") // 2 tombstones / 5 rows = 40%
+      assert(tombstoneFiles(wh, "ac").isEmpty, "policy breach compacts inline")
+      assert(logLines(wh, "ac") == Seq("v1\tcreate", "v2\trewrite"))
+      assert(rows(g, "select id from ac order by id")
+        == Seq(Seq("3"), Seq("4"), Seq("5")))
+      // an UPDATE's tombstone rides the same trigger
+      g.sql("update ac set v = 0 where id >= 3") // 3 tombstones / 3+3 rows
+      assert(tombstoneFiles(wh, "ac").isEmpty)
+      assert(rows(g, "select id, v from ac order by id")
+        == Seq(Seq("3", "0"), Seq("4", "0"), Seq("5", "0")))
+    } finally {
+      cat.autoCompactMinTombstones = oldMin
+      cat.autoCompactRatio = oldRatio
+    }
+  }
+
   test("the merge view's tombstone anti-join broadcasts (no shuffle on the data side)") {
     val (g, _) = freshSession()
     g.sql("create table p (id int, v int, primary key(id))")
