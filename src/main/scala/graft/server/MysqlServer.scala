@@ -42,12 +42,21 @@ import graft.engine.{GraftSession, SqlText}
   * connection's session state and re-answers the auth switch.
   */
 final class MysqlServer(spark: SparkSession, warehouse: String,
-                        port: Int = 0) {
+                        port: Int = 0, idleTimeoutMs: Int = 0) {
 
   private val listener = new ServerSocket(port)
   private val running = new AtomicBoolean(false)
   private val connIds = new AtomicInteger(0)
   @volatile private var acceptThread: Thread = _
+
+  /** Live connections (id → socket + state): the process list, and the
+    * KILL target registry (reference: ebike keeps no registry — KILL and
+    * PROCESSLIST are part of the real server surface it lacks).
+    */
+  private case class Conn(socket: Socket, startedAt: Long,
+                          @volatile var db: String = "mysql")
+  private val conns =
+    new java.util.concurrent.ConcurrentHashMap[Int, Conn]
 
   /** The bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = listener.getLocalPort
@@ -82,6 +91,10 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
   // ---- per-connection protocol loop ---------------------------------------
 
   private def handle(socket: Socket, connId: Int): Unit = {
+    // wait_timeout semantics: a connection idle past the limit is closed
+    // (the blocking read throws SocketTimeoutException)
+    if (idleTimeoutMs > 0) socket.setSoTimeout(idleTimeoutMs)
+    conns.put(connId, Conn(socket, System.currentTimeMillis()))
     val io = new PacketIO(
       new DataInputStream(socket.getInputStream),
       new BufferedOutputStream(socket.getOutputStream, 1 << 16))
@@ -108,9 +121,24 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
           case 0x02 => // COM_INIT_DB
             val db = new String(packet, 1, packet.length - 1, "UTF-8").trim
             run(io, session, s"use $db")
-          case 0x03 => // COM_QUERY
+            Option(conns.get(connId)).foreach(_.db = db)
+          case 0x0c => // COM_PROCESS_KILL
+            if (packet.length >= 5) kill(io, leU32(packet, 1).toInt)
+            else io.write(Messages.err(1064, "42000", "malformed KILL"))
+          case 0x03 => // COM_QUERY — KILL and SHOW PROCESSLIST are
+            // server-scope (they act on the connection registry), so they
+            // are answered here, not by the per-connection session
             val sql = new String(packet, 1, packet.length - 1, "UTF-8")
-            run(io, session, sql)
+            sql.trim.stripSuffix(";") match {
+              case KillR(idStr) => kill(io, idStr.toInt)
+              case s if s.equalsIgnoreCase("show processlist") =>
+                writeProcessList(io, connId)
+              case _ =>
+                run(io, session, sql)
+                if (sql.trim.toLowerCase.startsWith("use "))
+                  Option(conns.get(connId))
+                    .foreach(_.db = sql.trim.split("\\s+")(1).stripSuffix(";"))
+            }
           case 0x04 => // COM_FIELD_LIST
             val table = new String(packet, 1, packet.length - 1, "UTF-8")
               .takeWhile(_ != '\u0000').trim
@@ -162,10 +190,56 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
         }
       }
     } catch {
-      case _: SocketException => // client went away
+      case _: SocketException => // client went away (or was KILLed)
+      case _: java.net.SocketTimeoutException => // idle past wait_timeout
       case NonFatal(e) =>
         System.err.println(s"[graft-mysql] conn $connId: ${e.getMessage}")
-    } finally socket.close()
+    } finally {
+      conns.remove(connId)
+      socket.close()
+    }
+  }
+
+  private val KillR = "(?is)kill\\s+(?:query\\s+|connection\\s+)?(\\d+)".r
+
+  /** KILL <id>: close the target's socket — its blocking read fails and
+    * the handler unwinds (MySQL CONNECTION-kill semantics; a QUERY kill
+    * maps to the same thing since results stream incrementally).
+    */
+  private def kill(io: PacketIO, targetId: Int): Unit =
+    Option(conns.get(targetId)) match {
+      case Some(c) =>
+        try c.socket.close() catch { case NonFatal(_) => }
+        io.write(Messages.ok(0))
+      case None =>
+        io.write(Messages.err(1094, "HY000", s"Unknown thread id: $targetId"))
+    }
+
+  /** SHOW PROCESSLIST from the live registry (MySQL's column set). */
+  private def writeProcessList(io: PacketIO, selfId: Int): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("Id", LongType, nullable = false),
+      StructField("User", StringType), StructField("Host", StringType),
+      StructField("db", StringType), StructField("Command", StringType),
+      StructField("Time", LongType, nullable = false),
+      StructField("State", StringType), StructField("Info", StringType)))
+    val now = System.currentTimeMillis()
+    val rows = conns.entrySet().iterator()
+    io.write(Messages.columnCount(schema.length))
+    schema.fields.foreach(f =>
+      io.write(Messages.columnDef("", "processlist", f.name, f.dataType,
+        nullable = true)))
+    io.write(Messages.eof())
+    rows.forEachRemaining { e =>
+      val c = e.getValue
+      io.write(Messages.textRow(org.apache.spark.sql.Row(
+        e.getKey.toLong, "root",
+        s"${c.socket.getInetAddress.getHostAddress}:${c.socket.getPort}",
+        c.db, if (e.getKey == selfId) "Query" else "Sleep",
+        (now - c.startedAt) / 1000, "", null)))
+    }
+    io.write(Messages.eof())
   }
 
   /** Execute one statement and answer with an OK (DDL/DML FinalCount

@@ -29,16 +29,22 @@ class MysqlServerSpec extends AnyFunSuite {
   case class ResultSet(columns: Seq[String],
                        rows: Seq[Seq[Option[String]]]) extends Response
 
-  final class Client {
-    private val socket = new Socket("127.0.0.1", server.boundPort)
+  final class Client(port: Int = server.boundPort) {
+    private val socket = new Socket("127.0.0.1", port)
     private val in = new DataInputStream(socket.getInputStream)
     private val out = new BufferedOutputStream(socket.getOutputStream)
     private var seq = 0
+    var connId: Int = -1
 
     // server handshake → empty auth response → auth switch → empty → OK
     locally {
       val hs = read()
       assert((hs(0) & 0xff) == 10, "protocol version 10")
+      // version string is null-terminated; the 4-byte LE connection id
+      // follows — KILL and PROCESSLIST tests address connections by it
+      val vEnd = hs.indexOf(0.toByte, 1)
+      connId = (hs(vEnd + 1) & 0xff) | ((hs(vEnd + 2) & 0xff) << 8) |
+        ((hs(vEnd + 3) & 0xff) << 16) | ((hs(vEnd + 4) & 0xff) << 24)
       write(Array[Byte](0, 0, 0, 0)) // handshake response (auth unchecked)
       val switch = read()
       assert((switch(0) & 0xff) == 0xfe, "auth switch request")
@@ -455,6 +461,43 @@ class MysqlServerSpec extends AnyFunSuite {
     assert(!tabs.rows.flatten.flatten.contains("cu_t"))
     assert(c.initDb("wirecu").isInstanceOf[Ok]) // connection still usable
     c.quit()
+  }
+
+  test("SHOW PROCESSLIST lists live connections; KILL closes the target only") {
+    val c1 = new Client
+    val c2 = new Client
+    assert(c1.connId > 0 && c2.connId > 0 && c1.connId != c2.connId)
+    val pl = c1.query("show processlist").asInstanceOf[ResultSet]
+    assert(pl.columns.take(2) == Seq("Id", "User"))
+    val ids = pl.rows.map(_.head.get.toLong).toSet
+    assert(ids.contains(c1.connId.toLong) && ids.contains(c2.connId.toLong))
+
+    assert(c1.query(s"kill ${c2.connId}") == Ok(0))
+    // the killed connection is gone: its next read hits a closed socket
+    intercept[Exception] { c2.query("select 1 as one") }
+    // the killer is untouched and the registry no longer lists the victim
+    val after = c1.query("show processlist").asInstanceOf[ResultSet]
+    assert(!after.rows.map(_.head.get.toLong).contains(c2.connId.toLong))
+    val e = c1.query("kill 999999")
+    assert(e.isInstanceOf[Err] &&
+      e.asInstanceOf[Err].message.contains("Unknown thread id"))
+    c1.quit()
+  }
+
+  test("idle connections past wait_timeout are closed; active ones are not") {
+    val to = new MysqlServer(spark, warehouse, port = 0,
+      idleTimeoutMs = 400).start()
+    try {
+      val active = new Client(to.boundPort)
+      (1 to 3).foreach { _ =>
+        Thread.sleep(200) // stays under the limit between commands
+        assert(active.query("select 1 as one").isInstanceOf[ResultSet])
+      }
+      active.quit()
+      val idle = new Client(to.boundPort)
+      Thread.sleep(800) // past wait_timeout: server closes the socket
+      intercept[Exception] { idle.query("select 1 as one") }
+    } finally to.stop()
   }
 
   test("concurrent connections have isolated current-database state") {
