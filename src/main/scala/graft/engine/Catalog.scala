@@ -54,10 +54,12 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     /** Merge-on-read DML eligibility: PK'd pure-parquet tables. UPDATE/
       * DELETE on these write pk tombstones (equality deletes) instead of
       * rewriting the table; reads merge through the registered view.
-      * CSV/MEMORY engines and partitioned tables keep copy-on-write.
+      * CSV/MEMORY engines and partitioned tables keep copy-on-write, as
+      * does a table whose user columns collide with the hidden seq name.
       */
     def mergeOnRead: Boolean =
-      pk.nonEmpty && engine == "parquet" && partitionCols.isEmpty
+      pk.nonEmpty && engine == "parquet" && partitionCols.isEmpty &&
+        !cols.exists(_.name == Catalog.SeqCol)
 
     /** Physical parquet schema of a merge-on-read base table: the logical
       * columns plus the hidden per-row commit sequence.
@@ -205,22 +207,30 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val m = meta(db, t)
     if (m.format != "parquet") read(db, t).count()
     else {
-      // every tombstone masks exactly one older row (pk-unique + the
-      // DML discipline writes a tombstone only for a row that was
-      // visible), so live rows = data footers − delete footers
+      // every ACTIVE tombstone masks exactly one older row (pk-unique +
+      // the DML discipline writes a tombstone only for a row that was
+      // visible), so live rows = data footers − active delete footers
+      // (retired tombstones are no-ops awaiting GC)
       val data = footerRowCount(currentVersionDir(db, t))
-      if (m.mergeOnRead) data - footerRowCount(Paths.get(deletesPath(db, t)))
+      if (m.mergeOnRead) data - activeTombstoneRows(db, t)
       else data
     }
   }
 
+  private def activeTombstoneRows(db: String, t: String): Long = {
+    val retired = retiredDels(db, t)
+    footerRowCount(Paths.get(deletesPath(db, t)),
+      skip = retired.map(n => Paths.get(deletesPath(db, t)).resolve(n)))
+  }
+
   /** Parquet row count summed straight from the file footers — no job. */
-  private def footerRowCount(dir: Path): Long =
+  private def footerRowCount(dir: Path,
+                             skip: Set[Path] = Set.empty): Long =
     if (!Files.isDirectory(dir)) 0L
     else {
       val conf = spark.sessionState.newHadoopConf()
       Files.walk(dir).iterator.asScala
-        .filter(p => Files.isRegularFile(p) &&
+        .filter(p => Files.isRegularFile(p) && !skip.contains(p) &&
           p.getFileName.toString.endsWith(".parquet"))
         .map { p =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -259,7 +269,10 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val base = spark.read.schema(m.baseSchema).parquet(dataDir.toString)
     val dels = spark.read.schema(m.delsSchema)
       .parquet(deletesPath(m.db, m.table))
-    val cond: Column = m.pk.map(k => base(s"`$k`") === dels(s"`$k`"))
+    // null-safe pk equality: a NULL pk component (MySQL would reject it,
+    // but INSERT column lists can produce one) must still be maskable —
+    // plain === makes its tombstone a silent no-op
+    val cond: Column = m.pk.map(k => base(s"`$k`") <=> dels(s"`$k`"))
       .reduce(_ && _) &&
       dels(s"`${Catalog.SeqCol}`") >
         coalesce(base(s"`${Catalog.SeqCol}`"), lit(0L))
@@ -361,6 +374,16 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   private def seqFile(db: String, t: String): Path =
     tablePath(db, t).resolve("_graft_seqno")
 
+  private def retiredFile(db: String, t: String): Path =
+    tablePath(db, t).resolve("_retired_dels")
+
+  /** Tombstone files already folded into the current data version:
+    * semantic no-ops kept on disk one commit for in-flight readers.
+    */
+  private def retiredDels(db: String, t: String): Set[String] =
+    if (!Files.exists(retiredFile(db, t))) Set.empty
+    else Files.readAllLines(retiredFile(db, t)).asScala.toSet
+
   private def nextSeqLocked(db: String, t: String): Long = {
     val f = seqFile(db, t)
     val cur = if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
@@ -432,7 +455,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   def maybeAutoCompact(db: String, t: String): Boolean = {
     val m = meta(db, t)
     if (!m.mergeOnRead) return false
-    val dels = footerRowCount(Paths.get(deletesPath(db, t)))
+    val dels = activeTombstoneRows(db, t)
     val trigger = dels >= autoCompactMinTombstones &&
       dels >= autoCompactRatio * footerRowCount(currentVersionDir(db, t))
     if (trigger) compact(db, t)
@@ -454,13 +477,17 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     *
     * Merge-on-read bookkeeping: a rewrite folds every tombstone that
     * existed when materialization started into the new data version.
-    * Those tombstone files are retired by MOVING them into the replaced
-    * version dir, so in-flight merge reads keep resolving them and they
-    * are GC'd with that version's grace period. If the frame carries no
-    * seq column (session frames read the merged view), all rows are
-    * stamped with a sequence allocated BEFORE materialization — any
-    * tombstone committed during the window gets a higher sequence and
-    * still masks its rows in the rewritten files.
+    * Folded tombstone files get the SAME one-commit grace as replaced
+    * versions: their names are recorded in `_retired_dels` and the
+    * files are physically deleted at the NEXT rewrite commit, so
+    * in-flight merge reads that listed them keep resolving. Leaving
+    * them temporarily in place is semantically a no-op — every row that
+    * survives the fold has a sequence ≥ any folded tombstone's (it
+    * survived that mask), so re-applying them masks nothing. If the
+    * frame carries no seq column (session frames read the merged view),
+    * all rows are stamped with a sequence allocated BEFORE
+    * materialization — any tombstone committed during the window gets a
+    * higher sequence and still masks its rows in the rewritten files.
     */
   def rewrite(db: String, t: String, df: => DataFrame): Unit = {
     val lock = lockFor(db, t)
@@ -495,15 +522,11 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         Files.createDirectories(target.getParent)
         Files.createLink(target, cur.resolve(name))
       }
-      // retire folded tombstones into the replaced version's grace window
-      if (delSnapshot.nonEmpty) {
-        val folded = cur.resolve("_folded_dels")
-        Files.createDirectories(folded)
-        val dels = Paths.get(deletesPath(db, t))
-        delSnapshot.foreach { name =>
-          Files.move(dels.resolve(name), folded.resolve(name.replace('/', '_')))
-        }
-      }
+      // tombstone GC, one commit late: delete the files the PREVIOUS
+      // rewrite retired, then retire this rewrite's folded snapshot
+      val dels = Paths.get(deletesPath(db, t))
+      retiredDels(db, t).foreach(n => Files.deleteIfExists(dels.resolve(n)))
+      Files.write(retiredFile(db, t), delSnapshot.toSeq.sorted.asJava)
       swapPointer(db, t, s"versions/v$nextV")
       logCommit(db, t, nextV, "rewrite")
       // grace GC: keep the just-replaced version for in-flight snapshot
@@ -659,7 +682,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     // aliases must not collide with user column names (`b.x` would parse
     // as field extraction from a column literally named "b")
     val outCols = m.cols.map(c => s"`__gb`.`${c.name}`").mkString(", ")
-    val pkEq = m.pk.map(k => s"`__gd`.`$k` = `__gb`.`$k`").mkString(" AND ")
+    val pkEq = m.pk.map(k => s"`__gd`.`$k` <=> `__gb`.`$k`").mkString(" AND ")
     spark.sql(
       s"""CREATE OR REPLACE VIEW `${m.db}`.`${m.table}` AS
          |SELECT $outCols FROM `${m.db}`.`$base` `__gb`

@@ -317,8 +317,14 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     case DropColR(name, cname) =>
       val (db, t) = qualify(name)
       val m = catalog.meta(db, t)
-      catalog.rewrite(db, t, catalog.read(db, t).drop(clean(cname)))
-      catalog.replaceMeta(m.copy(cols = m.cols.filterNot(_.name == clean(cname))))
+      val c = clean(cname)
+      require(!m.partitionCols.contains(c),
+        s"Cannot drop partition column '$c'")
+      catalog.rewrite(db, t, catalog.read(db, t).drop(c))
+      // the column leaves the PRIMARY KEY too (MySQL drops it from the
+      // index); a pk emptied this way turns the table copy-on-write
+      catalog.replaceMeta(m.copy(cols = m.cols.filterNot(_.name == c),
+        pk = m.pk.filterNot(_ == c)))
       count(0)
   }
 

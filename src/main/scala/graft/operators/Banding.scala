@@ -70,12 +70,16 @@ object Banding {
   def choose(df: DataFrame, idCol: String, textCol: String,
              threshold: Double, shingleK: Int = 5, maxPerms: Int = 64,
              targetRecall: Double = 0.95, sampleSize: Int = 200): Choice = {
+    // localCheckpoint: both sides of the pair join read the SAME
+    // materialized sample — without it each join side re-runs the
+    // corpus scan + shingle + TakeOrdered subtree
     val sample = df
       .select(col(idCol).as("doc_id"),
         textShingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .orderBy(xxhash64(col("doc_id"))) // deterministic TakeOrdered sample
       .limit(sampleSize)
+      .localCheckpoint()
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     val jac = inter / (size(col("a.sh")) + size(col("b.sh")) - inter)
     val hist = sample.as("a")

@@ -130,7 +130,11 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
             // are answered here, not by the per-connection session
             val sql = new String(packet, 1, packet.length - 1, "UTF-8")
             sql.trim.stripSuffix(";") match {
-              case KillR(idStr) => kill(io, idStr.toInt)
+              case KillR(idStr) =>
+                // ids past Int range can't name a live connection; a
+                // parse overflow must answer ERR, not unwind the CALLER
+                kill(io, idStr.toLongOption
+                  .filter(_.isValidInt).map(_.toInt).getOrElse(-1))
               case s if s.equalsIgnoreCase("show processlist") =>
                 writeProcessList(io, connId)
               case _ =>

@@ -42,6 +42,18 @@ class MergeOnReadSpec extends AnyFunSuite {
       .filter(_.endsWith(".parquet")).toSeq
   }
 
+  /** Tombstone files still in force: on disk and not in the one-commit
+    * retirement manifest (retired files are semantic no-ops kept for
+    * in-flight readers).
+    */
+  private def activeTombstones(wh: String, t: String): Seq[String] = {
+    val manifest = Paths.get(wh, "mor", t, "_retired_dels")
+    val retired =
+      if (Files.exists(manifest)) Files.readAllLines(manifest).asScala.toSet
+      else Set.empty[String]
+    tombstoneFiles(wh, t).filterNot(retired.contains)
+  }
+
   test("UPDATE/DELETE write tombstones, not data versions; results match MySQL semantics") {
     val (g, wh) = freshSession()
     g.sql("create table kv (id int, v varchar(20), primary key(id))")
@@ -96,8 +108,12 @@ class MergeOnReadSpec extends AnyFunSuite {
 
     val opt = g.sql("optimize table o").collect()(0)
     assert(opt.getString(3) == "OK")
-    assert(tombstoneFiles(wh, "o").isEmpty, "tombstones retired by compaction")
-    assert(logLines(wh, "o") == Seq("v1\tcreate", "v2\trewrite"))
+    assert(activeTombstones(wh, "o").isEmpty, "tombstones retired by compaction")
+    // retired files stay on disk ONE commit for in-flight readers, then GC
+    assert(tombstoneFiles(wh, "o").nonEmpty)
+    g.sql("optimize table o")
+    assert(tombstoneFiles(wh, "o").isEmpty, "one-commit grace then deleted")
+    assert(logLines(wh, "o") == Seq("v1\tcreate", "v2\trewrite", "v3\trewrite"))
     assert(rows(g, "select id, v from o order by id")
       == Seq(Seq("1", "a"), Seq("2", "bb")))
     // compaction is idempotent and DML keeps working afterwards
@@ -123,10 +139,10 @@ class MergeOnReadSpec extends AnyFunSuite {
     // row stays masked and the tombstone file survived the fold
     assert(rows(g, "select id, v from w order by id")
       == Seq(Seq("1", "1"), Seq("2", "20")))
-    assert(tombstoneFiles(wh, "w").nonEmpty)
-    // a second compaction retires it
+    assert(activeTombstones(wh, "w").nonEmpty)
+    // a second compaction retires it (file lingers one commit as a no-op)
     g.sql("optimize table w")
-    assert(tombstoneFiles(wh, "w").isEmpty)
+    assert(activeTombstones(wh, "w").isEmpty)
     assert(rows(g, "select id, v from w order by id")
       == Seq(Seq("1", "1"), Seq("2", "20")))
   }
@@ -146,19 +162,66 @@ class MergeOnReadSpec extends AnyFunSuite {
     cat.autoCompactRatio = 0.2
     try {
       g.sql("delete from ac where id = 2") // 2 tombstones / 5 rows = 40%
-      assert(tombstoneFiles(wh, "ac").isEmpty, "policy breach compacts inline")
+      assert(activeTombstones(wh, "ac").isEmpty, "policy breach compacts inline")
       assert(logLines(wh, "ac") == Seq("v1\tcreate", "v2\trewrite"))
       assert(rows(g, "select id from ac order by id")
         == Seq(Seq("3"), Seq("4"), Seq("5")))
       // an UPDATE's tombstone rides the same trigger
       g.sql("update ac set v = 0 where id >= 3") // 3 tombstones / 3+3 rows
-      assert(tombstoneFiles(wh, "ac").isEmpty)
+      assert(activeTombstones(wh, "ac").isEmpty)
       assert(rows(g, "select id, v from ac order by id")
         == Seq(Seq("3", "0"), Seq("4", "0"), Seq("5", "0")))
     } finally {
       cat.autoCompactMinTombstones = oldMin
       cat.autoCompactRatio = oldRatio
     }
+  }
+
+  test("regression: rows with a NULL pk component are still maskable (null-safe merge)") {
+    val (g, _) = freshSession()
+    g.sql("create table np (id int, v int, primary key(id))")
+    g.sql("insert into np (v) values (5)") // unlisted pk column -> NULL id
+    g.sql("insert into np values (1, 9)")
+    assert(g.sql("delete from np where v = 5").collect()(0).getLong(0) == 1L)
+    assert(rows(g, "select id, v from np") == Seq(Seq("1", "9")))
+    val status = g.sql("show table status").collect()
+      .find(_.getString(0) == "np").get
+    assert(status.getString(4) == "1", s"rows column: $status")
+    // UPDATE of a NULL-pk row must not leave old+new both visible
+    g.sql("insert into np (v) values (7)")
+    assert(g.sql("update np set v = 8 where v = 7").collect()(0).getLong(0) == 1L)
+    assert(rows(g, "select v from np order by v") == Seq(Seq("8"), Seq("9")))
+  }
+
+  test("regression: ALTER TABLE DROP COLUMN of a pk column demotes to copy-on-write") {
+    val (g, wh) = freshSession()
+    g.sql("create table dp (id int, v int, primary key(id))")
+    g.sql("insert into dp values (1, 10), (2, 20)")
+    g.sql("alter table dp drop column id") // pk emptied -> plain table
+    assert(rows(g, "select v from dp order by v")
+      == Seq(Seq("10"), Seq("20")))
+    // DML still works, now via rewrite commits
+    assert(g.sql("delete from dp where v = 10").collect()(0).getLong(0) == 1L)
+    assert(rows(g, "select v from dp") == Seq(Seq("20")))
+    assert(logLines(wh, "dp").count(_.endsWith("rewrite")) >= 2)
+    // a fresh session over the same warehouse re-registers cleanly
+    val g2 = new GraftSession(SparkFixture.spark.newSession(), wh)
+    g2.sql("use mor")
+    assert(rows(g2, "select v from dp") == Seq(Seq("20")))
+  }
+
+  test("regression: a user column named _graft_seq falls back to copy-on-write") {
+    val (g, wh) = freshSession()
+    g.sql("create table sq (id int, _graft_seq bigint, primary key(id))")
+    g.sql("insert into sq values (1, 100), (2, 200)")
+    g.sql("update sq set _graft_seq = 101 where id = 1")
+    assert(rows(g, "select id, _graft_seq from sq order by id")
+      == Seq(Seq("1", "101"), Seq("2", "200")))
+    g.sql("delete from sq where id = 2")
+    assert(rows(g, "select id from sq") == Seq(Seq("1")))
+    // copy-on-write: the DML rewrote, no tombstones
+    assert(logLines(wh, "sq").count(_.endsWith("rewrite")) == 2)
+    assert(tombstoneFiles(wh, "sq").isEmpty)
   }
 
   test("the merge view's tombstone anti-join broadcasts (no shuffle on the data side)") {
@@ -179,7 +242,7 @@ class MergeOnReadSpec extends AnyFunSuite {
     g.sql("delete from a where id = 2")
     g.sql("alter table a add column extra int")
     // the ALTER's rewrite folded the tombstone and the view has 3 cols
-    assert(tombstoneFiles(wh, "a").isEmpty)
+    assert(activeTombstones(wh, "a").isEmpty)
     assert(rows(g, "select id, v, extra from a order by id")
       == Seq(Seq("1", "x", "null")))
     g.sql("update a set extra = 9 where id = 1")

@@ -481,6 +481,10 @@ class MysqlServerSpec extends AnyFunSuite {
     val e = c1.query("kill 999999")
     assert(e.isInstanceOf[Err] &&
       e.asInstanceOf[Err].message.contains("Unknown thread id"))
+    // an id past Int range answers ERR too — it must not unwind the
+    // caller's own connection
+    assert(c1.query("kill 99999999999999").isInstanceOf[Err])
+    assert(c1.query("select 3 as three").isInstanceOf[ResultSet])
     c1.quit()
   }
 
