@@ -102,6 +102,9 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     // prepared statements of THIS connection (statement.rs StmtContext)
     val stmts = mutable.Map.empty[Int, String]
     val stmtIds = new AtomicInteger(0)
+    // COM_STMT_SEND_LONG_DATA accumulators: (stmtId, paramIdx) → chunks
+    val longData =
+      mutable.Map.empty[(Int, Int), java.io.ByteArrayOutputStream]
     try {
       // handshake → client response → auth switch → auth data → OK
       io.write(Messages.handshake(connId))
@@ -167,11 +170,19 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
               }
               io.write(Messages.eof())
             }
+          case 0x18 => // COM_STMT_SEND_LONG_DATA — no response by protocol
+            if (packet.length >= 7) {
+              val key = (leU32(packet, 1).toInt, leU16(packet, 5))
+              longData.getOrElseUpdate(key,
+                new java.io.ByteArrayOutputStream())
+                .write(packet, 7, packet.length - 7)
+            }
           case 0x17 => // COM_STMT_EXECUTE
             try {
               val (stmtId, args) = decodeStmtExecute(packet,
                 id => SqlText.countPlaceholders(stmts.getOrElse(id,
-                  sys.error(s"Unknown prepared statement id $id"))))
+                  sys.error(s"Unknown prepared statement id $id"))),
+                (id, p) => longData.get((id, p)).map(_.toByteArray))
               val template = stmts(stmtId)
               run(io, session, SqlText.bindPlaceholders(template, args),
                 binary = true)
@@ -180,8 +191,13 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
             if (packet.length >= 5) {
               val id = leU32(packet, 1).toInt
               stmts.remove(id)
+              longData.filterInPlace { case ((sid, _), _) => sid != id }
             }
-          case 0x1a => // COM_STMT_RESET — no cursor state to discard
+          case 0x1a => // COM_STMT_RESET — discards accumulated long data
+            if (packet.length >= 5) {
+              val id = leU32(packet, 1).toInt
+              longData.filterInPlace { case ((sid, _), _) => sid != id }
+            }
             io.write(Messages.ok(0))
           case 0x11 => // COM_CHANGE_USER: fresh session state on the same
             // connection (auth is unchecked, like the original handshake)
@@ -323,10 +339,14 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
   /** Decode a COM_STMT_EXECUTE packet (execution.rs com_stmt_execute):
     * stmt id, flags, iteration count, null bitmap, parameter types,
     * binary values — returned as SQL literal text for placeholder
-    * binding.
+    * binding. A parameter that received COM_STMT_SEND_LONG_DATA chunks
+    * (`longOf`) carries NO inline value; its accumulated bytes bind as
+    * a string literal.
     */
   private def decodeStmtExecute(packet: Array[Byte],
-                                nParamsOf: Int => Int): (Int, Seq[String]) = {
+                                nParamsOf: Int => Int,
+                                longOf: (Int, Int) => Option[Array[Byte]] =
+                                  (_, _) => None): (Int, Seq[String]) = {
     var pos = 1
     val stmtId = leU32(packet, pos).toInt; pos += 4
     pos += 1 // cursor flags
@@ -343,9 +363,15 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     val types = new Array[Int](nParams)
     (0 until nParams).foreach { i => types(i) = leU16(packet, pos); pos += 2 }
 
+    def quote(bytes: Array[Byte]): String = {
+      val s = new String(bytes, "UTF-8")
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    }
     val args = (0 until nParams).map { i =>
       if ((nullBitmap(i / 8) & (1 << (i % 8))) != 0) "NULL"
-      else {
+      else longOf(stmtId, i) match {
+        case Some(bytes) => quote(bytes)
+        case None =>
         val t = types(i) & 0xff
         t match {
           case 0x01 => val v = packet(pos).toLong; pos += 1; v.toString
@@ -362,9 +388,10 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
           case _ => // VARCHAR/VAR_STRING/STRING/BLOB/DECIMAL: lenc bytes
             val (len, lenSize) = readLencInt(packet, pos)
             pos += lenSize
-            val s = new String(packet, pos, len.toInt, "UTF-8")
+            val bytes = new Array[Byte](len.toInt)
+            System.arraycopy(packet, pos, bytes, 0, len.toInt)
             pos += len.toInt
-            "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            quote(bytes)
         }
       }
     }

@@ -278,6 +278,15 @@ class MysqlServerSpec extends AnyFunSuite {
       response(binary = true)
     }
 
+    /** COM_STMT_SEND_LONG_DATA: stream one chunk (no server response). */
+    def sendLongData(stmtId: Int, paramId: Int, chunk: Array[Byte]): Unit = {
+      val b = new ByteArrayOutputStream()
+      (0 until 4).foreach(i => b.write((stmtId >> (8 * i)) & 0xff))
+      b.write(paramId & 0xff); b.write((paramId >> 8) & 0xff)
+      b.write(chunk, 0, chunk.length)
+      command(0x18, b.toByteArray)
+    }
+
     def resetStmt(stmtId: Int): Response = {
       val b = new ByteArrayOutputStream()
       (0 until 4).foreach(i => b.write((stmtId >> (8 * i)) & 0xff))
@@ -460,6 +469,32 @@ class MysqlServerSpec extends AnyFunSuite {
     assert(tabs.columns == Seq("Tables_in_mysql"))
     assert(!tabs.rows.flatten.flatten.contains("cu_t"))
     assert(c.initDb("wirecu").isInstanceOf[Ok]) // connection still usable
+    c.quit()
+  }
+
+  test("COM_STMT_SEND_LONG_DATA chunks bind as one string param; RESET discards them") {
+    val c = new Client
+    assert(c.query("create schema if not exists wireld").isInstanceOf[Ok])
+    assert(c.initDb("wireld").isInstanceOf[Ok])
+    assert(c.query("create table ld (id int, v varchar(50))").isInstanceOf[Ok])
+    assert(c.query("insert into ld values (1,'one'), (3,'three')") == Ok(2))
+
+    val (sid, n) = c.prepare("select id from ld where v = ?")
+    assert(n == 1)
+    // the param value arrives in two chunks and is OMITTED from execute
+    c.sendLongData(sid, 0, "th".getBytes("UTF-8"))
+    c.sendLongData(sid, 0, "ree".getBytes("UTF-8"))
+    val rs = c.execute(sid, Seq((0xfb, Array.empty[Byte])))
+      .asInstanceOf[ResultSet]
+    assert(rs.rows == Seq(Seq(Some("3"))))
+
+    // RESET discards accumulated chunks: the same execute now binds the
+    // (empty) inline value instead and matches nothing
+    assert(c.resetStmt(sid).isInstanceOf[Ok])
+    val rs2 = c.execute(sid, Seq((0xfd, lencBytes("one"))))
+      .asInstanceOf[ResultSet]
+    assert(rs2.rows == Seq(Seq(Some("1"))))
+    c.closeStmt(sid)
     c.quit()
   }
 
