@@ -405,8 +405,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     * on the next read through the view — no data file is touched
     * (the merge-on-read half of DELETE/UPDATE).
     */
-  def appendDeletes(db: String, t: String, pks: DataFrame, seq: Long,
-                    refresh: Boolean = true): Unit = {
+  def appendDeletes(db: String, t: String, pks: DataFrame, seq: Long): Unit = {
     val m = meta(db, t)
     require(m.mergeOnRead, s"'$db.$t' is not a merge-on-read table")
     val out = pks.withColumn(Catalog.SeqCol, lit(seq))
@@ -414,11 +413,11 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     lock.lock()
     try out.write.mode("append").parquet(deletesPath(db, t))
     finally lock.unlock()
-    // refresh=false lets an UPDATE keep every in-flight plan (and any
-    // cache recompute) reading the PRE-tombstone snapshot until its new
-    // row versions are appended too — it must call refreshMergeOnRead
-    // itself once both writes land
-    if (refresh) refreshMergeOnRead(db, t)
+    // refresh immediately: the tombstones must become visible no later
+    // than the data files a caller appends next (Spark auto-refreshes
+    // the base path on that write) — callers needing a pre-tombstone
+    // snapshot must pin it (localCheckpoint), not rely on stale caches
+    refreshMergeOnRead(db, t)
   }
 
   /** Invalidate cached plans and file listings of the merge-on-read trio. */

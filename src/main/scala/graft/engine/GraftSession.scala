@@ -424,31 +424,32 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
                                 cond: org.apache.spark.sql.Column,
                                 assignments: Seq[(String, String)]): DataFrame = {
     val seq = catalog.nextSeq(db, t)
-    // matched rows pin to the CURRENT merged view; persist so the count,
-    // the tombstone write, and the new-version write share one scan
-    val matched = catalog.read(db, t).filter(cond)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val affected = matched.count()
-      if (affected > 0) {
-        var upd = matched
-        for ((c, e) <- assignments) {
-          val ddl = m.cols.find(_.name == c)
-            .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
-          upd = upd.withColumn(c, expr(e).cast(ddl))
-        }
-        // tombstones first: a crash between the writes leaves the rows
-        // briefly deleted, never duplicated (pk uniqueness preserved).
-        // refresh=false keeps `matched` (and any cache recompute of it)
-        // pinned to the pre-tombstone snapshot until both writes land
-        catalog.appendDeletes(db, t,
-          matched.select(m.pk.map(k => col(s"`$k`")): _*), seq,
-          refresh = false)
-        catalog.append(db, t, upd, seqOpt = Some(seq))
-        catalog.maybeAutoCompact(db, t)
+    // matched rows pin to the CURRENT merged view via localCheckpoint:
+    // the count, tombstone write, and new-version write all read one
+    // materialized snapshot that NO catalog refresh can invalidate.
+    // (persist is not enough: the tombstone commit refreshes the dels
+    // table, and Spark auto-refreshes the base path on the data append —
+    // either invalidation would recompute a persisted plan against the
+    // tombstoned view and lose the new row versions.)
+    val matched = catalog.read(db, t).filter(cond).localCheckpoint()
+    val affected = matched.count()
+    if (affected > 0) {
+      var upd = matched
+      for ((c, e) <- assignments) {
+        val ddl = m.cols.find(_.name == c)
+          .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
+        upd = upd.withColumn(c, expr(e).cast(ddl))
       }
-      count(affected)
-    } finally matched.unpersist()
+      // tombstones first, refreshed immediately: a concurrent reader
+      // sees the rows briefly deleted, never duplicated (the data
+      // append auto-refreshes the base path the instant its files land,
+      // so a deferred dels refresh WOULD expose old+new rows together)
+      catalog.appendDeletes(db, t,
+        matched.select(m.pk.map(k => col(s"`$k`")): _*), seq)
+      catalog.append(db, t, upd, seqOpt = Some(seq))
+      catalog.maybeAutoCompact(db, t)
+    }
+    count(affected)
   }
 
   private def topLevelIndexOfWord(s: String, word: String): Int =
