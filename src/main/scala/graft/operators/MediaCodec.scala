@@ -1,0 +1,230 @@
+package graft.operators
+
+/** Pure-JVM codecs for the UNCOMPRESSED media containers (SURVEY §2.D12):
+  * RIFF/WAVE PCM-16 audio and 24-bit uncompressed BMP images. No media
+  * libraries exist in this environment, but these formats are plain
+  * headers over raw samples/pixels, so decode/encode/resample are
+  * implementable exactly — only compressed codecs (JPEG/MP3/H.264)
+  * remain stubbed in `Multimodal`.
+  *
+  * All functions are deterministic, allocation-bounded, and run
+  * per-row inside executors (no driver involvement, no shared state).
+  */
+object MediaCodec {
+
+  // ---- RIFF/WAVE (PCM 16-bit) -------------------------------------------
+
+  case class Wav(sampleRate: Int, channels: Int, samples: Array[Float])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Decode PCM-16 WAV: walk the RIFF chunks for fmt + data; samples
+    * normalized to [-1, 1], channels interleaved as stored.
+    */
+  def decodeWav(b: Array[Byte]): Wav = {
+    require(isWav(b), "not a RIFF/WAVE payload")
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var samples: Array[Float] = null
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (id == "fmt ") {
+        require(le16(b, pos + 8) == 1, "only PCM (format 1) supported")
+        channels = le16(b, pos + 10)
+        rate = le32(b, pos + 12)
+        bits = le16(b, pos + 22)
+        require(bits == 16, s"only 16-bit PCM supported, got $bits")
+      } else if (id == "data") {
+        val n = size / 2
+        samples = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = le16(b, pos + 8 + 2 * i).toShort / 32768.0f
+          i += 1
+        }
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(samples != null && rate > 0, "missing fmt/data chunk")
+    Wav(rate, channels, samples)
+  }
+
+  def encodeWavPcm16(samples: Array[Float], sampleRate: Int,
+                     channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put(o: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(o: Int, v: Int): Unit = { p16(o, v & 0xffff); p16(o + 2, v >>> 16) }
+    put(0, "RIFF"); p32(4, 36 + dataLen); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, channels)
+    p32(24, sampleRate); p32(28, sampleRate * channels * 2)
+    p16(32, channels * 2); p16(34, 16)
+    put(36, "data"); p32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-1.0f, math.min(1.0f, samples(i)))
+      p16(44 + 2 * i, math.round(v * 32767.0f))
+      i += 1
+    }
+    out
+  }
+
+  /** RMS energy envelope: the signal split into `dim` equal windows,
+    * one root-mean-square amplitude per window — a real, widely used
+    * audio summary feature (what a VAD or loudness normalizer bins on).
+    */
+  def wavEnergyEnvelope(samples: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty) return out
+    val step = math.max(1, samples.length / dim)
+    var d = 0
+    while (d < dim) {
+      val from = d * step
+      val to = if (d == dim - 1) samples.length else math.min(samples.length, from + step)
+      var acc = 0.0; var i = from
+      while (i < to) { acc += samples(i).toDouble * samples(i); i += 1 }
+      out(d) = if (to > from) math.sqrt(acc / (to - from)).toFloat else 0.0f
+      d += 1
+    }
+    out
+  }
+
+  /** Linear-interpolation resample to a new sample rate — the audio
+    * analog of an image resize.
+    */
+  def resampleWav(b: Array[Byte], newRate: Int): Array[Byte] = {
+    val w = decodeWav(b)
+    val n = math.max(1, (w.samples.length.toLong * newRate / w.sampleRate).toInt)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val src = i.toDouble * (w.samples.length - 1) / math.max(1, n - 1)
+      val lo = src.toInt
+      val hi = math.min(w.samples.length - 1, lo + 1)
+      val frac = (src - lo).toFloat
+      out(i) = w.samples(lo) * (1 - frac) + w.samples(hi) * frac
+      i += 1
+    }
+    encodeWavPcm16(out, newRate, w.channels)
+  }
+
+  // ---- BMP (24-bit uncompressed) ----------------------------------------
+
+  case class Bmp(width: Int, height: Int, rgb: Array[Byte]) // row-major, top-down
+
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+
+  private def bmpRowStride(w: Int): Int = (w * 3 + 3) & ~3
+
+  /** Decode 24-bpp uncompressed BMP (the standard bottom-up row order and
+    * 4-byte row padding handled); output is top-down RGB.
+    */
+  def decodeBmp(b: Array[Byte]): Bmp = {
+    require(isBmp(b), "not a BMP payload")
+    val dataOff = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    require(le16(b, 28) == 24, "only 24-bpp BMP supported")
+    require(le32(b, 30) == 0, "only uncompressed BMP supported")
+    val stride = bmpRowStride(w)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val s = dataOff + srcRow * stride + x * 3
+        val d = (y * w + x) * 3
+        rgb(d) = b(s + 2); rgb(d + 1) = b(s + 1); rgb(d + 2) = b(s) // BGR→RGB
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(w, h, rgb)
+  }
+
+  def encodeBmp(img: Bmp): Array[Byte] = {
+    val stride = bmpRowStride(img.width)
+    val dataLen = stride * img.height
+    val out = new Array[Byte](54 + dataLen)
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(o: Int, v: Int): Unit = { p16(o, v & 0xffff); p16(o + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, 54 + dataLen); p32(10, 54); p32(14, 40)
+    p32(18, img.width); p32(22, img.height) // positive = bottom-up
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, dataLen)
+    var y = 0
+    while (y < img.height) {
+      val dstRow = img.height - 1 - y
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        val d = 54 + dstRow * stride + x * 3
+        out(d) = img.rgb(s + 2); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Normalized grayscale histogram over `dim` luminance bins — a real
+    * image summary feature (what perceptual near-dup filters bin on).
+    */
+  def bmpGrayHistogram(img: Bmp, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = img.width * img.height
+    if (n == 0) return out
+    var i = 0
+    while (i < n) {
+      val r = img.rgb(3 * i) & 0xff
+      val g = img.rgb(3 * i + 1) & 0xff
+      val bl = img.rgb(3 * i + 2) & 0xff
+      val lum = (r * 299 + g * 587 + bl * 114) / 1000 // ITU-R BT.601
+      out(math.min(dim - 1, lum * dim / 256)) += 1.0f
+      i += 1
+    }
+    var d = 0
+    while (d < dim) { out(d) /= n; d += 1 }
+    out
+  }
+
+  /** Nearest-neighbor resize producing a valid BMP of the new size. */
+  def resizeBmp(b: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = decodeBmp(b)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val sy = math.min(img.height - 1, y * img.height / h)
+      var x = 0
+      while (x < w) {
+        val sx = math.min(img.width - 1, x * img.width / w)
+        val s = (sy * img.width + sx) * 3
+        val d = (y * w + x) * 3
+        rgb(d) = img.rgb(s); rgb(d + 1) = img.rgb(s + 1); rgb(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp(Bmp(w, h, rgb))
+  }
+}

@@ -8,12 +8,15 @@ import graft.functions.VectorOps
 /** Multimodal (image/audio/video) columns as opaque binaries with typed
   * metadata (SURVEY.md §2.D12).
   *
-  * The Spark-side plumbing is the real deliverable and is fully
-  * implemented and tested: schema, batched per-partition execution,
-  * partition sizing, and typed Dataset signatures. The media DECODE
-  * kernels are deterministic STUBS — the container has no image/audio
-  * libraries — marked `STUB:` below; swapping in a real decoder changes
-  * only the kernel body, not the distributed shape.
+  * The Spark-side plumbing — schema, batched per-partition execution,
+  * partition sizing, typed Dataset signatures — is fully implemented and
+  * tested. Decode is REAL for the uncompressed containers: PCM-16
+  * RIFF/WAVE and 24-bit BMP parse, feature-extract (RMS energy envelope
+  * / grayscale histogram), and resample/resize exactly via `MediaCodec`
+  * (pure JVM, no libraries needed). Only compressed codecs (MP4/JPEG/
+  * MP3 — no media libraries in this container) fall back to the
+  * deterministic STUB kernel; swapping in a real compressed decoder
+  * changes only that kernel body, not the distributed shape.
   *
   * Scale notes (§5): binary payloads dominate row size, so the media scan
   * is split by `files.maxPartitionBytes` like any parquet scan; feature
@@ -34,21 +37,53 @@ object Multimodal {
   case class MediaFeature(doc_id: Long, media_type: String,
                           feature: Array[Float])
 
-  /** Build a media table over the documents corpus: payload = UTF-8 bytes
-    * of the text (deterministic stand-in for real image bytes), metadata
-    * derived from the payload. In production this is `spark.read.format
+  /** Build a media table over the documents corpus with REAL payloads:
+    * image rows carry a valid 24-bit BMP (deterministic gradient keyed by
+    * doc_id), audio rows a valid PCM-16 WAV (sine at a doc_id-keyed
+    * frequency/amplitude), video rows the UTF-8 text bytes (compressed
+    * container stand-in). In production this is `spark.read.format
     * ("binaryFile")` or parquet with a binary column — same schema.
     */
-  def packDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      when(pmod(col("doc_id"), lit(3)) === 0, lit("image/png"))
-        .when(pmod(col("doc_id"), lit(3)) === 1, lit("audio/wav"))
-        .otherwise(lit("video/mp4")).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"),
-      length(col("text")).cast("long").as("byte_len"),
-      (pmod(col("doc_id"), lit(4)) * 160 + lit(320)).cast("int").as("width"),
-      (pmod(col("doc_id"), lit(3)) * 120 + lit(240)).cast("int").as("height"))
+  def packDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id % 3) match {
+          case 0 =>
+            val w = 16 + (id % 4).toInt * 8
+            val h = 12 + (id % 3).toInt * 8
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = (x * 255 / math.max(1, w - 1)).toByte
+                rgb(p + 1) = (y * 255 / math.max(1, h - 1)).toByte
+                rgb(p + 2) = ((x + y + id) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val bytes = MediaCodec.encodeBmp(MediaCodec.Bmp(w, h, rgb))
+            MediaRow(id, "image/bmp", bytes, bytes.length.toLong, w, h)
+          case 1 =>
+            val n = 400
+            val freq = 220.0 + (id % 16) * 55.0
+            val amp = (0.2 + (id % 5) * 0.15).toFloat
+            val samples = Array.tabulate(n)(i =>
+              (amp * math.sin(2 * math.Pi * freq * i / 8000.0)).toFloat)
+            val bytes = MediaCodec.encodeWavPcm16(samples, 8000)
+            MediaRow(id, "audio/wav", bytes, bytes.length.toLong, n, 1)
+          case _ =>
+            val bytes = text.getBytes("UTF-8")
+            MediaRow(id, "video/mp4", bytes, bytes.length.toLong,
+              (id % 4).toInt * 160 + 320, (id % 3).toInt * 120 + 240)
+        }
+      }
+      .toDF()
+  }
 
   /** Decode + feature-extract, batched per partition. Typed Dataset in and
     * out; executors stream batches of `batchSize` rows through the decode
@@ -100,13 +135,25 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "frame")
   }
 
-  // ---- kernels (STUBS standing in for absent media libraries) -----------
+  // ---- kernels: real for WAV/BMP, stub for compressed codecs ------------
 
-  /** STUB: stands in for image/audio decode + embed (e.g. JPEG decode →
-    * CNN features). Deterministic: strided FNV-1a folds of the payload,
-    * scaled to [-1, 1]. Same signature a real kernel would have.
+  /** Decode + summarize into a `dim`-float feature vector. REAL paths:
+    * PCM WAV → RMS energy envelope over `dim` windows; 24-bit BMP →
+    * `dim`-bin grayscale histogram. Anything else (compressed codecs)
+    * takes the deterministic FNV stub with the same signature.
     */
-  private[operators] def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[operators] def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    if (MediaCodec.isWav(bytes))
+      MediaCodec.wavEnergyEnvelope(MediaCodec.decodeWav(bytes).samples, dim)
+    else if (MediaCodec.isBmp(bytes))
+      MediaCodec.bmpGrayHistogram(MediaCodec.decodeBmp(bytes), dim)
+    else compressedStubFeatures(bytes, dim)
+
+  /** STUB for compressed codecs only (JPEG/MP3/H.264 decode needs
+    * libraries this container lacks): strided FNV-1a folds of the
+    * payload, scaled to [-1, 1]. Same signature as the real kernels.
+    */
+  private[operators] def compressedStubFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var d = 0
     while (d < dim) {
@@ -122,18 +169,27 @@ object Multimodal {
     out
   }
 
-  /** STUB: stands in for a real resample; keeps output size proportional
-    * to the requested dimensions so downstream sizing logic is exercised.
+  /** Resize/resample. REAL paths: BMP → nearest-neighbor resize to
+    * (w, h); WAV → linear resample scaling the rate by (w·h)/(w0·h0).
+    * Compressed payloads keep the proportional-size stub so downstream
+    * sizing logic stays exercised.
     */
   private[operators] def resizeKernel(bytes: Array[Byte], w0: Int, h0: Int,
-                                      w: Int, h: Int): Array[Byte] = {
-    val outLen = math.max(1, (bytes.length.toLong * (w.toLong * h) /
-      math.max(1L, w0.toLong * h0)).toInt)
-    val out = new Array[Byte](outLen)
-    var i = 0
-    while (i < outLen) { out(i) = bytes(i % math.max(1, bytes.length)); i += 1 }
-    out
-  }
+                                      w: Int, h: Int): Array[Byte] =
+    if (MediaCodec.isBmp(bytes)) MediaCodec.resizeBmp(bytes, w, h)
+    else if (MediaCodec.isWav(bytes)) {
+      val rate = MediaCodec.decodeWav(bytes).sampleRate
+      val newRate = math.max(1,
+        (rate.toLong * w * h / math.max(1L, w0.toLong * h0)).toInt)
+      MediaCodec.resampleWav(bytes, newRate)
+    } else {
+      val outLen = math.max(1, (bytes.length.toLong * (w.toLong * h) /
+        math.max(1L, w0.toLong * h0)).toInt)
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) { out(i) = bytes(i % math.max(1, bytes.length)); i += 1 }
+      out
+    }
 
   /** STUB: stands in for keyframe extraction — returns the i-th of
     * `frames` equal slices of the payload.

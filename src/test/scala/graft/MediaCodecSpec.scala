@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real pure-JVM media codecs (D12): PCM-16 WAV and 24-bit BMP decode /
+  * encode / feature / resample round-trips, and the kernel dispatch in
+  * Multimodal (real codecs for uncompressed containers, FNV stub only
+  * for compressed payloads).
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def sine(n: Int, freq: Double, amp: Float, rate: Int = 8000) =
+    Array.tabulate(n)(i => (amp * math.sin(2 * math.Pi * freq * i / rate)).toFloat)
+
+  test("WAV PCM-16 encode/decode round-trips within quantization error") {
+    val s = sine(512, 440.0, 0.5f)
+    val wav = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(s, 8000))
+    assert(wav.sampleRate == 8000 && wav.channels == 1)
+    assert(wav.samples.length == 512)
+    val maxErr = s.zip(wav.samples).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 1.0f / 32767 + 1e-6f, s"quantization error $maxErr")
+  }
+
+  test("energy envelope tracks amplitude; silence is zero") {
+    val loud = MediaCodec.wavEnergyEnvelope(sine(800, 440, 0.8f), 8)
+    val quiet = MediaCodec.wavEnergyEnvelope(sine(800, 440, 0.1f), 8)
+    assert(loud.length == 8 && quiet.length == 8)
+    assert(loud.sum > 4 * quiet.sum, s"loud=${loud.sum} quiet=${quiet.sum}")
+    // RMS of a full-cycle sine ≈ amp/√2 in every window
+    assert(loud.forall(e => math.abs(e - 0.8 / math.sqrt(2)) < 0.1))
+    assert(MediaCodec.wavEnergyEnvelope(new Array[Float](640), 8).forall(_ == 0f))
+  }
+
+  test("WAV resample preserves duration and shape") {
+    val bytes = MediaCodec.encodeWavPcm16(sine(800, 200, 0.5f), 8000)
+    val down = MediaCodec.decodeWav(MediaCodec.resampleWav(bytes, 4000))
+    assert(down.sampleRate == 4000)
+    assert(math.abs(down.samples.length - 400) <= 1, s"${down.samples.length}")
+    // energy is invariant under resampling
+    val e0 = MediaCodec.wavEnergyEnvelope(sine(800, 200, 0.5f), 4).sum
+    val e1 = MediaCodec.wavEnergyEnvelope(down.samples, 4).sum
+    assert(math.abs(e0 - e1) < 0.05 * e0)
+  }
+
+  test("BMP 24-bit encode/decode round-trips exactly (incl. row padding)") {
+    // width 3 forces a non-trivial 4-byte row pad (3*3=9 → stride 12)
+    val rgb = Array.tabulate(3 * 5 * 3)(i => ((i * 37) % 256).toByte)
+    val img = MediaCodec.Bmp(3, 5, rgb)
+    val back = MediaCodec.decodeBmp(MediaCodec.encodeBmp(img))
+    assert(back.width == 3 && back.height == 5)
+    assert(back.rgb.toSeq == rgb.toSeq)
+  }
+
+  test("grayscale histogram is normalized and luminance-ordered") {
+    def flat(v: Int, w: Int = 8, h: Int = 8) =
+      MediaCodec.Bmp(w, h, Array.fill(w * h * 3)(v.toByte))
+    val dark = MediaCodec.bmpGrayHistogram(flat(10), 8)
+    val bright = MediaCodec.bmpGrayHistogram(flat(245 - 256), 8) // 245 as byte
+    assert(math.abs(dark.sum - 1.0f) < 1e-5 && math.abs(bright.sum - 1.0f) < 1e-5)
+    assert(dark(0) == 1.0f, s"dark mass in bin 0: ${dark.toSeq}")
+    assert(bright(7) == 1.0f, s"bright mass in bin 7: ${bright.toSeq}")
+  }
+
+  test("BMP resize: dims change, constant color survives, output is valid BMP") {
+    val img = MediaCodec.Bmp(6, 4, Array.fill(6 * 4 * 3)(77.toByte))
+    val resized = MediaCodec.resizeBmp(MediaCodec.encodeBmp(img), 10, 7)
+    val back = MediaCodec.decodeBmp(resized)
+    assert(back.width == 10 && back.height == 7)
+    assert(back.rgb.forall(_ == 77.toByte))
+  }
+
+  test("Multimodal kernel dispatch: real codecs for WAV/BMP, stub for the rest") {
+    val wavBytes = MediaCodec.encodeWavPcm16(sine(400, 300, 0.6f), 8000)
+    val wavFeat = Multimodal.decodeToFeatures(wavBytes, 8)
+    assert(wavFeat.forall(_ >= 0f) && wavFeat.sum > 0.5f,
+      "wav features are RMS energies")
+    val bmp = MediaCodec.encodeBmp(
+      MediaCodec.Bmp(4, 4, Array.fill(48)(128.toByte)))
+    val bmpFeat = Multimodal.decodeToFeatures(bmp, 8)
+    assert(math.abs(bmpFeat.sum - 1.0f) < 1e-5, "bmp features are a histogram")
+    val stubFeat = Multimodal.decodeToFeatures("mp4-ish".getBytes, 8)
+    assert(stubFeat.exists(_ < 0f), "stub features span [-1,1]")
+    // resize dispatch round-trips through the real codecs
+    val rw = Multimodal.resizeKernel(wavBytes, 400, 1, 20, 10)
+    assert(MediaCodec.decodeWav(rw).sampleRate == 8000 * 20 * 10 / 400)
+    val rb = Multimodal.resizeKernel(bmp, 4, 4, 9, 3)
+    assert(MediaCodec.decodeBmp(rb).width == 9)
+  }
+}
