@@ -16,6 +16,18 @@ object Catalog {
     * row versions (same sequence) and any later re-INSERT survive.
     */
   val SeqCol = "_graft_seq"
+
+  /** JVM-GLOBAL write locks, keyed by (normalized warehouse, table).
+    * Every connection gets its own Catalog instance over the shared
+    * warehouse (MysqlServer: one GraftSession per connection), so
+    * per-instance locks would not serialize writers at all — the
+    * single-writer commit protocol holds across every Catalog in the
+    * process or it holds nowhere.
+    */
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]
+  private[engine] def lockFor(key: String): java.util.concurrent.locks.ReentrantLock =
+    writeLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock)
 }
 
 /** Warehouse-backed catalog: schema = directory, table = directory with a
@@ -302,10 +314,21 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   // its commit are hard-linked into the new version before the swap
   // (ingest-vs-DML consistency).
 
-  private val tableLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]
+  private val lockRoot =
+    Paths.get(warehouse).toAbsolutePath.normalize().toString
+  /** Short commit-section lock: guards pointer swaps, appends, version
+    * resolution. Shared JVM-wide per (warehouse, table).
+    */
   private def lockFor(db: String, t: String) =
-    tableLocks.computeIfAbsent(s"$db.$t", _ => new java.util.concurrent.locks.ReentrantLock)
+    Catalog.lockFor(s"$lockRoot|$db.$t")
+  /** Long rewrite lock: serializes whole rewrites (materialize + commit)
+    * against each other, so two rewrites can never materialize into the
+    * same version number or clobber each other's commit. Appends only
+    * take the short lock and stay concurrent with a materializing
+    * rewrite (the window hard-link merge covers them).
+    */
+  private def rewriteLockFor(db: String, t: String) =
+    Catalog.lockFor(s"$lockRoot|rw|$db.$t")
 
   /** Test seam: invoked by `rewrite` after the new version is fully
     * materialized but before the commit critical section — the window a
@@ -489,6 +512,13 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     * higher sequence and still masks its rows in the rewritten files.
     */
   def rewrite(db: String, t: String, df: => DataFrame): Unit = {
+    val rwLock = rewriteLockFor(db, t)
+    rwLock.lock()
+    try rewriteLocked(db, t, df)
+    finally rwLock.unlock()
+  }
+
+  private def rewriteLocked(db: String, t: String, df: => DataFrame): Unit = {
     val lock = lockFor(db, t)
     lock.lock()
     val (cur, snapshot, delSnapshot, seq) =
@@ -711,13 +741,19 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   // commit-protocol state (tableLocks) already constructed.
   val privCols: Seq[String] = Seq("Select_priv", "Insert_priv", "Update_priv",
     "Delete_priv", "Create_priv", "Drop_priv", "Grant_priv", "Super_priv")
-  if (!tableExists("mysql", "user")) {
-    createTable(TableMeta("mysql", "user",
-      Seq(Col("Host", "varchar(255)", "STRING"), Col("User", "varchar(32)", "STRING")) ++
-        privCols.map(c => Col(c, "char(1)", "STRING")),
-      pk = Seq("Host", "User"), engine = "parquet"), ifNotExists = true)
-    val row = org.apache.spark.sql.Row.fromSeq(Seq("%", "root") ++ privCols.map(_ => "Y"))
-    append("mysql", "user",
-      spark.createDataFrame(java.util.List.of(row), meta("mysql", "user").schema))
+  // seeding is check-then-act over shared files: two connections
+  // constructing Catalogs over a fresh warehouse must not both seed
+  locally {
+    val seedLock = Catalog.lockFor(s"$lockRoot|seed|mysql.user")
+    seedLock.lock()
+    try if (!tableExists("mysql", "user")) {
+      createTable(TableMeta("mysql", "user",
+        Seq(Col("Host", "varchar(255)", "STRING"), Col("User", "varchar(32)", "STRING")) ++
+          privCols.map(c => Col(c, "char(1)", "STRING")),
+        pk = Seq("Host", "User"), engine = "parquet"), ifNotExists = true)
+      val row = org.apache.spark.sql.Row.fromSeq(Seq("%", "root") ++ privCols.map(_ => "Y"))
+      append("mysql", "user",
+        spark.createDataFrame(java.util.List.of(row), meta("mysql", "user").schema))
+    } finally seedLock.unlock()
   }
 }

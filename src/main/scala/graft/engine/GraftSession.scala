@@ -204,13 +204,34 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     * paren depth 0 — inside the column list everything is at depth ≥ 1 —
     * so the quote/paren-aware word scan finds exactly the clause start.
     */
+  /** Split a CREATE TABLE at its ENGINE/PARTITION tail. The keywords are
+    * only meaningful AFTER the column list's closing paren — a table
+    * legally NAMED `engine` or `partition` (neither is reserved in
+    * MySQL) must not cut the statement at the name position.
+    */
   private def splitCreateTail(stmt: String): (String, String) = {
+    val open = stmt.indexOf('(')
+    val searchFrom =
+      if (open < 0) 0
+      else {
+        var depth = 0; var i = open; var close = -1
+        while (i < stmt.length && close < 0) {
+          stmt.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _   =>
+          }
+          i += 1
+        }
+        if (close < 0) 0 else close + 1
+      }
+    val tail = stmt.substring(searchFrom)
     val cut = Seq(
-      SqlText.topLevelIndexOfWord(stmt, "partition"),
-      SqlText.topLevelIndexOfWord(stmt, "partitioned"),
-      SqlText.topLevelIndexOfWord(stmt, "engine")).filter(_ >= 0)
+      SqlText.topLevelIndexOfWord(tail, "partition"),
+      SqlText.topLevelIndexOfWord(tail, "partitioned"),
+      SqlText.topLevelIndexOfWord(tail, "engine")).filter(_ >= 0)
     if (cut.isEmpty) (stmt, "")
-    else (stmt.take(cut.min), stmt.drop(cut.min))
+    else (stmt.take(searchFrom + cut.min), stmt.drop(searchFrom + cut.min))
   }
   private val CtasR =
     "(?is)create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([`\\w.]+)\\s+as\\s+(select\\b.*|with\\b.*)".r
@@ -673,8 +694,10 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
           "information_schema_$1")
       }
       if (q.toLowerCase.contains("performance_schema.global_variables")) {
+        // globalsOnly: a SESSION override must not surface here (MySQL
+        // reports the global value regardless of session scope)
         frame(Seq("variable_name", "variable_value"),
-          variables.all.map(v => Seq(v._1, v._2)))
+          variables.globalsOnly.map(v => Seq(v._1, v._2)))
           .createOrReplaceTempView("performance_schema_global_variables")
         q = q.replaceAll("(?i)performance_schema\\.global_variables",
           "performance_schema_global_variables")
@@ -777,9 +800,16 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** The DML/DDL FinalCount frame. The column carries metadata marking
+    * it as a graft-issued count, so protocol front-ends can distinguish
+    * it from a user SELECT that merely aliases a column
+    * `affected_rows` (shape alone is not a safe signal).
+    */
   private def count(n: Long): DataFrame =
     spark.createDataFrame(java.util.List.of(Row(n)),
-      StructType(Seq(StructField("affected_rows", LongType))))
+      StructType(Seq(StructField("affected_rows", LongType,
+        nullable = true, new org.apache.spark.sql.types.MetadataBuilder()
+          .putBoolean(GraftSession.DmlCountTag, true).build()))))
 
   private def frame(names: Seq[String], rows: Seq[Seq[Any]]): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -790,4 +820,9 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
 
   private def splitTopLevel(s: String, sep: Char): Seq[String] =
     SqlText.splitTopLevel(s, sep)
+}
+
+object GraftSession {
+  /** Column-metadata key marking a frame as a graft DML/DDL FinalCount. */
+  val DmlCountTag = "graft_dml_count"
 }

@@ -45,39 +45,71 @@ class Variables(backing: Option[Path] = None) {
     "time_zone"                -> "SYSTEM"
   )
 
-  private val globals  = mutable.Map(defaults.toSeq: _*)
-  private val session  = mutable.Map.empty[String, String]
+  private val session = mutable.Map.empty[String, String]
 
-  // recover persisted GLOBAL overrides from the warehouse meta store
-  backing.filter(Files.exists(_)).foreach { p =>
-    Files.readAllLines(p).asScala.foreach { line =>
-      line.split('\t') match {
-        case Array(k, v) => globals(k) = v
-        case Array(k)    => globals(k) = ""
-        case _           =>
-      }
-    }
+  // In-memory GLOBAL overrides, ONLY used when there is no backing file.
+  // With a backing file the file IS the source of truth: MySQL GLOBAL
+  // scope is shared across connections and immediately visible, so every
+  // read re-derives globals as defaults ++ file — a per-connection copy
+  // loaded at construction would go stale and a whole-map write-back
+  // would drop other connections' SET GLOBALs (last-writer-wins).
+  private val memOverrides = mutable.Map.empty[String, String]
+
+  private def fileOverrides(): Map[String, String] = backing match {
+    case Some(p) if Files.exists(p) =>
+      Files.readAllLines(p).asScala.flatMap { line =>
+        line.split('\t') match {
+          case Array(k, v) => Some(k -> v)
+          case Array(k)    => Some(k -> "")
+          case _           => None
+        }
+      }.toMap
+    case _ => memOverrides.toMap
   }
+
+  private def globalsNow(): Map[String, String] = defaults ++ fileOverrides()
 
   def get(name: String): Option[String] = {
     val n = name.toLowerCase
-    session.get(n).orElse(globals.get(n))
+    session.get(n).orElse(globalsNow().get(n))
   }
 
   def set(name: String, value: String, global: Boolean = false): Unit = {
     val n = name.toLowerCase
-    if (global) { globals(n) = value; persist() } else session(n) = value
-  }
-
-  private def persist(): Unit = backing.foreach { p =>
-    Files.createDirectories(p.getParent)
-    val overrides = globals.toSeq
-      .filter { case (k, v) => !defaults.get(k).contains(v) }
-      .sortBy(_._1).map { case (k, v) => s"$k\t$v" }
-    Files.write(p, overrides.asJava)
+    if (!global) { session(n) = value; return }
+    backing match {
+      case Some(p) =>
+        // read-merge-write under a JVM-global per-file lock: concurrent
+        // SET GLOBALs from other connections survive
+        val lock = Variables.lockFor(p)
+        lock.lock()
+        try {
+          val merged = fileOverrides() + (n -> value)
+          val overrides = merged.toSeq
+            .filter { case (k, v) => !defaults.get(k).contains(v) }
+            .sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+          Files.createDirectories(p.getParent)
+          Files.write(p, overrides.asJava)
+        } finally lock.unlock()
+      case None => memOverrides(n) = value
+    }
   }
 
   /** Merged view for SHOW VARIABLES, sorted by name. */
   def all: Seq[(String, String)] =
-    (globals ++ session).toSeq.sortBy(_._1)
+    (globalsNow() ++ session).toSeq.sortBy(_._1)
+
+  /** GLOBAL scope only — performance_schema.global_variables must NOT
+    * see session-scoped values (MySQL reports the global there even
+    * when a session override exists).
+    */
+  def globalsOnly: Seq[(String, String)] = globalsNow().toSeq.sortBy(_._1)
+}
+
+object Variables {
+  private val fileLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]
+  private def lockFor(p: Path) =
+    fileLocks.computeIfAbsent(p.toAbsolutePath.normalize().toString,
+      _ => new java.util.concurrent.locks.ReentrantLock)
 }

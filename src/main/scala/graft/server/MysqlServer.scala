@@ -105,6 +105,9 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     // COM_STMT_SEND_LONG_DATA accumulators: (stmtId, paramIdx) → chunks
     val longData =
       mutable.Map.empty[(Int, Int), java.io.ByteArrayOutputStream]
+    // param types from the statement's FIRST execute: real clients send
+    // new-params-bound=0 with NO type block on every later execute
+    val stmtTypes = mutable.Map.empty[Int, Array[Int]]
     try {
       // handshake → client response → auth switch → auth data → OK
       io.write(Messages.handshake(connId))
@@ -182,7 +185,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
               val (stmtId, args) = decodeStmtExecute(packet,
                 id => SqlText.countPlaceholders(stmts.getOrElse(id,
                   sys.error(s"Unknown prepared statement id $id"))),
-                (id, p) => longData.get((id, p)).map(_.toByteArray))
+                (id, p) => longData.get((id, p)).map(_.toByteArray),
+                stmtTypes.get, (id, ts) => stmtTypes(id) = ts)
               val template = stmts(stmtId)
               run(io, session, SqlText.bindPlaceholders(template, args),
                 binary = true)
@@ -191,6 +195,7 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
             if (packet.length >= 5) {
               val id = leU32(packet, 1).toInt
               stmts.remove(id)
+              stmtTypes.remove(id)
               longData.filterInPlace { case ((sid, _), _) => sid != id }
             }
           case 0x1a => // COM_STMT_RESET — discards accumulated long data
@@ -276,12 +281,13 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
       } else writeResultSet(io, df, binary)
     } catch { case NonFatal(e) => writeError(io, e) }
 
-  /** DDL/DML statements come back as the reference's FinalCount frame
-    * (GraftSession.count): exactly one bigint column `affected_rows`.
+  /** DDL/DML statements come back as the reference's FinalCount frame,
+    * identified by GraftSession's column-metadata tag — NOT by shape, so
+    * a user SELECT aliased `affected_rows` still gets its result set.
     */
   private def isFinalCount(df: DataFrame): Boolean = {
     val f = df.schema.fields
-    f.length == 1 && f(0).name == "affected_rows"
+    f.length == 1 && f(0).metadata.contains(GraftSession.DmlCountTag)
   }
 
   private def writeResultSet(io: PacketIO, df: DataFrame,
@@ -346,7 +352,11 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
   private def decodeStmtExecute(packet: Array[Byte],
                                 nParamsOf: Int => Int,
                                 longOf: (Int, Int) => Option[Array[Byte]] =
-                                  (_, _) => None): (Int, Seq[String]) = {
+                                  (_, _) => None,
+                                typesOf: Int => Option[Array[Int]] =
+                                  _ => None,
+                                rememberTypes: (Int, Array[Int]) => Unit =
+                                  (_, _) => ()): (Int, Seq[String]) = {
     var pos = 1
     val stmtId = leU32(packet, pos).toInt; pos += 4
     pos += 1 // cursor flags
@@ -358,10 +368,17 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     System.arraycopy(packet, pos, nullBitmap, 0, nullBitmap.length)
     pos += nullBitmap.length
     val newParamsBound = packet(pos); pos += 1
-    require(newParamsBound == 0x01,
-      "graft prepared statements expect types with every execute")
-    val types = new Array[Int](nParams)
-    (0 until nParams).foreach { i => types(i) = leU16(packet, pos); pos += 2 }
+    // new-params-bound == 0: no type block in this packet; the types
+    // from the statement's first execute apply (libmysqlclient and
+    // Connector/J both re-execute this way)
+    val types =
+      if (newParamsBound == 0x01) {
+        val ts = new Array[Int](nParams)
+        (0 until nParams).foreach { i => ts(i) = leU16(packet, pos); pos += 2 }
+        rememberTypes(stmtId, ts)
+        ts
+      } else typesOf(stmtId).getOrElse(sys.error(
+        s"COM_STMT_EXECUTE without types for statement $stmtId that never sent them"))
 
     def quote(bytes: Array[Byte]): String = {
       val s = new String(bytes, "UTF-8")

@@ -19,17 +19,29 @@ final class PacketIO(in: DataInputStream, out: OutputStream) {
 
   def resetSeq(): Unit = seq = 0
 
-  /** Read one framed packet's payload; null on clean EOF. */
+  /** Read one LOGICAL packet's payload; null on clean EOF. A payload of
+    * exactly 2^24-1 bytes signals a continuation packet follows — the
+    * reader reassembles until a chunk under the boundary arrives
+    * (mirroring the writer's chunking; without this a >16MB COM_QUERY
+    * would execute truncated and desync the protocol on the next chunk).
+    */
   def read(): Array[Byte] = {
-    val header = new Array[Byte](4)
-    try in.readFully(header)
-    catch { case _: EOFException => return null }
-    val len = (header(0) & 0xff) | ((header(1) & 0xff) << 8) |
-      ((header(2) & 0xff) << 16)
-    seq = (header(3) & 0xff) + 1
-    val payload = new Array[Byte](len)
-    in.readFully(payload)
-    payload
+    var out: java.io.ByteArrayOutputStream = null
+    while (true) {
+      val header = new Array[Byte](4)
+      try in.readFully(header)
+      catch { case _: EOFException => return null }
+      val len = (header(0) & 0xff) | ((header(1) & 0xff) << 8) |
+        ((header(2) & 0xff) << 16)
+      seq = (header(3) & 0xff) + 1
+      val payload = new Array[Byte](len)
+      in.readFully(payload)
+      if (out == null && len < 0xffffff) return payload
+      if (out == null) out = new java.io.ByteArrayOutputStream(len * 2)
+      out.write(payload, 0, len)
+      if (len < 0xffffff) return out.toByteArray
+    }
+    null // unreachable
   }
 
   def write(payload: Array[Byte]): Unit = {

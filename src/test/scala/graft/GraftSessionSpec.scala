@@ -307,6 +307,18 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select s from esc").head.head == "won't go")
   }
 
+  test("regression: tables NAMED engine/partition parse (keywords only cut after the column list)") {
+    g.sql("use test")
+    g.sql("create table engine (a int)")
+    g.sql("insert into engine values (1)")
+    assert(rows("select a from engine") == Seq(Seq(1)))
+    g.sql("create table partition (b int) engine=csv")
+    g.sql("insert into partition values (2)")
+    assert(rows("select b from partition") == Seq(Seq(2)))
+    g.sql("drop table engine")
+    g.sql("drop table partition")
+  }
+
   test("cross-schema: qualified CTAS, rename across schemas, qualified DML") {
     g.sql("create schema xs1")
     g.sql("create schema xs2")

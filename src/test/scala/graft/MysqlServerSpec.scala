@@ -278,6 +278,26 @@ class MysqlServerSpec extends AnyFunSuite {
       response(binary = true)
     }
 
+    /** Re-execute the way libmysqlclient/Connector/J do after the first
+      * execute: new-params-bound = 0x00 and NO type block — the server
+      * must reuse the types it saw on the first execute.
+      */
+    def executeReuseTypes(stmtId: Int, values: Seq[Array[Byte]]): Response = {
+      val b = new ByteArrayOutputStream()
+      def u32(n: Long): Unit =
+        (0 until 4).foreach(i => b.write(((n >> (8 * i)) & 0xff).toInt))
+      u32(stmtId.toLong)
+      b.write(0x00); u32(1L)
+      if (values.nonEmpty) {
+        val bitmap = new Array[Byte]((values.length + 7) / 8)
+        b.write(bitmap, 0, bitmap.length)
+        b.write(0x00) // new params NOT bound: no type block follows
+        values.foreach(v => b.write(v, 0, v.length))
+      }
+      command(0x17, b.toByteArray)
+      response(binary = true)
+    }
+
     /** COM_STMT_SEND_LONG_DATA: stream one chunk (no server response). */
     def sendLongData(stmtId: Int, paramId: Int, chunk: Array[Byte]): Unit = {
       val b = new ByteArrayOutputStream()
@@ -469,6 +489,32 @@ class MysqlServerSpec extends AnyFunSuite {
     assert(tabs.columns == Seq("Tables_in_mysql"))
     assert(!tabs.rows.flatten.flatten.contains("cu_t"))
     assert(c.initDb("wirecu").isInstanceOf[Ok]) // connection still usable
+    c.quit()
+  }
+
+  test("re-execute with new-params-bound=0 reuses the first execute's types") {
+    val c = new Client
+    assert(c.query("create schema if not exists wirere").isInstanceOf[Ok])
+    assert(c.initDb("wirere").isInstanceOf[Ok])
+    assert(c.query("create table re (id int, v varchar(10))").isInstanceOf[Ok])
+    assert(c.query("insert into re values (1,'a'), (2,'b'), (3,'c')") == Ok(3))
+    val (sid, _) = c.prepare("select v from re where id = ?")
+    // first execute sends types (0x01); later ones send only values
+    assert(c.execute(sid, Seq((0x03, leInt(1)))).asInstanceOf[ResultSet]
+      .rows == Seq(Seq(Some("a"))))
+    assert(c.executeReuseTypes(sid, Seq(leInt(2))).asInstanceOf[ResultSet]
+      .rows == Seq(Seq(Some("b"))))
+    assert(c.executeReuseTypes(sid, Seq(leInt(3))).asInstanceOf[ResultSet]
+      .rows == Seq(Seq(Some("c"))))
+    c.closeStmt(sid)
+    c.quit()
+  }
+
+  test("a SELECT aliased affected_rows is a result set, not an OK packet") {
+    val c = new Client
+    val rs = c.query("select 41 + 1 as affected_rows")
+    assert(rs.isInstanceOf[ResultSet], s"got $rs")
+    assert(rs.asInstanceOf[ResultSet].rows == Seq(Seq(Some("42"))))
     c.quit()
   }
 

@@ -39,6 +39,41 @@ class SystemTablesSpec extends AnyFunSuite {
     assert(v.map(_.getString(0)).toSeq == Seq("7"))
   }
 
+  test("GLOBAL scope is shared and live across concurrent sessions; session scope never leaks into it") {
+    val wh = Files.createTempDirectory("graft-gvshare-wh").toString
+    val g1 = new GraftSession(spark.newSession(), wh)
+    val g2 = new GraftSession(spark.newSession(), wh)
+    // live visibility: no restart between the set and the read
+    g1.sql("set global max_connections = 321")
+    assert(g2.sql("select @@max_connections").collect()(0).getString(0) == "321",
+      "SET GLOBAL must be immediately visible to other live sessions")
+    // merge, not last-writer-wins file truncation
+    g2.sql("set global auto_increment_increment = 9")
+    assert(g1.sql("select @@max_connections").collect()(0).getString(0) == "321")
+    assert(g1.sql("select @@auto_increment_increment").collect()(0).getString(0) == "9")
+    // session override answers @@var but must NOT surface in the
+    // GLOBAL_VARIABLES system table (MySQL reports the global there)
+    g1.sql("set session wait_timeout = 99")
+    val v = g1.sql("""select variable_value from performance_schema.global_variables
+      where variable_name = 'wait_timeout'""").collect()
+    assert(v.map(_.getString(0)).toSeq == Seq("28800"))
+  }
+
+  test("concurrent Catalog construction over a fresh warehouse seeds mysql.user once") {
+    val wh = Files.createTempDirectory("graft-seedrace-wh").toString
+    val sessions = new java.util.concurrent.ConcurrentLinkedQueue[GraftSession]
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 3).map(_ => new Thread(() => {
+      try sessions.add(new GraftSession(spark.newSession(), wh))
+      catch { case e: Throwable => errs.add(e) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"constructor race: ${errs.toArray.toSeq}")
+    val g = sessions.peek()
+    assert(g.sql("select count(*) as n from mysql.user").collect()(0)
+      .getLong(0) == 1L, "root row seeded exactly once")
+  }
+
   test("information_schema SCHEMATA/TABLE_CONSTRAINTS/KEY_COLUMN_USAGE/STATISTICS") {
     val wh = Files.createTempDirectory("graft-is-wh").toString
     val g = new GraftSession(spark.newSession(), wh)
