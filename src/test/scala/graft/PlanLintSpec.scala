@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan lint over EVERY SparkEntry query: no cartesian products
+  * anywhere, and nested-loop joins only where the shape is intentional
+  * and bounded — the regression class the scale audit cares about (an
+  * accidental all-pairs join passes correctness at test SF and melts at
+  * 100 TB). Plans are inspected, not executed.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  /** Queries whose physical plan legitimately contains a
+    * BroadcastNestedLoopJoin, with the reason on record:
+    *  - q14: the CROSS JOIN coverage query itself (small dims)
+    *  - q33: in-bucket pairwise verifier, candidate-bounded by predicate
+    *  - q34: the broadcast IVF codebook is a ONE-ROW side (cell
+    *         assignment); the pair join itself is a cell equi-join
+    *  - q35: broadcast(query batch) × one corpus scan — the brute-force
+    *         baseline's intended shape
+    *  - q43: one-row broadcast codebook, as in q34
+    */
+  private val bnljAllowed = Set("q14_join_cross", "q33_ngram_jaccard",
+    "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf")
+
+  test("no cartesian products; nested-loop joins only on the justified whitelist") {
+    val offenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.result().isEmpty,
+      s"plan lint failures: ${offenders.result().mkString("; ")}")
+  }
+
+  test("the whitelist is tight: its members still plan the nested-loop shape") {
+    // if a whitelisted query stops needing the exemption, shrink the list
+    val stillBnlj = bnljAllowed.filter { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stillBnlj == bnljAllowed,
+      s"stale whitelist entries: ${bnljAllowed -- stillBnlj}")
+  }
+}
