@@ -617,6 +617,12 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     * shapes blindly so re-registration and engine changes stay simple.
     */
   private def deregister(db: String, t: String): Unit = {
+    val regLock = Catalog.lockFor(s"reg|$db.$t")
+    regLock.lock()
+    try deregisterLocked(db, t) finally regLock.unlock()
+  }
+
+  private def deregisterLocked(db: String, t: String): Unit = {
     val sc = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
     if (sc.tableExists(ident)) {
@@ -645,6 +651,16 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   private def register(m: TableMeta): Unit = {
+    // the Spark external catalog is ONE namespace for the whole JVM:
+    // concurrent Catalog constructions (one per connection) re-register
+    // the same tables, and both passing the exists-check would race the
+    // create — serialize on the table NAME, across warehouses
+    val regLock = Catalog.lockFor(s"reg|${m.db}.${m.table}")
+    regLock.lock()
+    try registerLocked(m) finally regLock.unlock()
+  }
+
+  private def registerLocked(m: TableMeta): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `${m.db}`")
     val sc = spark.sessionState.catalog
     if (m.mergeOnRead) {

@@ -526,9 +526,12 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     case SetUserR(name, value) =>
       userVars(name.toLowerCase) = value.trim; count(0)
     case SetR(scope, name, value) =>
-      val n = name.toLowerCase.stripPrefix("global.").stripPrefix("session.")
-      variables.set(n, unquote(value.trim),
-        global = scope != null && scope.trim.equalsIgnoreCase("global"))
+      val lower = name.toLowerCase
+      // both spellings reach GLOBAL scope: SET GLOBAL x and SET @@global.x
+      val global = (scope != null && scope.trim.equalsIgnoreCase("global")) ||
+        lower.startsWith("global.")
+      val n = lower.stripPrefix("global.").stripPrefix("session.")
+      variables.set(n, unquote(value.trim), global = global)
       count(0)
   }
 
@@ -669,8 +672,18 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
 
   // ---- query path (select.rs / explain.rs; B7/B10/B12) -------------------
 
-  private val VarRef = "@@(?:(?:global|session)\\.)?(\\w+)".r
+  private val VarRef = "@@(?:(global|session)\\.)?(\\w+)".r
   private val SelectVarsR = "(?is)select\\s+(@@[\\w.]+(?:\\s*,\\s*@@[\\w.]+)*)\\s*".r
+
+  /** Resolve a @@var reference honoring its scope prefix: `@@global.x`
+    * reads GLOBAL scope only (a session override must not answer it,
+    * MySQL semantics); `@@x` and `@@session.x` read the merged view
+    * (session values initialize from globals on connect).
+    */
+  private def varRefValue(m: scala.util.matching.Regex.Match): Option[String] =
+    if (m.group(1) != null && m.group(1).equalsIgnoreCase("global"))
+      variables.getGlobal(m.group(2))
+    else variables.get(m.group(2))
 
   /** SELECT / EXPLAIN / WITH / VALUES — Spark SQL with two MySQL-isms
     * rewritten first: `@@variable` references and `information_schema`
@@ -682,7 +695,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       // pure variable select keeps MySQL column naming: `@@version` etc.
       val names = vars.split(',').map(_.trim)
       val row = Row(names.map(n =>
-        variables.get(VarRef.findFirstMatchIn(n).get.group(1)).orNull): _*)
+        varRefValue(VarRef.findFirstMatchIn(n).get).orNull): _*)
       spark.createDataFrame(java.util.List.of(row),
         StructType(names.map(n => StructField(n, StringType))))
     case _ =>
@@ -706,7 +719,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       // inlined literally, not treated as regex replacement templates
       import java.util.regex.Matcher
       q = VarRef.replaceAllIn(q, m =>
-        Matcher.quoteReplacement("'" + variables.get(m.group(1)).getOrElse("") + "'"))
+        Matcher.quoteReplacement("'" + varRefValue(m).getOrElse("") + "'"))
       // MySQL connection-info functions (clients issue these on connect)
       q = q.replaceAll("(?i)\\bdatabase\\(\\)",
           Matcher.quoteReplacement(s"'$currentSchema'"))

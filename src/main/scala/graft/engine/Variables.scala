@@ -104,6 +104,10 @@ class Variables(backing: Option[Path] = None) {
     * when a session override exists).
     */
   def globalsOnly: Seq[(String, String)] = globalsNow().toSeq.sortBy(_._1)
+
+  /** One variable, GLOBAL scope only (`SELECT @@global.x`). */
+  def getGlobal(name: String): Option[String] =
+    globalsNow().get(name.toLowerCase)
 }
 
 object Variables {

@@ -57,6 +57,14 @@ class SystemTablesSpec extends AnyFunSuite {
     val v = g1.sql("""select variable_value from performance_schema.global_variables
       where variable_name = 'wait_timeout'""").collect()
     assert(v.map(_.getString(0)).toSeq == Seq("28800"))
+    // scoped reads: @@global.x bypasses the session override; @@x and
+    // @@session.x see it
+    assert(g1.sql("select @@wait_timeout").collect()(0).getString(0) == "99")
+    assert(g1.sql("select @@session.wait_timeout").collect()(0).getString(0) == "99")
+    assert(g1.sql("select @@global.wait_timeout").collect()(0).getString(0) == "28800")
+    // scoped write: SET @@global.x reaches GLOBAL scope (visible to g2)
+    g1.sql("set @@global.net_write_timeout = 77")
+    assert(g2.sql("select @@net_write_timeout").collect()(0).getString(0) == "77")
   }
 
   test("concurrent Catalog construction over a fresh warehouse seeds mysql.user once") {
