@@ -199,32 +199,15 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   private val EngineR = "(?is)engine\\s*=\\s*(\\w+)".r
   private val PartitionByR = "(?is)partition(?:ed)?\\s+by\\s*\\(([^)]*)\\)".r
 
-  /** Split a CREATE TABLE statement into (head incl. column list, tail of
-    * top-level ENGINE= / PARTITION BY clauses). The tail keywords sit at
-    * paren depth 0 — inside the column list everything is at depth ≥ 1 —
-    * so the quote/paren-aware word scan finds exactly the clause start.
-    */
   /** Split a CREATE TABLE at its ENGINE/PARTITION tail. The keywords are
     * only meaningful AFTER the column list's closing paren — a table
     * legally NAMED `engine` or `partition` (neither is reserved in
     * MySQL) must not cut the statement at the name position.
     */
   private def splitCreateTail(stmt: String): (String, String) = {
-    val open = stmt.indexOf('(')
-    val searchFrom =
-      if (open < 0) 0
-      else {
-        var depth = 0; var i = open; var close = -1
-        while (i < stmt.length && close < 0) {
-          stmt.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) close = i
-            case _   =>
-          }
-          i += 1
-        }
-        if (close < 0) 0 else close + 1
-      }
+    // quote-aware matching-close scan: a ')' inside a quoted DEFAULT or
+    // COMMENT must not end the column list
+    val searchFrom = SqlText.afterMatchingClose(stmt)
     val tail = stmt.substring(searchFrom)
     val cut = Seq(
       SqlText.topLevelIndexOfWord(tail, "partition"),
@@ -445,32 +428,46 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
                                 cond: org.apache.spark.sql.Column,
                                 assignments: Seq[(String, String)]): DataFrame = {
     val seq = catalog.nextSeq(db, t)
-    // matched rows pin to the CURRENT merged view via localCheckpoint:
-    // the count, tombstone write, and new-version write all read one
-    // materialized snapshot that NO catalog refresh can invalidate.
-    // (persist is not enough: the tombstone commit refreshes the dels
-    // table, and Spark auto-refreshes the base path on the data append —
-    // either invalidation would recompute a persisted plan against the
-    // tombstoned view and lose the new row versions.)
-    val matched = catalog.read(db, t).filter(cond).localCheckpoint()
-    val affected = matched.count()
-    if (affected > 0) {
-      var upd = matched
-      for ((c, e) <- assignments) {
-        val ddl = m.cols.find(_.name == c)
-          .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
-        upd = upd.withColumn(c, expr(e).cast(ddl))
+    // matched rows pin to the CURRENT merged view by staging to a temp
+    // parquet dir: the count, tombstone write, and new-version write all
+    // read one materialized snapshot that NO catalog refresh can
+    // invalidate, and the snapshot is deterministically deleted when the
+    // statement finishes. (persist is not enough — the tombstone commit
+    // refreshes the dels table, and Spark auto-refreshes the base path
+    // on the data append; either invalidation would recompute a
+    // persisted plan against the tombstoned view and lose the new row
+    // versions. localCheckpoint pins too, but its blocks free only on a
+    // later GC — a busy server would accumulate one snapshot per
+    // UPDATE.)
+    val stage = java.nio.file.Files.createTempDirectory("graft-upd-stage")
+    try {
+      catalog.read(db, t).filter(cond).write
+        .mode("overwrite").parquet(stage.toString)
+      val matched = spark.read.parquet(stage.toString)
+      val affected = matched.count()
+      if (affected > 0) {
+        var upd = matched
+        for ((c, e) <- assignments) {
+          val ddl = m.cols.find(_.name == c)
+            .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
+          upd = upd.withColumn(c, expr(e).cast(ddl))
+        }
+        // tombstones first, refreshed immediately: a concurrent reader
+        // sees the rows briefly deleted, never duplicated (the data
+        // append auto-refreshes the base path the instant its files
+        // land, so a deferred dels refresh WOULD expose old+new rows)
+        catalog.appendDeletes(db, t,
+          matched.select(m.pk.map(k => col(s"`$k`")): _*), seq)
+        catalog.append(db, t, upd, seqOpt = Some(seq))
+        catalog.maybeAutoCompact(db, t)
       }
-      // tombstones first, refreshed immediately: a concurrent reader
-      // sees the rows briefly deleted, never duplicated (the data
-      // append auto-refreshes the base path the instant its files land,
-      // so a deferred dels refresh WOULD expose old+new rows together)
-      catalog.appendDeletes(db, t,
-        matched.select(m.pk.map(k => col(s"`$k`")): _*), seq)
-      catalog.append(db, t, upd, seqOpt = Some(seq))
-      catalog.maybeAutoCompact(db, t)
+      count(affected)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    count(affected)
   }
 
   private def topLevelIndexOfWord(s: String, word: String): Int =
@@ -672,7 +669,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
 
   // ---- query path (select.rs / explain.rs; B7/B10/B12) -------------------
 
-  private val VarRef = "@@(?:(global|session)\\.)?(\\w+)".r
+  private val VarRef = "(?i)@@(?:(global|session)\\.)?(\\w+)".r
   private val SelectVarsR = "(?is)select\\s+(@@[\\w.]+(?:\\s*,\\s*@@[\\w.]+)*)\\s*".r
 
   /** Resolve a @@var reference honoring its scope prefix: `@@global.x`

@@ -66,6 +66,31 @@ object SqlText {
     -1
   }
 
+  /** Index just past the ')' matching the FIRST top-level '(' —
+    * quote-aware, so a paren inside a string literal (a quoted DEFAULT,
+    * a COMMENT) never closes the group. 0 when there is no top-level
+    * '(' or it never closes.
+    */
+  def afterMatchingClose(s: String): Int = {
+    var quote: Char = 0; var depth = 0; var opened = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '('              => depth += 1; opened = true
+        case ')' =>
+          depth -= 1
+          if (opened && depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    0
+  }
+
   /** True when the trimmed text ends with a ';' that is outside any
     * string literal (i.e. the statement is complete).
     */

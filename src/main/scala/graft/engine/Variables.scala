@@ -55,15 +55,29 @@ class Variables(backing: Option[Path] = None) {
   // would drop other connections' SET GLOBALs (last-writer-wins).
   private val memOverrides = mutable.Map.empty[String, String]
 
+  // (mtime, size) → parsed overrides: lookups are frequent (every @@var
+  // reference), the file is tiny and rarely written — re-parse only when
+  // its stamp changes. Writes go through temp + ATOMIC_MOVE, so a reader
+  // never observes a truncated file and every write refreshes the stamp.
+  @volatile private var cache: ((Long, Long), Map[String, String]) =
+    ((-1L, -1L), Map.empty)
+
   private def fileOverrides(): Map[String, String] = backing match {
     case Some(p) if Files.exists(p) =>
-      Files.readAllLines(p).asScala.flatMap { line =>
-        line.split('\t') match {
-          case Array(k, v) => Some(k -> v)
-          case Array(k)    => Some(k -> "")
-          case _           => None
-        }
-      }.toMap
+      val stamp = (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+      val c = cache
+      if (c._1 == stamp) c._2
+      else {
+        val parsed = Files.readAllLines(p).asScala.flatMap { line =>
+          line.split('\t') match {
+            case Array(k, v) => Some(k -> v)
+            case Array(k)    => Some(k -> "")
+            case _           => None
+          }
+        }.toMap
+        cache = (stamp, parsed)
+        parsed
+      }
     case _ => memOverrides.toMap
   }
 
@@ -89,7 +103,11 @@ class Variables(backing: Option[Path] = None) {
             .filter { case (k, v) => !defaults.get(k).contains(v) }
             .sortBy(_._1).map { case (k, v) => s"$k\t$v" }
           Files.createDirectories(p.getParent)
-          Files.write(p, overrides.asJava)
+          // atomic replace: a concurrent reader (other connection, no
+          // lock on the read path) must never see a truncated file
+          val tmp = p.resolveSibling(s".${p.getFileName}.${System.nanoTime()}")
+          Files.write(tmp, overrides.asJava)
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         } finally lock.unlock()
       case None => memOverrides(n) = value
     }

@@ -27,7 +27,10 @@ object MediaCodec {
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
   /** Decode PCM-16 WAV: walk the RIFF chunks for fmt + data; samples
-    * normalized to [-1, 1], channels interleaved as stored.
+    * normalized to [-1, 1], channels interleaved as stored. Chunk sizes
+    * are VALIDATED against the buffer — a corrupt/hostile header must
+    * throw (callers fall back), never loop forever or read out of
+    * bounds.
     */
   def decodeWav(b: Array[Byte]): Wav = {
     require(isWav(b), "not a RIFF/WAVE payload")
@@ -37,7 +40,10 @@ object MediaCodec {
     while (pos + 8 <= b.length) {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = le32(b, pos + 4)
+      require(size >= 0 && pos + 8 + size.toLong <= b.length,
+        s"chunk '$id' size $size exceeds payload (${b.length} bytes)")
       if (id == "fmt ") {
+        require(size >= 16, s"fmt chunk too short: $size")
         require(le16(b, pos + 8) == 1, "only PCM (format 1) supported")
         channels = le16(b, pos + 10)
         rate = le32(b, pos + 12)
@@ -54,7 +60,8 @@ object MediaCodec {
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
-    require(samples != null && rate > 0, "missing fmt/data chunk")
+    require(samples != null && rate > 0 && channels > 0,
+      "missing fmt/data chunk")
     Wav(rate, channels, samples)
   }
 
@@ -104,20 +111,29 @@ object MediaCodec {
   }
 
   /** Linear-interpolation resample to a new sample rate — the audio
-    * analog of an image resize.
+    * analog of an image resize. PER CHANNEL over the interleaved frames:
+    * interpolating across the raw array would mix left into right.
     */
   def resampleWav(b: Array[Byte], newRate: Int): Array[Byte] = {
     val w = decodeWav(b)
-    val n = math.max(1, (w.samples.length.toLong * newRate / w.sampleRate).toInt)
-    val out = new Array[Float](n)
-    var i = 0
-    while (i < n) {
-      val src = i.toDouble * (w.samples.length - 1) / math.max(1, n - 1)
-      val lo = src.toInt
-      val hi = math.min(w.samples.length - 1, lo + 1)
-      val frac = (src - lo).toFloat
-      out(i) = w.samples(lo) * (1 - frac) + w.samples(hi) * frac
-      i += 1
+    val ch = math.max(1, w.channels)
+    val frames = w.samples.length / ch
+    if (frames == 0) return encodeWavPcm16(Array.empty, newRate, w.channels)
+    val outFrames = math.max(1, (frames.toLong * newRate / w.sampleRate).toInt)
+    val out = new Array[Float](outFrames * ch)
+    var c = 0
+    while (c < ch) {
+      var i = 0
+      while (i < outFrames) {
+        val src = i.toDouble * (frames - 1) / math.max(1, outFrames - 1)
+        val lo = src.toInt
+        val hi = math.min(frames - 1, lo + 1)
+        val frac = (src - lo).toFloat
+        out(i * ch + c) =
+          w.samples(lo * ch + c) * (1 - frac) + w.samples(hi * ch + c) * frac
+        i += 1
+      }
+      c += 1
     }
     encodeWavPcm16(out, newRate, w.channels)
   }
@@ -126,13 +142,20 @@ object MediaCodec {
 
   case class Bmp(width: Int, height: Int, rgb: Array[Byte]) // row-major, top-down
 
+  /** Strict enough to be a DISPATCH predicate over arbitrary binary
+    * columns: magic + BITMAPINFOHEADER size + single plane + 24 bpp, so
+    * a text payload that merely starts with "BM" never routes here.
+    */
   def isBmp(b: Array[Byte]): Boolean =
-    b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+    b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+      le32(b, 14) == 40 && le16(b, 26) == 1 && le16(b, 28) == 24
 
   private def bmpRowStride(w: Int): Int = (w * 3 + 3) & ~3
 
   /** Decode 24-bpp uncompressed BMP (the standard bottom-up row order and
-    * 4-byte row padding handled); output is top-down RGB.
+    * 4-byte row padding handled); output is top-down RGB. Header fields
+    * are VALIDATED against the buffer — corrupt dims/offsets throw
+    * (callers fall back) instead of overflowing allocations or reads.
     */
   def decodeBmp(b: Array[Byte]): Bmp = {
     require(isBmp(b), "not a BMP payload")
@@ -141,8 +164,12 @@ object MediaCodec {
     val hRaw = le32(b, 22)
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
-    require(le16(b, 28) == 24, "only 24-bpp BMP supported")
     require(le32(b, 30) == 0, "only uncompressed BMP supported")
+    require(w > 0 && h > 0 && w <= (1 << 15) && h <= (1 << 15),
+      s"implausible BMP dimensions ${w}x$h")
+    require(dataOff >= 54 &&
+      dataOff.toLong + bmpRowStride(w).toLong * h <= b.length,
+      s"BMP pixel data (offset $dataOff, ${w}x$h) exceeds payload ${b.length}")
     val stride = bmpRowStride(w)
     val rgb = new Array[Byte](w * h * 3)
     var y = 0

@@ -143,11 +143,18 @@ object Multimodal {
     * takes the deterministic FNV stub with the same signature.
     */
   private[operators] def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
-    if (MediaCodec.isWav(bytes))
-      MediaCodec.wavEnergyEnvelope(MediaCodec.decodeWav(bytes).samples, dim)
-    else if (MediaCodec.isBmp(bytes))
-      MediaCodec.bmpGrayHistogram(MediaCodec.decodeBmp(bytes), dim)
-    else compressedStubFeatures(bytes, dim)
+    try {
+      if (MediaCodec.isWav(bytes))
+        MediaCodec.wavEnergyEnvelope(MediaCodec.decodeWav(bytes).samples, dim)
+      else if (MediaCodec.isBmp(bytes))
+        MediaCodec.bmpGrayHistogram(MediaCodec.decodeBmp(bytes), dim)
+      else compressedStubFeatures(bytes, dim)
+    } catch {
+      // a corrupt/truncated container (validated decoders throw) must
+      // not fail the whole scan: degrade that ROW to the stub features,
+      // like a production pipeline quarantining undecodable media
+      case _: IllegalArgumentException => compressedStubFeatures(bytes, dim)
+    }
 
   /** STUB for compressed codecs only (JPEG/MP3/H.264 decode needs
     * libraries this container lacks): strided FNV-1a folds of the
@@ -176,13 +183,24 @@ object Multimodal {
     */
   private[operators] def resizeKernel(bytes: Array[Byte], w0: Int, h0: Int,
                                       w: Int, h: Int): Array[Byte] =
+    try resizeKernelStrict(bytes, w0, h0, w, h)
+    catch { // corrupt container → proportional stub, never a failed scan
+      case _: IllegalArgumentException =>
+        resizeKernelStub(bytes, w0, h0, w, h)
+    }
+
+  private def resizeKernelStrict(bytes: Array[Byte], w0: Int, h0: Int,
+                                 w: Int, h: Int): Array[Byte] =
     if (MediaCodec.isBmp(bytes)) MediaCodec.resizeBmp(bytes, w, h)
     else if (MediaCodec.isWav(bytes)) {
       val rate = MediaCodec.decodeWav(bytes).sampleRate
       val newRate = math.max(1,
         (rate.toLong * w * h / math.max(1L, w0.toLong * h0)).toInt)
       MediaCodec.resampleWav(bytes, newRate)
-    } else {
+    } else resizeKernelStub(bytes, w0, h0, w, h)
+
+  private def resizeKernelStub(bytes: Array[Byte], w0: Int, h0: Int,
+                               w: Int, h: Int): Array[Byte] = {
       val outLen = math.max(1, (bytes.length.toLong * (w.toLong * h) /
         math.max(1L, w0.toLong * h0)).toInt)
       val out = new Array[Byte](outLen)

@@ -207,6 +207,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
           case 0x11 => // COM_CHANGE_USER: fresh session state on the same
             // connection (auth is unchecked, like the original handshake)
             stmts.clear()
+            stmtTypes.clear()
+            longData.clear()
             session = new GraftSession(spark.newSession(), warehouse)
             io.write(Messages.ok(0))
           case other =>
@@ -380,10 +382,18 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
       } else typesOf(stmtId).getOrElse(sys.error(
         s"COM_STMT_EXECUTE without types for statement $stmtId that never sent them"))
 
-    def quote(bytes: Array[Byte]): String = {
-      val s = new String(bytes, "UTF-8")
-      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    }
+    // valid UTF-8 binds as a string literal; anything else as a hex
+    // literal X'..' — new String(bytes,"UTF-8") would silently replace
+    // invalid sequences with U+FFFD, corrupting blob parameters
+    def quote(bytes: Array[Byte]): String =
+      try {
+        val s = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      } catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          bytes.map(b => f"${b & 0xff}%02X").mkString("X'", "", "'")
+      }
     val args = (0 until nParams).map { i =>
       if ((nullBitmap(i / 8) & (1 << (i % 8))) != 0) "NULL"
       else longOf(stmtId, i) match {

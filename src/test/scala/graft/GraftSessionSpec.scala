@@ -319,6 +319,22 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("drop table partition")
   }
 
+  test("regression: quoted parens and casing in SQL text scanning") {
+    import graft.engine.SqlText
+    // a ')' inside a string literal must not close the column list
+    assert(SqlText.afterMatchingClose("create table t (a int, b char) engine=csv")
+      == "create table t (a int, b char)".length)
+    val tricky = "create table t (a varchar(5) default ')') engine=csv"
+    assert(SqlText.afterMatchingClose(tricky)
+      == "create table t (a varchar(5) default ')')".length)
+    assert(SqlText.afterMatchingClose("select 1") == 0)
+    // uppercase scope prefixes resolve their scope (net_buffer_length
+    // is untouched by other tests in this shared-session suite)
+    g.sql("set session net_buffer_length = 42")
+    assert(rows("select @@GLOBAL.net_buffer_length").head.head == "16384")
+    assert(rows("select @@SESSION.net_buffer_length").head.head == "42")
+  }
+
   test("cross-schema: qualified CTAS, rename across schemas, qualified DML") {
     g.sql("create schema xs1")
     g.sql("create schema xs2")

@@ -69,6 +69,48 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(back.rgb.forall(_ == 77.toByte))
   }
 
+  test("corrupt containers degrade to stub features, never hang or crash the scan") {
+    // negative chunk size: the old walk advanced by zero forever
+    val evil = "RIFFxxxxWAVE".getBytes("US-ASCII") ++
+      "junk".getBytes ++ Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    assert(MediaCodec.isWav(evil))
+    intercept[IllegalArgumentException] { MediaCodec.decodeWav(evil) }
+    assert(Multimodal.decodeToFeatures(evil, 8).length == 8) // stub fallback
+    // oversized data chunk
+    val truncated = MediaCodec.encodeWavPcm16(sine(100, 100, 0.5f), 8000).take(60)
+    intercept[IllegalArgumentException] { MediaCodec.decodeWav(truncated) }
+    assert(Multimodal.decodeToFeatures(truncated, 8).length == 8)
+    // a BMP header lying about its dimensions
+    val bmp = MediaCodec.encodeBmp(MediaCodec.Bmp(4, 4, new Array[Byte](48)))
+    bmp(18) = 0xff.toByte; bmp(19) = 0xff.toByte // width := huge
+    intercept[IllegalArgumentException] { MediaCodec.decodeBmp(bmp) }
+    assert(Multimodal.decodeToFeatures(bmp, 8).length == 8)
+    // text that merely starts with "BM" is NOT dispatched as an image
+    val textish = "BMove along, just text".getBytes("UTF-8")
+    assert(!MediaCodec.isBmp(textish))
+    // resize on a corrupt payload degrades to the proportional stub
+    assert(Multimodal.resizeKernel(truncated, 4, 4, 8, 8).nonEmpty)
+  }
+
+  test("stereo resample interpolates per channel (no crosstalk)") {
+    // L channel constant 0.5, R channel constant -0.25: any cross-channel
+    // interpolation would pull values toward each other
+    val frames = 200
+    val interleaved = Array.tabulate(frames * 2)(i =>
+      if (i % 2 == 0) 0.5f else -0.25f)
+    val bytes = MediaCodec.encodeWavPcm16(interleaved, 8000, channels = 2)
+    val down = MediaCodec.decodeWav(MediaCodec.resampleWav(bytes, 4000))
+    assert(down.channels == 2)
+    assert(down.samples.length % 2 == 0)
+    val (l, r) = down.samples.zipWithIndex.partition(_._2 % 2 == 0)
+    assert(l.map(_._1).forall(v => math.abs(v - 0.5f) < 0.01), "left constant")
+    assert(r.map(_._1).forall(v => math.abs(v + 0.25f) < 0.01), "right constant")
+    // empty data chunk resamples to an empty (valid) wav, no crash
+    val empty = MediaCodec.encodeWavPcm16(Array.empty, 8000)
+    assert(MediaCodec.decodeWav(MediaCodec.resampleWav(empty, 4000))
+      .samples.isEmpty)
+  }
+
   test("Multimodal kernel dispatch: real codecs for WAV/BMP, stub for the rest") {
     val wavBytes = MediaCodec.encodeWavPcm16(sine(400, 300, 0.6f), 8000)
     val wavFeat = Multimodal.decodeToFeatures(wavBytes, 8)

@@ -544,6 +544,23 @@ class MysqlServerSpec extends AnyFunSuite {
     c.quit()
   }
 
+  test("non-UTF-8 long-data binds as a hex literal; blob round-trips unmangled") {
+    val c = new Client
+    assert(c.query("create schema if not exists wirebl").isInstanceOf[Ok])
+    assert(c.initDb("wirebl").isInstanceOf[Ok])
+    assert(c.query("create table bl (id int, v blob)").isInstanceOf[Ok])
+    val (sid, n) = c.prepare("insert into bl values (1, ?)")
+    assert(n == 1)
+    // 0xFF 0x00 0xFE is invalid UTF-8: a text decode would mangle it
+    c.sendLongData(sid, 0, Array(0xff.toByte, 0x00.toByte))
+    c.sendLongData(sid, 0, Array(0xfe.toByte, 0x41.toByte))
+    assert(c.execute(sid, Seq((0xfb, Array.empty[Byte]))) == Ok(1))
+    val rs = c.query("select hex(v) as h from bl").asInstanceOf[ResultSet]
+    assert(rs.rows == Seq(Seq(Some("FF00FE41"))))
+    c.closeStmt(sid)
+    c.quit()
+  }
+
   test("SHOW PROCESSLIST lists live connections; KILL closes the target only") {
     val c1 = new Client
     val c2 = new Client
