@@ -68,12 +68,19 @@ object Bench {
     }
     def jmap(f: ((String, Double, Long, Long, Long)) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = jmap(_._2.toString)
-    val rowsJ = jmap(_._3.toString)
-    val shufB = jmap(_._4.toString)
-    val shufR = jmap(_._5.toString)
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"output_rows":$rowsJ,"shuffle_bytes":$shufB,"shuffle_records":$shufR,"sf":"$sfDir"}""")
+    // Keep the stdout contract line SHORT: the driver captures only the tail
+    // of the sbt output, and round 3's inline telemetry grew the line past
+    // that buffer — the driver saw a truncated line and recorded parsed:null.
+    // Times are quantized to 1e-4 s (bench noise is >1e-2 s anyway) and the
+    // full telemetry (rows, shuffle bytes/records) goes to a side file.
+    val qs = jmap(r => f"${r._2}%.4f")
+    val total = f"${results.map(_._2).sum}%.4f"
+    val telemetry =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":${jmap(_._2.toString)},"output_rows":${jmap(_._3.toString)},"shuffle_bytes":${jmap(_._4.toString)},"shuffle_records":${jmap(_._5.toString)}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_telemetry.json"),
+      telemetry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

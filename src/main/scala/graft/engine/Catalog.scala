@@ -28,6 +28,20 @@ object Catalog {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]
   private[engine] def lockFor(key: String): java.util.concurrent.locks.ReentrantLock =
     writeLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock)
+
+  /** JVM-GLOBAL per-table commit counters, keyed like writeLocks. A
+    * commit refreshes only the WRITING session's relation cache — every
+    * other connection's SessionCatalog keeps serving its cached
+    * FileIndex, so cross-connection reads would be stale forever (a
+    * classic: conn A INSERTs, conn B SELECTs the old rows). Readers
+    * compare these counters against what they last saw and refresh
+    * lazily (`freshenStale`) — read-committed visibility at statement
+    * granularity, no cross-session broadcast needed.
+    */
+  private[engine] val commitVersions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private[engine] def commitVersionFor(key: String): java.util.concurrent.atomic.AtomicLong =
+    commitVersions.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong(0L))
 }
 
 /** Warehouse-backed catalog: schema = directory, table = directory with a
@@ -330,11 +344,68 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   private def rewriteLockFor(db: String, t: String) =
     Catalog.lockFor(s"$lockRoot|rw|$db.$t")
 
+  /** What THIS session saw of each table's global commit counter. */
+  private val seenCommits =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  /** Record a committed write: bump the JVM-global counter and mark it
+    * seen here (the writing session just refreshed its own cache).
+    */
+  private def bumpCommit(db: String, t: String): Unit =
+    seenCommits.put(s"$db.$t",
+      Catalog.commitVersionFor(s"$lockRoot|$db.$t").incrementAndGet())
+
+  /** Refresh this session's cached relations for every table some OTHER
+    * session has committed to since we last looked. No-op (two volatile
+    * reads per ever-written table) when nothing changed — called once
+    * per statement, and again under the DML lock by multi-step DML.
+    */
+  def freshenStale(): Unit = {
+    val prefix = s"$lockRoot|"
+    Catalog.commitVersions.forEach { (k, v) =>
+      if (k.startsWith(prefix)) {
+        val dbt = k.substring(prefix.length)
+        val cur = v.get()
+        if (seenCommits.get(dbt) != cur) {
+          val i = dbt.indexOf('.')
+          val (db, t) = (dbt.substring(0, i), dbt.substring(i + 1))
+          // the table may have been dropped since the commit — then
+          // there is nothing cached worth refreshing
+          try refreshRegistered(db, t, meta(db, t))
+          catch { case scala.util.control.NonFatal(_) => () }
+          seenCommits.put(dbt, cur)
+        }
+      }
+    }
+  }
+
+  /** Serialize a whole multi-step DML statement (merge-on-read UPDATE's
+    * stage → tombstone → append span, MoR DELETE's match → tombstone)
+    * against rewrites and other DML on the same table. Without it two
+    * UPDATEs can both stage from the pre-update snapshot and the earlier
+    * writer's assignment is silently lost (MySQL serializes row
+    * updates). Reuses the long rewrite lock — reentrant, so the nested
+    * append/rewrite/auto-compact calls inside the statement still work —
+    * while plain ingest appends (short lock only) stay concurrent.
+    */
+  def withDmlLock[T](db: String, t: String)(f: => T): T = {
+    val l = rewriteLockFor(db, t)
+    l.lock()
+    try f finally l.unlock()
+  }
+
   /** Test seam: invoked by `rewrite` after the new version is fully
     * materialized but before the commit critical section — the window a
     * concurrent append can land in.
     */
   private[graft] var onRewriteBeforeCommit: () => Unit = () => ()
+
+  /** Test seam: invoked by `rewrite` right after the snapshot + frame
+    * file-index pinning, before materialization — an append landing here
+    * must carry over via the commit merge without duplicating rows the
+    * frame read.
+    */
+  private[graft] var onRewriteAfterSnapshot: () => Unit = () => ()
 
   private def dataLink(db: String, t: String): Path =
     tablePath(db, t).resolve("data")
@@ -441,6 +512,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     // the base path on that write) — callers needing a pre-tombstone
     // snapshot must pin it (localCheckpoint), not rely on stale caches
     refreshMergeOnRead(db, t)
+    bumpCommit(db, t)
   }
 
   /** Invalidate cached plans and file listings of the merge-on-read trio. */
@@ -492,10 +564,15 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     * pointer, and GC versions older than N (N itself is retained one
     * commit so in-flight `readSnapshot` frames stay readable).
     *
-    * `df` is by-name and evaluated AFTER the file snapshot, so a frame
-    * that lists files eagerly (spark.read over the version dir, as
-    * `compact` passes) cannot miss an append that lands between its
-    * construction and the snapshot.
+    * `df` is by-name and evaluated INSIDE the same locked section as the
+    * file snapshot, with its file-index resolution forced (`inputFiles`)
+    * before the lock is released. That pins both directions of the
+    * append race: an eager-listing frame constructed before the snapshot
+    * cannot miss an append (evaluation happens at snapshot time), and a
+    * lazily-listing frame (a registered-table read whose index resolves
+    * at save planning) cannot list LATER than the snapshot — which would
+    * read an interleaved append's rows into the new version AND
+    * hard-link its file at commit, duplicating them.
     *
     * Merge-on-read bookkeeping: a rewrite folds every tombstone that
     * existed when materialization started into the new data version.
@@ -521,16 +598,62 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   private def rewriteLocked(db: String, t: String, df: => DataFrame): Unit = {
     val lock = lockFor(db, t)
     lock.lock()
-    val (cur, snapshot, delSnapshot, seq) =
+    val (cur, snapshot, delSnapshot, seq, m, frame0) =
       try {
         ensureVersioned(db, t)
         val c = currentVersionDir(db, t)
+        val mm = meta(db, t)
+        // Invalidate the catalog's cached relation first (an append that
+        // committed just before we took the lock may not have refreshed
+        // yet — a stale index would make the frame MISS its rows), then
+        // force file-index resolution while appends are locked out: a
+        // by-name frame then reads exactly this snapshot, and the
+        // commit-time merge below carries over precisely the appends the
+        // frame never saw — no loss, no dup.
+        refreshRegistered(db, t, mm)
+        // freeze = re-list every file source NOW (under the lock) and pin
+        // the listing: a concurrent append's refreshTable mutates shared
+        // InMemoryFileIndex instances IN PLACE, so an unpinned frame
+        // could silently re-list mid-rewrite — reading a file the commit
+        // merge also hard-links (duplication) or missing one it skips
+        val f = org.apache.spark.sql.graft.Bridge.freezeFileIndexes(df)
         (c, listFiles(c), listFiles(Paths.get(deletesPath(db, t))),
-          nextSeqLocked(db, t))
+          nextSeqLocked(db, t), mm, f)
       } finally lock.unlock()
-
-    val m = meta(db, t)
-    val frame0 = df
+    // The carry-over baseline is the set of THIS table's files the frame
+    // actually reads (resolved above; a FileIndex is immutable once
+    // listed). A caller may have built the frame BEFORE calling rewrite —
+    // an append landing between the frame's resolution and our snapshot
+    // is then in the snapshot but invisible to the frame, and a
+    // snapshot-based merge would drop its rows. Replacement frames that
+    // read none of the table's files (TRUNCATE's limit(0) still lists —
+    // this is fresh-content rewrites like `rows.toDF`) fall back to the
+    // snapshot: for them "not read" is intent, not staleness.
+    // registered tables resolve through the `data` symlink, direct reads
+    // (compact) through the real versions/vN dir — relativize from either
+    val link = dataLink(db, t)
+    val delsDir = Paths.get(deletesPath(db, t))
+    val inputs = frame0.inputFiles.map(s =>
+      Paths.get(new org.apache.hadoop.fs.Path(s).toUri.getPath))
+    val readSet: Set[String] = inputs.iterator.flatMap { p =>
+      if (p.startsWith(cur)) Some(cur.relativize(p).toString)
+      else if (p.startsWith(link)) Some(link.relativize(p).toString)
+      else None
+    }.toSet
+    val carried = if (readSet.isEmpty) snapshot else readSet
+    // Only tombstones the frame actually FOLDED may be retired: a
+    // tombstone committed after the frame's dels resolution was not
+    // applied, and retiring it would un-mask the rows it deletes. Unread
+    // tombstones stay active (harmless against the new version: every
+    // surviving row's sequence is >= any folded tombstone's, and
+    // restamped rows carry a newer sequence than any pre-snapshot one).
+    val foldedDels: Set[String] = inputs.iterator.flatMap { p =>
+      if (p.startsWith(delsDir)) Some(delsDir.relativize(p).toString) else None
+    }.toSet
+    val retiredNow = delSnapshot.intersect(
+      if (m.mergeOnRead && foldedDels.isEmpty && readSet.isEmpty) delSnapshot
+      else foldedDels)
+    onRewriteAfterSnapshot()
     val frame =
       if (m.mergeOnRead && !frame0.columns.contains(Catalog.SeqCol))
         frame0.withColumn(Catalog.SeqCol, lit(seq))
@@ -544,18 +667,25 @@ class Catalog(spark: SparkSession, val warehouse: String) {
 
     lock.lock()
     try {
-      // merge files appended to the old version after our snapshot: the
-      // rewrite never saw those rows, so they carry over untouched
-      (listFiles(cur) -- snapshot).foreach { name =>
+      // merge files the rewrite never read — concurrent appends since
+      // the frame's resolution — into the new version: their rows carry
+      // over untouched. _SUCCESS/.crc markers are not data (and never in
+      // a read set): skip them or they collide with the new version's own
+      (listFiles(cur) -- carried)
+        .filterNot { name =>
+          val base = Paths.get(name).getFileName.toString
+          base.startsWith("_") || base.startsWith(".")
+        }
+        .foreach { name =>
         val target = next.resolve(name)
         Files.createDirectories(target.getParent)
         Files.createLink(target, cur.resolve(name))
       }
       // tombstone GC, one commit late: delete the files the PREVIOUS
-      // rewrite retired, then retire this rewrite's folded snapshot
+      // rewrite retired, then retire the tombstones this rewrite folded
       val dels = Paths.get(deletesPath(db, t))
       retiredDels(db, t).foreach(n => Files.deleteIfExists(dels.resolve(n)))
-      Files.write(retiredFile(db, t), delSnapshot.toSeq.sorted.asJava)
+      Files.write(retiredFile(db, t), retiredNow.toSeq.sorted.asJava)
       swapPointer(db, t, s"versions/v$nextV")
       logCommit(db, t, nextV, "rewrite")
       // grace GC: keep the just-replaced version for in-flight snapshot
@@ -566,6 +696,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
     refreshRegistered(db, t, m)
+    bumpCommit(db, t)
   }
 
   /** Append rows. Merge-on-read tables stamp the hidden seq column with
@@ -588,6 +719,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
     refreshRegistered(db, t, m)
+    bumpCommit(db, t)
   }
 
   private def refreshRegistered(db: String, t: String, m: TableMeta): Unit =

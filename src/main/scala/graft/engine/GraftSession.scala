@@ -39,6 +39,9 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   def sql(statement: String): DataFrame = {
     val stmt = statement.trim.stripSuffix(";").trim
     val lower = stmt.toLowerCase
+    // read-committed across connections: pick up any other session's
+    // commits before resolving this statement (no-op when none landed)
+    catalog.freshenStale()
 
     if (lower.startsWith("create schema") || lower.startsWith("create database")) createSchema(stmt)
     else if (lower.startsWith("drop schema") || lower.startsWith("drop database")) dropSchema(stmt)
@@ -426,7 +429,15 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     */
   private def updateMergeOnRead(db: String, t: String, m: catalog.TableMeta,
                                 cond: org.apache.spark.sql.Column,
-                                assignments: Seq[(String, String)]): DataFrame = {
+                                assignments: Seq[(String, String)]): DataFrame =
+    // the DML lock spans the whole stage → tombstone → append statement:
+    // two concurrent UPDATEs must not both stage from the pre-update
+    // snapshot (lost update — the later commit would silently drop the
+    // earlier one's assignment)
+    catalog.withDmlLock(db, t) {
+    // a concurrent writer may have committed between statement entry and
+    // lock acquisition — stage from the freshest state, under the lock
+    catalog.freshenStale()
     val seq = catalog.nextSeq(db, t)
     // matched rows pin to the CURRENT merged view by staging to a temp
     // parquet dir: the count, tombstone write, and new-version write all
@@ -468,7 +479,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     }
-  }
+    }
 
   private def topLevelIndexOfWord(s: String, word: String): Int =
     SqlText.topLevelIndexOfWord(s, word)
@@ -488,19 +499,23 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         count(n)
       } else if (m.mergeOnRead) {
         // merge-on-read DELETE: write pk tombstones only — O(matched),
-        // not O(table) (delete.rs point-deletes sled keys; same shape)
-        val seq = catalog.nextSeq(db, t)
-        val matched = df.filter(expr(whereOpt))
-          .select(m.pk.map(k => col(s"`$k`")): _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val affected = matched.count()
-          if (affected > 0) {
-            catalog.appendDeletes(db, t, matched, seq)
-            catalog.maybeAutoCompact(db, t)
-          }
-          count(affected)
-        } finally matched.unpersist()
+        // not O(table) (delete.rs point-deletes sled keys; same shape).
+        // DML lock spans match → tombstone, like updateMergeOnRead.
+        catalog.withDmlLock(db, t) {
+          catalog.freshenStale()
+          val seq = catalog.nextSeq(db, t)
+          val matched = df.filter(expr(whereOpt))
+            .select(m.pk.map(k => col(s"`$k`")): _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val affected = matched.count()
+            if (affected > 0) {
+              catalog.appendDeletes(db, t, matched, seq)
+              catalog.maybeAutoCompact(db, t)
+            }
+            count(affected)
+          } finally matched.unpersist()
+        }
       } else {
         val affected = df.filter(expr(whereOpt)).count()
         catalog.rewrite(db, t, df.filter(not(expr(whereOpt))))
@@ -682,6 +697,14 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       variables.getGlobal(m.group(2))
     else variables.get(m.group(2))
 
+  /** Inline a runtime string as a valid SQL literal: \ and ' escaped
+    * (Spark's default string-literal mode interprets backslash escapes),
+    * so a value containing an apostrophe can neither break the statement
+    * nor inject SQL past the closing quote.
+    */
+  private def sqlQuote(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** SELECT / EXPLAIN / WITH / VALUES — Spark SQL with two MySQL-isms
     * rewritten first: `@@variable` references and `information_schema`
     * virtual tables (meta/initial.rs parity, computed on demand from the
@@ -713,15 +736,19 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
           "performance_schema_global_variables")
       }
       // quoteReplacement: variable values containing '$'/'\' must be
-      // inlined literally, not treated as regex replacement templates
+      // inlined literally, not treated as regex replacement templates.
+      // sqlQuote: a SET value containing ' or \ must inline as a valid
+      // string literal, not malformed SQL (or worse, injected SQL into
+      // the rest of the statement) — same escaping as the wire server's
+      // binary-parameter quote().
       import java.util.regex.Matcher
       q = VarRef.replaceAllIn(q, m =>
-        Matcher.quoteReplacement("'" + varRefValue(m).getOrElse("") + "'"))
+        Matcher.quoteReplacement(sqlQuote(varRefValue(m).getOrElse(""))))
       // MySQL connection-info functions (clients issue these on connect)
       q = q.replaceAll("(?i)\\bdatabase\\(\\)",
-          Matcher.quoteReplacement(s"'$currentSchema'"))
+          Matcher.quoteReplacement(sqlQuote(currentSchema)))
         .replaceAll("(?i)\\bversion\\(\\)",
-          Matcher.quoteReplacement("'" + variables.get("version").getOrElse("") + "'"))
+          Matcher.quoteReplacement(sqlQuote(variables.get("version").getOrElse(""))))
         .replaceAll("(?i)\\b(?:current_user|user)\\(\\)", "'root@%'")
       q = substituteUserVars(q)
       spark.sql(q)

@@ -55,16 +55,23 @@ class Variables(backing: Option[Path] = None) {
   // would drop other connections' SET GLOBALs (last-writer-wins).
   private val memOverrides = mutable.Map.empty[String, String]
 
-  // (mtime, size) → parsed overrides: lookups are frequent (every @@var
-  // reference), the file is tiny and rarely written — re-parse only when
-  // its stamp changes. Writes go through temp + ATOMIC_MOVE, so a reader
-  // never observes a truncated file and every write refreshes the stamp.
-  @volatile private var cache: ((Long, Long), Map[String, String]) =
-    ((-1L, -1L), Map.empty)
+  // (mtime-nanos, size, jvm-write-version) → parsed overrides: lookups
+  // are frequent (every @@var reference), the file is tiny and rarely
+  // written — re-parse only when the stamp changes. Writes go through
+  // temp + ATOMIC_MOVE, so a reader never observes a truncated file.
+  // (mtime, size) alone is not enough: two SET GLOBALs inside one
+  // filesystem-timestamp tick that leave the byte length unchanged
+  // (toggling between equal-length values) would leave other
+  // connections' caches stale — the JVM-global per-file write counter
+  // disambiguates them (all connections live in this one JVM).
+  @volatile private var cache: ((Long, Long, Long), Map[String, String]) =
+    ((-1L, -1L, -1L), Map.empty)
 
   private def fileOverrides(): Map[String, String] = backing match {
     case Some(p) if Files.exists(p) =>
-      val stamp = (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+      val stamp = (
+        Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS),
+        Files.size(p), Variables.versionFor(p).get())
       val c = cache
       if (c._1 == stamp) c._2
       else {
@@ -108,6 +115,7 @@ class Variables(backing: Option[Path] = None) {
           val tmp = p.resolveSibling(s".${p.getFileName}.${System.nanoTime()}")
           Files.write(tmp, overrides.asJava)
           Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Variables.versionFor(p).incrementAndGet()
         } finally lock.unlock()
       case None => memOverrides(n) = value
     }
@@ -134,4 +142,13 @@ object Variables {
   private def lockFor(p: Path) =
     fileLocks.computeIfAbsent(p.toAbsolutePath.normalize().toString,
       _ => new java.util.concurrent.locks.ReentrantLock)
+
+  // Monotonic per-file write counter, part of every reader's cache stamp
+  // (see fileOverrides): bumped after each committed write so same-tick,
+  // same-size rewrites are still observed by every connection's cache.
+  private val fileVersions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private def versionFor(p: Path) =
+    fileVersions.computeIfAbsent(p.toAbsolutePath.normalize().toString,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
 }

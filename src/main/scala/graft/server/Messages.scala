@@ -49,13 +49,17 @@ object Messages {
     b.toByteArray
   }
 
+  /** `moreResults` sets SERVER_MORE_RESULTS_EXISTS (0x0008): in a
+    * multi-statement COM_QUERY every result but the last carries it, so
+    * the client keeps reading result sets.
+    */
   def ok(affectedRows: Long, lastInsertId: Long = 0,
-         message: String = ""): Array[Byte] = {
+         message: String = "", moreResults: Boolean = false): Array[Byte] = {
     val b = buf()
     b.write(0x00)
     Lenc.int(b, affectedRows)
     Lenc.int(b, lastInsertId)
-    Lenc.u16(b, 0x0002) // SERVER_STATUS_AUTOCOMMIT
+    Lenc.u16(b, 0x0002 | (if (moreResults) 0x0008 else 0)) // AUTOCOMMIT [| MORE_RESULTS]
     Lenc.u16(b, 0)      // warnings
     if (message.nonEmpty) Lenc.str(b, message)
     b.toByteArray
@@ -71,9 +75,10 @@ object Messages {
     b.toByteArray
   }
 
-  def eof(): Array[Byte] = {
+  def eof(moreResults: Boolean = false): Array[Byte] = {
     val b = buf()
-    b.write(0xfe); Lenc.u16(b, 0); Lenc.u16(b, 0x0002)
+    b.write(0xfe); Lenc.u16(b, 0)
+    Lenc.u16(b, 0x0002 | (if (moreResults) 0x0008 else 0))
     b.toByteArray
   }
 

@@ -133,21 +133,42 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
             else io.write(Messages.err(1064, "42000", "malformed KILL"))
           case 0x03 => // COM_QUERY — KILL and SHOW PROCESSLIST are
             // server-scope (they act on the connection registry), so they
-            // are answered here, not by the per-connection session
+            // are answered here, not by the per-connection session.
+            // CLIENT_MULTI_STATEMENTS: the payload may hold several
+            // ';'-separated statements (quote-aware split) — each result
+            // but the last carries SERVER_MORE_RESULTS_EXISTS, and an
+            // error aborts the remainder (MySQL multi-statement rules).
             val sql = new String(packet, 1, packet.length - 1, "UTF-8")
-            sql.trim.stripSuffix(";") match {
-              case KillR(idStr) =>
-                // ids past Int range can't name a live connection; a
-                // parse overflow must answer ERR, not unwind the CALLER
-                kill(io, idStr.toLongOption
-                  .filter(_.isValidInt).map(_.toInt).getOrElse(-1))
-              case s if s.equalsIgnoreCase("show processlist") =>
-                writeProcessList(io, connId)
-              case _ =>
-                run(io, session, sql)
-                if (sql.trim.toLowerCase.startsWith("use "))
-                  Option(conns.get(connId))
-                    .foreach(_.db = sql.trim.split("\\s+")(1).stripSuffix(";"))
+            val statements = SqlText.splitTopLevel(sql, ';')
+              .map(_.trim).filter(_.nonEmpty) match {
+                case Seq() => Seq(sql) // run() answers the empty-query ERR
+                case ss    => ss
+              }
+            var i = 0
+            var aborted = false
+            while (i < statements.length && !aborted) {
+              val one = statements(i)
+              val more = i < statements.length - 1
+              one match {
+                case KillR(idStr) =>
+                  // ids past Int range can't name a live connection; a
+                  // parse overflow must answer ERR, not unwind the CALLER
+                  kill(io, idStr.toLongOption
+                    .filter(_.isValidInt).map(_.toInt).getOrElse(-1), more)
+                case s if s.equalsIgnoreCase("show processlist") =>
+                  writeProcessList(io, connId, more)
+                case _ =>
+                  aborted = !run(io, session, one, more = more)
+                  // lift: a malformed `use` (`use` alone — run() already
+                  // answered ERR) must not throw here and tear down the
+                  // whole connection; only track when a target token exists
+                  val toks = one.split("\\s+")
+                  if (toks.headOption.exists(_.equalsIgnoreCase("use")))
+                    toks.lift(1).map(_.stripSuffix(";")).filter(_.nonEmpty)
+                      .foreach(db =>
+                        Option(conns.get(connId)).foreach(_.db = db))
+              }
+              i += 1
             }
           case 0x04 => // COM_FIELD_LIST
             val table = new String(packet, 1, packet.length - 1, "UTF-8")
@@ -233,17 +254,18 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     * the handler unwinds (MySQL CONNECTION-kill semantics; a QUERY kill
     * maps to the same thing since results stream incrementally).
     */
-  private def kill(io: PacketIO, targetId: Int): Unit =
+  private def kill(io: PacketIO, targetId: Int, more: Boolean = false): Unit =
     Option(conns.get(targetId)) match {
       case Some(c) =>
         try c.socket.close() catch { case NonFatal(_) => }
-        io.write(Messages.ok(0))
+        io.write(Messages.ok(0, moreResults = more))
       case None =>
         io.write(Messages.err(1094, "HY000", s"Unknown thread id: $targetId"))
     }
 
   /** SHOW PROCESSLIST from the live registry (MySQL's column set). */
-  private def writeProcessList(io: PacketIO, selfId: Int): Unit = {
+  private def writeProcessList(io: PacketIO, selfId: Int,
+                               more: Boolean = false): Unit = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("Id", LongType, nullable = false),
@@ -266,22 +288,25 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
         c.db, if (e.getKey == selfId) "Query" else "Sleep",
         (now - c.startedAt) / 1000, "", null)))
     }
-    io.write(Messages.eof())
+    io.write(Messages.eof(moreResults = more))
   }
 
   /** Execute one statement and answer with an OK (DDL/DML FinalCount
     * shape: a single `affected_rows` column) or a text result set.
+    * Returns false when the statement errored (the ERR packet is
+    * written here; a multi-statement batch must then abort).
     */
   private def run(io: PacketIO, session: GraftSession, sql: String,
-                  binary: Boolean = false): Unit =
+                  binary: Boolean = false, more: Boolean = false): Boolean =
     try {
       val df = session.sql(sql)
       if (isFinalCount(df)) {
         val n = df.toLocalIterator()
         val affected = if (n.hasNext) n.next().getLong(0) else 0L
-        io.write(Messages.ok(affected))
-      } else writeResultSet(io, df, binary)
-    } catch { case NonFatal(e) => writeError(io, e) }
+        io.write(Messages.ok(affected, moreResults = more))
+      } else writeResultSet(io, df, binary, more)
+      true
+    } catch { case NonFatal(e) => writeError(io, e); false }
 
   /** DDL/DML statements come back as the reference's FinalCount frame,
     * identified by GraftSession's column-metadata tag — NOT by shape, so
@@ -293,7 +318,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
   }
 
   private def writeResultSet(io: PacketIO, df: DataFrame,
-                             binary: Boolean = false): Unit = {
+                             binary: Boolean = false,
+                             more: Boolean = false): Unit = {
     val schema = df.schema
     io.write(Messages.columnCount(schema.length))
     schema.fields.foreach { f =>
@@ -303,7 +329,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     df.toLocalIterator().forEachRemaining(row =>
       io.write(if (binary) Messages.binaryRow(row, schema)
                else Messages.textRow(row)))
-    io.write(Messages.eof())
+    // only the TERMINATING eof advertises more results
+    io.write(Messages.eof(moreResults = more))
   }
 
   private def writeError(io: PacketIO, e: Throwable): Unit = {

@@ -110,6 +110,52 @@ class CommitLogSpec extends AnyFunSuite {
       s"ingest-vs-DML interleave lost rows: $after")
   }
 
+  test("append landing after the snapshot is not duplicated by a lazily-listing frame") {
+    val cat = freshCatalog()
+    mkTable(cat, "clog", "nodup")
+    cat.append("clog", "nodup", rows(cat, 10, 0))
+    // the frame is built INSIDE the by-name rewrite argument, so its
+    // file-index resolution happens at snapshot time under the table
+    // lock; the append fired right after the snapshot must be carried
+    // over exactly once — pre-fix, a frame whose listing resolved at
+    // save planning would also READ the appended file (rows doubled)
+    cat.onRewriteAfterSnapshot = () =>
+      cat.append("clog", "nodup", rows(cat, 5, 2, idBase = 100))
+    try cat.rewrite("clog", "nodup",
+      cat.read("clog", "nodup").withColumn("flag", lit(1)))
+    finally cat.onRewriteAfterSnapshot = () => ()
+
+    val after = cat.read("clog", "nodup")
+      .groupBy(col("flag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == Map(1 -> 10L, 2 -> 5L),
+      s"duplicated or lost rows after post-snapshot append: $after")
+  }
+
+  test("append landing between frame construction and the rewrite call survives") {
+    val cat = freshCatalog()
+    mkTable(cat, "clog", "stale")
+    cat.append("clog", "stale", rows(cat, 10, 0))
+    // the caller builds (and resolves) the UPDATE frame first — ingest
+    // lands AFTER that resolution but BEFORE rewrite() takes its
+    // snapshot. Whichever serialization the rewrite picks (re-list and
+    // update the appended rows too, or carry their file over untouched),
+    // every row must come out exactly once — no loss, no duplication.
+    val update = cat.read("clog", "stale").withColumn("flag", lit(1))
+    update.inputFiles // force resolution now, like a caller that counted
+    cat.append("clog", "stale", rows(cat, 5, 2, idBase = 100))
+    cat.rewrite("clog", "stale", update)
+
+    val after = cat.read("clog", "stale")
+      .select(col("id"), col("flag")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(after.length == 15 && after.map(_._1).distinct.length == 15,
+      s"pre-snapshot append lost or duplicated: ${after.sorted}")
+    // original rows always go through the UPDATE
+    assert(after.filter(_._1 < 100).forall(_._2 == 1),
+      s"original rows missed the update: ${after.sorted}")
+  }
+
   test("GC keeps exactly the current and previous versions") {
     val cat = freshCatalog()
     mkTable(cat, "clog", "gc")

@@ -278,6 +278,38 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select concat('v=', @@my_marker) as m").head.head == "v=A$B")
   }
 
+  test("cross-session visibility: commits from one connection are read-committed in another") {
+    // two connections = two spark.newSession()s = two relation caches
+    // over ONE shared external catalog. Without commit-counter
+    // freshening, conn B's cached FileIndex serves the old listing
+    // forever after conn A's INSERT/UPDATE/DELETE.
+    val wh = Files.createTempDirectory("graft-xsess-wh").toString
+    val a = new GraftSession(spark.newSession(), wh)
+    val b = new GraftSession(spark.newSession(), wh)
+    a.sql("create schema xs"); a.sql("use xs"); b.sql("use xs")
+    a.sql("create table ev (id int, v varchar(10))")
+    def bRows() = b.sql("select id, v from ev order by id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    a.sql("insert into ev values (1,'x')")
+    assert(bRows() == Seq((1, "x")), "INSERT invisible to the other connection")
+    b.sql("insert into ev values (2,'y')") // prime b's cache via its own write
+    a.sql("update ev set v = 'z' where id = 1")
+    assert(bRows() == Seq((1, "z"), (2, "y")), "UPDATE invisible to the other connection")
+    a.sql("delete from ev where id = 2")
+    assert(bRows() == Seq((1, "z")), "DELETE invisible to the other connection")
+  }
+
+  test("regression: @@variable values containing quotes/backslashes inline safely") {
+    // value holds an apostrophe and a backslash; inlining it into SQL
+    // unescaped would be malformed at best, injected SQL at worst
+    g.sql("""set session my_quoted = "o'clock \ x"""")
+    assert(rows("select @@my_quoted as m, 1 as one").head.head == "o'clock \\ x")
+    // an attempted literal-breakout stays one literal after escaping
+    g.sql("""set session my_evil = "a', (select 'pwn"""")
+    assert(rows("select @@my_evil as m, 2 as two").head ==
+      Seq("a', (select 'pwn", 2))
+  }
+
   test("regression: ALTER TABLE ADD COLUMN with decimal(p,s)") {
     g.sql("use test")
     g.sql("create table decc (id int)")

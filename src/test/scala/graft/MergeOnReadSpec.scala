@@ -292,4 +292,29 @@ class MergeOnReadSpec extends AnyFunSuite {
     g.sql("truncate table a")
     assert(rows(g, "select count(*) as n from a") == Seq(Seq("0")))
   }
+
+  test("concurrent UPDATEs on the same row serialize: neither assignment is lost") {
+    val (g, wh) = freshSession()
+    g.sql("create table acct (id int, a int, b int, primary key(id))")
+    g.sql("insert into acct values (1, 0, 0)")
+    // two sessions, each updating a DIFFERENT column of the same row, in
+    // parallel, repeatedly. Without a statement-scope DML lock both stage
+    // from the pre-update snapshot and the earlier writer's column
+    // silently reverts (lost update). MySQL serializes row updates.
+    val g2 = new GraftSession(spark.newSession(), wh)
+    g2.sql("use mor")
+    val rounds = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = Seq(
+      new Thread(() =>
+        try (1 to rounds).foreach(_ => g.sql("update acct set a = a + 1 where id = 1"))
+        catch { case e: Throwable => errs.add(e) }),
+      new Thread(() =>
+        try (1 to rounds).foreach(_ => g2.sql("update acct set b = b + 1 where id = 1"))
+        catch { case e: Throwable => errs.add(e) }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent UPDATE threw: ${errs.asScala.toSeq}")
+    assert(rows(g, "select a, b from acct") == Seq(Seq(s"$rounds", s"$rounds")),
+      "a lost update reverted a concurrent writer's column")
+  }
 }

@@ -144,6 +144,8 @@ class MysqlServerSpec extends AnyFunSuite {
         rows += cells.result()
         p = read()
       }
+      lastStatus =
+        if (p.length >= 5) (p(3) & 0xff) | ((p(4) & 0xff) << 8) else 0
       ResultSet(columns, rows.result())
     }
 
@@ -203,14 +205,28 @@ class MysqlServerSpec extends AnyFunSuite {
         rows += cells
         p = read()
       }
+      lastStatus =
+        if (p.length >= 5) (p(3) & 0xff) | ((p(4) & 0xff) << 8) else 0
       ResultSet(defs.map(_._1), rows.result())
     }
+
+    /** Status flags of the last OK / terminating EOF — bit 0x0008 is
+      * SERVER_MORE_RESULTS_EXISTS (multi-statement chaining).
+      */
+    var lastStatus: Int = 0
 
     private def response(binary: Boolean = false): Response = {
       val p = read()
       (p(0) & 0xff) match {
-        case 0x00 => Ok(lencInt(p, 1)._1)
-        case 0xff => parseErr(p)
+        case 0x00 =>
+          val (aff, l1) = lencInt(p, 1)
+          val (_, l2) = lencInt(p, 1 + l1)
+          val so = 1 + l1 + l2
+          lastStatus =
+            if (p.length >= so + 2) (p(so) & 0xff) | ((p(so + 1) & 0xff) << 8)
+            else 0
+          Ok(aff)
+        case 0xff => lastStatus = 0; parseErr(p)
         case _    => if (binary) readBinaryResultSet(p) else readResultSet(p)
       }
     }
@@ -218,6 +234,25 @@ class MysqlServerSpec extends AnyFunSuite {
     def query(sql: String): Response = {
       command(0x03, sql.getBytes("UTF-8"))
       response()
+    }
+
+    /** Multi-statement COM_QUERY: keep reading result sets while the
+      * server advertises SERVER_MORE_RESULTS_EXISTS; an ERR ends the
+      * sequence (MySQL aborts the remaining statements).
+      */
+    def queryMulti(sql: String): Seq[Response] = {
+      command(0x03, sql.getBytes("UTF-8"))
+      val out = Seq.newBuilder[Response]
+      var more = true
+      while (more) {
+        val r = response()
+        out += r
+        more = r match {
+          case _: Err => false
+          case _      => (lastStatus & 0x0008) != 0
+        }
+      }
+      out.result()
     }
 
     def initDb(db: String): Response = {
@@ -616,5 +651,39 @@ class MysqlServerSpec extends AnyFunSuite {
     val t1 = c1.query("show tables").asInstanceOf[ResultSet]
     assert(t1.rows.flatten.flatten.contains("only1"))
     c1.quit(); c2.quit()
+  }
+
+  test("multi-statement COM_QUERY chains results; an error aborts the remainder") {
+    val c = new Client
+    assert(c.query("create schema wirems").isInstanceOf[Ok])
+    assert(c.initDb("wirems").isInstanceOf[Ok])
+    val rs = c.queryMulti(
+      "create table t (id int, v varchar(10)); " +
+        "insert into t values (1,'a'), (2,'b'); " +
+        "select id, v from t order by id")
+    assert(rs.length == 3, s"expected 3 chained results, got: $rs")
+    assert(rs(0).isInstanceOf[Ok])
+    assert(rs(1) == Ok(2))
+    assert(rs(2) == ResultSet(Seq("id", "v"),
+      Seq(Seq(Some("1"), Some("a")), Seq(Some("2"), Some("b")))))
+
+    // a quoted ';' is content, not a statement separator
+    val rs2 = c.queryMulti(
+      "insert into t values (3, 'a;b'); select v from t where id = 3")
+    assert(rs2.length == 2)
+    assert(rs2(1) == ResultSet(Seq("v"), Seq(Seq(Some("a;b")))))
+
+    // MySQL rule: an error aborts the rest of the batch — the trailing
+    // INSERT must not run
+    val rs3 = c.queryMulti(
+      "select count(*) as n from t; select * from missing_tbl; " +
+        "insert into t values (9,'z')")
+    assert(rs3.length == 2, s"error must end the sequence, got: $rs3")
+    assert(rs3(0) == ResultSet(Seq("n"), Seq(Seq(Some("3")))))
+    assert(rs3(1).isInstanceOf[Err])
+    assert(c.query("select count(*) as n from t")
+      == ResultSet(Seq("n"), Seq(Seq(Some("3")))),
+      "statement after the error must not have executed")
+    c.quit()
   }
 }

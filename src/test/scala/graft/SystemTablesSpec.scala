@@ -30,6 +30,23 @@ class SystemTablesSpec extends AnyFunSuite {
       "SESSION must reset to the default")
   }
 
+  test("same-tick same-size SET GLOBAL is still seen by other sessions' caches") {
+    val wh = Files.createTempDirectory("graft-gvtick-wh").toString
+    val g1 = new GraftSession(spark.newSession(), wh)
+    val g2 = new GraftSession(spark.newSession(), wh)
+    val f = java.nio.file.Paths.get(wh, "performance_schema", "global_variables.tsv")
+    g1.sql("set global max_connections = 111")
+    assert(g2.sql("select @@max_connections").collect()(0).getString(0) == "111")
+    // simulate two writes inside one filesystem-timestamp tick that leave
+    // the byte length unchanged: rewind mtime to the first write's stamp.
+    // A (mtime,size)-only cache would keep serving 111 to g2 forever.
+    val stamp = Files.getLastModifiedTime(f)
+    g1.sql("set global max_connections = 222")
+    Files.setLastModifiedTime(f, stamp)
+    assert(g2.sql("select @@max_connections").collect()(0).getString(0) == "222",
+      "same-stamp same-size rewrite must still invalidate other sessions' caches")
+  }
+
   test("performance_schema.global_variables is queryable and reflects SET GLOBAL") {
     val wh = Files.createTempDirectory("graft-psgv-wh").toString
     val g = new GraftSession(spark.newSession(), wh)
