@@ -630,6 +630,110 @@ object Pipeline {
     SELECT a AS doc_id, LEAST(MIN(b), a) AS keeper
     FROM closure GROUP BY a ORDER BY doc_id"""))
 
+  // ---- repetition metrics (corpus-quality gate) ---------------------------
+  // Gopher/RefinedWeb-style per-document repetition signals: duplicate
+  // 2-/3-gram fractions and the top-2-gram share. Everything is computed
+  // INSIDE the row with array HOFs — grams, distinct counts, and a
+  // sorted-run-length fold for the max multiplicity — so the whole query
+  // is scan-local (one projection, zero shuffles before the final sort):
+  // the shape that holds at 100 TB, where exploding corpus×grams into a
+  // groupBy would shuffle ~30× the input. Integer counts divide in
+  // doubles, so the oracle agrees bitwise.
+  private val q55 = Qdef(
+    "q55_repetition",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      def grams(k: Int): Column =
+        transform(sequence(lit(0), size(toks) - lit(k)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
+      val g2 = grams(2)
+      val g3 = grams(3)
+      val n2 = size(toks) - lit(1)
+      val n3 = size(toks) - lit(2)
+      // max multiplicity of a 2-gram: run-length fold over the sorted
+      // gram array (array_sort groups equal grams adjacently)
+      val top2 = aggregate(
+        array_sort(g2),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      t(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .select(
+          col("doc_id"),
+          n2.cast("long").as("n_2grams"),
+          ((n2 - size(array_distinct(g2))) * lit(1.0) / n2)
+            .as("dup_2gram_frac"),
+          ((n3 - size(array_distinct(g3))) * lit(1.0) / n3)
+            .as("dup_3gram_frac"),
+          (top2 * lit(1.0) / n2).as("top_2gram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+        [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] AS g2,
+        [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)] AS g3,
+        len(tk) - 1 AS n2, len(tk) - 2 AS n3
+      FROM tk WHERE len(tk) >= 3),
+    top AS (
+      SELECT doc_id, MAX(c) AS top2 FROM (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+        GROUP BY doc_id, gram)
+      GROUP BY doc_id)
+    SELECT g.doc_id, n2 AS n_2grams,
+      (n2 - len(list_distinct(g2))) * 1.0 / n2 AS dup_2gram_frac,
+      (n3 - len(list_distinct(g3))) * 1.0 / n3 AS dup_3gram_frac,
+      top.top2 * 1.0 / n2 AS top_2gram_frac
+    FROM g JOIN top ON g.doc_id = top.doc_id
+    ORDER BY g.doc_id"""))
+
+  // ---- benchmark-contamination check --------------------------------------
+  // The eval-decontamination pass every training pipeline runs: flag
+  // corpus documents sharing any 8-gram with a benchmark set (here a
+  // deterministic doc_id%7 slice standing in for the eval suites).
+  // Scale shape: the benchmark's distinct 8-grams are a SMALL broadcast
+  // index (eval suites are fixed-size regardless of corpus scale); the
+  // corpus is scanned once, its exploded grams hash-probe the broadcast
+  // (no shuffle), and only the matching (doc, gram) hits reach the final
+  // per-doc count — partial map-side aggregation shrinks those first.
+  private val q56 = Qdef(
+    "q56_contamination",
+    (s, dir) => {
+      def grams8(c: Column): Column =
+        graft.functions.GraftFunctions.shingles(split(c, " "), 8)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+        .select(explode(grams8(col("text"))).as("gram")).distinct()
+      docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), explode(grams8(col("text"))).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([array_to_string(tk[i:i+7], ' ')
+                       for i in range(1, len(tk)-6)]) AS g
+      FROM tk WHERE len(tk) >= 8),
+    bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 7 = 0),
+    corpus AS (
+      SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 7 <> 0)
+    SELECT c.doc_id, COUNT(*) AS n_hits
+    FROM corpus c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id ORDER BY doc_id"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44, q47, q48, q49, q50, q54)
+    q42, q43, q44, q47, q48, q49, q50, q54, q55, q56)
 }
