@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW: sbt's default logger prefixes
+// every line with "[info] ", which breaks the driver's parse of the bench
+// contract line ({"metric":...} must start the line). parsed:null in
+// BENCH_r02/r03 both show the line only ever reached the driver prefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time" banner so the contract
+// line is the last thing on stdout when the run succeeds.
+ThisBuild / showSuccess := false
 // forward stdin to the forked JVM (graft.Shell reads statements from it)
 run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
