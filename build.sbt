@@ -19,6 +19,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and drop the trailing "[success] Total time" banner so the contract
 // line is the last thing on stdout when the run succeeds.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command layer, not a task
 // forward stdin to the forked JVM (graft.Shell reads statements from it)
 run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

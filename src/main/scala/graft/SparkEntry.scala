@@ -8,7 +8,7 @@ object SparkEntry {
 
   private def suites: Seq[Qdef] =
     graft.queries.Relational.all ++ graft.queries.Pipeline.all ++
-      graft.queries.Streaming.all
+      graft.queries.Curation.all ++ graft.queries.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

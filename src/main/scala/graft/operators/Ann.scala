@@ -91,7 +91,7 @@ object Ann {
     * centroids; they fit an executor by the same argument that makes IVF
     * work at all).
     */
-  private def codebookOf(cents: DataFrame): DataFrame =
+  private[operators] def codebookOf(cents: DataFrame): DataFrame =
     broadcast(cents.agg(sort_array(collect_list(
       struct(col("c_id"), col("c_qv"), col("c_dot")))).as("cb")))
 

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.GraftFunctions._
+
+/** Corpus-curation suite, part 2 (SURVEY.md §2.D20–D24): embedding
+  * clustering, semantic dedup, chunk-level (CCNet-style) dedup,
+  * temperature-sampled source mixing, and vocabulary/coverage stats —
+  * the data-mixing half of a training-data pipeline, over the driver's
+  * `documents`/`embeddings` tables.
+  *
+  * Everything here follows the suite's two standing contracts:
+  *   - scale: corpus-sized data is never self-joined without a key and
+  *     never moved for per-row work (assignment/score/filter steps are
+  *     scan-local projections; the only shuffles are keyed partial
+  *     aggregations and the k-row / vocab-row broadcast joins);
+  *   - oracle exactness: all arithmetic that decides output values is
+  *     integer-exact or single-division IEEE (quantized dots, BIGINT
+  *     sums, md5 buckets), so DuckDB replays bit-for-bit.
+  */
+object Curation {
+
+  private def qEmb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+
+  /** Shared oracle prefix: quantized embeddings + two Lloyd rounds from
+    * the deterministic seed (vec_id < 8), exactly Cluster.kmeansAssign's
+    * arithmetic (argmax ties to the lower centroid id; centroid update =
+    * ROUND over an exact BIGINT sum).
+    */
+  private val kmeansCtes = """WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS c_id, qv AS c_qv FROM q WHERE vec_id < 8),
+    a0 AS (
+      SELECT vec_id, qv, cell AS cluster FROM (
+        SELECT q.vec_id, q.qv, c.c_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_dot_product(q.qv, c.c_qv) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) DESC,
+            c.c_id) AS crn
+        FROM q CROSS JOIN c0 c) WHERE crn = 1),
+    ex AS (SELECT cluster, unnest(qv) AS val, unnest(range(len(qv))) AS pos FROM a0),
+    c1 AS (
+      SELECT cluster AS c_id, list(v ORDER BY pos) AS c_qv FROM (
+        SELECT cluster, pos, CAST(ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS v
+        FROM ex GROUP BY cluster, pos) GROUP BY cluster),
+    a1 AS (
+      SELECT vec_id, qv, cell AS cluster FROM (
+        SELECT q.vec_id, q.qv, c.c_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_dot_product(q.qv, c.c_qv) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) DESC,
+            c.c_id) AS crn
+        FROM q CROSS JOIN c1 c) WHERE crn = 1)"""
+
+  // ---- D20: k-means embedding clustering (Lloyd, 2 rounds) --------------
+  // Assignment is the map-side native argmax over a broadcast codebook
+  // (zero exchange on the corpus side); the centroid update partial-
+  // aggregates to <= k x dim rows per partition. The oracle replays both
+  // rounds in SQL because every step is engine-exact arithmetic.
+  private val q57 = Qdef(
+    "q57_kmeans",
+    (s, dir) =>
+      graft.operators.Cluster.kmeansAssign(qEmb(s, dir), k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy(col("vec_id")),
+    Some(kmeansCtes + """
+    SELECT vec_id, cluster FROM a1 ORDER BY vec_id"""))
+
+  // ---- D21: SemDeDup (semantic dedup inside k-means clusters) -----------
+  // Abbas et al. 2023: pairwise cosine work confined to cluster blocks
+  // (never corpus^2); a vector is dropped iff a lower-id vector in its
+  // cluster has cosine >= 0.4 with it, so survivors are deterministic.
+  private val q58 = Qdef(
+    "q58_semdedup",
+    (s, dir) =>
+      graft.operators.Cluster
+        .semDedup(qEmb(s, dir), k = 8, iters = 2, threshold = 0.4,
+          stage = true)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy(col("vec_id")),
+    Some(kmeansCtes + """,
+    dropped AS (
+      SELECT DISTINCT b.vec_id FROM a1 a JOIN a1 b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.qv, b.qv) /
+        sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) >= 0.4)
+    SELECT vec_id, cluster FROM a1
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"""))
+
+  // ---- D22: chunk-level dedup (CCNet-style paragraph dedup) -------------
+  // The corpus has no newlines, so the "paragraph" unit is the
+  // non-overlapping 8-token chunk (the unit function is the only thing
+  // that changes vs CCNet's line-hash dedup). One keyed partial
+  // aggregation computes corpus-wide chunk frequencies; a chunk occurring
+  // >= 2 times anywhere is boilerplate and is cut from every document.
+  // Per doc: chunk counts and the md5 of the cleaned text (kept chunks
+  // rejoined in order) — a value-level check that the reassembly is
+  // exact. The frequency join is keyed on the chunk (AQE broadcasts the
+  // dup side when small); nothing is ever pairwise.
+  private val q59 = Qdef(
+    "q59_chunk_dedup",
+    (s, dir) =>
+      graft.operators.ChunkDedup
+        .stats(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""WITH ch AS (
+      SELECT doc_id,
+        unnest([array_to_string(toks[i*8+1 : i*8+8], ' ') for i in range(len(toks)//8)]) AS chunk,
+        unnest(range(len(toks)//8)) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    freq AS (SELECT chunk, COUNT(*) AS freq FROM ch GROUP BY chunk)
+    SELECT ch.doc_id, COUNT(*) AS n_chunks,
+      CAST(SUM(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      md5(COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (freq < 2), '')) AS clean_md5
+    FROM ch JOIN freq USING (chunk)
+    GROUP BY ch.doc_id ORDER BY ch.doc_id"""))
+
+  // ---- D23: temperature-sampled source mixing ----------------------------
+  // Data-mixing for training corpora: per-source keep probability
+  // p = sqrt(mass_s / max mass) (temperature 0.5 toward the biggest
+  // source), selection by md5 bucket of the content — reproducible on
+  // any engine, no RNG. The per-source stats frame is O(#sources) rows
+  // and joins back broadcast; the corpus pass is scan-local. p is
+  // quantized to 6 decimals on both sides; the bucket test compares an
+  // exact INT against p*10000 in doubles (no double->int cast, which
+  // truncates in Spark but rounds in DuckDB).
+  private val q60 = Qdef(
+    "q60_mixing",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stats = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("mass"))
+      val p = stats.crossJoin(broadcast(stats.agg(max(col("mass")).as("mx"))))
+        .select(col("source"),
+          round(sqrt(col("mass").cast("double") / col("mx")), 6).as("p_keep"))
+      val bucket = conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+        .cast("int") % 10000
+      docs.join(broadcast(p), Seq("source"))
+        .select(col("source"), col("n_chars"), col("p_keep"),
+          (bucket < col("p_keep") * 10000.0).as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+          min(col("p_keep")).as("p_keep"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH s AS (SELECT source, SUM(n_chars) AS mass FROM documents GROUP BY source),
+    m AS (SELECT MAX(mass) AS mx FROM s),
+    p AS (SELECT source, ROUND(sqrt(CAST(mass AS DOUBLE) / mx), 6) AS p_keep FROM s, m),
+    k AS (
+      SELECT d.source, d.n_chars, p.p_keep,
+        (CAST(('0x' || substring(md5(d.text), 1, 4))::INT64 AS INT) % 10000) < p.p_keep * 10000.0 AS keep
+      FROM documents d JOIN p ON d.source = p.source)
+    SELECT source, COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+      MIN(p_keep) AS p_keep
+    FROM k GROUP BY source ORDER BY source"""))
+
+  // ---- D24: vocabulary coverage / OOV-rate stats --------------------------
+  // Corpus vocabulary = top-20 tokens by global frequency (count desc,
+  // token asc — a deterministic cut); per-language coverage = fraction of
+  // token occurrences inside that vocabulary. The frequency aggregation
+  // partial-combines map-side; the vocabulary collapses to a one-row
+  // broadcast array, so the per-doc membership count is scan-local array
+  // work; the rate is a single division of exact BIGINTs.
+  private val q61 = Qdef(
+    "q61_vocab",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("tk"))
+      val vocab = broadcast(
+        toks.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tk")).limit(20)
+          .agg(collect_set(col("tk")).as("vocab")))
+      docs.crossJoin(vocab)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          size(filter(split(col("text"), " "),
+            x => array_contains(col("vocab"), x))).cast("long").as("n_inv"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"),
+          sum(col("n_inv")).as("in_vocab"))
+        .select(col("lang"), col("n_docs"), col("toks"), col("in_vocab"),
+          (col("in_vocab").cast("double") / col("toks")).as("coverage"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents),
+    vocab AS (
+      SELECT list(tk) AS v FROM
+        (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk ORDER BY c DESC, tk LIMIT 20))
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks,
+      CAST(SUM(len(list_filter(string_split(text, ' '), x -> list_contains(v, x)))) AS BIGINT) AS in_vocab,
+      CAST(SUM(len(list_filter(string_split(text, ' '), x -> list_contains(v, x)))) AS DOUBLE) /
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS coverage
+    FROM documents, vocab GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61)
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{Pipeline, Streaming}
+import graft.queries.{Curation, Pipeline, Streaming}
 
 /** Every pipeline/streaming-face query runs at sf0.001 and returns rows
   * (the value-level gate is the driver's DuckDB compare via Verify).
@@ -9,7 +9,7 @@ import graft.queries.{Pipeline, Streaming}
 class PipelineSpec extends AnyFunSuite {
   import SparkFixture._
 
-  for (q <- Pipeline.all ++ Streaming.all) {
+  for (q <- Pipeline.all ++ Curation.all ++ Streaming.all) {
     test(s"${q.name} runs and returns rows") {
       assert(q.fn(spark, sfDir).count() > 0, s"${q.name} returned no rows")
     }
