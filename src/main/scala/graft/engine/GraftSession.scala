@@ -3,7 +3,7 @@ package graft.engine
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, col, concat, expr, filter, lit, not, when}
+import org.apache.spark.sql.functions.{array, array_join, col, concat, expr, filter, lit, max_by, monotonically_increasing_id, not, struct, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** MySQL-surface SQL session: every command of the reference's
@@ -49,6 +49,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     else if (lower.startsWith("drop table")) dropTable(stmt)
     else if (lower.startsWith("alter table")) alterTable(stmt)
     else if (lower.startsWith("insert")) insert(stmt)
+    else if (lower.startsWith("replace")) insert(stmt)
     else if (lower.startsWith("update")) update(stmt)
     else if (lower.startsWith("delete")) delete(stmt)
     else if (lower.startsWith("use ")) use(stmt)
@@ -338,18 +339,28 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   // ---- DML (insert.rs / update.rs / delete.rs) ---------------------------
 
   private val InsertR =
-    "(?is)insert\\s+into\\s+([`\\w.]+)\\s*(\\([^)]*\\))?\\s*(values\\b.*|select\\b.*|with\\b.*)".r
+    "(?is)(insert|replace)\\s+into\\s+([`\\w.]+)\\s*(\\([^)]*\\))?\\s*(values\\b.*|select\\b.*|with\\b.*)".r
 
-  /** INSERT … VALUES / INSERT … SELECT. The source rows are parsed and
-    * planned by Spark (`VALUES` is an inline table; a SELECT source runs
-    * through the full query path), then aligned positionally to the target
-    * schema and cast. Tables with a PRIMARY KEY are written sorted by the
-    * key within each output file, so parquet row-group min/max statistics
-    * give sled-style point-lookup pruning (store/engine/sled.rs:1
-    * semantics) without any KV store.
+  /** INSERT … VALUES / INSERT … SELECT / REPLACE INTO. The source rows
+    * are parsed and planned by Spark (`VALUES` is an inline table; a
+    * SELECT source runs through the full query path), then aligned
+    * positionally to the target schema and cast. Tables with a PRIMARY
+    * KEY are written sorted by the key within each output file, so
+    * parquet row-group min/max statistics give sled-style point-lookup
+    * pruning (store/engine/sled.rs:1 semantics) without any KV store.
+    *
+    * PK tables enforce MySQL duplicate-entry semantics (insert.rs:203
+    * checks every index key before writing): INSERT of a key that exists
+    * — in the table or twice in the batch — answers error 1062 and
+    * writes nothing; REPLACE INTO (sqlparser's Insert{overwrite} —
+    * sled's put overwrites per key) upserts, counting MySQL-style
+    * (deleted + inserted, so a replaced row counts 2). Both the check
+    * and the write run under the statement-scope DML lock: two racing
+    * INSERTs must not both pass the check and commit the same key.
     */
   private def insert(stmt: String): DataFrame = stmt match {
-    case InsertR(name, colsOpt, source) =>
+    case InsertR(verb, name, colsOpt, source) =>
+      val replace = verb.equalsIgnoreCase("replace")
       val (db, t) = qualify(name)
       val m = catalog.meta(db, t)
       val src =
@@ -375,13 +386,82 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       val staged = aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val rows = staged.count()
-        val sorted =
-          if (m.pk.nonEmpty) staged.sortWithinPartitions(m.pk.map(col): _*)
-          else staged
-        catalog.append(db, t, sorted)
-        count(rows)
+        if (m.pk.isEmpty || rows == 0) {
+          // no key ⇒ no conflicts possible; REPLACE degrades to INSERT
+          // (MySQL semantics on keyless tables)
+          catalog.append(db, t, staged)
+          count(rows)
+        } else if (replace) replaceInto(db, t, m, staged, rows)
+        else catalog.withDmlLock(db, t) {
+          catalog.freshenStale()
+          val pkCols = m.pk.map(k => col(s"`$k`"))
+          val batchDup = staged.groupBy(pkCols: _*).count()
+            .filter(col("count") > 1).drop("count").head(1)
+          val existDup =
+            if (batchDup.nonEmpty) batchDup
+            else {
+              // small batches push their literal keys into the scan
+              // (min/max-pruned on the PK-sorted layout); big batches
+              // broadcast-semi-join so the table never shuffles
+              val existing = catalog.read(db, t)
+              val conflicts =
+                if (rows <= 256 && m.pk.lengthCompare(1) == 0) {
+                  val keys = staged.select(pkCols.head).distinct().collect().map(_.get(0))
+                  existing.filter(col(s"`${m.pk.head}`").isin(keys.toIndexedSeq: _*))
+                } else existing.join(
+                  staged.select(pkCols: _*).hint("broadcast"), m.pk, "left_semi")
+              conflicts.select(pkCols: _*).head(1)
+            }
+          for (row <- existDup.headOption)
+            throw SqlError.duplicateEntry(
+              m.pk.indices.map(row.get(_)).mkString("-"), t)
+          catalog.append(db, t, staged.sortWithinPartitions(pkCols: _*))
+          count(rows)
+        }
       } finally staged.unpersist()
   }
+
+  /** REPLACE INTO on a PK table: upsert by key. Within the batch the
+    * LAST row for a key wins (MySQL processes rows in order); existing
+    * rows under the batch's keys are removed — tombstoned on
+    * merge-on-read tables (O(batch), the sled put-overwrite shape), or
+    * anti-joined out in one copy-on-write rewrite otherwise.
+    */
+  private def replaceInto(db: String, t: String, m: catalog.TableMeta,
+                          staged: DataFrame, rows: Long): DataFrame =
+    catalog.withDmlLock(db, t) {
+      catalog.freshenStale()
+      val pkCols = m.pk.map(k => col(s"`$k`"))
+      // keep-last within the batch: VALUES plans stage single-partition,
+      // so monotonically_increasing_id is the row order
+      val ordered = staged.withColumn("_graft_ord", monotonically_increasing_id())
+      val deduped = ordered.groupBy(pkCols: _*)
+        .agg(max_by(struct(m.cols.map(c => col(s"`${c.name}`")): _*),
+          col("_graft_ord")).as("_r"))
+        .select(m.cols.map(c => col(s"_r.`${c.name}`").as(c.name)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nKeys = deduped.count()
+        val existing = catalog.read(db, t)
+        val keys = deduped.select(pkCols: _*)
+        val nReplaced = existing.join(keys.hint("broadcast"), m.pk, "left_semi").count()
+        val sorted = deduped.sortWithinPartitions(pkCols: _*)
+        if (m.mergeOnRead) {
+          val seq = catalog.nextSeq(db, t)
+          if (nReplaced > 0) catalog.appendDeletes(db, t, keys, seq)
+          catalog.append(db, t, sorted, seqOpt = Some(seq))
+          catalog.maybeAutoCompact(db, t)
+        } else if (nReplaced > 0) {
+          catalog.rewrite(db, t,
+            existing.join(keys.hint("broadcast"), m.pk, "left_anti")
+              .unionByName(sorted))
+        } else catalog.append(db, t, sorted)
+        // MySQL affected-rows: every row inserts (rows) and every delete
+        // event adds one — a table collision per key (nReplaced) plus
+        // each batch-internal duplicate displacing the prior row
+        count(rows + (rows - nKeys) + nReplaced)
+      } finally deduped.unpersist()
+    }
 
   private val UpdateHeadR = "(?is)update\\s+([`\\w.]+)\\s+set\\s+(.+)".r
   private def update(stmt: String): DataFrame = stmt match {

@@ -336,7 +336,13 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
   private def writeError(io: PacketIO, e: Throwable): Unit = {
     val msg = Option(e.getMessage).getOrElse(e.toString)
       .linesIterator.toSeq.headOption.getOrElse("unknown error")
-    io.write(Messages.err(1105, "HY000", msg))
+    e match {
+      // typed SQL errors carry their MySQL code/SQLSTATE to the wire
+      // (duplicate-entry 1062/23000 etc. — insert.rs:203 parity)
+      case se: graft.engine.SqlError =>
+        io.write(Messages.err(se.code, se.sqlState, msg))
+      case _ => io.write(Messages.err(1105, "HY000", msg))
+    }
   }
 
   /** SHOW COLUMNS `Type` strings → wire type code input. */

@@ -64,6 +64,35 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select count(*) c from t4b").head.head == 2L)
   }
 
+  test("B4+ duplicate-entry 1062 on PK insert; REPLACE INTO upserts (insert.rs:203 parity)") {
+    g.sql("use test")
+    g.sql("create table up (id int, v char, primary key(id))")
+    assert(rows("insert into up values (1,'a'), (2,'b')").head.head == 2L)
+    // key already in the table: 1062, nothing written
+    val e = intercept[graft.engine.SqlError](g.sql("insert into up values (2,'x')"))
+    assert(e.code == 1062 && e.sqlState == "23000")
+    assert(e.getMessage.contains("Duplicate entry '2'"))
+    assert(rows("select * from up order by id") == Seq(Seq(1, "a"), Seq(2, "b")))
+    // key duplicated inside the batch: 1062, nothing written
+    val e2 = intercept[graft.engine.SqlError](g.sql("insert into up values (5,'p'), (5,'q')"))
+    assert(e2.code == 1062)
+    assert(rows("select count(*) from up").head.head == 2L)
+    // REPLACE: fresh key counts 1, colliding key counts 2 and updates
+    assert(rows("replace into up values (3,'c')").head.head == 1L)
+    assert(rows("replace into up values (2,'B')").head.head == 2L)
+    assert(rows("select v from up where id = 2").head.head == "B")
+    // batch-internal duplicate: LAST row wins, the displaced insert
+    // counts a delete (MySQL: 3 affected on a fresh key)
+    assert(rows("replace into up values (9,'x'), (9,'y')").head.head == 3L)
+    assert(rows("select v from up where id = 9").head.head == "y")
+    assert(rows("select count(*) from up").head.head == 4L)
+    // keyless table: REPLACE degrades to INSERT, duplicates allowed
+    g.sql("create table up_nopk (id int, v char)")
+    g.sql("insert into up_nopk values (1,'a')")
+    assert(rows("replace into up_nopk values (1,'zzz')").head.head == 1L)
+    assert(rows("select count(*) from up_nopk").head.head == 2L)
+  }
+
   test("B5 update with and without where") {
     g.sql("use test")
     g.sql("create table t5 (id int, v int)")

@@ -317,4 +317,23 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rows(g, "select a, b from acct") == Seq(Seq(s"$rounds", s"$rounds")),
       "a lost update reverted a concurrent writer's column")
   }
+
+  test("REPLACE INTO on merge-on-read: tombstone + append, never a rewrite") {
+    val (g, wh) = freshSession()
+    g.sql("create table rep (id int, v varchar(10), primary key(id))")
+    g.sql("insert into rep values (1,'a'), (2,'b'), (3,'c')")
+    // keys {2,4}: one collision (delete+insert = 2) + one fresh insert
+    assert(rows(g, "replace into rep values (2,'B'), (4,'d')").head.head == "3")
+    assert(rows(g, "select v from rep order by id").map(_.head) ==
+      Seq("a", "B", "c", "d"))
+    // upsert must be O(batch): tombstones appended, data version untouched
+    assert(logLines(wh, "rep") == Seq("v1\tcreate"))
+    assert(tombstoneFiles(wh, "rep").nonEmpty)
+    // duplicate-entry enforcement sees through the tombstones: id=2's
+    // live row still blocks, a DELETEd id no longer does
+    intercept[graft.engine.SqlError](g.sql("insert into rep values (2,'x')"))
+    g.sql("delete from rep where id = 3")
+    assert(rows(g, "insert into rep values (3,'c2')").head.head == "1")
+    assert(rows(g, "select v from rep where id = 3").map(_.head) == Seq("c2"))
+  }
 }

@@ -445,6 +445,23 @@ class MysqlServerSpec extends AnyFunSuite {
     c.quit()
   }
 
+  test("duplicate-entry INSERT answers code 1062 on the wire; REPLACE upserts") {
+    val c = new Client
+    c.query("create schema if not exists wires")
+    c.query("use wires")
+    c.query("create table dup (id int, v char, primary key(id))")
+    c.query("insert into dup values (1,'a')")
+    val e = c.query("insert into dup values (1,'b')").asInstanceOf[Err]
+    assert(e.code == 1062, s"expected MySQL 1062, got $e")
+    assert(e.message.contains("Duplicate entry '1'"))
+    val ok = c.query("replace into dup values (1,'b')")
+    assert(!ok.isInstanceOf[Err])
+    val rs = c.query("select v from dup where id = 1").asInstanceOf[ResultSet]
+    assert(rs.rows == Seq(Seq(Some("b"))))
+    c.query("drop table dup")
+    c.quit()
+  }
+
   test("binary prepared statements: COM_STMT_PREPARE/EXECUTE/CLOSE") {
     val c = new Client
     assert(c.query("create schema if not exists wireps").isInstanceOf[Ok])
