@@ -719,8 +719,72 @@ object Relational {
       CAST(sign(n_nationkey - 10) AS DOUBLE) AS sg
     FROM nation ORDER BY n_nationkey"""))
 
+  // ---- A13+: ranking/distribution/value window functions -----------------
+  // ntile / percent_rank / cume_dist / first_value / last_value /
+  // nth_value — the distribution half of the window family (q20-q22
+  // cover ranks, offsets, frames). percent_rank and cume_dist are
+  // rank-derived rationals, so the double division is engine-exact.
+  private val q62 = Qdef(
+    "q62_window_dist",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("tile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(wFull).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      ntile(4) OVER w AS tile,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd,
+      first_value(o_orderkey) OVER w AS first_ok,
+      last_value(o_orderkey) OVER wf AS last_ok,
+      nth_value(o_orderkey, 2) OVER wf AS second_ok
+    FROM orders WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey"""))
+
+  // ---- A15+: calendar arithmetic -----------------------------------------
+  // add_months clamps to month end identically in both engines
+  // (1996-01-31 + 1 month = 1996-02-29); day-of-week goes through the
+  // ISO numbering (Spark weekday is 0=Monday, DuckDB isodow 1=Monday).
+  private val q63 = Qdef(
+    "q63_date_arith",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          // dates travel as ISO strings: DuckDB's pandas bridge widens
+          // DATE to datetime64 while Spark parquet keeps date32, so a
+          // raw DATE column can never hash-match across the gate
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(date_sub(col("o_orderdate"), 7), "yyyy-MM-dd").as("minus7d"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          (weekday(col("o_orderdate")) + 1).as("dow_iso"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+      strftime(CAST(o_orderdate - INTERVAL 7 DAY AS DATE), '%Y-%m-%d') AS minus7d,
+      strftime(CAST(last_day(o_orderdate) AS DATE), '%Y-%m-%d') AS eom,
+      CAST(quarter(o_orderdate) AS INT) AS qtr,
+      CAST(isodow(o_orderdate) AS INT) AS dow_iso
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q06c, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q45, q46, q52, q53)
+    q27, q28, q29, q45, q46, q52, q53, q62, q63)
 }

@@ -20,9 +20,15 @@ class PlanLintSpec extends AnyFunSuite {
     *  - q35: broadcast(query batch) × one corpus scan — the brute-force
     *         baseline's intended shape
     *  - q43: one-row broadcast codebook, as in q34
+    *  - q57: one-row broadcast k-means codebook, as in q34 (q58 reads
+    *         the same assignment through its staged checkpoint, so its
+    *         plan shows no join at all)
+    *  - q60: one-row broadcast max-source-mass aggregate
+    *  - q61: one-row broadcast top-V vocabulary array
     */
   private val bnljAllowed = Set("q14_join_cross", "q33_ngram_jaccard",
-    "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf")
+    "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf",
+    "q57_kmeans", "q60_mixing", "q61_vocab")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
