@@ -172,6 +172,51 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       .start()
   }
 
+  /** CDC-shaped streaming upsert into a merge-on-read table: each
+    * micro-batch REPLACEs by primary key — within the batch the row with
+    * the highest `orderCol` wins, older table rows under the batch's
+    * keys are tombstoned, and the batch appends at one commit sequence.
+    * The write cost per batch is O(batch), never O(table) (the streaming
+    * face of REPLACE INTO / sled's put-overwrite, the way a Hudi/Delta
+    * streaming MERGE lands). Exactly-once comes from the checkpoint: a
+    * replayed batch re-tombstones and re-appends the same keys at a new
+    * sequence, which is idempotent for the merged view.
+    */
+  def ingestUpsert(stream: DataFrame, table: String, checkpoint: String,
+                   orderCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (db, t) = qualify(table)
+    val m = catalog.meta(db, t)
+    require(m.mergeOnRead,
+      s"ingestUpsert requires a merge-on-read (PK'd parquet) table; '$table' is not")
+    val pkCols = m.pk.map(k => col(s"`$k`"))
+    val aligned = stream.select(
+      m.cols.map(c => col(s"`${c.name}`").cast(c.sparkDdl).as(c.name)) :+
+        col(s"`$orderCol`").as("_graft_ord"): _*)
+    aligned.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+        val deduped = batch.toDF()
+          .groupBy(pkCols: _*)
+          .agg(max_by(struct(m.cols.map(c => col(s"`${c.name}`")): _*),
+            col("_graft_ord")).as("_r"))
+          .select(m.cols.map(c => col(s"_r.`${c.name}`").as(c.name)): _*)
+        catalog.withDmlLock(db, t) {
+          catalog.freshenStale()
+          val keys = deduped.select(pkCols: _*)
+          val seq = catalog.nextSeq(db, t)
+          catalog.appendDeletes(db, t, keys, seq)
+          catalog.append(db, t,
+            deduped.sortWithinPartitions(pkCols: _*), seqOpt = Some(seq))
+          catalog.maybeAutoCompact(db, t)
+        }
+        }
+        ()
+      }
+      .start()
+  }
+
   // ---- schemas (create_db.rs / drop_schema.rs / set_default_schema.rs) ---
 
   private val CreateSchemaR =

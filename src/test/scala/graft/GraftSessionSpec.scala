@@ -286,6 +286,29 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select sum(id) s from live").head.head == 6L)
   }
 
+  test("streaming upsert: each micro-batch REPLACEs by pk, latest orderCol wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    g.sql("use test")
+    g.sql("create table live_up (id bigint, v double, primary key(id))")
+    val input = MemoryStream[(Long, Double, Long)](spark)
+    val q = g.ingestUpsert(input.toDF().toDF("id", "v", "ts"), "live_up",
+      Files.createTempDirectory("graft-upsert-chk").toString, orderCol = "ts")
+    input.addData((1L, 1.0, 10L), (2L, 2.0, 10L))
+    q.processAllAvailable()
+    assert(rows("select id, v from live_up order by id") ==
+      Seq(Seq(1L, 1.0), Seq(2L, 2.0)))
+    // batch 2: update key 1 (two versions in ONE batch — highest ts
+    // wins), insert key 3
+    input.addData((1L, 9.9, 21L), (1L, 5.0, 20L), (3L, 3.0, 20L))
+    q.processAllAvailable(); q.stop()
+    assert(rows("select id, v from live_up order by id") ==
+      Seq(Seq(1L, 9.9), Seq(2L, 2.0), Seq(3L, 3.0)))
+    // and the table is still DML-able on top of the stream's commits
+    assert(rows("delete from live_up where id = 2").head.head == 1L)
+    assert(rows("select count(*) c from live_up").head.head == 2L)
+  }
+
   test("regression: multi-column UPDATE evaluates WHERE once against original rows") {
     g.sql("use test")
     g.sql("create table upd2 (a int, b int)")
