@@ -3,7 +3,7 @@ package graft.engine
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, col, concat, expr, filter, lit, max_by, monotonically_increasing_id, not, struct, when}
+import org.apache.spark.sql.functions.{array, array_join, col, concat, expr, filter, lit, max_by, min_by, monotonically_increasing_id, not, struct, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** MySQL-surface SQL session: every command of the reference's
@@ -384,7 +384,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   // ---- DML (insert.rs / update.rs / delete.rs) ---------------------------
 
   private val InsertR =
-    "(?is)(insert|replace)\\s+into\\s+([`\\w.]+)\\s*(\\([^)]*\\))?\\s*(values\\b.*|select\\b.*|with\\b.*)".r
+    "(?is)(insert\\s+ignore|insert|replace)\\s+into\\s+([`\\w.]+)\\s*(\\([^)]*\\))?\\s*(values\\b.*|select\\b.*|with\\b.*)".r
 
   /** INSERT … VALUES / INSERT … SELECT / REPLACE INTO. The source rows
     * are parsed and planned by Spark (`VALUES` is an inline table; a
@@ -406,6 +406,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   private def insert(stmt: String): DataFrame = stmt match {
     case InsertR(verb, name, colsOpt, source) =>
       val replace = verb.equalsIgnoreCase("replace")
+      val ignore = verb.toLowerCase.endsWith("ignore")
       val (db, t) = qualify(name)
       val m = catalog.meta(db, t)
       val src =
@@ -437,6 +438,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
           catalog.append(db, t, staged)
           count(rows)
         } else if (replace) replaceInto(db, t, m, staged, rows)
+        else if (ignore) insertIgnore(db, t, m, staged)
         else catalog.withDmlLock(db, t) {
           catalog.freshenStale()
           val pkCols = m.pk.map(k => col(s"`$k`"))
@@ -465,6 +467,31 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         }
       } finally staged.unpersist()
   }
+
+  /** INSERT IGNORE on a PK table: rows whose key already exists — in
+    * the table or earlier in the batch (FIRST row wins, MySQL order) —
+    * are silently skipped; affected-rows counts only what landed.
+    */
+  private def insertIgnore(db: String, t: String, m: catalog.TableMeta,
+                           staged: DataFrame): DataFrame =
+    catalog.withDmlLock(db, t) {
+      catalog.freshenStale()
+      val pkCols = m.pk.map(k => col(s"`$k`"))
+      val ordered = staged.withColumn("_graft_ord", monotonically_increasing_id())
+      val firstPerKey = ordered.groupBy(pkCols: _*)
+        .agg(min_by(struct(m.cols.map(c => col(s"`${c.name}`")): _*),
+          col("_graft_ord")).as("_r"))
+        .select(m.cols.map(c => col(s"_r.`${c.name}`").as(c.name)): _*)
+      val fresh = firstPerKey.join(
+        catalog.read(db, t).select(pkCols: _*).distinct(), m.pk, "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val landed = fresh.count()
+        if (landed > 0)
+          catalog.append(db, t, fresh.sortWithinPartitions(pkCols: _*))
+        count(landed)
+      } finally fresh.unpersist()
+    }
 
   /** REPLACE INTO on a PK table: upsert by key. Within the batch the
     * LAST row for a key wins (MySQL processes rows in order); existing

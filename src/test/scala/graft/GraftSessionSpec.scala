@@ -86,6 +86,11 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("replace into up values (9,'x'), (9,'y')").head.head == 3L)
     assert(rows("select v from up where id = 9").head.head == "y")
     assert(rows("select count(*) from up").head.head == 4L)
+    // INSERT IGNORE: conflicting rows skip silently, first-in-batch wins
+    assert(rows("insert ignore into up values (2,'nope'), (7,'h'), (8,'i'), (8,'j')")
+      .head.head == 2L)
+    assert(rows("select v from up where id = 2").head.head == "B")
+    assert(rows("select v from up where id = 8").head.head == "i")
     // keyless table: REPLACE degrades to INSERT, duplicates allowed
     g.sql("create table up_nopk (id int, v char)")
     g.sql("insert into up_nopk values (1,'a')")

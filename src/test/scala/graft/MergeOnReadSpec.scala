@@ -318,6 +318,44 @@ class MergeOnReadSpec extends AnyFunSuite {
       "a lost update reverted a concurrent writer's column")
   }
 
+  test("racing INSERTs of one key: exactly one commits, the other gets 1062") {
+    val (g, wh) = freshSession()
+    g.sql("create table race (id int, v int, primary key(id))")
+    val g2 = new GraftSession(spark.newSession(), wh)
+    g2.sql("use mor")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val ts = Seq((g, 1), (g2, 2)).map { case (s, n) =>
+      new Thread(() =>
+        try { s.sql(s"insert into race values (7, $n)"); results.add("ok") }
+        catch {
+          case e: graft.engine.SqlError if e.code == 1062 => results.add("dup")
+          case e: Throwable => results.add(s"unexpected: $e")
+        })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(results.asScala.toSeq.sorted == Seq("dup", "ok"),
+      s"dup check must serialize with the commit: $results")
+    assert(rows(g, "select count(*) from race where id = 7").head.head == "1")
+  }
+
+  test("concurrent REPLACE INTO waves on one key leave exactly one row") {
+    val (g, wh) = freshSession()
+    g.sql("create table rw (id int, v int, primary key(id))")
+    val g2 = new GraftSession(spark.newSession(), wh)
+    g2.sql("use mor")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = Seq(g, g2).zipWithIndex.map { case (s, i) =>
+      new Thread(() =>
+        try (1 to 4).foreach(r => s.sql(s"replace into rw values (1, ${i * 10 + r})"))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent REPLACE threw: ${errs.asScala.toSeq}")
+    val vs = rows(g, "select v from rw where id = 1")
+    assert(vs.length == 1, s"upsert waves must never leave duplicates: $vs")
+    assert(Set("4", "14")(vs.head.head), "the surviving row is some thread's final version")
+  }
+
   test("REPLACE INTO on merge-on-read: tombstone + append, never a rewrite") {
     val (g, wh) = freshSession()
     g.sql("create table rep (id int, v varchar(10), primary key(id))")
