@@ -1,11 +1,12 @@
 package graft.operators
 
-/** Pure-JVM codecs for the UNCOMPRESSED media containers (SURVEY §2.D12):
-  * RIFF/WAVE PCM-16 audio and 24-bit uncompressed BMP images. No media
-  * libraries exist in this environment, but these formats are plain
-  * headers over raw samples/pixels, so decode/encode/resample are
-  * implementable exactly — only compressed codecs (JPEG/MP3/H.264)
-  * remain stubbed in `Multimodal`.
+/** Media codecs for SURVEY §2.D12, all real and in-JVM: RIFF/WAVE PCM-16
+  * audio and 24-bit uncompressed BMP images are plain headers over raw
+  * samples/pixels decoded by hand; compressed IMAGES (JPEG/PNG/GIF/TIFF)
+  * decode through the JDK's own ImageIO (java.desktop, headless-safe —
+  * no external media library involved). Only compressed audio (MP3/AAC)
+  * and video (H.264) remain stubbed in `Multimodal`: the JDK ships no
+  * codec for those and this environment has no media libraries.
   *
   * All functions are deterministic, allocation-bounded, and run
   * per-row inside executors (no driver involvement, no shared state).
@@ -235,9 +236,8 @@ object MediaCodec {
     out
   }
 
-  /** Nearest-neighbor resize producing a valid BMP of the new size. */
-  def resizeBmp(b: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val img = decodeBmp(b)
+  /** Nearest-neighbor resize of a decoded RGB grid. */
+  def resizeRgb(img: Bmp, w: Int, h: Int): Bmp = {
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -252,6 +252,81 @@ object MediaCodec {
       }
       y += 1
     }
-    encodeBmp(Bmp(w, h, rgb))
+    Bmp(w, h, rgb)
   }
+
+  /** Nearest-neighbor resize producing a valid BMP of the new size. */
+  def resizeBmp(b: Array[Byte], w: Int, h: Int): Array[Byte] =
+    encodeBmp(resizeRgb(decodeBmp(b), w, h))
+
+  // ---- compressed images via the JDK's own ImageIO -----------------------
+  // JPEG/PNG/GIF/TIFF/WBMP readers ship WITH the JDK (java.desktop,
+  // headless-safe) — no external media library needed, so these formats
+  // get REAL decode, not the stub. Only compressed AUDIO (MP3/AAC) and
+  // VIDEO (H.264) remain stubbed: the JDK carries no codec for those.
+
+  /** Magic-number sniff for the formats ImageIO decodes out of the box
+    * (BMP excluded — the pure-JVM decoder above owns it).
+    */
+  def isJdkImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) || // JPEG
+      ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||      // PNG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||                // GIF
+      (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) ||                 // TIFF LE
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a))                   // TIFF BE
+
+  /** Decode any ImageIO-supported payload to the shared RGB grid.
+    * Undecodable/corrupt payloads throw IllegalArgumentException like
+    * the strict pure-JVM decoders, so callers quarantine identically.
+    */
+  def decodeImage(b: Array[Byte]): Bmp = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"undecodable image: ${e.getMessage}") }
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val d = (y * w + x) * 3
+        rgb(d) = ((p >> 16) & 0xff).toByte
+        rgb(d + 1) = ((p >> 8) & 0xff).toByte
+        rgb(d + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(w, h, rgb)
+  }
+
+  /** Lossless PNG encode of an RGB grid (ImageIO's PNG writer). */
+  def encodePng(img: Bmp): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        bi.setRGB(x, y, ((img.rgb(s) & 0xff) << 16) |
+          ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Resize a compressed image; the result is PNG (deterministic,
+    * lossless — re-encoding JPEG would add generation loss).
+    */
+  def resizeImage(b: Array[Byte], w: Int, h: Int): Array[Byte] =
+    encodePng(resizeRgb(decodeImage(b), w, h))
 }

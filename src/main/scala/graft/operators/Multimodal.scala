@@ -66,8 +66,16 @@ object Multimodal {
               }
               y += 1
             }
-            val bytes = MediaCodec.encodeBmp(MediaCodec.Bmp(w, h, rgb))
-            MediaRow(id, "image/bmp", bytes, bytes.length.toLong, w, h)
+            // alternate containers so BOTH image decode paths (pure-JVM
+            // BMP, ImageIO PNG) are exercised by every downstream test
+            val img = MediaCodec.Bmp(w, h, rgb)
+            if (id % 2 == 0) {
+              val bytes = MediaCodec.encodeBmp(img)
+              MediaRow(id, "image/bmp", bytes, bytes.length.toLong, w, h)
+            } else {
+              val bytes = MediaCodec.encodePng(img)
+              MediaRow(id, "image/png", bytes, bytes.length.toLong, w, h)
+            }
           case 1 =>
             val n = 400
             val freq = 220.0 + (id % 16) * 55.0
@@ -135,12 +143,14 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "frame")
   }
 
-  // ---- kernels: real for WAV/BMP, stub for compressed codecs ------------
+  // ---- kernels: real for WAV + all JDK-decodable images, stub for the
+  // rest (compressed audio/video: the JDK has no MP3/AAC/H.264 codec) ----
 
   /** Decode + summarize into a `dim`-float feature vector. REAL paths:
-    * PCM WAV → RMS energy envelope over `dim` windows; 24-bit BMP →
-    * `dim`-bin grayscale histogram. Anything else (compressed codecs)
-    * takes the deterministic FNV stub with the same signature.
+    * PCM WAV → RMS energy envelope over `dim` windows; 24-bit BMP and
+    * every ImageIO format (JPEG/PNG/GIF/TIFF) → `dim`-bin grayscale
+    * histogram. Compressed audio/video takes the deterministic FNV stub
+    * with the same signature.
     */
   private[operators] def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
     try {
@@ -148,6 +158,8 @@ object Multimodal {
         MediaCodec.wavEnergyEnvelope(MediaCodec.decodeWav(bytes).samples, dim)
       else if (MediaCodec.isBmp(bytes))
         MediaCodec.bmpGrayHistogram(MediaCodec.decodeBmp(bytes), dim)
+      else if (MediaCodec.isJdkImage(bytes))
+        MediaCodec.bmpGrayHistogram(MediaCodec.decodeImage(bytes), dim)
       else compressedStubFeatures(bytes, dim)
     } catch {
       // a corrupt/truncated container (validated decoders throw) must
@@ -192,6 +204,7 @@ object Multimodal {
   private def resizeKernelStrict(bytes: Array[Byte], w0: Int, h0: Int,
                                  w: Int, h: Int): Array[Byte] =
     if (MediaCodec.isBmp(bytes)) MediaCodec.resizeBmp(bytes, w, h)
+    else if (MediaCodec.isJdkImage(bytes)) MediaCodec.resizeImage(bytes, w, h)
     else if (MediaCodec.isWav(bytes)) {
       val rate = MediaCodec.decodeWav(bytes).sampleRate
       val newRate = math.max(1,

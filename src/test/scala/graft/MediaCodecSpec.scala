@@ -128,4 +128,80 @@ class MediaCodecSpec extends AnyFunSuite {
     val rb = Multimodal.resizeKernel(bmp, 4, 4, 9, 3)
     assert(MediaCodec.decodeBmp(rb).width == 9)
   }
+
+  private def gradient(w: Int, h: Int): MediaCodec.Bmp = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      rgb(p) = (x * 37 % 256).toByte
+      rgb(p + 1) = (y * 53 % 256).toByte
+      rgb(p + 2) = ((x + y) * 11 % 256).toByte
+    }
+    MediaCodec.Bmp(w, h, rgb)
+  }
+
+  test("PNG encode/decode round-trips exactly through the JDK's ImageIO") {
+    val img = gradient(13, 7)
+    val png = MediaCodec.encodePng(img)
+    assert(MediaCodec.isJdkImage(png) && !MediaCodec.isBmp(png))
+    val back = MediaCodec.decodeImage(png)
+    assert(back.width == 13 && back.height == 7)
+    assert(back.rgb.toSeq == img.rgb.toSeq, "PNG is lossless: exact pixels")
+  }
+
+  test("JPEG decodes for real: dimensions exact, pixels close (lossy)") {
+    // smooth gradient — JPEG's DCT murders wrap-around edges, so the
+    // closeness assertion needs a low-frequency image
+    val img = {
+      val rgb = new Array[Byte](16 * 16 * 3)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val p = (y * 16 + x) * 3
+        rgb(p) = (x * 255 / 15).toByte
+        rgb(p + 1) = (y * 255 / 15).toByte
+        rgb(p + 2) = 128.toByte
+      }
+      MediaCodec.Bmp(16, 16, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val bi = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val s = (y * 16 + x) * 3
+      bi.setRGB(x, y, ((img.rgb(s) & 0xff) << 16) |
+        ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff))
+    }
+    javax.imageio.ImageIO.write(bi, "jpg", bos)
+    val jpg = bos.toByteArray
+    assert(MediaCodec.isJdkImage(jpg))
+    val back = MediaCodec.decodeImage(jpg)
+    assert(back.width == 16 && back.height == 16)
+    val meanErr = img.rgb.zip(back.rgb)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble /
+      img.rgb.length
+    assert(meanErr < 16, s"JPEG is lossy but must stay recognizable: $meanErr")
+    // features flow through the REAL image path (normalized histogram),
+    // not the FNV stub (which has negative entries)
+    val feat = Multimodal.decodeToFeatures(jpg, 8)
+    assert(math.abs(feat.sum - 1.0f) < 1e-5 && feat.forall(_ >= 0f))
+  }
+
+  test("compressed-image resize decodes, resizes, re-encodes lossless PNG") {
+    val png = MediaCodec.encodePng(gradient(12, 8))
+    val out = Multimodal.resizeKernel(png, 12, 8, 6, 4)
+    val back = MediaCodec.decodeImage(out)
+    assert(back.width == 6 && back.height == 4)
+    // nearest-neighbor on a PNG source matches the BMP-path result
+    val viaBmp = MediaCodec.resizeRgb(gradient(12, 8), 6, 4)
+    assert(back.rgb.toSeq == viaBmp.rgb.toSeq)
+  }
+
+  test("truncated JPEG quarantines to stub features, never crashes the scan") {
+    val img = gradient(16, 16)
+    val png = MediaCodec.encodePng(img)
+    val broken = png.take(24) // valid magic, unreadable body
+    assert(MediaCodec.isJdkImage(broken))
+    val feat = Multimodal.decodeToFeatures(broken, 8)
+    assert(feat.length == 8, "stub fallback produced features")
+    assert(feat.exists(_ < 0f), "fallback is the FNV stub, not a zero histogram")
+  }
 }
