@@ -53,6 +53,22 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     else if (lower.startsWith("update")) update(stmt)
     else if (lower.startsWith("delete")) delete(stmt)
     else if (lower.startsWith("use ")) use(stmt)
+    // client-compat no-ops: graft autocommits every statement through
+    // the commit protocol, so transaction verbs and table locks are
+    // accepted and do nothing (the connector/mysqldump handshake
+    // chatter — MySQL answers OK to all of these on MyISAM too)
+    else if (lower == "begin" || lower.startsWith("begin ") ||
+             lower.startsWith("start transaction") ||
+             lower == "commit" || lower.startsWith("commit ") ||
+             lower == "rollback" || lower.startsWith("rollback ") ||
+             lower.startsWith("lock tables") || lower == "unlock tables" ||
+             lower.startsWith("set names") ||
+             lower.startsWith("set character set") ||
+             lower.startsWith("set charset") ||
+             lower.startsWith("set session transaction") ||
+             lower.startsWith("set transaction")) count(0)
+    else if (lower == "show warnings" || lower == "show errors")
+      frame(Seq("Level", "Code", "Message"), Seq.empty)
     else if (lower.startsWith("set ")) setVariable(stmt)
     else if (lower.startsWith("show ")) show(stmt)
     else if (lower.startsWith("prepare ")) prepare(stmt)

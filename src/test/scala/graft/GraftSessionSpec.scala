@@ -291,6 +291,22 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select sum(id) s from live").head.head == 6L)
   }
 
+  test("client-compat chatter: txn verbs, SET NAMES, SHOW WARNINGS are accepted") {
+    g.sql("use test")
+    // the statements every connector/mysqldump sends around real work
+    for (s <- Seq("BEGIN", "START TRANSACTION", "SET NAMES utf8mb4",
+        "SET CHARACTER SET utf8",
+        "SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ",
+        "LOCK TABLES t4 READ", "UNLOCK TABLES", "COMMIT", "ROLLBACK"))
+      assert(g.sql(s).collect().nonEmpty, s"'$s' must answer an OK frame")
+    val w = g.sql("SHOW WARNINGS")
+    assert(w.columns.toSeq == Seq("Level", "Code", "Message") && w.isEmpty)
+    // the session still works mid-"transaction" chatter
+    g.sql("BEGIN")
+    assert(rows("select count(*) c from t4").head.head == 3L)
+    g.sql("COMMIT")
+  }
+
   test("streaming upsert: each micro-batch REPLACEs by pk, latest orderCol wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
