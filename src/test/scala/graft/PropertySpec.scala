@@ -86,6 +86,56 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("kmeans round-1 assignment == naive argmax over the seed centroids") {
+    // random quantized vectors; cluster of each must be the exact argmax
+    // (ties to the lower centroid id) the naive Scala loop computes
+    val vecGen = Gen.listOfN(24,
+      Gen.listOfN(6, Gen.chooseNum(-999L, 999L)).suchThat(_.exists(_ != 0L)))
+    check(Prop.forAll(vecGen, Gen.chooseNum(2, 5)) { (vecs, k) =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toDF("id", "qv")
+      val got = graft.operators.Cluster.kmeansAssign(df, k, iters = 1)
+        .select("id", "cluster").as[(Long, Long)].collect().toMap
+      def cos(a: Seq[Long], b: Seq[Long]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+        dot / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+      }
+      val cents = vecs.zipWithIndex.take(k)
+      vecs.zipWithIndex.forall { case (v, i) =>
+        val best = cents.map { case (c, ci) => (cos(v, c), ci) }
+          .maxBy { case (s, ci) => (s, -ci.toDouble) }._2
+        got(i.toLong) == best.toLong
+      }
+    })
+  }
+
+  test("ChunkDedup.stats == naive chunk-frequency dedup on random word docs") {
+    val docGen = Gen.listOfN(10,
+      Gen.listOfN(11, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    check(Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = graft.operators.ChunkDedup.stats(docs, "id", "text", 4)
+        .select("id", "n_chunks", "n_dup", "clean_md5")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      // naive reference: 4-token non-overlapping chunks, freq >= 2 cut
+      val chunksOf = texts.map(_.split(" ").grouped(4).filter(_.length == 4)
+        .map(_.mkString(" ")).toSeq)
+      val freq = chunksOf.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      chunksOf.zipWithIndex.forall { case (chunks, i) =>
+        if (chunks.isEmpty) !got.contains(i.toLong)
+        else {
+          val (_, n, dup, h) = got(i.toLong)
+          n == chunks.length &&
+            dup == chunks.count(freq(_) >= 2) &&
+            h == md5hex(chunks.filter(freq(_) < 2).mkString(" "))
+        }
+      }
+    })
+  }
+
   test("RangeJoin.pointInInterval == naive theta join on random intervals") {
     val points = Gen.listOfN(50, Gen.zip(key, smallTs))
     val ivals = Gen.listOfN(20, Gen.zip(key, smallTs, Gen.choose(0L, 800L)))
