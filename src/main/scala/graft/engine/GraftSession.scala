@@ -50,6 +50,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     else if (lower.startsWith("alter table")) alterTable(stmt)
     else if (lower.startsWith("insert")) insert(stmt)
     else if (lower.startsWith("replace")) insert(stmt)
+    else if (lower.startsWith("load data")) loadData(stmt)
     else if (lower.startsWith("update")) update(stmt)
     else if (lower.startsWith("delete")) delete(stmt)
     else if (lower.startsWith("use ")) use(stmt)
@@ -445,16 +446,29 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       // the same materialization (an INSERT…SELECT over a big source
       // must not scan it twice, and a non-deterministic source must not
       // report a different count than it wrote)
+      writeRows(db, t, m, aligned,
+        if (replace) "replace" else if (ignore) "ignore" else "strict")
+  }
+
+  /** Land a batch of aligned rows under the table's key semantics:
+    * `strict` = duplicate keys answer 1062 (plain INSERT), `replace` =
+    * upsert, `ignore` = conflicts skip. Shared by INSERT/REPLACE/
+    * INSERT IGNORE and LOAD DATA INFILE.
+    */
+  private def writeRows(db: String, t: String, m: catalog.TableMeta,
+                        aligned: DataFrame, mode: String): DataFrame = {
+      // one execution of the source plan: the count and the write read
+      // the same materialization
       val staged = aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val rows = staged.count()
         if (m.pk.isEmpty || rows == 0) {
-          // no key ⇒ no conflicts possible; REPLACE degrades to INSERT
-          // (MySQL semantics on keyless tables)
+          // no key ⇒ no conflicts possible; REPLACE/IGNORE degrade to
+          // INSERT (MySQL semantics on keyless tables)
           catalog.append(db, t, staged)
           count(rows)
-        } else if (replace) replaceInto(db, t, m, staged, rows)
-        else if (ignore) insertIgnore(db, t, m, staged)
+        } else if (mode == "replace") replaceInto(db, t, m, staged, rows)
+        else if (mode == "ignore") insertIgnore(db, t, m, staged)
         else catalog.withDmlLock(db, t) {
           catalog.freshenStale()
           val pkCols = m.pk.map(k => col(s"`$k`"))
@@ -482,6 +496,42 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
           count(rows)
         }
       } finally staged.unpersist()
+  }
+
+  private val LoadDataR =
+    ("(?is)load\\s+data\\s+(?:local\\s+)?infile\\s+'([^']+)'\\s*" +
+      "(replace|ignore)?\\s*into\\s+table\\s+([`\\w.]+)(.*)").r
+
+  /** LOAD DATA [LOCAL] INFILE — the MySQL bulk-ingest surface, mapped
+    * onto a distributed CSV scan (the file is read by executors with the
+    * target schema, never row-by-row through the driver the way
+    * mysqld's parser does). Supports FIELDS TERMINATED BY, a
+    * quote-aware ENCLOSED BY, IGNORE n LINES, and the REPLACE/IGNORE
+    * duplicate-key modes of INSERT (strict 1062 otherwise).
+    */
+  private def loadData(stmt: String): DataFrame = stmt match {
+    case LoadDataR(path, modeOpt, name, tail) =>
+      val (db, t) = qualify(name)
+      val m = catalog.meta(db, t)
+      val sepR = "(?is).*fields\\s+terminated\\s+by\\s+'([^']+)'.*".r
+      val quoteR = "(?is).*enclosed\\s+by\\s+'([^'])'.*".r
+      val skipR = "(?is).*ignore\\s+(\\d+)\\s+(?:lines|rows).*".r
+      val sep = tail match { case sepR(s) => s; case _ => "\t" } // MySQL default
+      val quote = tail match { case quoteR(q) => q; case _ => "\"" }
+      val skip = tail match { case skipR(n) => n.toInt; case _ => 0 }
+      require(skip <= 1, "only IGNORE 1 LINES (a header row) is supported")
+      val reader = spark.read
+        .option("sep", sep).option("quote", quote)
+        .option("header", skip > 0) // IGNORE 1 LINES is the header idiom
+        .schema(org.apache.spark.sql.types.StructType(m.cols.map(c =>
+          org.apache.spark.sql.types.StructField(c.name,
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(c.sparkDdl)))))
+      val src = reader.csv(path)
+      val aligned = src.select(m.cols.map(c =>
+        col(s"`${c.name}`").cast(c.sparkDdl).as(c.name)): _*)
+      val mode = if (modeOpt == null) "strict" else modeOpt.toLowerCase
+      writeRows(db, t, m, aligned, mode)
   }
 
   /** INSERT IGNORE on a PK table: rows whose key already exists — in

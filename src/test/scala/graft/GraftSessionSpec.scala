@@ -291,6 +291,30 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select sum(id) s from live").head.head == 6L)
   }
 
+  test("LOAD DATA INFILE bulk-loads csv with key semantics") {
+    g.sql("use test")
+    g.sql("create table ld (id int, name char, score double, primary key(id))")
+    val f = Files.createTempFile("graft-load", ".csv")
+    Files.writeString(f, "id,name,score\n1,ada,9.5\n2,bob,7.25\n3,cyd,8.0\n")
+    val n = rows(s"load data infile '$f' into table ld " +
+      "fields terminated by ',' ignore 1 lines").head.head
+    assert(n == 3L)
+    assert(rows("select name from ld order by id") ==
+      Seq(Seq("ada"), Seq("bob"), Seq("cyd")))
+    // strict mode: a second load of the same file is a duplicate-entry
+    val e = intercept[graft.engine.SqlError](
+      g.sql(s"load data infile '$f' into table ld " +
+        "fields terminated by ',' ignore 1 lines"))
+    assert(e.code == 1062)
+    // REPLACE mode upserts, IGNORE mode skips
+    val f2 = Files.createTempFile("graft-load2", ".csv")
+    Files.writeString(f2, "2\tbobby\t7.5\n4\tdee\t6.0\n") // MySQL default tab sep
+    assert(rows(s"load data infile '$f2' replace into table ld").head.head == 3L)
+    assert(rows("select name from ld where id = 2").head.head == "bobby")
+    assert(rows(s"load data infile '$f2' ignore into table ld").head.head == 0L)
+    assert(rows("select count(*) from ld").head.head == 4L)
+  }
+
   test("client-compat chatter: txn verbs, SET NAMES, SHOW WARNINGS are accepted") {
     g.sql("use test")
     // the statements every connector/mysqldump sends around real work
