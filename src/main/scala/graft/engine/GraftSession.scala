@@ -969,7 +969,37 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
           Matcher.quoteReplacement(sqlQuote(variables.get("version").getOrElse(""))))
         .replaceAll("(?i)\\b(?:current_user|user)\\(\\)", "'root@%'")
       q = substituteUserVars(q)
-      spark.sql(q)
+      // SELECT … INTO OUTFILE 'path' [FIELDS TERMINATED BY 'x'] — the
+      // export twin of LOAD DATA INFILE: strip the clause, run the
+      // query, write one csv file distributed (coalesce(1) matches
+      // MySQL's single-file contract; drop it for sharded exports)
+      val outfileR =
+        "(?is)(.*?)\\s+into\\s+outfile\\s+'([^']+)'(?:\\s+fields\\s+terminated\\s+by\\s+'([^']+)')?\\s*$".r
+      q match {
+        case outfileR(body, path, sepOpt) =>
+          require(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+            s"File '$path' already exists") // MySQL error 1086 semantics
+          // one execution: count and write read the same materialization
+          val df = spark.sql(body)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val n = df.count()
+            val tmp = java.nio.file.Files.createTempDirectory("graft-outfile")
+            df.coalesce(1).write.mode("overwrite")
+              .option("sep", if (sepOpt == null) "\t" else sepOpt)
+              .csv(tmp.toString)
+            import scala.jdk.CollectionConverters._
+            val part = java.nio.file.Files.list(tmp).iterator.asScala
+              .find(_.getFileName.toString.startsWith("part-"))
+              .getOrElse(sys.error("export produced no data file"))
+            java.nio.file.Files.move(part, java.nio.file.Paths.get(path))
+            java.nio.file.Files.walk(tmp)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+            count(n)
+          } finally df.unpersist()
+        case _ => spark.sql(q)
+      }
   }
 
   private def registerInformationSchema(): Unit = {

@@ -315,6 +315,25 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select count(*) from ld").head.head == 4L)
   }
 
+  test("SELECT INTO OUTFILE exports csv that LOAD DATA round-trips") {
+    g.sql("use test")
+    g.sql("create table exp (id int, name char, primary key(id))")
+    g.sql("insert into exp values (1,'ada'), (2,'bob')")
+    val out = Files.createTempDirectory("graft-out").resolve("exp.csv")
+    val n = rows(s"select id, name from exp order by id into outfile '$out' " +
+      "fields terminated by ','").head.head
+    assert(n == 2L)
+    assert(Files.readString(out) == "1,ada\n2,bob\n")
+    // MySQL 1086 semantics: refuse to clobber an existing file
+    intercept[Exception](
+      g.sql(s"select id from exp into outfile '$out'"))
+    // and the export round-trips through LOAD DATA
+    g.sql("create table exp2 (id int, name char, primary key(id))")
+    assert(rows(s"load data infile '$out' into table exp2 " +
+      "fields terminated by ','").head.head == 2L)
+    assert(rows("select name from exp2 order by id") == Seq(Seq("ada"), Seq("bob")))
+  }
+
   test("client-compat chatter: txn verbs, SET NAMES, SHOW WARNINGS are accepted") {
     g.sql("use test")
     // the statements every connector/mysqldump sends around real work
