@@ -350,4 +350,27 @@ object EventStreams {
       .select(col("l_event_id"), col(key), col("l_ts"), col("l_value"),
         col("q.r_event_id").as("r_event_id"), col("q.r_ts").as("r_ts"),
         col("q.r_value").as("r_value"))
+
+  /** Streaming benchmark decontamination (the stream face of D19/q56):
+    * each incoming document is checked against a STATIC benchmark-gram
+    * index — a stream-static equi-join Spark plans as a broadcast per
+    * micro-batch, so the stream side never shuffles and no state
+    * accrues (eval suites stay small at any corpus scale). Emits
+    * (doc_id, ts, n_hits) for contaminated documents only; the
+    * gate-keeping form (`left_anti`) drops them instead.
+    */
+  def contaminationStream(docs: DataFrame, benchGrams: DataFrame,
+                          gramK: Int = 8, delay: String = "2 hours"): DataFrame = {
+    import graft.functions.GraftFunctions.textShingles
+    // grouping includes the event-time column, so the per-doc aggregate
+    // finalizes in append mode once the watermark passes its ts and its
+    // state expires — a doc's grams all arrive in its own row anyway
+    docs
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        explode(textShingles(col("text"), gramK)).as("gram"))
+      .join(broadcast(benchGrams.select(col("gram")).distinct()), Seq("gram"))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -6,7 +6,7 @@ import java.time.Instant
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, explode, expr}
 
 import graft.streaming.{Event, EventStreams}
 
@@ -55,6 +55,38 @@ class StreamingSpec extends AnyFunSuite {
     // outside the 1h horizon — must NOT pair
     assert(want.contains((1L, 2L)) && want.contains((4L, 5L)))
     assert(!want.contains((1L, 4L)))
+  }
+
+  test("C12 streaming decontamination == batch q56 logic on the same docs") {
+    val bench = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten").toDF("text")
+      .select(explode(graft.functions.GraftFunctions.textShingles(col("text"), 8))
+        .as("gram"))
+    val docs = Seq(
+      StreamDoc(1, ts(0), "x alpha beta gamma delta epsilon zeta eta theta y z"), // hits
+      StreamDoc(2, ts(10), "clean document with entirely novel words nothing shared at all"),
+      StreamDoc(3, ts(20), "one two three four five six seven eight nine ten exact copy")) // hits
+    val input = MemoryStream[StreamDoc](spark)
+    val q = EventStreams.contaminationStream(input.toDF(), bench)
+      .writeStream.format("memory").queryName("c12_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    input.addData(StreamDoc(99, ts(2000), "watermark advancing sentinel document with plenty of words here"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("c12_sink").select("doc_id", "n_hits")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // batch reference: same explode-join-count over the same frames
+    val want = docs.toDF()
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.textShingles(col("text"), 8)).as("gram"))
+      .join(bench.distinct(), Seq("gram"))
+      .groupBy("doc_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got.contains(1L) && got.contains(3L) && !got.contains(2L))
   }
 
   test("C7+ stream-stream as-of == batch as-of restricted to the horizon") {
