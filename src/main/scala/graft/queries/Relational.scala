@@ -369,23 +369,25 @@ object Relational {
   private val q19 = Qdef(
     "q19_cte",
     (s, dir) => {
-      graft.Tables.registerAll(s, dir)
       // TPC-H Q15 shape. The textbook scalar-subquery form scans + aggs
-      // lineitem TWICE (Spark does not materialize WITH blocks); the
-      // global-max-over-window form computes revenue once and takes the
-      // max over the (tiny, post-agg) supplier-revenue rows — at 100 TB
-      // that is one fact-table pass instead of two, for identical values.
-      s.sql(s"""WITH revenue AS (
-          SELECT l_suppkey AS supplier_no,
-                 ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
-          FROM lineitem GROUP BY l_suppkey)
-        SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN (
-          SELECT supplier_no, total_revenue,
-                 MAX(total_revenue) OVER () AS max_revenue
-          FROM revenue) r ON s_suppkey = supplier_no
-        WHERE total_revenue = max_revenue
-        ORDER BY s_suppkey""")
+      // lineitem TWICE (Spark inlines WITH blocks); a MAX() OVER ()
+      // global window computes revenue once but drags every post-agg row
+      // onto ONE partition — O(#suppliers) rows, a scale-killer at large
+      // SF. Instead: build revenue once, reduce it to a 1-row max via a
+      // partial-aggregating global agg, and broadcast-cross-join that
+      // row back. The revenue shuffle is identical in both consumers, so
+      // ReuseExchange keeps it (and the lineitem scan) to a single pass.
+      val revenue = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+      t(s, dir, "supplier")
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(maxRev))
+        .where(col("total_revenue") === col("max_revenue"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
     },
     Some(s"""WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
@@ -783,8 +785,99 @@ object Relational {
       CAST(isodow(o_orderdate) AS INT) AS dow_iso
     FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
 
+  // ---- A8: right outer join (dedicated oracled coverage) -------------------
+  // Mirror of q10's left join with the preserved side on the right and a
+  // filtered left side, so right-outer null-extension is actually
+  // exercised (customers whose orders are all filtered away keep a row).
+  private val q64 = Qdef(
+    "q64_join_right",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_f_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_f_price"))
+        .orderBy(col("c_custkey")),
+    Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_f_orders,
+      ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS sum_f_price
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  // ---- A11/A18: TPC-H Q4 shape — correlated EXISTS over the fact table -----
+  // The EXISTS carries a correlated NON-equi predicate (l_shipdate >
+  // o_orderdate) alongside the key equality, so Catalyst must decorrelate
+  // it into a left semi join with a mixed condition — the optimizer
+  // surface TPC-H Q4 exists to exercise. (Our lineitem has no
+  // commitdate/receiptdate; shipped-after-order is the same shape.)
+  private val q65 = Qdef(
+    "q65_exists_fact",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""))
+
+  // ---- A11/A18: TPC-H Q21 shape — EXISTS + NOT EXISTS stack on one fact ----
+  // "Suppliers who kept waiting": the only returned ('R') line on a
+  // multi-supplier finished order. One semi and one anti self-reference on
+  // lineitem over a fact-fact join — the heaviest decorrelation stack in
+  // the suite (reference capability: DataFusion's subquery decorrelation,
+  // /root/reference/components/arrow-datafusion optimizer).
+  private val q66 = Qdef(
+    "q66_semi_anti_stack",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")
+    },
+    Some("""SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q06c, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q45, q46, q52, q53, q62, q63)
+    q27, q28, q29, q45, q46, q52, q53, q62, q63, q64, q65, q66)
 }

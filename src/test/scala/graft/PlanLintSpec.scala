@@ -25,6 +25,8 @@ class PlanLintSpec extends AnyFunSuite {
     *         plan shows no join at all)
     *  - q60: one-row broadcast max-source-mass aggregate
     *  - q61: one-row broadcast top-V vocabulary array
+    * (q19's one-row global-max cross join needs no exemption: Catalyst
+    * pushes the equality filter into it, planning a BroadcastHashJoin.)
     */
   private val bnljAllowed = Set("q14_join_cross", "q33_ngram_jaccard",
     "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf",

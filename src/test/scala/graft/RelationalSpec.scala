@@ -45,6 +45,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(physical.contains("TakeOrderedAndProject"), s"plan:\n$physical")
   }
 
+  test("q19 has no unpartitioned window; max comes back as a 1-row broadcast") {
+    val df = Relational.all.find(_.name == "q19_cte").get.fn(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"),
+      s"q19 must not plan a WindowExec (single-partition scale-killer):\n$physical")
+    // Catalyst pushes the equality filter into the cross join: the 1-row
+    // max side comes back as a broadcast hash join keyed on the value.
+    assert(physical.contains("BroadcastHashJoin") && physical.contains("max_revenue"),
+      s"expected the 1-row max broadcast join:\n$physical")
+  }
+
   test("queries and oracleSql keys line up") {
     val qkeys = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qkeys))
