@@ -109,6 +109,24 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     listTables(db).foreach(t => register(meta(db, t)))
   }
+  // Views re-register after every table exists (CREATE VIEW validates its
+  // SELECT at definition time). A view referencing another view may need
+  // a later pass — iterate until a pass makes no progress (bounded by
+  // #views), then surface nothing: a view whose base table was dropped
+  // out from under it stays durable on disk but unregistered, the same
+  // "invalid view" limbo MySQL keeps.
+  locally {
+    var pending = for { db <- listSchemas(); v <- listViews(db) } yield (db, v)
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      val failed = pending.filter { case (db, v) =>
+        try { registerView(db, v, viewSql(db, v)); false }
+        catch { case scala.util.control.NonFatal(_) => true }
+      }
+      progress = failed.size < pending.size
+      pending = failed
+    }
+  }
 
   private def dbPath(db: String): Path = Paths.get(warehouse, db)
   private def tablePath(db: String, t: String): Path = Paths.get(warehouse, db, t)
@@ -143,7 +161,9 @@ class Catalog(spark: SparkSession, val warehouse: String) {
 
   def listSchemas(): Seq[String] =
     Files.list(Paths.get(warehouse)).iterator.asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")) // dot-dirs (e.g. the wire server's
+      .toSeq.sorted                 // .mysql-files sandbox) are not schemas
 
   // ---- tables ------------------------------------------------------------
 
@@ -158,8 +178,68 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       .map(_.getFileName.toString).toSeq.sorted
   }
 
+  // ---- views -------------------------------------------------------------
+  // Durable CREATE VIEW: the SQL text is the stored artifact (a
+  // `_graft_view` file beside the tables), expanded into the Spark
+  // session catalog at registration — the textbook logical-view design
+  // (MySQL stores the definition in the data dictionary the same way).
+  // A view directory carries no `_graft_meta`, so listTables never
+  // mistakes it for a table.
+
+  def viewExists(db: String, v: String): Boolean =
+    Files.exists(tablePath(db, v).resolve("_graft_view"))
+
+  def listViews(db: String): Seq[String] = {
+    val p = dbPath(db)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator.asScala
+      .filter(d => Files.exists(d.resolve("_graft_view")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def viewSql(db: String, v: String): String = {
+    require(viewExists(db, v), s"Unknown view '$db.$v'")
+    new String(Files.readAllBytes(tablePath(db, v).resolve("_graft_view")),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def createView(db: String, v: String, select: String,
+                 orReplace: Boolean = false): Unit = {
+    require(schemaExists(db), s"Unknown database '$db'")
+    if (tableExists(db, v)) sys.error(s"Table '$v' already exists")
+    if (viewExists(db, v) && !orReplace) sys.error(s"Table '$v' already exists")
+    // register FIRST: CREATE VIEW must validate the SELECT (unknown
+    // columns/tables fail here) before anything durable lands
+    registerView(db, v, select)
+    Files.createDirectories(tablePath(db, v))
+    Files.write(tablePath(db, v).resolve("_graft_view"),
+      select.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def dropView(db: String, v: String, ifExists: Boolean = false): Unit = {
+    if (!viewExists(db, v)) {
+      if (!ifExists) sys.error(s"Unknown view '$db.$v'")
+    } else {
+      spark.sql(s"DROP VIEW IF EXISTS `$db`.`$v`")
+      deleteRecursively(tablePath(db, v))
+    }
+  }
+
+  private def registerView(db: String, v: String, select: String): Unit = {
+    // unqualified table names in the definition resolve against the
+    // view's OWN database (MySQL semantics): pin the session db for the
+    // create, then restore
+    val sc = spark.sessionState.catalog
+    val prev = sc.getCurrentDatabase
+    sc.setCurrentDatabase(db)
+    try spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$v` AS $select")
+    finally sc.setCurrentDatabase(prev)
+  }
+
   def createTable(m: TableMeta, ifNotExists: Boolean = false): Unit = {
     require(schemaExists(m.db), s"Unknown database '${m.db}'")
+    if (viewExists(m.db, m.table))
+      sys.error(s"Table '${m.table}' already exists")
     if (tableExists(m.db, m.table)) {
       if (!ifNotExists) sys.error(s"Table '${m.table}' already exists")
       return

@@ -24,13 +24,42 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * distributed Spark jobs writing parquet, so the same code path holds on
   * a 1000-executor cluster.
   */
-class GraftSession(val spark: SparkSession, warehouse: String) {
+class GraftSession(val spark: SparkSession, warehouse: String,
+                   secureFilePriv: String = "") {
 
   val catalog = new Catalog(spark, warehouse)
   val variables = new Variables(Some(java.nio.file.Paths.get(
     warehouse, "performance_schema", "global_variables.tsv")))
   private var currentSchema: String = "mysql"
   spark.catalog.setCurrentDatabase("mysql")
+  if (secureFilePriv.nonEmpty)
+    variables.set("secure_file_priv", secureFilePriv)
+
+  /** LOAD DATA INFILE / SELECT INTO OUTFILE path gate — MySQL's
+    * secure_file_priv. Empty (the embedded-library default) means
+    * unrestricted, as in mysqld started with --secure-file-priv="";
+    * the wire server constructs its sessions with a restricted root so a
+    * network client never gets arbitrary filesystem read/write.
+    */
+  private def checkFileAccess(path: String): Unit = {
+    val root = variables.get("secure_file_priv").getOrElse("")
+    if (root.nonEmpty) {
+      val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val r = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+      if (!p.startsWith(r))
+        throw new SqlError(1290, "HY000",
+          "The MySQL server is running with the --secure-file-priv option " +
+            "so it cannot execute this statement")
+    }
+  }
+
+  // MySQL diagnostics area: warnings survive until the next
+  // warning-generating statement; SHOW WARNINGS/ERRORS reads without
+  // clearing. txDirty tracks writes since the last transaction verb so a
+  // no-opped ROLLBACK can warn that nothing was actually rolled back.
+  private val pendingWarnings =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+  private var txDirty = false
 
   /** Execute one statement. Result-set commands return their rows; DDL/DML
     * return a single-row `affected_rows` frame (the reference's FinalCount,
@@ -39,6 +68,10 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   def sql(statement: String): DataFrame = {
     val stmt = statement.trim.stripSuffix(";").trim
     val lower = stmt.toLowerCase
+    // MySQL diagnostics area: any statement except SHOW WARNINGS/ERRORS
+    // resets it (the read itself must not clear)
+    if (!lower.startsWith("show warnings") && !lower.startsWith("show errors"))
+      pendingWarnings.clear()
     // read-committed across connections: pick up any other session's
     // commits before resolving this statement (no-op when none landed)
     catalog.freshenStale()
@@ -46,14 +79,26 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     if (lower.startsWith("create schema") || lower.startsWith("create database")) createSchema(stmt)
     else if (lower.startsWith("drop schema") || lower.startsWith("drop database")) dropSchema(stmt)
     else if (lower.startsWith("create table")) createTable(stmt)
+    else if (lower.startsWith("create view") ||
+             lower.startsWith("create or replace view")) createView(stmt)
+    else if (lower.startsWith("drop view")) dropView(stmt)
     else if (lower.startsWith("drop table")) dropTable(stmt)
     else if (lower.startsWith("alter table")) alterTable(stmt)
-    else if (lower.startsWith("insert")) insert(stmt)
-    else if (lower.startsWith("replace")) insert(stmt)
-    else if (lower.startsWith("load data")) loadData(stmt)
-    else if (lower.startsWith("update")) update(stmt)
-    else if (lower.startsWith("delete")) delete(stmt)
+    else if (lower.startsWith("insert")) dirty(insert(stmt))
+    else if (lower.startsWith("replace")) dirty(insert(stmt))
+    else if (lower.startsWith("load data")) dirty(loadData(stmt))
+    else if (lower.startsWith("update")) dirty(update(stmt))
+    else if (lower.startsWith("delete")) dirty(delete(stmt))
     else if (lower.startsWith("use ")) use(stmt)
+    // autocommit engine: ROLLBACK answers OK but cannot undo anything —
+    // if writes landed since the last transaction verb, surface MySQL's
+    // nontransactional-table warning 1196 instead of silently lying
+    else if (lower == "rollback" || lower.startsWith("rollback ")) {
+      if (txDirty) pendingWarnings += (("Warning", 1196,
+        "Some non-transactional changed tables couldn't be rolled back"))
+      txDirty = false
+      count(0)
+    }
     // client-compat no-ops: graft autocommits every statement through
     // the commit protocol, so transaction verbs and table locks are
     // accepted and do nothing (the connector/mysqldump handshake
@@ -61,14 +106,20 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     else if (lower == "begin" || lower.startsWith("begin ") ||
              lower.startsWith("start transaction") ||
              lower == "commit" || lower.startsWith("commit ") ||
-             lower == "rollback" || lower.startsWith("rollback ") ||
              lower.startsWith("lock tables") || lower == "unlock tables" ||
              lower.startsWith("set names") ||
              lower.startsWith("set character set") ||
              lower.startsWith("set charset") ||
              lower.startsWith("set session transaction") ||
-             lower.startsWith("set transaction")) count(0)
-    else if (lower == "show warnings" || lower == "show errors")
+             lower.startsWith("set transaction")) {
+      if (lower.startsWith("begin") || lower.startsWith("start transaction") ||
+          lower.startsWith("commit")) txDirty = false
+      count(0)
+    }
+    else if (lower == "show warnings")
+      frame(Seq("Level", "Code", "Message"),
+        pendingWarnings.toSeq.map { case (l, c, m) => Seq(l, c.toString, m) })
+    else if (lower == "show errors")
       frame(Seq("Level", "Code", "Message"), Seq.empty)
     else if (lower.startsWith("set ")) setVariable(stmt)
     else if (lower.startsWith("show ")) show(stmt)
@@ -77,11 +128,16 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     else if (lower.startsWith("deallocate ")) deallocate(stmt)
     else if (lower.startsWith("describe ") || lower.startsWith("desc "))
       show(s"show columns from ${stmt.split("\\s+", 2)(1)}")
-    else if (lower.startsWith("truncate")) truncate(stmt)
+    else if (lower.startsWith("truncate")) dirty(truncate(stmt))
     else if (lower.startsWith("rename table")) renameTable(stmt)
     else if (lower.startsWith("optimize")) optimizeTable(stmt)
     else query(stmt)
   }
+
+  /** Mark the session write-dirty AFTER a DML statement succeeds (a
+    * failed INSERT leaves nothing for ROLLBACK to warn about).
+    */
+  private def dirty(df: DataFrame): DataFrame = { txDirty = true; df }
 
   private val OptimizeR = "(?is)optimize\\s+(?:table\\s+)?([`\\w.]+)".r
 
@@ -364,6 +420,27 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       count(1)
   }
 
+  // ---- CREATE VIEW / DROP VIEW (durable SQL-text views, B-surface §8) ----
+  private val CreateViewR =
+    "(?is)create\\s+(or\\s+replace\\s+)?view\\s+([`\\w.]+)\\s+as\\s+(.+)".r
+  private def createView(stmt: String): DataFrame = stmt match {
+    case CreateViewR(orRep, name, select) =>
+      val (db, v) = qualify(name)
+      catalog.createView(db, v, select.trim, orReplace = orRep != null)
+      count(0)
+    case _ => sys.error(s"Unsupported CREATE VIEW syntax: $stmt")
+  }
+
+  private val DropViewR =
+    "(?is)drop\\s+view\\s+(if\\s+exists\\s+)?([`\\w.]+)".r
+  private def dropView(stmt: String): DataFrame = stmt match {
+    case DropViewR(ie, name) =>
+      val (db, v) = qualify(name)
+      catalog.dropView(db, v, ifExists = ie != null)
+      count(0)
+    case _ => sys.error(s"Unsupported DROP VIEW syntax: $stmt")
+  }
+
   private val DropTableR = "(?is)drop\\s+table\\s+(if\\s+exists\\s+)?([`\\w.]+)".r
   private def dropTable(stmt: String): DataFrame = stmt match {
     case DropTableR(ie, name) =>
@@ -505,31 +582,124 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   /** LOAD DATA [LOCAL] INFILE — the MySQL bulk-ingest surface, mapped
     * onto a distributed CSV scan (the file is read by executors with the
     * target schema, never row-by-row through the driver the way
-    * mysqld's parser does). Supports FIELDS TERMINATED BY, a
-    * quote-aware ENCLOSED BY, IGNORE n LINES, and the REPLACE/IGNORE
-    * duplicate-key modes of INSERT (strict 1062 otherwise).
+    * mysqld's parser does). Supports CHARACTER SET (utf8 family),
+    * FIELDS TERMINATED/ENCLOSED/ESCAPED BY, LINES TERMINATED BY,
+    * IGNORE n LINES, a plain column list, a SET col = expr tail, and the
+    * REPLACE/IGNORE duplicate-key modes of INSERT (strict 1062
+    * otherwise). The tail is parsed clause by clause and anything
+    * unrecognized is a 1149 syntax error — a column list or SET clause
+    * must never silently no-op into a misload.
     */
   private def loadData(stmt: String): DataFrame = stmt match {
-    case LoadDataR(path, modeOpt, name, tail) =>
+    case LoadDataR(path, modeOpt, name, tail0) =>
+      checkFileAccess(path)
       val (db, t) = qualify(name)
       val m = catalog.meta(db, t)
-      val sepR = "(?is).*fields\\s+terminated\\s+by\\s+'([^']+)'.*".r
-      val quoteR = "(?is).*enclosed\\s+by\\s+'([^'])'.*".r
-      val skipR = "(?is).*ignore\\s+(\\d+)\\s+(?:lines|rows).*".r
-      val sep = tail match { case sepR(s) => s; case _ => "\t" } // MySQL default
-      val quote = tail match { case quoteR(q) => q; case _ => "\"" }
-      val skip = tail match { case skipR(n) => n.toInt; case _ => 0 }
-      require(skip <= 1, "only IGNORE 1 LINES (a header row) is supported")
+
+      var rest = tail0.trim
+      def eat(re: scala.util.matching.Regex): Option[List[String]] =
+        re.findPrefixMatchOf(rest).map { mm =>
+          rest = rest.substring(mm.end).trim; mm.subgroups }
+      // MySQL string-literal escapes inside TERMINATED/ENCLOSED BY
+      def unescape(s: String): String = {
+        val b = new StringBuilder; var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case 't'  => b += '\t'; case 'n' => b += '\n'
+              case 'r'  => b += '\r'
+              case o    => b += o
+            }
+            i += 2
+          } else { b += c; i += 1 }
+        }
+        b.toString
+      }
+      def bad(what: String): Nothing =
+        throw new SqlError(1149, "42000",
+          s"LOAD DATA: unsupported syntax near '$what'")
+
+      eat("(?is)^character\\s+set\\s+(\\w+)".r).foreach { g =>
+        val cs = g.head.toLowerCase
+        // the distributed reader is UTF-8; other charsets would misread
+        if (cs != "utf8" && cs != "utf8mb4" && cs != "binary")
+          bad(s"CHARACTER SET $cs")
+      }
+      var sep = "\t"; var quote = "\""; var escape = "\\" // MySQL defaults
+      eat("(?is)^fields|^columns".r).foreach { _ =>
+        eat("(?is)^terminated\\s+by\\s+'([^']*)'".r)
+          .foreach(g => sep = unescape(g.head))
+        eat("(?is)^(?:optionally\\s+)?enclosed\\s+by\\s+'([^']*)'".r)
+          .foreach(g => quote = unescape(g.head))
+        eat("(?is)^escaped\\s+by\\s+'([^']*)'".r)
+          .foreach(g => escape = unescape(g.head))
+      }
+      eat("(?is)^lines".r).foreach { _ =>
+        eat("(?is)^starting\\s+by\\s+'([^']*)'".r)
+          .foreach(g => if (g.head.nonEmpty) bad("LINES STARTING BY"))
+        eat("(?is)^terminated\\s+by\\s+'([^']*)'".r).foreach { g =>
+          val lt = unescape(g.head)
+          if (lt != "\n" && lt != "\r\n") bad(s"LINES TERMINATED BY '${g.head}'")
+        }
+      }
+      val skip = eat("(?is)^ignore\\s+(\\d+)\\s+(?:lines|rows)".r)
+        .map(_.head.toInt).getOrElse(0)
+      val colList: Seq[String] = eat("(?s)^\\(([^)]*)\\)".r) match {
+        case Some(g) =>
+          val names = splitTopLevel(g.head, ',').map(c => clean(c.trim))
+          names.foreach { c =>
+            if (c.startsWith("@"))
+              bad(s"$c (user-variable capture; use SET col = expr)")
+            if (!m.cols.exists(_.name == c))
+              sys.error(s"Unknown column '$c' in 'field list'")
+          }
+          names
+        case None => m.cols.map(_.name)
+      }
+      val setExprs: Seq[(String, String)] = eat("(?is)^set\\s+(.+)$".r) match {
+        case Some(g) =>
+          splitTopLevel(g.head, ',').map { a =>
+            a.split("=", 2) match {
+              case Array(c, e) =>
+                val cn = clean(c.trim)
+                if (!m.cols.exists(_.name == cn))
+                  sys.error(s"Unknown column '$cn' in 'field list'")
+                cn -> e.trim
+              case _ => bad(s"SET $a")
+            }
+          }
+        case None => Seq.empty
+      }
+      if (rest.nonEmpty) bad(rest.take(60))
+      val setMap = setExprs.toMap
+
+      // Distributed read: executors parse the file with the listed
+      // columns' types; only clause parsing happens on the driver.
+      // IGNORE n LINES: line numbers come from zipWithIndex — split
+      // order within one file is byte order, so the global index IS the
+      // line number, and the filter is correct no matter where Hadoop
+      // places split boundaries (costs one extra pass; only on skip>0).
+      val readCols = colList.map(c => m.cols.find(_.name == c).get)
       val reader = spark.read
-        .option("sep", sep).option("quote", quote)
-        .option("header", skip > 0) // IGNORE 1 LINES is the header idiom
-        .schema(org.apache.spark.sql.types.StructType(m.cols.map(c =>
+        .option("sep", sep).option("quote", quote).option("escape", escape)
+        .schema(org.apache.spark.sql.types.StructType(readCols.map(c =>
           org.apache.spark.sql.types.StructField(c.name,
             org.apache.spark.sql.catalyst.parser.CatalystSqlParser
               .parseDataType(c.sparkDdl)))))
-      val src = reader.csv(path)
-      val aligned = src.select(m.cols.map(c =>
-        col(s"`${c.name}`").cast(c.sparkDdl).as(c.name)): _*)
+      val src =
+        if (skip == 0) reader.csv(path)
+        else reader.csv(spark.createDataset(
+          spark.sparkContext.textFile(path)
+            .zipWithIndex().filter(_._2 >= skip).map(_._1))(
+          org.apache.spark.sql.Encoders.STRING))
+      val aligned = src.select(m.cols.map { c =>
+        (setMap.get(c.name) match {
+          case Some(e)                          => expr(e) // may read input cols
+          case None if colList.contains(c.name) => col(s"`${c.name}`")
+          case None                             => lit(null)
+        }).cast(c.sparkDdl).as(c.name)
+      }: _*)
       val mode = if (modeOpt == null) "strict" else modeOpt.toLowerCase
       writeRows(db, t, m, aligned, mode)
   }
@@ -564,6 +734,16 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
     * rows under the batch's keys are removed — tombstoned on
     * merge-on-read tables (O(batch), the sled put-overwrite shape), or
     * anti-joined out in one copy-on-write rewrite otherwise.
+    *
+    * Batch-internal winner order is defined for VALUES sources (staged
+    * single-partition, so monotonically_increasing_id IS the row order)
+    * and for any SELECT source with a deterministic order. For an
+    * UNORDERED multi-partition SELECT the winner follows partition
+    * order — which is fine, because MySQL's own row order for an
+    * unordered SELECT is equally undefined (its docs say to use ORDER
+    * BY when the replacement winner matters). We deliberately do NOT
+    * coalesce(1) the batch to force one: that would funnel an
+    * arbitrarily large INSERT...SELECT through a single task.
     */
   private def replaceInto(db: String, t: String, m: catalog.TableMeta,
                           staged: DataFrame, rows: Long): DataFrame =
@@ -761,6 +941,11 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       val global = (scope != null && scope.trim.equalsIgnoreCase("global")) ||
         lower.startsWith("global.")
       val n = lower.stripPrefix("global.").stripPrefix("session.")
+      // the file-access gate must not be loosenable over SQL (MySQL
+      // makes it settable only at server start)
+      if (n == "secure_file_priv")
+        throw new SqlError(1238, "HY000",
+          "Variable 'secure_file_priv' is a read only variable")
       variables.set(n, unquote(value.trim), global = global)
       count(0)
   }
@@ -805,9 +990,18 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
 
     if (lower.startsWith("show databases"))
       frame(Seq("Database"), catalog.listSchemas().filter(likeFilter).map(Seq(_)))
+    else if (lower.startsWith("show full tables"))
+      // MySQL's SHOW FULL TABLES distinguishes views via Table_type
+      frame(Seq(s"Tables_in_$currentSchema", "Table_type"),
+        (catalog.listTables(currentSchema).map(_ -> "BASE TABLE") ++
+          catalog.listViews(currentSchema).map(_ -> "VIEW"))
+          .filter(x => likeFilter(x._1)).sortBy(_._1)
+          .map { case (n, ty) => Seq(n, ty) })
     else if (lower.startsWith("show tables"))
+      // views list alongside tables, as in MySQL
       frame(Seq(s"Tables_in_$currentSchema"),
-        catalog.listTables(currentSchema).filter(likeFilter).map(Seq(_)))
+        (catalog.listTables(currentSchema) ++ catalog.listViews(currentSchema))
+          .sorted.filter(likeFilter).map(Seq(_)))
     else if (lower.startsWith("show full columns") || lower.startsWith("show columns")) {
       val nameR = "(?is)show\\s+(?:full\\s+)?columns\\s+from\\s+([`\\w.]+).*".r
       val n = stmt match { case nameR(x) => x }
@@ -817,9 +1011,22 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         m.cols.map(c => Seq(c.name, c.mysqlType.toLowerCase,
           if (m.pk.contains(c.name)) "NO" else "YES",
           if (m.pk.contains(c.name)) "PRI" else "", "NULL", "")))
+    } else if (lower.startsWith("show create view")) {
+      val n = clean(stmt.substring("show create view".length).trim)
+      val (db, v) = qualify(n)
+      frame(Seq("View", "Create View", "character_set_client",
+        "collation_connection"),
+        Seq(Seq(v, s"CREATE VIEW `$v` AS ${catalog.viewSql(db, v)}",
+          "utf8mb4", "utf8mb4_0900_ai_ci")))
     } else if (lower.startsWith("show create table")) {
       val n = clean(stmt.substring("show create table".length).trim)
       val (db, t) = qualify(n)
+      if (catalog.viewExists(db, t))
+        // MySQL answers SHOW CREATE TABLE on a view with the view shape
+        return frame(Seq("View", "Create View", "character_set_client",
+          "collation_connection"),
+          Seq(Seq(t, s"CREATE VIEW `$t` AS ${catalog.viewSql(db, t)}",
+            "utf8mb4", "utf8mb4_0900_ai_ci")))
       val m = catalog.meta(db, t)
       val colDefs = m.cols.map(c => s"  `${c.name}` ${c.mysqlType.toLowerCase}")
       val pkDef = if (m.pk.nonEmpty)
@@ -941,7 +1148,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
       if (q.toLowerCase.contains("information_schema.")) {
         registerInformationSchema()
         q = q.replaceAll(
-          "(?i)information_schema\\.(tables|columns|schemata|statistics|table_constraints|key_column_usage)",
+          "(?i)information_schema\\.(tables|columns|schemata|statistics|table_constraints|key_column_usage|views)",
           "information_schema_$1")
       }
       if (q.toLowerCase.contains("performance_schema.global_variables")) {
@@ -977,6 +1184,7 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
         "(?is)(.*?)\\s+into\\s+outfile\\s+'([^']+)'(?:\\s+fields\\s+terminated\\s+by\\s+'([^']+)')?\\s*$".r
       q match {
         case outfileR(body, path, sepOpt) =>
+          checkFileAccess(path) // secure_file_priv gate (error 1290)
           require(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
             s"File '$path' already exists") // MySQL error 1086 semantics
           // one execution: count and write read the same materialization
@@ -1003,11 +1211,17 @@ class GraftSession(val spark: SparkSession, warehouse: String) {
   }
 
   private def registerInformationSchema(): Unit = {
-    val tables = for {
+    val tables = (for {
       db <- catalog.listSchemas(); t <- catalog.listTables(db)
-    } yield Seq(db, t, "BASE TABLE", catalog.meta(db, t).engine.toUpperCase)
+    } yield Seq(db, t, "BASE TABLE", catalog.meta(db, t).engine.toUpperCase)) ++
+      (for { db <- catalog.listSchemas(); v <- catalog.listViews(db) }
+        yield Seq(db, v, "VIEW", null))
     frame(Seq("table_schema", "table_name", "table_type", "engine"), tables)
       .createOrReplaceTempView("information_schema_tables")
+    frame(Seq("table_schema", "table_name", "view_definition"),
+      for { db <- catalog.listSchemas(); v <- catalog.listViews(db) }
+        yield Seq(db, v, catalog.viewSql(db, v)))
+      .createOrReplaceTempView("information_schema_views")
     val cols = for {
       db <- catalog.listSchemas(); t <- catalog.listTables(db)
       m = catalog.meta(db, t)

@@ -42,7 +42,10 @@ class Variables(backing: Option[Path] = None) {
     "query_cache_size"         -> "0",
     "query_cache_type"         -> "OFF",
     "system_time_zone"         -> "UTC",
-    "time_zone"                -> "SYSTEM"
+    "time_zone"                -> "SYSTEM",
+    // empty = unrestricted file import/export (embedded default); the
+    // wire server overrides per session with its sandbox root
+    "secure_file_priv"         -> ""
   )
 
   private val session = mutable.Map.empty[String, String]

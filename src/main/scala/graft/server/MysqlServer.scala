@@ -42,9 +42,18 @@ import graft.engine.{GraftSession, SqlText}
   * connection's session state and re-answers the auth switch.
   */
 final class MysqlServer(spark: SparkSession, warehouse: String,
-                        port: Int = 0, idleTimeoutMs: Int = 0) {
+                        port: Int = 0, idleTimeoutMs: Int = 0,
+                        secureFilePriv: Option[String] = None) {
 
   private val listener = new ServerSocket(port)
+  // LOAD DATA INFILE / SELECT INTO OUTFILE sandbox for network clients
+  // (MySQL --secure-file-priv): defaults to a dir inside the warehouse;
+  // pass Some("") to explicitly disable the gate.
+  private val filePrivRoot: String = secureFilePriv.getOrElse {
+    val d = java.nio.file.Paths.get(warehouse, ".mysql-files")
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
   private val running = new AtomicBoolean(false)
   private val connIds = new AtomicInteger(0)
   @volatile private var acceptThread: Thread = _
@@ -98,7 +107,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     val io = new PacketIO(
       new DataInputStream(socket.getInputStream),
       new BufferedOutputStream(socket.getOutputStream, 1 << 16))
-    var session = new GraftSession(spark.newSession(), warehouse)
+    var session =
+      new GraftSession(spark.newSession(), warehouse, filePrivRoot)
     // prepared statements of THIS connection (statement.rs StmtContext)
     val stmts = mutable.Map.empty[Int, String]
     val stmtIds = new AtomicInteger(0)
@@ -230,7 +240,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
             stmts.clear()
             stmtTypes.clear()
             longData.clear()
-            session = new GraftSession(spark.newSession(), warehouse)
+            session =
+              new GraftSession(spark.newSession(), warehouse, filePrivRoot)
             io.write(Messages.ok(0))
           case other =>
             io.write(Messages.err(1047, "08S01",

@@ -524,4 +524,165 @@ class GraftSessionSpec extends AnyFunSuite {
     val out = rows("explain select count(*) from user")
     assert(out.head.head.toString.contains("Aggregate"))
   }
+
+  test("B23 CREATE VIEW: logical, listed, redefinable, durable across reopen") {
+    g.sql("use test")
+    g.sql("create table vbase (id int, name char, primary key(id))")
+    g.sql("insert into vbase values (1,'a'), (2,'b'), (3,'c')")
+    g.sql("create view v_big as select id, name from vbase where id > 1")
+    assert(rows("select id from v_big order by id") == Seq(Seq(2), Seq(3)))
+    // SHOW TABLES lists it; SHOW FULL TABLES types it
+    assert(rows("show tables").map(_.head).contains("v_big"))
+    assert(rows("show full tables").collect {
+      case Seq("v_big", ty) => ty } == Seq("VIEW"))
+    val ddl = rows("show create view v_big").head
+    assert(ddl.head == "v_big" &&
+      ddl(1).toString.toLowerCase.contains("select"))
+    // SHOW CREATE TABLE on a view answers the view shape (MySQL does)
+    assert(rows("show create table v_big").head.head == "v_big")
+    // information_schema.TABLES types it; VIEWS carries the definition
+    assert(rows("select table_type from information_schema.tables " +
+      "where table_name = 'v_big'").head.head == "VIEW")
+    assert(rows("select view_definition from information_schema.views " +
+      "where table_name = 'v_big'").head.head.toString.contains("vbase"))
+    // logical, not materialized: tracks base-table DML
+    g.sql("insert into vbase values (4,'d')")
+    assert(rows("select id from v_big order by id") ==
+      Seq(Seq(2), Seq(3), Seq(4)))
+    // plain CREATE on an existing name errors; OR REPLACE redefines
+    assertThrows[Exception](g.sql("create view v_big as select id from vbase"))
+    g.sql("create or replace view v_big as select id from vbase where id > 2")
+    assert(rows("select id from v_big order by id") == Seq(Seq(3), Seq(4)))
+    // a view over a view, and name collisions with tables are refused
+    g.sql("create view v_bigger as select id from v_big where id > 3")
+    assert(rows("select id from v_bigger") == Seq(Seq(4)))
+    assertThrows[Exception](g.sql("create table v_big (id int)"))
+    assertThrows[Exception](g.sql("create view vbase as select 1 as x"))
+    // CREATE VIEW validates its SELECT: bad references never land
+    assertThrows[Exception](
+      g.sql("create view v_bad as select nope from vbase"))
+    assert(!rows("show tables").map(_.head).contains("v_bad"))
+    // durable: a FRESH session over the same warehouse re-registers both
+    // (the view-on-view needs the multi-pass init)
+    val g2 = new GraftSession(spark.newSession(), g.catalog.warehouse)
+    g2.sql("use test")
+    assert(g2.sql("select id from v_bigger").collect().map(_.get(0)).toSeq ==
+      Seq(4))
+    assert(g2.sql("show create view v_big").collect().head.getString(0) ==
+      "v_big")
+    // DROP VIEW (and its error paths)
+    g.sql("drop view v_bigger")
+    assert(!rows("show tables").map(_.head).contains("v_bigger"))
+    assertThrows[Exception](g.sql("drop view v_bigger"))
+    g.sql("drop view if exists v_bigger") // no-op, no error
+    assertThrows[Exception](g.sql("drop table v_big")) // a view is not a table
+    g.sql("drop view v_big")
+  }
+
+  test("LOAD DATA: IGNORE n LINES (n>1), column list, SET expr tail") {
+    g.sql("use test")
+    g.sql("create table ld2 (id int, name char, score double, src char, " +
+      "primary key(id))")
+    val f = Files.createTempFile("graft-load3", ".csv")
+    Files.writeString(f, "# preamble 1\n# preamble 2\nid,name\n1,ada\n2,bob\n")
+    // three junk lines skipped, two real columns read, two computed
+    val n = rows(s"load data infile '$f' into table ld2 " +
+      "fields terminated by ',' ignore 3 lines (id, name) " +
+      "set score = id * 2.5, src = upper(name)").head.head
+    assert(n == 2L)
+    assert(rows("select id, name, score, src from ld2 order by id") ==
+      Seq(Seq(1, "ada", 2.5, "ADA"), Seq(2, "bob", 5.0, "BOB")))
+    // a column neither listed nor SET loads as NULL
+    g.sql("create table ld2b (id int, name char, score double)")
+    val f2 = Files.createTempFile("graft-load3b", ".csv")
+    Files.writeString(f2, "7,zed\n")
+    assert(rows(s"load data infile '$f2' into table ld2b " +
+      "fields terminated by ',' (id, name)").head.head == 1L)
+    assert(rows("select score from ld2b").head.head == null)
+  }
+
+  test("LOAD DATA: unrecognized clauses are 1149 errors, never silent no-ops") {
+    g.sql("use test")
+    g.sql("create table ld3 (id int, name char, primary key(id))")
+    val f = Files.createTempFile("graft-load4", ".csv")
+    Files.writeString(f, "1,a\n")
+    // junk tail
+    val e = intercept[graft.engine.SqlError](g.sql(
+      s"load data infile '$f' into table ld3 fields terminated by ',' frobnicate"))
+    assert(e.code == 1149)
+    // @variable capture in the column list
+    val e2 = intercept[graft.engine.SqlError](g.sql(
+      s"load data infile '$f' into table ld3 fields terminated by ',' (id, @x)"))
+    assert(e2.code == 1149)
+    // LINES STARTING BY and exotic terminators are refused
+    val e3 = intercept[graft.engine.SqlError](g.sql(
+      s"load data infile '$f' into table ld3 fields terminated by ',' " +
+        "lines starting by 'xx'"))
+    assert(e3.code == 1149)
+    // nothing landed through any of the failures...
+    assert(rows("select count(*) from ld3").head.head == 0L)
+    // ...and the accepted spellings work: LINES TERMINATED BY '\n',
+    // CHARACTER SET utf8mb4
+    assert(rows(s"load data infile '$f' into table ld3 " +
+      "character set utf8mb4 fields terminated by ',' " +
+      "lines terminated by '\\n'").head.head == 1L)
+  }
+
+  test("secure_file_priv sandboxes LOAD DATA and INTO OUTFILE (error 1290)") {
+    val root = Files.createTempDirectory("graft-priv")
+    val gs = new GraftSession(spark.newSession(), g.catalog.warehouse,
+      secureFilePriv = root.toString)
+    gs.sql("use test")
+    gs.sql("create table sfp (id int, primary key(id))")
+    gs.sql("insert into sfp values (1)")
+    // inside the sandbox both directions work
+    val okOut = root.resolve("ok.csv")
+    gs.sql(s"select id from sfp into outfile '$okOut'")
+    assert(Files.exists(okOut))
+    assert(gs.sql(s"load data infile '$okOut' replace into table sfp")
+      .collect().head.getLong(0) >= 1L)
+    // outside: MySQL error 1290 for read AND write
+    val e = intercept[graft.engine.SqlError](gs.sql(
+      "select id from sfp into outfile '/tmp/graft-escape.csv'"))
+    assert(e.code == 1290)
+    val e2 = intercept[graft.engine.SqlError](
+      gs.sql("load data infile '/etc/passwd' into table sfp"))
+    assert(e2.code == 1290)
+    // ../ traversal out of the sandbox is normalized away
+    val e3 = intercept[graft.engine.SqlError](gs.sql(
+      s"select id from sfp into outfile '$root/../escape.csv'"))
+    assert(e3.code == 1290)
+    // the gate is not loosenable over SQL (read-only variable, 1238)
+    val e4 = intercept[graft.engine.SqlError](
+      gs.sql("set secure_file_priv = ''"))
+    assert(e4.code == 1238)
+    // but it IS visible
+    assert(gs.sql("show variables like 'secure_file_priv'")
+      .collect().head.getString(1) == root.toString)
+    gs.sql("drop table sfp")
+  }
+
+  test("no-op ROLLBACK after writes queues warning 1196 (SHOW WARNINGS)") {
+    g.sql("use test")
+    g.sql("create table rb (id int, primary key(id))")
+    g.sql("begin")
+    g.sql("insert into rb values (1)")
+    g.sql("rollback")
+    assert(rows("show warnings") == Seq(Seq("Warning", "1196",
+      "Some non-transactional changed tables couldn't be rolled back")))
+    // reading the diagnostics area does not clear it
+    assert(rows("show warnings").nonEmpty)
+    // the partial write really is still there (what the warning is about)
+    assert(rows("select count(*) from rb").head.head == 1L)
+    // ...and that statement cleared the diagnostics area
+    assert(rows("show warnings").isEmpty)
+    // a write-free transaction rolls back silently
+    g.sql("begin"); g.sql("rollback")
+    assert(rows("show warnings").isEmpty)
+    // a failed INSERT leaves txDirty unset: rollback after it is silent
+    g.sql("begin")
+    assertThrows[Exception](g.sql("insert into rb values (1)")) // dup 1062
+    g.sql("rollback")
+    assert(rows("show warnings").isEmpty)
+  }
 }

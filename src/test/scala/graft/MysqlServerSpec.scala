@@ -703,4 +703,35 @@ class MysqlServerSpec extends AnyFunSuite {
       "statement after the error must not have executed")
     c.quit()
   }
+
+  test("wire views: CREATE VIEW / SHOW CREATE VIEW; file access is sandboxed") {
+    val c = new Client
+    assert(c.query("create schema wirev").isInstanceOf[Ok])
+    assert(c.initDb("wirev").isInstanceOf[Ok])
+    assert(c.query("create table vt (id int, primary key(id))").isInstanceOf[Ok])
+    assert(c.query("insert into vt values (1), (2), (3)") == Ok(3))
+    assert(c.query("create view v2 as select id from vt where id > 1")
+      .isInstanceOf[Ok])
+    val rs = c.query("select id from v2 order by id").asInstanceOf[ResultSet]
+    assert(rs.rows == Seq(Seq(Some("2")), Seq(Some("3"))))
+    val ddl = c.query("show create view v2").asInstanceOf[ResultSet]
+    assert(ddl.columns.take(2) == Seq("View", "Create View"))
+    assert(ddl.rows.head.head == Some("v2"))
+    assert(ddl.rows.head(1).get.toLowerCase.contains("select"))
+    // network clients get the secure_file_priv sandbox by default:
+    // arbitrary filesystem read/write answers ERR 1290
+    val e1 = c.query("select id from vt into outfile '/tmp/wire-escape.csv'")
+    assert(e1.asInstanceOf[Err].code == 1290)
+    val e2 = c.query("load data infile '/etc/passwd' into table vt")
+    assert(e2.asInstanceOf[Err].code == 1290)
+    // ...and cannot lift the gate over SQL
+    val e3 = c.query("set global secure_file_priv = ''")
+    assert(e3.asInstanceOf[Err].code == 1238)
+    // inside the sandbox root the same statements succeed
+    val root = java.nio.file.Paths.get(warehouse, ".mysql-files")
+    val okPath = root.resolve("wire-ok.csv")
+    assert(c.query(s"select id from vt into outfile '$okPath'") == Ok(3))
+    assert(java.nio.file.Files.exists(okPath))
+    c.quit()
+  }
 }
