@@ -54,7 +54,12 @@ object Bench {
         val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, rows)
       }
+      // progress to stderr (stdout carries only the contract line):
+      // at rehearsal scales a pathological query must be attributable
+      // without waiting for the final JSON
+      System.err.println(s"[bench] $name ...")
       val (t1, _) = run()
+      System.err.println(f"[bench] $name run1 $t1%.2f s")
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       meter.reset()
       val (t2, rows) = run()

@@ -59,10 +59,21 @@ object Ann {
   /** Candidate near-neighbor pairs via hyperplane LSH: `planes`-bit
     * Rademacher signature, banded into `bands` keys; pairs sharing a
     * band verify with exact cosine ≥ `threshold`.
+    *
+    * `bitsPerBand` is the SCALE knob: band b reads `bitsPerBand` bits at
+    * stride planes/bands, so bucket count per band is 2^bitsPerBand and
+    * expected bucket occupancy is n / 2^bitsPerBand. A fixed band width
+    * makes candidate volume quadratic in corpus size (the sf1 rehearsal
+    * measured q36 at 162M candidate pairs, 2 GB shuffled, from 20k
+    * vectors at 4 bits); callers must grow bitsPerBand ~ log2(n) to hold
+    * occupancy — and with it candidate count per vector — constant.
+    * 0 (default) = use the full stride, the pre-rehearsal behavior.
     */
   def lshPairs(corpus: DataFrame, planes: Int = 16, bands: Int = 4,
-               threshold: Double = 0.3): DataFrame = {
-    val bits = planes / bands
+               threshold: Double = 0.3, bitsPerBand: Int = 0): DataFrame = {
+    val stride = planes / bands
+    val bits = if (bitsPerBand > 0) bitsPerBand else stride
+    require(bits <= stride, s"bitsPerBand $bits exceeds stride $stride")
     val mask = (1L << bits) - 1
     // self-dots precomputed per row: the in-bucket verify then costs ONE
     // native 64-long dot per candidate pair (same doubles as quantCosine)
@@ -70,7 +81,7 @@ object Ann {
       .withColumn("sig", hyperplaneSig(col("qv"), planes))
     val banded = embs.select(col("vec_id"), col("qv"), col("selfdot"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), shiftrightunsigned(col("sig"), bits * b)
+        struct(lit(b).as("band"), shiftrightunsigned(col("sig"), stride * b)
           .bitwiseAND(lit(mask)).as("bval"))
       }: _*)).as("bk"))
     banded.as("a")
@@ -82,6 +93,27 @@ object Ann {
       .distinct()
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** LSH band width for corpus size `n`: smallest width in 4..8 whose
+    * expected bucket occupancy n/2^bits is ≤ `target`. Integer-exact
+    * ladder (NOT float log2) so the DuckDB oracle's CASE replays it
+    * bit-identically — libm rounding at an exact power-of-two boundary
+    * could differ between engines.
+    */
+  def lshBitsFor(n: Long, target: Long = 75L): Int =
+    if (n <= (target << 4)) 4
+    else if (n <= (target << 5)) 5
+    else if (n <= (target << 6)) 6
+    else if (n <= (target << 7)) 7
+    else 8
+
+  /** IVF centroid count for corpus size `n`: cells of ~`target` vectors,
+    * clamped. Holding k FIXED makes in-cell pairwise work n²/k — the sf1
+    * rehearsal measured q34 at 36 s / 162M pairs from 20k vectors with
+    * k=16; k ~ n/target makes it n·target/2, linear.
+    */
+  def centroidCountFor(n: Long, target: Long = 75L): Long =
+    math.max(16L, math.min(4096L, n / target))
 
   /** One-row codebook frame: the centroid set collapsed into a single
     * sorted array<struct<c_id,c_qv,c_dot>> column, hinted broadcast. A

@@ -152,8 +152,16 @@ object Pipeline {
     (s, dir) => {
       val embs = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      // cell count scales with the corpus (Ann.centroidCountFor) and
+      // centroids are a UNIFORM modulo sample of the ids — the rehearsal
+      // measured prefix sampling (vec_id < k) collapsing 18k of 20k
+      // vectors into ONE cell (162M pairs): a prefix only covers the
+      // id-space head, not the data's direction families. The count()
+      // is a footer-cheap metadata job.
+      val n = t(s, dir, "embeddings").count()
+      val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
       graft.operators.Ann
-        .cellBlockedPairs(embs, centroidFilter = col("vec_id") < 16,
+        .cellBlockedPairs(embs, centroidFilter = col("vec_id") % stride === 0,
           threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
     },
@@ -161,7 +169,9 @@ object Pipeline {
       SELECT vec_id,
         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
       FROM embeddings),
-    cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q WHERE vec_id < 16),
+    cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
+              WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
+                GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
     scored AS (
       SELECT q.vec_id, q.qv, c.c_id,
         list_dot_product(q.qv, c.c_qv) /
@@ -208,29 +218,41 @@ object Pipeline {
     WHERE rn <= 10 ORDER BY q_id, rn"""))
 
   // ---- D7: LSH-bucketed ANN (random hyperplane signs) --------------------
-  // 16 deterministic Rademacher hyperplanes -> 16-bit signature -> 4
-  // bands x 4 bits -> band join -> exact cosine verify. Candidate volume
-  // scales with bucket occupancy, not corpus². The sign matrix is
-  // md5-nibble parity (ExprKernels.hyperplaneSigns), a data-independent
-  // constant both engines can compute, so the oracle replays the ENTIRE
-  // pipeline — signatures, banding, verify — in SQL (dim = 64).
+  // 32 deterministic Rademacher hyperplanes -> 32-bit signature -> 4
+  // bands at stride 8, reading an ADAPTIVE 4..8 bits each
+  // (Ann.lshBitsFor: occupancy-targeted, the rehearsal's scale fix) ->
+  // band join -> exact cosine verify. Candidate volume scales with
+  // bucket occupancy, not corpus². The sign matrix is md5-nibble parity
+  // (ExprKernels.hyperplaneSigns), a data-independent constant both
+  // engines can compute, so the oracle replays the ENTIRE pipeline —
+  // signatures, adaptive banding, verify — in SQL (dim = 64).
   private val q36 = Qdef(
     "q36_ann_lsh",
     (s, dir) => {
       val embs = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val bits = graft.operators.Ann.lshBitsFor(
+        t(s, dir, "embeddings").count())
       graft.operators.Ann
-        .lshPairs(embs, planes = 16, bands = 4, threshold = 0.3)
+        .lshPairs(embs, planes = 32, bands = 4, threshold = 0.3,
+          bitsPerBand = bits)
         .orderBy(col("vec_a"), col("vec_b"))
     },
     Some("""WITH q AS (
       SELECT vec_id,
         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
       FROM embeddings),
+    params AS (
+      SELECT CASE WHEN COUNT(*) <= 75 * 16 THEN 4
+                  WHEN COUNT(*) <= 75 * 32 THEN 5
+                  WHEN COUNT(*) <= 75 * 64 THEN 6
+                  WHEN COUNT(*) <= 75 * 128 THEN 7
+                  ELSE 8 END AS bits
+      FROM q),
     signs AS (
       SELECT tp.p, td.d,
         (('0x' || substring(md5(tp.p || ':' || td.d), 1, 1))::INT % 2) * 2 - 1 AS s
-      FROM UNNEST(range(0, 16)) AS tp(p), UNNEST(range(0, 64)) AS td(d)),
+      FROM UNNEST(range(0, 32)) AS tp(p), UNNEST(range(0, 64)) AS td(d)),
     projs AS (
       SELECT v.vec_id, s.p, SUM(v.qv[s.d + 1] * s.s) AS proj
       FROM q v, signs s GROUP BY v.vec_id, s.p),
@@ -240,7 +262,8 @@ object Pipeline {
                       ELSE 0 END) AS UBIGINT) AS sig
       FROM projs GROUP BY vec_id),
     banded AS (
-      SELECT s.vec_id, q.qv, tb.b AS band, (s.sig >> (4 * tb.b)) & 15 AS bval
+      SELECT s.vec_id, q.qv, tb.b AS band,
+        (s.sig >> (8 * tb.b)) & ((CAST(1 AS UBIGINT) << (SELECT bits FROM params)) - 1) AS bval
       FROM sigs s JOIN q USING (vec_id), UNNEST(range(0, 4)) AS tb(b)),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -373,16 +396,23 @@ object Pipeline {
     (s, dir) => {
       val embs = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      // same occupancy-targeted, uniformly-sampled codebook as q34:
+      // probe cost per query is nprobe * (n/k); fixed k (or a prefix
+      // sample) would make every probe scan grow with n
+      val n = t(s, dir, "embeddings").count()
+      val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
       graft.operators.Ann
         .ivfTopK(embs, queryFilter = col("vec_id") < 10,
-          centroidFilter = col("vec_id") < 16, nprobe = 4, k = 10)
+          centroidFilter = col("vec_id") % stride === 0, nprobe = 4, k = 10)
         .orderBy(col("q_id"), col("rn"))
     },
     Some("""WITH q AS (
       SELECT vec_id,
         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
       FROM embeddings),
-    cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q WHERE vec_id < 16),
+    cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
+              WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
+                GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
     scored AS (
       SELECT q.vec_id, q.qv, c.c_id,
         list_dot_product(q.qv, c.c_qv) /

@@ -20,6 +20,17 @@ for t in TABLES:
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# GRAFT_CHECK_SKIP: comma-separated query names to skip — used by the
+# sf1 scale rehearsal, where a few oracles are brute-force-quadratic by
+# design (q31/q54 replay all-pairs jaccard + a recursive CTE in DuckDB)
+# and cannot finish at 50k docs. The SPARK side still runs them (bench);
+# only the DuckDB replay is skipped, and skips are reported loudly.
+import os
+skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
+for name in sorted(skip & set(oracle)):
+    print(f"SKIP  {name} (GRAFT_CHECK_SKIP)")
+oracle = {k: v for k, v in oracle.items() if k not in skip}
+
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
