@@ -610,7 +610,50 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   def compact(db: String, t: String): Unit = {
     val m = meta(db, t)
     require(m.mergeOnRead, s"'$db.$t' is not a merge-on-read table")
-    rewrite(db, t, mergedFrom(m, currentVersionDir(db, t)))
+    // compactions lay the new version out BUCKETED by pk: every later
+    // pk join / pk aggregation over the merged view is exchange-free on
+    // the data side (the one-time layout cost sled pays by keeping rows
+    // pk-clustered, store/engine/sled.rs). Plain appends after the
+    // compaction drop the guarantee (see append) until the next OPTIMIZE.
+    rewrite(db, t, mergedFrom(m, currentVersionDir(db, t)), bucketBy = m.pk)
+  }
+
+  /** Bucket count for compacted merge-on-read layouts. Sized to the
+    * shuffle parallelism at test scale; at 100 TB size it so one bucket
+    * is one executor-core's worth (O(10^4)).
+    */
+  var compactionBuckets: Int = 32
+
+  /** A version dir whose files were written by the bucketed writer
+    * carries this marker (with the bucket count). The marker is removed
+    * the moment any non-bucketed file lands in the version (append,
+    * carry-over merge), so the registered bucket spec never lies.
+    */
+  private def bucketMarker(dir: Path): Path = dir.resolve("_graft_buckets")
+
+  /** Current bucket count of a merge-on-read table's data (0 = not
+    * bucketed).
+    */
+  def bucketCount(db: String, t: String): Int = {
+    val mk = bucketMarker(currentVersionDir(db, t))
+    if (Files.exists(mk))
+      new String(Files.readAllBytes(mk)).trim.toInt
+    else 0
+  }
+
+  /** Re-register the merge-on-read trio when the physical layout's
+    * bucketed-ness no longer matches the registered bucket spec.
+    */
+  private def syncBucketRegistration(m: TableMeta): Unit = if (m.mergeOnRead) {
+    val sc = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      baseName(m.table), Some(m.db))
+    val want = bucketCount(m.db, m.table)
+    val have =
+      if (sc.tableExists(ident))
+        sc.getTableMetadata(ident).bucketSpec.map(_.numBuckets).getOrElse(0)
+      else -1
+    if (have != want) { deregister(m.db, m.table); register(m) }
   }
 
   /** Auto-compaction policy: fold tombstones once they exceed BOTH an
@@ -668,14 +711,16 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     * materialization — any tombstone committed during the window gets a
     * higher sequence and still masks its rows in the rewritten files.
     */
-  def rewrite(db: String, t: String, df: => DataFrame): Unit = {
+  def rewrite(db: String, t: String, df: => DataFrame,
+              bucketBy: Seq[String] = Nil): Unit = {
     val rwLock = rewriteLockFor(db, t)
     rwLock.lock()
-    try rewriteLocked(db, t, df)
+    try rewriteLocked(db, t, df, bucketBy)
     finally rwLock.unlock()
   }
 
-  private def rewriteLocked(db: String, t: String, df: => DataFrame): Unit = {
+  private def rewriteLocked(db: String, t: String, df: => DataFrame,
+                            bucketBy: Seq[String] = Nil): Unit = {
     val lock = lockFor(db, t)
     lock.lock()
     val (cur, snapshot, delSnapshot, seq, m, frame0) =
@@ -741,7 +786,25 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val versions = tablePath(db, t).resolve("versions")
     val nextV = versionNumber(cur) + 1
     val next = versions.resolve(s"v$nextV")
-    writer(frame, m).mode("overwrite").save(next.toString)
+    if (bucketBy.nonEmpty) {
+      // bucketed layout: Spark's bucketed writer only targets catalog
+      // tables, so materialize through a throwaway EXTERNAL table at the
+      // new version's path (files stay when it is dropped), then mark
+      // the version. Bucket-id-carrying file names are what the bucketed
+      // scan keys on, so the files must come from this writer.
+      val tmp = "graft_tmp_bucketed_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      frame.write.format(m.format)
+        .bucketBy(compactionBuckets, bucketBy.head, bucketBy.tail: _*)
+        .sortBy(bucketBy.head, bucketBy.tail: _*)
+        .option("path", next.toString)
+        .mode("overwrite")
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+      Files.write(bucketMarker(next),
+        compactionBuckets.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    } else writer(frame, m).mode("overwrite").save(next.toString)
 
     onRewriteBeforeCommit()
 
@@ -751,16 +814,19 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       // the frame's resolution — into the new version: their rows carry
       // over untouched. _SUCCESS/.crc markers are not data (and never in
       // a read set): skip them or they collide with the new version's own
-      (listFiles(cur) -- carried)
+      val carriedIn = (listFiles(cur) -- carried)
         .filterNot { name =>
           val base = Paths.get(name).getFileName.toString
           base.startsWith("_") || base.startsWith(".")
         }
-        .foreach { name =>
+      carriedIn.foreach { name =>
         val target = next.resolve(name)
         Files.createDirectories(target.getParent)
         Files.createLink(target, cur.resolve(name))
       }
+      // carried-over appends are NOT bucketed files: the layout
+      // guarantee does not hold for this version after all
+      if (carriedIn.nonEmpty) Files.deleteIfExists(bucketMarker(next))
       // tombstone GC, one commit late: delete the files the PREVIOUS
       // rewrite retired, then retire the tombstones this rewrite folded
       val dels = Paths.get(deletesPath(db, t))
@@ -775,6 +841,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         .toSeq.foreach(deleteRecursively)
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
+    syncBucketRegistration(m)
     refreshRegistered(db, t, m)
     bumpCommit(db, t)
   }
@@ -796,8 +863,13 @@ class Catalog(spark: SparkSession, val warehouse: String) {
             lit(seqOpt.getOrElse(nextSeqLocked(db, t))))
         else df
       writer(out, m).mode("append").save(currentVersionDir(db, t).toString)
+      // appended files are unbucketed: a bucketed-marked version loses
+      // its layout guarantee the moment they land
+      if (m.mergeOnRead)
+        Files.deleteIfExists(bucketMarker(currentVersionDir(db, t)))
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
+    syncBucketRegistration(m)
     refreshRegistered(db, t, m)
     bumpCommit(db, t)
   }
@@ -931,8 +1003,22 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       deregister(m.db, m.table)
     Files.createDirectories(Paths.get(deletesPath(m.db, m.table)))
     if (!sc.tableExists(baseIdent)) {
-      spark.catalog.createTable(s"`${m.db}`.`$base`", "parquet",
-        m.baseSchema, Map("path" -> dataPath(m.db, m.table)))
+      val nBuckets = bucketCount(m.db, m.table)
+      if (nBuckets > 0) {
+        // compacted layout: register the base WITH its bucket spec so
+        // pk joins/aggs over the merged view skip the Exchange
+        val colDefs = m.baseSchema.fields
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        val pkCols = m.pk.map(k => s"`$k`").mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE `${m.db}`.`$base` ($colDefs)
+             |USING parquet
+             |CLUSTERED BY ($pkCols) SORTED BY ($pkCols)
+             |INTO $nBuckets BUCKETS
+             |LOCATION '${dataPath(m.db, m.table)}'""".stripMargin)
+      } else
+        spark.catalog.createTable(s"`${m.db}`.`$base`", "parquet",
+          m.baseSchema, Map("path" -> dataPath(m.db, m.table)))
       spark.catalog.createTable(s"`${m.db}`.`$dels`", "parquet",
         m.delsSchema, Map("path" -> deletesPath(m.db, m.table)))
     }

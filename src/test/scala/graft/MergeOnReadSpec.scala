@@ -374,4 +374,59 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rows(g, "insert into rep values (3,'c2')").head.head == "1")
     assert(rows(g, "select v from rep where id = 3").map(_.head) == Seq("c2"))
   }
+
+  test("OPTIMIZE lays the base out bucketed by pk: pk agg/join skip the Exchange") {
+    val (g, wh) = freshSession()
+    g.sql("create table bk (id int, v char, primary key(id))")
+    g.sql("insert into bk values " +
+      (1 to 200).map(i => s"($i,'v$i')").mkString(", "))
+    g.sql("update bk set v = 'x' where id <= 50")
+    // dels broadcast always; "shuffled" here means a hash/range
+    // repartition Exchange, not the BroadcastExchange
+    def shuffles(plan: String): Boolean =
+      plan.contains("Exchange hashpartitioning") ||
+        plan.contains("Exchange rangepartitioning") ||
+        plan.contains("Exchange SinglePartition")
+    // pre-compaction: a pk aggregation over the merged view shuffles
+    val pre = g.spark.sql("select id, count(*) c from mor.bk group by id")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(pre), s"expected a shuffle before OPTIMIZE:\n$pre")
+    g.sql("optimize table bk")
+    // compacted layout is bucketed: the base table carries the bucket
+    // spec and the same aggregation plans with NO Exchange anywhere
+    val post = g.spark.sql("select id, count(*) c from mor.bk group by id")
+      .queryExecution.executedPlan.toString
+    assert(!shuffles(post),
+      s"pk groupBy over the compacted view must be exchange-free:\n$post")
+    // correctness unchanged through the layout change
+    assert(rows(g, "select count(*) c from bk").head.head == "200")
+    assert(rows(g, "select v from bk where id = 7").head.head == "x")
+    assert(rows(g, "select v from bk where id = 51").head.head == "v51")
+    // a pk self-join: the bucketed data side needs no shuffle (the plan
+    // may still exchange a non-bucketed side; assert on total count)
+    val selfJoin = g.spark.sql(
+      "select count(*) c from mor.bk a join mor.bk b on a.id = b.id")
+    val sj = selfJoin.queryExecution.executedPlan.toString
+    // the global count's own 1-row Exchange SinglePartition is fine;
+    // the JOIN must add no repartitioning
+    assert(!sj.contains("Exchange hashpartitioning") &&
+      !sj.contains("Exchange rangepartitioning"),
+      s"bucketed pk self-join must not repartition:\n$sj")
+    assert(selfJoin.collect().head.getLong(0) == 200L)
+    // an append DROPS the guarantee (new files are not bucketed): the
+    // registration must fall back to a plain table — and stay correct
+    g.sql("insert into bk values (201, 'v201')")
+    val after = g.spark.sql("select id, count(*) c from mor.bk group by id")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(after),
+      "append after OPTIMIZE must demote the bucket spec (files are mixed)")
+    assert(rows(g, "select count(*) c from bk").head.head == "201")
+    // ...and the next OPTIMIZE restores it
+    g.sql("delete from bk where id = 201")
+    g.sql("optimize table bk")
+    val again = g.spark.sql("select id, count(*) c from mor.bk group by id")
+      .queryExecution.executedPlan.toString
+    assert(!shuffles(again), "re-OPTIMIZE must restore bucketing")
+    assert(rows(g, "select count(*) c from bk").head.head == "200")
+  }
 }
