@@ -329,4 +329,226 @@ object MediaCodec {
     */
   def resizeImage(b: Array[Byte], w: Int, h: Int): Array[Byte] =
     encodePng(resizeRgb(decodeImage(b), w, h))
+
+  // ---- MP4 / ISO-BMFF container (ISO 14496-12 box structure) ------------
+  // Container-LEVEL only: the box tree (ftyp/moov/mvhd/trak/tkhd/mdia/
+  // mdhd/hdlr/mdat) carries real duration / resolution / track metadata
+  // with no codec involved — so track probing is REAL even though frame
+  // decode (H.264 et al.) stays stubbed (no codec in the JDK).
+
+  case class TrackMeta(kind: String, width: Int, height: Int,
+                       durationMs: Long)
+  case class ContainerMeta(container: String, durationMs: Long,
+                           tracks: Seq[TrackMeta])
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Build a structurally valid minimal MP4: ftyp + moov(mvhd +
+    * trak(tkhd + mdia(mdhd + hdlr)) per track) + mdat(payload). All
+    * sizes/fields per the ISO base-media spec; no sample tables (this is
+    * a metadata container, the honest boundary without a codec).
+    */
+  def encodeMinimalMp4(tracks: Seq[TrackMeta], payload: Array[Byte]): Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + body.length)
+      val n = out.length
+      out(0) = (n >>> 24).toByte; out(1) = (n >>> 16).toByte
+      out(2) = (n >>> 8).toByte; out(3) = n.toByte
+      for (i <- 0 until 4) out(4 + i) = tpe.charAt(i).toByte
+      System.arraycopy(body, 0, out, 8, body.length)
+      out
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def u16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+    val zeros = (n: Int) => new Array[Byte](n)
+    // identity transform matrix (fixed-point, as every muxer writes it)
+    val matrix = u32(0x10000L) ++ zeros(12) ++ u32(0x10000L) ++ zeros(12) ++
+      u32(0x40000000L)
+    val timescale = 1000L // 1 tick = 1 ms
+    val durMax = if (tracks.isEmpty) 0L else tracks.map(_.durationMs).max
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ u32(0x200L) ++ "isommp41".getBytes)
+    val mvhd = box("mvhd", zeros(4) ++ u32(0) ++ u32(0) ++ u32(timescale) ++
+      u32(durMax) ++ u32(0x10000L) ++ u16(0x0100) ++ zeros(10) ++ matrix ++
+      zeros(24) ++ u32(tracks.size + 1L))
+    val traks = tracks.zipWithIndex.map { case (t, i) =>
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ u32(0) ++ u32(0) ++
+        u32(i + 1L) ++ zeros(4) ++ u32(t.durationMs) ++ zeros(8) ++
+        u16(0) ++ u16(0) ++ u16(if (t.kind == "soun") 0x0100 else 0) ++
+        u16(0) ++ matrix ++ u32(t.width.toLong << 16) ++
+        u32(t.height.toLong << 16))
+      val mdhd = box("mdhd", zeros(4) ++ u32(0) ++ u32(0) ++ u32(timescale) ++
+        u32(t.durationMs) ++ u16(0x55c4 /* und */) ++ u16(0))
+      val hdlr = box("hdlr", zeros(8) ++ t.kind.getBytes ++ zeros(12) ++
+        Array[Byte](0))
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    ftyp ++ moov ++ box("mdat", payload)
+  }
+
+  /** Walk the box tree and extract container metadata. Tolerant of
+    * unknown boxes (skipped by size), intolerant of corrupt sizes.
+    */
+  def parseMp4(b: Array[Byte]): ContainerMeta = {
+    require(isMp4(b), "not an ISO-BMFF file (no ftyp)")
+    var durationMs = 0L
+    val tracks = Seq.newBuilder[TrackMeta]
+    def walk(off: Int, end: Int, path: List[String]): Unit = {
+      var o = off
+      while (o + 8 <= end) {
+        val size = be32(b, o).toInt
+        require(size >= 8 && o + size <= end, s"corrupt box size at $o")
+        val tpe = new String(b, o + 4, 4, "ISO-8859-1")
+        tpe match {
+          case "moov" | "trak" | "mdia" => walk(o + 8, o + size, tpe :: path)
+          case "mvhd" =>
+            val ts = be32(b, o + 8 + 12); val dur = be32(b, o + 8 + 16)
+            if (ts > 0) durationMs = dur * 1000 / ts
+          case "tkhd" =>
+            // width/height are the last two 16.16 fields of the box
+            val w = (be32(b, o + size - 8) >>> 16).toInt
+            val h = (be32(b, o + size - 4) >>> 16).toInt
+            val dur = be32(b, o + 8 + 20)
+            tracks += TrackMeta("trak", w, h, dur) // kind patched by hdlr
+          case "hdlr" =>
+            val kind = new String(b, o + 8 + 8, 4, "ISO-8859-1")
+            val done = tracks.result()
+            if (done.nonEmpty) {
+              tracks.clear()
+              tracks ++= done.init :+ done.last.copy(kind = kind)
+            }
+          case _ => // skip (mdat, ftyp payload, unknown)
+        }
+        o += size
+      }
+    }
+    walk(0, b.length, Nil)
+    ContainerMeta("mp4", durationMs, tracks.result())
+  }
+
+  // ---- Matroska / EBML container (matroska.org spec) --------------------
+
+  def isMkv(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3
+
+  /** EBML VINT encode for element SIZES (length-marker bit + value). */
+  private def vint(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && v >= (1L << (7 * len)) - 1) len += 1
+    val out = new Array[Byte](len)
+    var x = v | (1L << (7 * len))
+    var i = len - 1
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>>= 8; i -= 1 }
+    out
+  }
+
+  private def ebml(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+    id ++ vint(body.length.toLong) ++ body
+
+  private def uintBytes(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+    Array.tabulate(len)(i => ((v >>> (8 * (len - 1 - i))) & 0xff).toByte)
+  }
+
+  /** Build a minimal Matroska file: EBML header (DocType matroska) +
+    * Segment(Info(TimestampScale, Duration) + Tracks(TrackEntry*)).
+    */
+  def encodeMinimalMkv(tracks: Seq[TrackMeta], durationMs: Long): Array[Byte] = {
+    def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val header = ebml(id(0x1a, 0x45, 0xdf, 0xa3),
+      ebml(id(0x42, 0x82), "matroska".getBytes) ++ // DocType
+        ebml(id(0x42, 0x87), uintBytes(4)) ++      // DocTypeVersion
+        ebml(id(0x42, 0x85), uintBytes(2)))        // DocTypeReadVersion
+    val info = ebml(id(0x15, 0x49, 0xa9, 0x66),
+      ebml(id(0x2a, 0xd7, 0xb1), uintBytes(1000000L)) ++ // ns per tick = 1ms
+        ebml(id(0x44, 0x89), { // Duration as float64 ticks
+          val bits = java.lang.Double.doubleToLongBits(durationMs.toDouble)
+          Array.tabulate(8)(i => ((bits >>> (8 * (7 - i))) & 0xff).toByte)
+        }))
+    val trackEntries = tracks.zipWithIndex.map { case (t, i) =>
+      val video =
+        if (t.kind == "vide")
+          ebml(id(0xe0), ebml(id(0xb0), uintBytes(t.width.toLong)) ++
+            ebml(id(0xba), uintBytes(t.height.toLong)))
+        else Array.emptyByteArray
+      ebml(id(0xae),
+        ebml(id(0xd7), uintBytes(i + 1L)) ++ // TrackNumber
+          ebml(id(0x83), uintBytes(if (t.kind == "vide") 1L else 2L)) ++
+          video)
+    }
+    val trackEl = ebml(id(0x16, 0x54, 0xae, 0x6b), trackEntries.flatten.toArray)
+    header ++ ebml(id(0x18, 0x53, 0x80, 0x67), info ++ trackEl)
+  }
+
+  /** Walk the EBML tree and extract container metadata. */
+  def parseMkv(b: Array[Byte]): ContainerMeta = {
+    require(isMkv(b), "not an EBML/Matroska file")
+    // read an EBML id (leading-ones length) or size VINT at off
+    def readId(off: Int): (Long, Int) = {
+      val first = b(off) & 0xff
+      var len = 1
+      while (len <= 4 && (first & (0x80 >>> (len - 1))) == 0) len += 1
+      var v = 0L
+      for (i <- 0 until len) v = (v << 8) | (b(off + i) & 0xffL)
+      (v, len)
+    }
+    def readSize(off: Int): (Long, Int) = {
+      val first = b(off) & 0xff
+      var len = 1
+      while (len <= 8 && (first & (0x80 >>> (len - 1))) == 0) len += 1
+      var v = (first & (0xff >>> len)).toLong
+      for (i <- 1 until len) v = (v << 8) | (b(off + i) & 0xffL)
+      (v, len)
+    }
+    def readUint(off: Int, n: Int): Long = {
+      var v = 0L
+      for (i <- 0 until n) v = (v << 8) | (b(off + i) & 0xffL)
+      v
+    }
+    var tsScaleNs = 1000000L
+    var durTicks = 0.0
+    val tracks = Seq.newBuilder[TrackMeta]
+    var kind = ""; var w = 0; var h = 0
+    def flushTrack(): Unit = if (kind.nonEmpty) {
+      tracks += TrackMeta(kind, w, h, 0L); kind = ""; w = 0; h = 0
+    }
+    def walk(off: Int, end: Int): Unit = {
+      var o = off
+      while (o < end) {
+        val (idv, idLen) = readId(o)
+        val (sz, szLen) = readSize(o + idLen)
+        val body = o + idLen + szLen
+        idv match {
+          case 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xE0L =>
+            walk(body, body + sz.toInt) // Segment / Info / Tracks / Video
+          case 0xAEL => // TrackEntry
+            flushTrack(); walk(body, body + sz.toInt)
+          case 0x2AD7B1L => tsScaleNs = readUint(body, sz.toInt)
+          case 0x4489L =>
+            durTicks =
+              if (sz == 4) java.lang.Float.intBitsToFloat(
+                readUint(body, 4).toInt).toDouble
+              else java.lang.Double.longBitsToDouble(readUint(body, 8))
+          case 0x83L =>
+            kind = if (readUint(body, sz.toInt) == 1L) "vide" else "soun"
+          case 0xB0L => w = readUint(body, sz.toInt).toInt
+          case 0xBAL => h = readUint(body, sz.toInt).toInt
+          case _ => // skip
+        }
+        o = body + sz.toInt
+      }
+    }
+    walk(0, b.length)
+    flushTrack()
+    ContainerMeta("mkv", (durTicks * tsScaleNs / 1e6).toLong, tracks.result())
+  }
 }

@@ -85,9 +85,23 @@ object Multimodal {
             val bytes = MediaCodec.encodeWavPcm16(samples, 8000)
             MediaRow(id, "audio/wav", bytes, bytes.length.toLong, n, 1)
           case _ =>
-            val bytes = text.getBytes("UTF-8")
-            MediaRow(id, "video/mp4", bytes, bytes.length.toLong,
-              (id % 4).toInt * 160 + 320, (id % 3).toInt * 120 + 240)
+            // video rows are REAL containers now: a valid ISO-BMFF box
+            // tree (even ids) or Matroska EBML tree (odd ids) carrying
+            // true duration/resolution/track metadata; only the codec
+            // payload inside stays opaque (the JDK has no H.264)
+            val w = (id % 4).toInt * 160 + 320
+            val h = (id % 3).toInt * 120 + 240
+            val durMs = 1000L + (id % 30) * 500L
+            val tracks = Seq(MediaCodec.TrackMeta("vide", w, h, durMs),
+              MediaCodec.TrackMeta("soun", 0, 0, durMs))
+            if (id % 2 == 0) {
+              val bytes =
+                MediaCodec.encodeMinimalMp4(tracks, text.getBytes("UTF-8"))
+              MediaRow(id, "video/mp4", bytes, bytes.length.toLong, w, h)
+            } else {
+              val bytes = MediaCodec.encodeMinimalMkv(tracks, durMs)
+              MediaRow(id, "video/x-matroska", bytes, bytes.length.toLong, w, h)
+            }
         }
       }
       .toDF()
@@ -113,6 +127,50 @@ object Multimodal {
       }
   }
 
+  /** Container-level probe of a media row: REAL metadata extraction for
+    * every payload type — MP4 box walk, Matroska EBML walk, WAV fmt
+    * chunk, BMP header, ImageIO header — with no codec involved. The
+    * ffprobe-shaped operation a multimodal curation pipeline runs first
+    * (route/filter by duration, resolution, track layout before paying
+    * for any decode). Scan-local projection: no shuffle, no driver.
+    */
+  case class MediaProbe(doc_id: Long, media_type: String, container: String,
+                        duration_ms: Long, n_tracks: Int,
+                        video_width: Int, video_height: Int)
+
+  def probeMedia(media: DataFrame): Dataset[MediaProbe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, mt, bytes) => probeKernel(id, mt, bytes) }
+  }
+
+  private[operators] def probeKernel(id: Long, mt: String,
+                                     bytes: Array[Byte]): MediaProbe =
+    try {
+      if (MediaCodec.isMp4(bytes) || MediaCodec.isMkv(bytes)) {
+        val m = if (MediaCodec.isMp4(bytes)) MediaCodec.parseMp4(bytes)
+                else MediaCodec.parseMkv(bytes)
+        val v = m.tracks.find(_.kind == "vide")
+        MediaProbe(id, mt, m.container, m.durationMs, m.tracks.size,
+          v.map(_.width).getOrElse(0), v.map(_.height).getOrElse(0))
+      } else if (MediaCodec.isWav(bytes)) {
+        val w = MediaCodec.decodeWav(bytes)
+        MediaProbe(id, mt, "wav",
+          w.samples.length * 1000L / math.max(1, w.sampleRate), 1, 0, 0)
+      } else if (MediaCodec.isBmp(bytes)) {
+        val i = MediaCodec.decodeBmp(bytes)
+        MediaProbe(id, mt, "bmp", 0L, 1, i.width, i.height)
+      } else if (MediaCodec.isJdkImage(bytes)) {
+        val i = MediaCodec.decodeImage(bytes)
+        MediaProbe(id, mt, "image", 0L, 1, i.width, i.height)
+      } else MediaProbe(id, mt, "unknown", 0L, 0, 0, 0)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        MediaProbe(id, mt, "corrupt", 0L, 0, 0, 0)
+    }
+
   /** Resize contract: binary in, binary out, metadata updated in the same
     * row. Runs as a codegen-friendly projection (the kernel is a scalar
     * function of the payload).
@@ -135,7 +193,7 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frames: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(col("media_type") === "video/mp4")
+    media.filter(col("media_type").startsWith("video/"))
       .select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         (0 until frames).map(i => (id, i, frameKernel(bytes, i, frames)))

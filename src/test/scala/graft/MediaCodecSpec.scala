@@ -204,4 +204,65 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(feat.length == 8, "stub fallback produced features")
     assert(feat.exists(_ < 0f), "fallback is the FNV stub, not a zero histogram")
   }
+
+  test("MP4 container: minimal box tree round-trips duration/tracks/resolution") {
+    val tracks = Seq(
+      MediaCodec.TrackMeta("vide", 640, 480, 7500L),
+      MediaCodec.TrackMeta("soun", 0, 0, 7400L))
+    val payload = "opaque codec payload".getBytes("UTF-8")
+    val mp4 = MediaCodec.encodeMinimalMp4(tracks, payload)
+    assert(MediaCodec.isMp4(mp4) && !MediaCodec.isMkv(mp4))
+    val meta = MediaCodec.parseMp4(mp4)
+    assert(meta.container == "mp4")
+    assert(meta.durationMs == 7500L) // mvhd carries max track duration
+    assert(meta.tracks.map(_.kind) == Seq("vide", "soun"))
+    val v = meta.tracks.head
+    assert(v.width == 640 && v.height == 480 && v.durationMs == 7500L)
+    // corrupt size is an error, not a hang
+    val broken = mp4.clone(); broken(0) = 0x7f
+    intercept[Exception](MediaCodec.parseMp4(broken))
+  }
+
+  test("MKV container: EBML tree round-trips duration/tracks/resolution") {
+    val tracks = Seq(
+      MediaCodec.TrackMeta("vide", 1280, 720, 0L),
+      MediaCodec.TrackMeta("soun", 0, 0, 0L))
+    val mkv = MediaCodec.encodeMinimalMkv(tracks, 12345L)
+    assert(MediaCodec.isMkv(mkv) && !MediaCodec.isMp4(mkv))
+    val meta = MediaCodec.parseMkv(mkv)
+    assert(meta.container == "mkv")
+    assert(meta.durationMs == 12345L)
+    assert(meta.tracks.map(_.kind) == Seq("vide", "soun"))
+    assert(meta.tracks.head.width == 1280 && meta.tracks.head.height == 720)
+  }
+
+  test("probeKernel routes every payload type to real container metadata") {
+    // mp4
+    val mp4 = MediaCodec.encodeMinimalMp4(
+      Seq(MediaCodec.TrackMeta("vide", 320, 240, 2000L)), Array[Byte](1, 2))
+    val pm = Multimodal.probeKernel(1L, "video/mp4", mp4)
+    assert(pm.container == "mp4" && pm.duration_ms == 2000L &&
+      pm.video_width == 320 && pm.n_tracks == 1)
+    // mkv
+    val mkv = MediaCodec.encodeMinimalMkv(
+      Seq(MediaCodec.TrackMeta("vide", 320, 240, 0L)), 2500L)
+    val pk = Multimodal.probeKernel(2L, "video/x-matroska", mkv)
+    assert(pk.container == "mkv" && pk.duration_ms == 2500L &&
+      pk.video_height == 240)
+    // wav: 8000 samples at 8 kHz = 1000 ms
+    val wav = MediaCodec.encodeWavPcm16(new Array[Float](8000), 8000)
+    val pw = Multimodal.probeKernel(3L, "audio/wav", wav)
+    assert(pw.container == "wav" && pw.duration_ms == 1000L)
+    // bmp
+    val bmp = MediaCodec.encodeBmp(gradient(10, 6))
+    val pb = Multimodal.probeKernel(4L, "image/bmp", bmp)
+    assert(pb.container == "bmp" && pb.video_width == 10 && pb.video_height == 6)
+    // png via ImageIO header
+    val png = MediaCodec.encodePng(gradient(8, 4))
+    val pp = Multimodal.probeKernel(5L, "image/png", png)
+    assert(pp.container == "image" && pp.video_width == 8)
+    // garbage quarantines
+    assert(Multimodal.probeKernel(6L, "x", Array[Byte](9, 9, 9)).container
+      == "unknown")
+  }
 }

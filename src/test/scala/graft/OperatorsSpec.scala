@@ -80,6 +80,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) == 4))
   }
 
+  test("D12 probeMedia extracts real container metadata distributed") {
+    // filter, not limit: LIMIT plans its own single-partition Exchange,
+    // which would mask the property under test (the probe adds no shuffle)
+    val media = Multimodal.packDocuments(
+      Tables.t(spark, sfDir, "documents").filter($"doc_id" < 60))
+    val probes = Multimodal.probeMedia(media)
+    // scan-local: no shuffle anywhere in the probe plan
+    assert(!probes.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+    val rows = probes.collect()
+    assert(rows.length == 60)
+    // every video row (mp4 AND mkv) yields true duration + resolution
+    val vids = rows.filter(_.media_type.startsWith("video/"))
+    assert(vids.nonEmpty && vids.forall(v =>
+      (v.container == "mp4" || v.container == "mkv") &&
+        v.duration_ms >= 1000L && v.video_width >= 320 && v.n_tracks == 2))
+    // both container families are actually present
+    assert(vids.map(_.container).toSet == Set("mp4", "mkv"))
+    // audio rows: true 50 ms duration (400 samples at 8 kHz)
+    val auds = rows.filter(_.media_type == "audio/wav")
+    assert(auds.nonEmpty && auds.forall(a =>
+      a.container == "wav" && a.duration_ms == 50L))
+    // image rows: real pixel dimensions from the header
+    val imgs = rows.filter(_.media_type.startsWith("image/"))
+    assert(imgs.nonEmpty && imgs.forall(i => i.video_width >= 16))
+  }
+
   test("D12->D6 integration: media features feed the ANN cosine operators") {
     import graft.functions.GraftFunctions._
     val media = Multimodal.packDocuments(
