@@ -19,7 +19,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
-    if (args.contains("--run")) println(s"rows=${df.count()}")
+    if (args.contains("--run")) {
+      // AQE finalizes exchange reuse only at runtime: the initial plan
+      // above can show N identical subtrees that execute once. Run the
+      // query, then print the FINAL adaptive plan — the one to audit.
+      val n = df.collect().length
+      println(s"rows=$n")
+      println("== Final (post-AQE) Plan ==")
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

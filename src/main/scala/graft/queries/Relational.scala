@@ -377,7 +377,12 @@ object Relational {
       // partial-aggregating global agg, and broadcast-cross-join that
       // row back. The revenue shuffle is identical in both consumers, so
       // ReuseExchange keeps it (and the lineitem scan) to a single pass.
+      // The explicit not-null filter is load-bearing for that reuse: the
+      // join consumer pushes isnotnull(l_suppkey) into its branch, and
+      // without the same filter in the max branch the two exchange
+      // subtrees differ — Spark then scans lineitem twice.
       val revenue = t(s, dir, "lineitem")
+        .filter(col("l_suppkey").isNotNull)
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("total_revenue"))

@@ -54,6 +54,15 @@ class RelationalSpec extends AnyFunSuite {
     // max side comes back as a broadcast hash join keyed on the value.
     assert(physical.contains("BroadcastHashJoin") && physical.contains("max_revenue"),
       s"expected the 1-row max broadcast join:\n$physical")
+    // ONE lineitem pass: the max branch must reuse the revenue shuffle,
+    // not rebuild it. The explicit isnotnull(l_suppkey) in the revenue
+    // frame is what makes the two exchange subtrees sameResult-equal —
+    // without it the join consumer's pushed filter differs and AQE
+    // plans two full scans (this is the regression this pin exists for).
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"),
+      s"q19 must reuse the revenue exchange (one lineitem scan):\n$finalPlan")
   }
 
   test("queries and oracleSql keys line up") {
