@@ -136,10 +136,28 @@ object Ann {
     val cents = embs.filter(centroidFilter)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
         col("selfdot").as("c_dot"))
+    assignTo(embs, cents)
+  }
+
+  /** ivfAssign with an EXPLICIT codebook (c_id, c_qv) — e.g. one
+    * refined by `Cluster.kmeansCodebook`. A raw uniform sample bounds
+    * cell size only probabilistically (the sf1 rehearsal measured max
+    * cell 447 vs median 7 under intrinsic cluster structure); a
+    * kmeans-refined codebook re-centers on the direction families, so
+    * in-cell pairwise work tracks true cluster sizes. Same plan shape:
+    * one-row broadcast codebook, scan → project, zero exchange.
+    */
+  def ivfAssignWith(corpus: DataFrame, codebook: DataFrame): DataFrame = {
+    val embs = withSelfDot(corpus).withColumnRenamed("id", "vec_id")
+    val cents = codebook.select(col("c_id"), col("c_qv"),
+      quantDot(col("c_qv"), col("c_qv")).cast("double").as("c_dot"))
+    assignTo(embs, cents)
+  }
+
+  private def assignTo(embs: DataFrame, cents: DataFrame): DataFrame =
     embs.crossJoin(codebookOf(cents))
       .select(col("vec_id"), col("qv"), col("selfdot"),
         nearestCentroid(col("qv"), col("selfdot"), col("cb")).as("cell"))
-  }
 
   /** IVF: assign every vector to its nearest codebook centroid (map-side
     * argmax, zero exchange), probe the `nprobe` nearest cells per query,

@@ -83,6 +83,29 @@ object Cluster {
     * rule). With it, the whole fit is exactly `iters` corpus scans and
     * the returned frame's plan is a flat scan → project.
     */
+  /** kmeans-refined IVF codebook: seed centroids from `seedFilter`
+    * (a UNIFORM sample — the §5 rehearsal showed prefix sampling
+    * collapsing 90% of a replicated corpus into one cell; kmeans
+    * refinement then re-balances cells to the data's intrinsic
+    * direction families rather than the seed's luck), run `rounds`
+    * Lloyd updates, return (c_id, c_qv) for Ann.ivfAssign's explicit-
+    * codebook overload. Same cost shape as kmeansAssign: `rounds`
+    * zero-exchange corpus scans, k×dim-row centroid frames
+    * localCheckpoint'd between rounds.
+    */
+  def kmeansCodebook(corpus: DataFrame, seedFilter: Column,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1, "codebook refinement needs at least one round")
+    var cents = corpus.filter(seedFilter)
+      .select(col("id").as("c_id"), col("qv").as("c_qv"))
+    var i = 0
+    while (i < rounds) {
+      cents = recenter(assign(corpus, cents)).localCheckpoint()
+      i += 1
+    }
+    cents
+  }
+
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, "kmeans needs at least one assignment round")
     var cents = corpus.filter(col("id") < k)

@@ -26,6 +26,56 @@ class CurationSpec extends AnyFunSuite {
     assert(km.except(ivf).isEmpty && ivf.except(km).isEmpty)
   }
 
+  test("kmeans-refined codebook lifts quantization purity over a bad seed") {
+    // The rehearsal defect in miniature: 4 equal direction families in
+    // 8 dims, but ALL seeds land in family 0 (a prefix — exactly the
+    // sampling mistake §5 documents). The raw codebook leaves 3 of 4
+    // families quantized against near-orthogonal codewords; Lloyd
+    // refinement must pull centroids toward the families and lift the
+    // mean cosine-to-own-centroid (Lloyd's actual guarantee — NOT
+    // max-cell balance, which optimally tracks true family sizes).
+    val base = Seq(
+      Array(1000L, 0L, 0L, 0L, 0L, 0L, 0L, 0L),
+      Array(0L, 1000L, 0L, 0L, 0L, 0L, 0L, 0L),
+      Array(0L, 0L, 1000L, 0L, 0L, 0L, 0L, 0L),
+      Array(0L, 0L, 0L, 1000L, 0L, 0L, 0L, 0L))
+    val rows = (0 until 100).map { i =>
+      // blocked by id: ids 0..24 family 0, 25..49 family 1, … so the
+      // id<4 seed is a true prefix (all in family 0)
+      (i.toLong, base(i / 25).zipWithIndex.map { case (v, d) =>
+        v + ((i * 7 + d * 3) % 11) - 5
+      }.toSeq)
+    }
+    val corpus = rows.toDF("id", "qv")
+    val seed = col("id") < 4 // prefix: all four seeds in family 0
+
+    def purity(assigned: org.apache.spark.sql.DataFrame,
+               cents: org.apache.spark.sql.DataFrame): Double =
+      assigned.join(
+          cents.select(col("c_id"), col("c_qv"),
+            quantDot(col("c_qv"), col("c_qv")).cast("double").as("c_dot")),
+          col("cell") === col("c_id"))
+        .agg(avg(quantDot(col("qv"), col("c_qv")).cast("double") /
+          sqrt(col("selfdot") * col("c_dot"))))
+        .head.getDouble(0)
+
+    val rawCents = corpus.filter(seed)
+      .select(col("id").as("c_id"), col("qv").as("c_qv"))
+    val rawAssigned = Ann.ivfAssignWith(corpus, rawCents)
+    val cb = Cluster.kmeansCodebook(corpus, seed, rounds = 3)
+    val refAssigned = Ann.ivfAssignWith(corpus, cb)
+    // totality: every vector assigned exactly once, before and after
+    assert(rawAssigned.count() == 100 && refAssigned.count() == 100)
+    val rawP = purity(rawAssigned, rawCents)
+    val refP = purity(refAssigned, cb)
+    assert(refP > rawP + 0.2, s"purity raw=$rawP refined=$refP")
+    // determinism: refinement replays bit-identically
+    val again = Ann.ivfAssignWith(corpus,
+      Cluster.kmeansCodebook(corpus, seed, rounds = 3))
+    assert(refAssigned.select("vec_id", "cell")
+      .except(again.select("vec_id", "cell")).isEmpty)
+  }
+
   test("kmeans assignment is total and unique; clusters come from the seed set") {
     val n = emb.count()
     val a = Cluster.kmeansAssign(emb, k = 8, iters = 3)

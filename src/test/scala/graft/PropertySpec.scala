@@ -231,6 +231,43 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MP4/MKV container walks round-trip random track layouts") {
+    import graft.operators.MediaCodec
+    val videoTrack = for {
+      w <- Gen.chooseNum(16, 4096); h <- Gen.chooseNum(16, 4096)
+      d <- Gen.chooseNum(1L, 10_000_000L)
+    } yield MediaCodec.TrackMeta("vide", w, h, d)
+    val audioTrack = Gen.chooseNum(1L, 10_000_000L)
+      .map(d => MediaCodec.TrackMeta("soun", 0, 0, d))
+    val tracksGen = for {
+      n <- Gen.chooseNum(1, 4)
+      ts <- Gen.listOfN(n, Gen.oneOf(videoTrack, audioTrack))
+    } yield ts
+    val payloadGen = Gen.chooseNum(0, 64)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+    check(Prop.forAll(tracksGen, payloadGen, Gen.chooseNum(1L, 10_000_000L)) {
+      (tracks, payload, mkvDur) =>
+        val mp4 = MediaCodec.encodeMinimalMp4(tracks, payload.toArray)
+        val m = MediaCodec.parseMp4(mp4)
+        val mkv = MediaCodec.encodeMinimalMkv(tracks, mkvDur)
+        val k = MediaCodec.parseMkv(mkv)
+        MediaCodec.isMp4(mp4) && !MediaCodec.isMkv(mp4) &&
+          MediaCodec.isMkv(mkv) && !MediaCodec.isMp4(mkv) &&
+          m.container == "mp4" &&
+          m.tracks.map(_.kind) == tracks.map(_.kind) &&
+          // tkhd width/height round-trip exactly (video only; audio is 0x0)
+          m.tracks.map(t => (t.width, t.height)) ==
+            tracks.map(t => (t.width, t.height)) &&
+          m.tracks.map(_.durationMs) == tracks.map(_.durationMs) &&
+          // mvhd carries the max track duration
+          m.durationMs == tracks.map(_.durationMs).max &&
+          k.container == "mkv" && k.durationMs == mkvDur &&
+          k.tracks.map(_.kind) == tracks.map(_.kind) &&
+          k.tracks.map(t => (t.width, t.height)) ==
+            tracks.map(t => (t.width, t.height))
+    })
+  }
+
   test("textShingles == HOF shingles on random space-laden strings") {
     val word = Gen.oneOf("a", "bb", "ccc", "", "dd")
     val text = Gen.listOf(word).map(_.mkString(" "))

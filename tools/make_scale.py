@@ -10,16 +10,18 @@ Design notes (what makes the copy honest for scaling measurements):
   join keeps its selectivity and per-key cardinality.
 - nation/region stay fixed (TPC-H scaling keeps dims constant), so
   broadcast-dim joins stay broadcast-dim joins.
-- documents.text is Caesar-shifted per replica (letters only; lengths,
-  punctuation, whitespace preserved): WITHIN a replica the duplicate /
-  near-duplicate structure is bit-identical to the source, ACROSS
-  replicas shingle overlap is ~0 — so dedup group counts, candidate
-  pairs, and LSH bucket sizes scale linearly with corpus size instead of
-  quadratically (10 exact copies of every doc would explode every
-  bucket, benchmarking the data not the algorithm).
-- embeddings get a large per-replica offset on dimension 0: within a
-  replica cosine structure is preserved, across replicas vectors are far
-  apart — ANN/SemDeDup cluster sizes scale linearly.
+- documents.text is Caesar-shifted per replica (letters AND digits;
+  lengths, punctuation, whitespace preserved): WITHIN a replica the
+  duplicate / near-duplicate structure is bit-identical to the source,
+  ACROSS replicas shingle overlap is ~0 — so dedup group counts,
+  candidate pairs, and LSH bucket sizes scale linearly with corpus size
+  instead of quadratically (10 exact copies of every doc would explode
+  every bucket, benchmarking the data not the algorithm).
+- embeddings get per-replica deterministic SIGN FLIPS (a reflection):
+  within a replica every pairwise cosine is exactly preserved, across
+  replicas vectors decorrelate — ANN/SemDeDup cluster sizes scale
+  linearly. (A constant dim-0 offset — the first attempt — made all
+  replicas near-PARALLEL and collapsed every LSH bucket/IVF cell.)
 - Timestamps are left unchanged: windows get replicas-times the rows per
   window, which is the per-window density growth a real 10x ingest has.
 """
