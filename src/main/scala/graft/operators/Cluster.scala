@@ -106,9 +106,20 @@ object Cluster {
     cents
   }
 
-  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssignSeeded(corpus, col("id") < k, iters)
+
+  /** kmeansAssign with an arbitrary seed predicate. Production callers
+    * should pass a UNIFORM sample whose size scales with the corpus
+    * (`Ann.centroidCountFor`): a fixed k makes the downstream
+    * in-cluster pairwise work (SemDeDup) quadratic, and a prefix seed
+    * collapses sharded/replicated id spaces (§5 rehearsal, both
+    * measured).
+    */
+  def kmeansAssignSeeded(corpus: DataFrame, seedFilter: Column,
+                         iters: Int): DataFrame = {
     require(iters >= 1, "kmeans needs at least one assignment round")
-    var cents = corpus.filter(col("id") < k)
+    var cents = corpus.filter(seedFilter)
       .select(col("id").as("c_id"), col("qv").as("c_qv"))
     var labeled = assign(corpus, cents)
     var i = 1
@@ -128,14 +139,21 @@ object Cluster {
     * (id, cluster).
     */
   def semDedup(corpus: DataFrame, k: Int, iters: Int, threshold: Double,
-               stage: Boolean = false): DataFrame = {
+               stage: Boolean = false): DataFrame =
+    semDedupSeeded(corpus, col("id") < k, iters, threshold, stage)
+
+  /** semDedup with an arbitrary centroid-seed predicate — see
+    * kmeansAssignSeeded for why the seed must scale with the corpus.
+    */
+  def semDedupSeeded(corpus: DataFrame, seedFilter: Column, iters: Int,
+                     threshold: Double, stage: Boolean = false): DataFrame = {
     // stage=true materializes the assignment ONCE (localCheckpoint —
     // blocks freed when the frame is GC'd): three plan branches read it
     // (both pair sides + the survivor anti-join), and at scale a
     // production run would stage the labeled corpus anyway. The default
     // keeps the operator lazy (Dedup.minhashPairs' cache-ownership
     // contract).
-    val labeled0 = kmeansAssign(corpus, k, iters)
+    val labeled0 = kmeansAssignSeeded(corpus, seedFilter, iters)
     val labeled = if (stage) labeled0.localCheckpoint() else labeled0
     val dropped = labeled.as("a")
       .join(labeled.as("b"),

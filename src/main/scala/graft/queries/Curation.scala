@@ -25,16 +25,34 @@ object Curation {
     t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
 
+  /** Centroid seed for q57/q58: a uniform modulo sample sized by
+    * `Ann.centroidCountFor` (k ~ n/75 clamped). Fixed k made q58's
+    * in-cluster pairwise work n²/k — the same quadratic defect the §5
+    * rehearsal measured on q34's fixed IVF cells (q58 was the worst
+    * sf1→sf2 scaler before this, 2.1× for 2× data); prefix seeds
+    * collapse replicated id spaces. The count() is footer-cheap.
+    */
+  private def seedOf(s: org.apache.spark.sql.SparkSession,
+                     dir: String): org.apache.spark.sql.Column = {
+    val n = t(s, dir, "embeddings").count()
+    val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
+    col("id") % stride === 0
+  }
+
   /** Shared oracle prefix: quantized embeddings + two Lloyd rounds from
-    * the deterministic seed (vec_id < 8), exactly Cluster.kmeansAssign's
-    * arithmetic (argmax ties to the lower centroid id; centroid update =
-    * ROUND over an exact BIGINT sum).
+    * the deterministic seed (the same COUNT-driven modulo sample as
+    * seedOf — GREATEST/LEAST integer arithmetic, replayed exactly),
+    * matching Cluster.kmeansAssignSeeded's arithmetic (argmax ties to
+    * the lower centroid id; centroid update = ROUND over an exact
+    * BIGINT sum).
     */
   private val kmeansCtes = """WITH q AS (
       SELECT vec_id,
         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
       FROM embeddings),
-    c0 AS (SELECT vec_id AS c_id, qv AS c_qv FROM q WHERE vec_id < 8),
+    c0 AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
+           WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
+             GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
     a0 AS (
       SELECT vec_id, qv, cell AS cluster FROM (
         SELECT q.vec_id, q.qv, c.c_id AS cell,
@@ -63,7 +81,8 @@ object Curation {
   private val q57 = Qdef(
     "q57_kmeans",
     (s, dir) =>
-      graft.operators.Cluster.kmeansAssign(qEmb(s, dir), k = 8, iters = 2)
+      graft.operators.Cluster
+        .kmeansAssignSeeded(qEmb(s, dir), seedOf(s, dir), iters = 2)
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy(col("vec_id")),
     Some(kmeansCtes + """
@@ -77,8 +96,8 @@ object Curation {
     "q58_semdedup",
     (s, dir) =>
       graft.operators.Cluster
-        .semDedup(qEmb(s, dir), k = 8, iters = 2, threshold = 0.4,
-          stage = true)
+        .semDedupSeeded(qEmb(s, dir), seedOf(s, dir), iters = 2,
+          threshold = 0.4, stage = true)
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy(col("vec_id")),
     Some(kmeansCtes + """,
