@@ -44,8 +44,23 @@ class GraftSession(val spark: SparkSession, warehouse: String,
   private def checkFileAccess(path: String): Unit = {
     val root = variables.get("secure_file_priv").getOrElse("")
     if (root.nonEmpty) {
-      val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
-      val r = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+      import java.nio.file.{Files, Path, Paths}
+      // Resolve symlinks, not just lexically: a link planted inside the
+      // sandbox root must not escape it. The target may not exist yet
+      // (INTO OUTFILE), so realpath the deepest existing ancestor and
+      // re-append the remainder.
+      def realify(q: Path): Path = {
+        var existing: Path = q
+        var tail = List.empty[String]
+        while (existing != null && !Files.exists(existing)) {
+          tail = existing.getFileName.toString :: tail
+          existing = existing.getParent
+        }
+        val base = if (existing == null) q.getRoot else existing.toRealPath()
+        tail.foldLeft(base)(_.resolve(_)).normalize
+      }
+      val p = realify(Paths.get(path).toAbsolutePath.normalize)
+      val r = realify(Paths.get(root).toAbsolutePath.normalize)
       if (!p.startsWith(r))
         throw new SqlError(1290, "HY000",
           "The MySQL server is running with the --secure-file-priv option " +
@@ -116,9 +131,21 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           lower.startsWith("commit")) txDirty = false
       count(0)
     }
-    else if (lower == "show warnings")
+    else if (lower.startsWith("show warnings")) {
+      // connectors emit SHOW WARNINGS LIMIT [offset,] count — honor it
+      val lim =
+        "(?i)^show\\s+warnings(?:\\s+limit\\s+(\\d+)(?:\\s*,\\s*(\\d+))?)?\\s*$".r
+      val rows = stmt match {
+        case lim(null, _)     => pendingWarnings.toSeq
+        case lim(n, null)     => pendingWarnings.toSeq.take(n.toInt)
+        case lim(off, cnt)    => pendingWarnings.toSeq.slice(
+          off.toInt, off.toInt + cnt.toInt)
+        case _ => throw new SqlError(1064, "42000",
+          s"You have an error in your SQL syntax near '$stmt'")
+      }
       frame(Seq("Level", "Code", "Message"),
-        pendingWarnings.toSeq.map { case (l, c, m) => Seq(l, c.toString, m) })
+        rows.map { case (l, c, m) => Seq(l, c.toString, m) })
+    }
     else if (lower == "show errors")
       frame(Seq("Level", "Code", "Message"), Seq.empty)
     else if (lower.startsWith("set ")) setVariable(stmt)
@@ -676,23 +703,25 @@ class GraftSession(val spark: SparkSession, warehouse: String,
 
       // Distributed read: executors parse the file with the listed
       // columns' types; only clause parsing happens on the driver.
-      // IGNORE n LINES: line numbers come from zipWithIndex — split
-      // order within one file is byte order, so the global index IS the
-      // line number, and the filter is correct no matter where Hadoop
-      // places split boundaries (costs one extra pass; only on skip>0).
+      // IGNORE n LINES drops the first n records the CSV parser actually
+      // produced — re-splitting the raw text ourselves would tear quoted
+      // (ENCLOSED BY) fields that contain embedded newlines. Record order
+      // within one file is split byte order, so the global zipWithIndex
+      // index IS the record number (costs one extra pass; only on skip>0).
       val readCols = colList.map(c => m.cols.find(_.name == c).get)
       val reader = spark.read
         .option("sep", sep).option("quote", quote).option("escape", escape)
+        .option("multiLine", skip > 0)
         .schema(org.apache.spark.sql.types.StructType(readCols.map(c =>
           org.apache.spark.sql.types.StructField(c.name,
             org.apache.spark.sql.catalyst.parser.CatalystSqlParser
               .parseDataType(c.sparkDdl)))))
+      val parsed = reader.csv(path)
       val src =
-        if (skip == 0) reader.csv(path)
-        else reader.csv(spark.createDataset(
-          spark.sparkContext.textFile(path)
-            .zipWithIndex().filter(_._2 >= skip).map(_._1))(
-          org.apache.spark.sql.Encoders.STRING))
+        if (skip == 0) parsed
+        else spark.createDataFrame(
+          parsed.rdd.zipWithIndex().filter(_._2 >= skip).map(_._1),
+          parsed.schema)
       val aligned = src.select(m.cols.map { c =>
         (setMap.get(c.name) match {
           case Some(e)                          => expr(e) // may read input cols

@@ -345,6 +345,9 @@ object MediaCodec {
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
 
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
   def isMp4(b: Array[Byte]): Boolean =
     b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
@@ -395,30 +398,45 @@ object MediaCodec {
 
   /** Walk the box tree and extract container metadata. Tolerant of
     * unknown boxes (skipped by size), intolerant of corrupt sizes.
+    * Full ISO 14496-12 size encoding: size==1 means a 64-bit largesize
+    * follows the type, size==0 means the box runs to the end of its
+    * container; mvhd/tkhd branch on the version byte because version 1
+    * widens the time fields to 64 bits.
     */
   def parseMp4(b: Array[Byte]): ContainerMeta = {
     require(isMp4(b), "not an ISO-BMFF file (no ftyp)")
     var durationMs = 0L
     val tracks = Seq.newBuilder[TrackMeta]
-    def walk(off: Int, end: Int, path: List[String]): Unit = {
+    def walk(off: Long, end: Long, path: List[String]): Unit = {
       var o = off
       while (o + 8 <= end) {
-        val size = be32(b, o).toInt
-        require(size >= 8 && o + size <= end, s"corrupt box size at $o")
-        val tpe = new String(b, o + 4, 4, "ISO-8859-1")
+        val size32 = be32(b, o.toInt)
+        val tpe = new String(b, o.toInt + 4, 4, "ISO-8859-1")
+        val (size, hdr) =
+          if (size32 == 1L) {
+            require(o + 16 <= end, s"corrupt largesize box at $o")
+            (be64(b, o.toInt + 8), 16L)
+          } else if (size32 == 0L) (end - o, 8L)
+          else (size32, 8L)
+        require(size >= hdr && o + size <= end, s"corrupt box size at $o")
+        val body = (o + hdr).toInt
         tpe match {
-          case "moov" | "trak" | "mdia" => walk(o + 8, o + size, tpe :: path)
+          case "moov" | "trak" | "mdia" => walk(body, o + size, tpe :: path)
           case "mvhd" =>
-            val ts = be32(b, o + 8 + 12); val dur = be32(b, o + 8 + 16)
+            val v = b(body) & 0xff
+            val (ts, dur) =
+              if (v == 1) (be32(b, body + 20), be64(b, body + 24))
+              else (be32(b, body + 12), be32(b, body + 16))
             if (ts > 0) durationMs = dur * 1000 / ts
           case "tkhd" =>
             // width/height are the last two 16.16 fields of the box
-            val w = (be32(b, o + size - 8) >>> 16).toInt
-            val h = (be32(b, o + size - 4) >>> 16).toInt
-            val dur = be32(b, o + 8 + 20)
+            val w = (be32(b, (o + size - 8).toInt) >>> 16).toInt
+            val h = (be32(b, (o + size - 4).toInt) >>> 16).toInt
+            val v = b(body) & 0xff
+            val dur = if (v == 1) be64(b, body + 28) else be32(b, body + 20)
             tracks += TrackMeta("trak", w, h, dur) // kind patched by hdlr
           case "hdlr" =>
-            val kind = new String(b, o + 8 + 8, 4, "ISO-8859-1")
+            val kind = new String(b, body + 8, 4, "ISO-8859-1")
             val done = tracks.result()
             if (done.nonEmpty) {
               tracks.clear()
@@ -429,7 +447,7 @@ object MediaCodec {
         o += size
       }
     }
-    walk(0, b.length, Nil)
+    walk(0L, b.length.toLong, Nil)
     ContainerMeta("mp4", durationMs, tracks.result())
   }
 
@@ -501,15 +519,19 @@ object MediaCodec {
       for (i <- 0 until len) v = (v << 8) | (b(off + i) & 0xffL)
       (v, len)
     }
-    def readSize(off: Int): (Long, Int) = {
+    // returns (value, lenBytes, isUnknownSize) — the all-ones VINT is the
+    // Matroska "unknown size" marker streamed Segments commonly use
+    def readSize(off: Int): (Long, Int, Boolean) = {
       val first = b(off) & 0xff
       var len = 1
       while (len <= 8 && (first & (0x80 >>> (len - 1))) == 0) len += 1
+      require(off + len <= b.length, s"truncated size VINT at $off")
       var v = (first & (0xff >>> len)).toLong
       for (i <- 1 until len) v = (v << 8) | (b(off + i) & 0xffL)
-      (v, len)
+      (v, len, v == (1L << (7 * len)) - 1)
     }
     def readUint(off: Int, n: Int): Long = {
+      require(n >= 1 && n <= 8, s"uint width $n out of range at $off")
       var v = 0L
       for (i <- 0 until n) v = (v << 8) | (b(off + i) & 0xffL)
       v
@@ -525,13 +547,23 @@ object MediaCodec {
       var o = off
       while (o < end) {
         val (idv, idLen) = readId(o)
-        val (sz, szLen) = readSize(o + idLen)
+        require(o + idLen <= end, s"truncated element id at $o")
+        val (szRaw, szLen, unknown) = readSize(o + idLen)
         val body = o + idLen + szLen
+        val isMaster = idv == 0x18538067L || idv == 0x1549A966L ||
+          idv == 0x1654AE6BL || idv == 0xE0L || idv == 0xAEL
+        // unknown-size is only legal on master elements: extend to the
+        // enclosing container's end, per the Matroska spec
+        require(!unknown || isMaster, s"unknown-size VINT on leaf at $o")
+        val sz: Long = if (unknown) (end - body).toLong else szRaw
+        require(sz >= 0 && body.toLong + sz <= end,
+          s"corrupt element size at $o")
+        val stop = (body.toLong + sz).toInt // safe: bounded by end (an Int)
         idv match {
           case 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xE0L =>
-            walk(body, body + sz.toInt) // Segment / Info / Tracks / Video
+            walk(body, stop) // Segment / Info / Tracks / Video
           case 0xAEL => // TrackEntry
-            flushTrack(); walk(body, body + sz.toInt)
+            flushTrack(); walk(body, stop)
           case 0x2AD7B1L => tsScaleNs = readUint(body, sz.toInt)
           case 0x4489L =>
             durTicks =
@@ -544,7 +576,7 @@ object MediaCodec {
           case 0xBAL => h = readUint(body, sz.toInt).toInt
           case _ => // skip
         }
-        o = body + sz.toInt
+        o = stop
       }
     }
     walk(0, b.length)

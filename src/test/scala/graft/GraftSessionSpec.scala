@@ -601,6 +601,66 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(rows("select score from ld2b").head.head == null)
   }
 
+  test("LOAD DATA: IGNORE n LINES keeps quoted fields with embedded newlines") {
+    g.sql("use test")
+    g.sql("create table ldm (id int, body char, primary key(id))")
+    val f = Files.createTempFile("graft-loadml", ".csv")
+    // header + two records whose quoted bodies contain raw newlines —
+    // the skip path must count parsed records, not raw text lines
+    Files.writeString(f,
+      "id,body\n1,\"line one\nline two\"\n2,\"a\nb\nc\"\n")
+    val n = rows(s"load data infile '$f' into table ldm " +
+      "fields terminated by ',' enclosed by '\"' ignore 1 lines").head.head
+    assert(n == 2L)
+    assert(rows("select id, body from ldm order by id") ==
+      Seq(Seq(1, "line one\nline two"), Seq(2, "a\nb\nc")))
+  }
+
+  test("SHOW WARNINGS LIMIT n (connector form) applies the limit") {
+    g.sql("use test")
+    g.sql("create table swl (id int, primary key(id))")
+    g.sql("begin"); g.sql("insert into swl values (1)"); g.sql("rollback")
+    assert(rows("show warnings").size == 1)
+    // LIMIT does not clear and does not error
+    assert(rows("show warnings limit 5").size == 1)
+    assert(rows("show warnings limit 0").isEmpty)
+    assert(rows("show warnings limit 1, 10").isEmpty) // offset past end
+    assert(rows("show warnings limit 0, 1").size == 1)
+    // the diagnostics area survived all those reads
+    assert(rows("show warnings").size == 1)
+    g.sql("drop table swl")
+  }
+
+  test("secure_file_priv: a symlink inside the sandbox cannot escape it") {
+    val root = Files.createTempDirectory("graft-priv-sym")
+    val outside = Files.createTempDirectory("graft-priv-out")
+    val gs = new GraftSession(spark.newSession(), g.catalog.warehouse,
+      secureFilePriv = root.toString)
+    gs.sql("use test")
+    gs.sql("create table sfps (id int, primary key(id))")
+    gs.sql("insert into sfps values (1)")
+    // symlinked dir: root/link -> outside; writes through it must be 1290
+    val link = root.resolve("link")
+    Files.createSymbolicLink(link, outside)
+    val e = intercept[graft.engine.SqlError](gs.sql(
+      s"select id from sfps into outfile '$link/escape.csv'"))
+    assert(e.code == 1290)
+    // symlinked file: root/data.csv -> outside/secret.csv; reads too
+    val secret = outside.resolve("secret.csv")
+    Files.writeString(secret, "9\n")
+    val flink = root.resolve("data.csv")
+    Files.createSymbolicLink(flink, secret)
+    val e2 = intercept[graft.engine.SqlError](gs.sql(
+      s"load data infile '$flink' into table sfps"))
+    assert(e2.code == 1290)
+    // an honest file inside the sandbox still works both ways
+    val ok = root.resolve("ok.csv")
+    gs.sql(s"select id from sfps into outfile '$ok'")
+    assert(gs.sql(s"load data infile '$ok' replace into table sfps")
+      .collect().head.getLong(0) >= 1L)
+    gs.sql("drop table sfps")
+  }
+
   test("LOAD DATA: unrecognized clauses are 1149 errors, never silent no-ops") {
     g.sql("use test")
     g.sql("create table ld3 (id int, name char, primary key(id))")

@@ -236,6 +236,61 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(meta.tracks.head.width == 1280 && meta.tracks.head.height == 720)
   }
 
+  test("MP4: version-1 boxes, 64-bit largesize, size==0 (ISO 14496-12)") {
+    def u16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    def u32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def u64(v: Long) = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+    def box(t: String, body: Array[Byte]) =
+      u32(body.length + 8L) ++ t.getBytes ++ body
+    def largebox(t: String, body: Array[Byte]) = // size==1 → 64-bit largesize
+      u32(1L) ++ t.getBytes ++ u64(body.length + 16L) ++ body
+    val z = (n: Int) => new Array[Byte](n)
+    // version-1 full boxes carry 64-bit creation/modification/duration
+    val mvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++ u64(0) ++ u64(0) ++
+      u32(1000L) ++ u64(4321L) ++ z(80))
+    val tkhd = box("tkhd", Array[Byte](1, 0, 0, 7) ++ u64(0) ++ u64(0) ++
+      u32(1L) ++ z(4) ++ u64(4321L) ++ z(8) ++ u16(0) ++ u16(0) ++ u16(0) ++
+      u16(0) ++ z(36) ++ u32(320L << 16) ++ u32(240L << 16))
+    val mdhd = box("mdhd", Array[Byte](1, 0, 0, 0) ++ u64(0) ++ u64(0) ++
+      u32(1000L) ++ u64(4321L) ++ u16(0x55c4) ++ u16(0))
+    val hdlr = box("hdlr", z(8) ++ "vide".getBytes ++ z(12) ++ Array[Byte](0))
+    val ftyp = box("ftyp", "isom".getBytes ++ u32(0x200L) ++ "isommp41".getBytes)
+    val moov = largebox("moov",
+      mvhd ++ box("trak", tkhd ++ box("mdia", mdhd ++ hdlr)))
+    val mdat = u32(0L) ++ "mdat".getBytes ++ z(5) // size==0 → runs to EOF
+    val meta = MediaCodec.parseMp4(ftyp ++ moov ++ mdat)
+    assert(meta.durationMs == 4321L)
+    assert(meta.tracks == Seq(MediaCodec.TrackMeta("vide", 320, 240, 4321L)))
+    // a truncated largesize header is corrupt, not misparsed
+    val shortLarge = ftyp ++ u32(1L) ++ "moov".getBytes ++ u32(0L)
+    intercept[Exception](MediaCodec.parseMp4(shortLarge))
+  }
+
+  test("MKV: unknown-size Segment (streamed files) extends to end of file") {
+    val mkv = MediaCodec.encodeMinimalMkv(
+      Seq(MediaCodec.TrackMeta("vide", 64, 48, 0L)), 777L)
+    // overwrite the Segment's size VINT with the all-ones unknown marker
+    val idIdx = mkv.indexOfSlice(Seq(0x18, 0x53, 0x80, 0x67).map(_.toByte))
+    assert(idIdx >= 0)
+    val szOff = idIdx + 4
+    val first = mkv(szOff) & 0xff
+    var len = 1
+    while ((first & (0x80 >>> (len - 1))) == 0) len += 1
+    mkv(szOff) = (mkv(szOff) | (0xff >>> len)).toByte
+    for (i <- 1 until len) mkv(szOff + i) = 0xff.toByte
+    val meta = MediaCodec.parseMkv(mkv)
+    assert(meta.durationMs == 777L)
+    assert(meta.tracks.map(t => (t.kind, t.width, t.height)) ==
+      Seq(("vide", 64, 48)))
+    // but an unknown-size LEAF (TimestampScale) is a parse error
+    val bad = MediaCodec.encodeMinimalMkv(Seq.empty, 1L)
+    val tsIdx = bad.indexOfSlice(Seq(0x2a, 0xd7, 0xb1).map(_.toByte))
+    assert(tsIdx >= 0)
+    bad(tsIdx + 3) = 0xff.toByte // 1-byte VINT, all value bits set
+    intercept[Exception](MediaCodec.parseMkv(bad))
+  }
+
   test("probeKernel routes every payload type to real container metadata") {
     // mp4
     val mp4 = MediaCodec.encodeMinimalMp4(
