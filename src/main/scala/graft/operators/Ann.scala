@@ -167,11 +167,32 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queryFilter: Column, centroidFilter: Column,
               nprobe: Int = 4, k: Int = 10): DataFrame = {
-    val assign = ivfAssign(corpus, centroidFilter)
     val embs = withSelfDot(corpus).withColumnRenamed("id", "vec_id")
     val cents = embs.filter(centroidFilter)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
         col("selfdot").as("c_dot"))
+    ivfTopKCents(embs, cents, queryFilter, nprobe, k)
+  }
+
+  /** ivfTopK with an EXPLICIT codebook (c_id, c_qv) — the production
+    * path: pair with `Cluster.kmeansCodebook` so cells track the data's
+    * intrinsic direction families rather than the raw sample's luck
+    * (q67). Same plan shape: zero-exchange assignment, broadcast probe
+    * batch, cell-key equi-join, partial top-k.
+    */
+  def ivfTopKWith(corpus: DataFrame, codebook: DataFrame,
+                  queryFilter: Column, nprobe: Int = 4,
+                  k: Int = 10): DataFrame = {
+    val embs = withSelfDot(corpus).withColumnRenamed("id", "vec_id")
+    val cents = codebook.select(col("c_id"), col("c_qv"),
+      quantDot(col("c_qv"), col("c_qv")).cast("double").as("c_dot"))
+    ivfTopKCents(embs, cents, queryFilter, nprobe, k)
+  }
+
+  private def ivfTopKCents(embs: DataFrame, cents: DataFrame,
+                           queryFilter: Column, nprobe: Int,
+                           k: Int): DataFrame = {
+    val assign = assignTo(embs, cents)
     val probes = embs.filter(queryFilter).crossJoin(codebookOf(cents))
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("selfdot").as("q_dot"),

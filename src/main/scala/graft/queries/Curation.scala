@@ -220,5 +220,44 @@ object Curation {
         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS coverage
     FROM documents, vocab GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61)
+  // ---- D7b+D20: IVF ANN over the kmeans-REFINED codebook ------------------
+  // The production ANN path: one Lloyd round re-centers the uniform-sample
+  // codebook on the data's intrinsic direction families (bounding cell
+  // occupancy by true cluster sizes, not the sample's luck), then the
+  // standard IVF probe/re-rank runs against it. Plan shape is unchanged
+  // from q43 — zero-exchange assignment, broadcast probe batch, cell-key
+  // equi-join, partial top-k — and the oracle replays the Lloyd round
+  // (kmeansCtes c1) plus the probe in SQL because every step is
+  // engine-exact arithmetic.
+  private val q67 = Qdef(
+    "q67_ann_ivf_kmeans",
+    (s, dir) => {
+      val corpus = qEmb(s, dir)
+      val cb = graft.operators.Cluster
+        .kmeansCodebook(corpus, seedOf(s, dir), rounds = 1)
+      graft.operators.Ann
+        .ivfTopKWith(corpus, cb, queryFilter = col("vec_id") < 10,
+          nprobe = 4, k = 10)
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(kmeansCtes + """,
+    probes AS (
+      SELECT vec_id AS q_id, qv AS q_qv, c_id AS cell FROM (
+        SELECT q.vec_id, q.qv, c.c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_dot_product(q.qv, c.c_qv) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) DESC,
+            c.c_id) AS prn
+        FROM q CROSS JOIN c1 c WHERE q.vec_id < 10) WHERE prn <= 4),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS neighbor,
+        list_dot_product(p.q_qv, a.qv) /
+          sqrt(list_dot_product(p.q_qv, p.q_qv) * list_dot_product(a.qv, a.qv)) AS cos_sim
+      FROM probes p JOIN a1 a ON p.cell = a.cluster AND a.vec_id <> p.q_id)
+    SELECT q_id, neighbor, cos_sim, rn FROM (
+      SELECT q_id, neighbor, cos_sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor) AS INT) AS rn
+      FROM cand)
+    WHERE rn <= 10 ORDER BY q_id, rn"""))
+
+  val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61, q67)
 }

@@ -76,6 +76,25 @@ class CurationSpec extends AnyFunSuite {
       .except(again.select("vec_id", "cell")).isEmpty)
   }
 
+  test("ivfTopKWith(raw codebook) == ivfTopK(filter) — explicit path is exact") {
+    val cb = emb.filter(col("id") % 8 === 0)
+      .select(col("id").as("c_id"), col("qv").as("c_qv"))
+    val viaFilter = Ann.ivfTopK(emb, queryFilter = col("vec_id") < 5,
+      centroidFilter = col("vec_id") % 8 === 0, nprobe = 3, k = 5)
+    val viaCodebook = Ann.ivfTopKWith(emb, cb,
+      queryFilter = col("vec_id") < 5, nprobe = 3, k = 5)
+    assert(viaFilter.except(viaCodebook).isEmpty &&
+      viaCodebook.except(viaFilter).isEmpty)
+    // and the refined-codebook variant keeps the zero-exchange shape:
+    // no Window, no cartesian, no sort-merge join anywhere in the plan
+    val plan = Ann.ivfTopKWith(emb,
+        Cluster.kmeansCodebook(emb, col("id") % 8 === 0, rounds = 1),
+        queryFilter = col("vec_id") < 5, nprobe = 3, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), s"ivfTopKWith plan regressed:\n$plan")
+  }
+
   test("kmeans assignment is total and unique; clusters come from the seed set") {
     val n = emb.count()
     val a = Cluster.kmeansAssign(emb, k = 8, iters = 3)
