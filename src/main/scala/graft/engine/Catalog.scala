@@ -1063,9 +1063,14 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     try if (!tableExists("mysql", "user")) {
       createTable(TableMeta("mysql", "user",
         Seq(Col("Host", "varchar(255)", "STRING"), Col("User", "varchar(32)", "STRING")) ++
-          privCols.map(c => Col(c, "char(1)", "STRING")),
+          privCols.map(c => Col(c, "char(1)", "STRING")) :+
+          // mysql_native_password hash ('*' + hex SHA1(SHA1(pwd))); empty
+          // = passwordless account. The wire server's handshake verifies
+          // against this (MysqlServer.authenticate).
+          Col("authentication_string", "text", "STRING"),
         pk = Seq("Host", "User"), engine = "parquet"), ifNotExists = true)
-      val row = org.apache.spark.sql.Row.fromSeq(Seq("%", "root") ++ privCols.map(_ => "Y"))
+      val row = org.apache.spark.sql.Row.fromSeq(
+        Seq("%", "root") ++ privCols.map(_ => "Y") :+ "")
       append("mysql", "user",
         spark.createDataFrame(java.util.List.of(row), meta("mysql", "user").schema))
     } finally seedLock.unlock()

@@ -17,8 +17,11 @@ object Messages {
 
   /** Initial handshake: protocol 10, server version, 20-byte auth plugin
     * data, CLIENT_PROTOCOL_41 | CLIENT_PLUGIN_AUTH capabilities
-    * (message.rs:110 handshark_message — same fixed salt; auth is not
-    * verified, exactly like the reference).
+    * (message.rs:110 handshark_message — same fixed salt). Unlike the
+    * reference (handle.rs accepts any credentials), the server verifies
+    * the auth-switch response against mysql.user (MysqlServer
+    * .authenticate) — the scramble clients must answer is
+    * `authSwitchSalt`, since the auth-switch supersedes this salt.
     */
   def handshake(connectionId: Int): Array[Byte] = {
     val b = buf()
@@ -39,12 +42,18 @@ object Messages {
     b.toByteArray
   }
 
+  /** The 20-byte nonce the auth-switch request carries — clients scramble
+    * their password against THIS salt (it supersedes the handshake's),
+    * and the server verifies against it (MysqlServer.authenticate).
+    */
+  val authSwitchSalt: Array[Byte] = (1 to 20).map(_.toByte).toArray
+
   /** Auth switch request (message.rs:96): 0xfe + plugin + salt. */
   def authSwitch(): Array[Byte] = {
     val b = buf()
     b.write(0xfe)
     b.write("mysql_native_password".getBytes("UTF-8")); b.write(0)
-    (1 to 20).foreach(i => b.write(i))
+    b.write(authSwitchSalt, 0, authSwitchSalt.length)
     b.write(0)
     b.toByteArray
   }

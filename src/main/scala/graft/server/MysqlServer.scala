@@ -119,11 +119,26 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     // new-params-bound=0 with NO type block on every later execute
     val stmtTypes = mutable.Map.empty[Int, Array[Int]]
     try {
-      // handshake → client response → auth switch → auth data → OK
+      // handshake → client response → auth switch → auth data → OK/ERR.
+      // The auth-switch salt supersedes the handshake's, so the scramble
+      // check runs against Messages.authSwitchSalt (the reference's
+      // handle.rs accepts any credentials; verifying the native-password
+      // scramble against the seeded mysql.user exceeds it honestly).
       io.write(Messages.handshake(connId))
-      if (io.read() == null) return
+      val login = io.read()
+      if (login == null) return
+      val user = loginUser(login)
       io.write(Messages.authSwitch())
-      if (io.read() == null) return
+      val authData = io.read()
+      if (authData == null) return
+      if (!authenticate(session, user, authData)) {
+        io.write(Messages.err(1045, "28000",
+          s"Access denied for user '$user'@'${socket.getInetAddress
+            .getHostAddress}' (using password: ${
+            if (authData.nonEmpty && !(authData.length == 1 && authData(0) == 0))
+              "YES" else "NO"})"))
+        return
+      }
       io.write(Messages.ok(0, 0, "success"))
 
       var open = true
@@ -235,14 +250,33 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
               longData.filterInPlace { case ((sid, _), _) => sid != id }
             }
             io.write(Messages.ok(0))
-          case 0x11 => // COM_CHANGE_USER: fresh session state on the same
-            // connection (auth is unchecked, like the original handshake)
-            stmts.clear()
-            stmtTypes.clear()
-            longData.clear()
-            session =
-              new GraftSession(spark.newSession(), warehouse, filePrivRoot)
-            io.write(Messages.ok(0))
+          case 0x11 => // COM_CHANGE_USER: re-authenticate (auth switch +
+            // scramble check, same as the connection handshake), then
+            // fresh session state on the same connection
+            val cuEnd0 = {
+              var j = 1
+              while (j < packet.length && packet(j) != 0) j += 1
+              j
+            }
+            val cuUser =
+              new String(packet, 1, cuEnd0 - 1, "UTF-8").trim
+            io.write(Messages.authSwitch())
+            val cuAuth = io.read()
+            if (cuAuth == null) open = false
+            else if (!authenticate(session, cuUser, cuAuth))
+              io.write(Messages.err(1045, "28000",
+                s"Access denied for user '$cuUser'@'${socket.getInetAddress
+                  .getHostAddress}' (using password: ${
+                  if (cuAuth.nonEmpty && !(cuAuth.length == 1 && cuAuth(0) == 0))
+                    "YES" else "NO"})"))
+            else {
+              stmts.clear()
+              stmtTypes.clear()
+              longData.clear()
+              session =
+                new GraftSession(spark.newSession(), warehouse, filePrivRoot)
+              io.write(Messages.ok(0))
+            }
           case other =>
             io.write(Messages.err(1047, "08S01",
               s"Unknown command: 0x${other.toHexString}"))
@@ -354,6 +388,76 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
         io.write(Messages.err(se.code, se.sqlState, msg))
       case _ => io.write(Messages.err(1105, "HY000", msg))
     }
+  }
+
+  // ---- mysql_native_password authentication -------------------------------
+
+  /** Username from a HandshakeResponse41: capabilities(4) + max-packet(4)
+    * + charset(1) + 23 reserved bytes, then the NUL-terminated user. A
+    * packet too short to carry one yields "" (unknown → access denied).
+    */
+  private def loginUser(packet: Array[Byte]): String = {
+    if (packet.length <= 32) return ""
+    var end = 32
+    while (end < packet.length && packet(end) != 0) end += 1
+    new String(packet, 32, end - 32, "UTF-8")
+  }
+
+  /** Verify the auth-switch scramble response against the seeded
+    * mysql.user privilege table (Catalog seeds root@'%' passwordless).
+    * authentication_string holds '*' + hex SHA1(SHA1(password)) — the
+    * mysql_native_password storage format; empty/NULL means a
+    * passwordless account, which accepts only an EMPTY response (a
+    * client that sent a scramble typed a password the account lacks).
+    * The collect() is a bounded privilege-table point lookup on the
+    * control plane (rows = number of accounts), not a data-plane scan.
+    */
+  private def authenticate(session: GraftSession, user: String,
+                           response: Array[Byte]): Boolean = {
+    val stored: Option[String] =
+      try {
+        val users = session.catalog.read("mysql", "user")
+        val hasCol = users.schema.fieldNames.contains("authentication_string")
+        users.filter(org.apache.spark.sql.functions.col("User") === user)
+          .collect().headOption.map { r =>
+            if (!hasCol) "" // warehouse seeded before the column existed
+            else {
+              val i = r.fieldIndex("authentication_string")
+              if (r.isNullAt(i)) "" else r.getString(i)
+            }
+          }
+      } catch { case NonFatal(_) => None }
+    val noPassword =
+      response.isEmpty || (response.length == 1 && response(0) == 0)
+    stored match {
+      case None       => false // unknown user
+      case Some("")   => noPassword
+      case Some(hash) => nativePasswordOk(hash, response)
+    }
+  }
+
+  /** mysql_native_password check: the client sends
+    * SHA1(pwd) XOR SHA1(salt + SHA1(SHA1(pwd))); we store
+    * SHA1(SHA1(pwd)), so XOR-ing the mask back out recovers SHA1(pwd)
+    * and one more SHA1 must reproduce the stored digest exactly.
+    */
+  private def nativePasswordOk(storedHex: String,
+                               response: Array[Byte]): Boolean = {
+    val hex = storedHex.stripPrefix("*")
+    if (response.length != 20 || hex.length != 40) return false
+    val stored =
+      try hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      catch { case _: NumberFormatException => return false }
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(Messages.authSwitchSalt)
+    md.update(stored)
+    val mask = md.digest()
+    val sha1Pwd = new Array[Byte](20)
+    var i = 0
+    while (i < 20) { sha1Pwd(i) = (response(i) ^ mask(i)).toByte; i += 1 }
+    java.security.MessageDigest.isEqual(
+      java.security.MessageDigest.getInstance("SHA-1").digest(sha1Pwd),
+      stored)
   }
 
   /** SHOW COLUMNS `Type` strings → wire type code input. */

@@ -29,14 +29,18 @@ class MysqlServerSpec extends AnyFunSuite {
   case class ResultSet(columns: Seq[String],
                        rows: Seq[Seq[Option[String]]]) extends Response
 
-  final class Client(port: Int = server.boundPort) {
+  final class Client(port: Int = server.boundPort, user: String = "root",
+                     password: String = "", mustAuth: Boolean = true) {
     private val socket = new Socket("127.0.0.1", port)
     private val in = new DataInputStream(socket.getInputStream)
     private val out = new BufferedOutputStream(socket.getOutputStream)
     private var seq = 0
     var connId: Int = -1
+    /** ERR from the handshake when authentication was rejected. */
+    var authErr: Option[Err] = None
 
-    // server handshake → empty auth response → auth switch → empty → OK
+    // server handshake → HandshakeResponse41 → auth switch → scramble →
+    // OK (or ERR 1045 when the credentials don't verify)
     locally {
       val hs = read()
       assert((hs(0) & 0xff) == 10, "protocol version 10")
@@ -45,13 +49,51 @@ class MysqlServerSpec extends AnyFunSuite {
       val vEnd = hs.indexOf(0.toByte, 1)
       connId = (hs(vEnd + 1) & 0xff) | ((hs(vEnd + 2) & 0xff) << 8) |
         ((hs(vEnd + 3) & 0xff) << 16) | ((hs(vEnd + 4) & 0xff) << 24)
-      write(Array[Byte](0, 0, 0, 0)) // handshake response (auth unchecked)
+      write(loginPacket(user))
       val switch = read()
       assert((switch(0) & 0xff) == 0xfe, "auth switch request")
-      write(Array[Byte](0))
-      val ok = read()
-      assert((ok(0) & 0xff) == 0x00, "post-auth OK")
+      write(scramble(password, switch))
+      val reply = read()
+      if ((reply(0) & 0xff) == 0xff) authErr = Some(parseErr(reply))
+      if (mustAuth)
+        assert(authErr.isEmpty && (reply(0) & 0xff) == 0x00,
+          s"post-auth OK, got $authErr")
     }
+
+    /** HandshakeResponse41: capabilities, max packet, charset, 23 zeros,
+      * NUL-terminated user, empty lenc auth response (the server re-asks
+      * through the auth switch).
+      */
+    private def loginPacket(u: String): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      b.write(0x0d); b.write(0xa6); b.write(0x3f); b.write(0x00)
+      (0 until 4).foreach(_ => b.write(0))
+      b.write(46)
+      (0 until 23).foreach(_ => b.write(0))
+      b.write(u.getBytes("UTF-8")); b.write(0)
+      b.write(0)
+      b.toByteArray
+    }
+
+    /** mysql_native_password scramble: SHA1(pwd) XOR
+      * SHA1(salt + SHA1(SHA1(pwd))) against the salt in the auth-switch
+      * packet (after the NUL-terminated plugin name). Empty password =
+      * empty response.
+      */
+    private def scramble(pwd: String, switchPkt: Array[Byte]): Array[Byte] =
+      if (pwd.isEmpty) Array.empty
+      else {
+        val nul = switchPkt.indexOf(0.toByte, 1)
+        val salt = java.util.Arrays.copyOfRange(switchPkt, nul + 1, nul + 21)
+        def sha1(bs: Array[Byte]*) = {
+          val md = java.security.MessageDigest.getInstance("SHA-1")
+          bs.foreach(md.update)
+          md.digest()
+        }
+        val h1 = sha1(pwd.getBytes("UTF-8"))
+        val mask = sha1(salt, sha1(h1))
+        h1.zip(mask).map { case (a, b) => (a ^ b).toByte }
+      }
 
     private def read(): Array[Byte] = {
       val header = new Array[Byte](4)
@@ -349,8 +391,13 @@ class MysqlServerSpec extends AnyFunSuite {
       response()
     }
 
-    def changeUser(): Response = {
-      command(0x11, "root ".getBytes("UTF-8"))
+    def changeUser(u: String = "root", pwd: String = ""): Response = {
+      val b = new ByteArrayOutputStream()
+      b.write(u.getBytes("UTF-8")); b.write(0)
+      command(0x11, b.toByteArray)
+      val switch = read()
+      assert((switch(0) & 0xff) == 0xfe, "change-user auth switch")
+      write(scramble(pwd, switch))
       response()
     }
 
@@ -542,6 +589,53 @@ class MysqlServerSpec extends AnyFunSuite {
     assert(!tabs.rows.flatten.flatten.contains("cu_t"))
     assert(c.initDb("wirecu").isInstanceOf[Ok]) // connection still usable
     c.quit()
+  }
+
+  test("mysql_native_password: good password in, bad password 1045 out") {
+    // provision an account WITH a password through the wire itself:
+    // authentication_string = '*' + hex SHA1(SHA1(pwd)), MySQL's storage
+    // format. mysql.user is an ordinary table, so plain DML provisions.
+    def sha1(bs: Array[Byte]) =
+      java.security.MessageDigest.getInstance("SHA-1").digest(bs)
+    val hash = "*" + sha1(sha1("s3cret".getBytes("UTF-8")))
+      .map("%02X".format(_)).mkString
+    val admin = new Client()
+    assert(admin.query("insert into mysql.user values ('%','alice'," +
+      s"'Y','Y','Y','Y','Y','Y','N','N','$hash')") == Ok(1))
+
+    // right password: session opens and runs queries
+    val alice = new Client(user = "alice", password = "s3cret")
+    assert(alice.authErr.isEmpty)
+    assert(alice.query("select 1 as one").asInstanceOf[ResultSet]
+      .rows == Seq(Seq(Some("1"))))
+    alice.quit()
+
+    // wrong password / no password / unknown user: ER_ACCESS_DENIED 1045
+    val wrong = new Client(user = "alice", password = "nope", mustAuth = false)
+    assert(wrong.authErr.exists(e => e.code == 1045 &&
+      e.message.contains("using password: YES")), s"got ${wrong.authErr}")
+    val none = new Client(user = "alice", password = "", mustAuth = false)
+    assert(none.authErr.exists(e => e.code == 1045 &&
+      e.message.contains("using password: NO")), s"got ${none.authErr}")
+    val ghost = new Client(user = "nobody", password = "x", mustAuth = false)
+    assert(ghost.authErr.exists(_.code == 1045), s"got ${ghost.authErr}")
+    // root's scramble against its (empty) password is ALSO denied — a
+    // password was typed for a passwordless account
+    val rootPwd = new Client(user = "root", password = "guess",
+      mustAuth = false)
+    assert(rootPwd.authErr.exists(_.code == 1045), s"got ${rootPwd.authErr}")
+
+    // COM_CHANGE_USER re-authenticates: alice's password on the same
+    // connection works; a wrong one is denied and the connection lives
+    val cu = new Client()
+    assert(cu.changeUser("alice", "s3cret").isInstanceOf[Ok])
+    cu.changeUser("alice", "wrong") match {
+      case Err(code, _) => assert(code == 1045)
+      case other        => fail(s"expected 1045, got $other")
+    }
+    assert(cu.query("select 1 as one").isInstanceOf[ResultSet])
+    cu.quit()
+    admin.quit()
   }
 
   test("re-execute with new-params-bound=0 reuses the first execute's types") {
