@@ -667,14 +667,18 @@ class Catalog(spark: SparkSession, val warehouse: String) {
 
   /** Called by DML after committing tombstones; compacts when the policy
     * triggers. Returns whether a compaction ran. Never invoked from
-    * `rewrite` itself, so compaction cannot re-enter.
+    * `rewrite` itself, so compaction cannot re-enter. GraftSession passes
+    * the session's graft_auto_compact_* variables; the defaults serve
+    * direct programmatic callers.
     */
-  def maybeAutoCompact(db: String, t: String): Boolean = {
+  def maybeAutoCompact(db: String, t: String,
+                       minTombstones: Long = autoCompactMinTombstones,
+                       ratio: Double = autoCompactRatio): Boolean = {
     val m = meta(db, t)
     if (!m.mergeOnRead) return false
     val dels = activeTombstoneRows(db, t)
-    val trigger = dels >= autoCompactMinTombstones &&
-      dels >= autoCompactRatio * footerRowCount(currentVersionDir(db, t))
+    val trigger = dels >= minTombstones &&
+      dels >= ratio * footerRowCount(currentVersionDir(db, t))
     if (trigger) compact(db, t)
     trigger
   }

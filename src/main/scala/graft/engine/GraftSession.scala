@@ -309,7 +309,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           catalog.appendDeletes(db, t, keys, seq)
           catalog.append(db, t,
             deduped.sortWithinPartitions(pkCols: _*), seqOpt = Some(seq))
-          catalog.maybeAutoCompact(db, t)
+          autoCompact(db, t)
         }
         }
         ()
@@ -797,7 +797,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           val seq = catalog.nextSeq(db, t)
           if (nReplaced > 0) catalog.appendDeletes(db, t, keys, seq)
           catalog.append(db, t, sorted, seqOpt = Some(seq))
-          catalog.maybeAutoCompact(db, t)
+          autoCompact(db, t)
         } else if (nReplaced > 0) {
           catalog.rewrite(db, t,
             existing.join(keys.hint("broadcast"), m.pk, "left_anti")
@@ -897,7 +897,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         catalog.appendDeletes(db, t,
           matched.select(m.pk.map(k => col(s"`$k`")): _*), seq)
         catalog.append(db, t, upd, seqOpt = Some(seq))
-        catalog.maybeAutoCompact(db, t)
+        autoCompact(db, t)
       }
       count(affected)
     } finally {
@@ -938,7 +938,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
             val affected = matched.count()
             if (affected > 0) {
               catalog.appendDeletes(db, t, matched, seq)
-              catalog.maybeAutoCompact(db, t)
+              autoCompact(db, t)
             }
             count(affected)
           } finally matched.unpersist()
@@ -961,6 +961,19 @@ class GraftSession(val spark: SparkSession, warehouse: String,
   private val SetUserR = "(?is)set\\s+@(\\w+)\\s*:?=\\s*(.+)".r
   private val SetR =
     "(?is)set\\s+(global\\s+|session\\s+)?@?@?([\\w.]+)\\s*=\\s*(.+)".r
+  /** Merge-on-read auto-compaction after a tombstone-writing DML, with
+    * the policy read from the graft_auto_compact_* system variables
+    * (SET for this session, SET GLOBAL durably for the warehouse) —
+    * SURVEY §5's tombstone-bytes-vs-reread knob, production default ON.
+    */
+  private def autoCompact(db: String, t: String): Unit = {
+    val minT = variables.get("graft_auto_compact_min_tombstones")
+      .flatMap(_.toLongOption).getOrElse(catalog.autoCompactMinTombstones)
+    val ratio = variables.get("graft_auto_compact_ratio")
+      .flatMap(_.toDoubleOption).getOrElse(catalog.autoCompactRatio)
+    catalog.maybeAutoCompact(db, t, minT, ratio)
+  }
+
   private def setVariable(stmt: String): DataFrame = stmt match {
     case SetUserR(name, value) =>
       userVars(name.toLowerCase) = value.trim; count(0)

@@ -45,7 +45,13 @@ class Variables(backing: Option[Path] = None) {
     "time_zone"                -> "SYSTEM",
     // empty = unrestricted file import/export (embedded default); the
     // wire server overrides per session with its sandbox root
-    "secure_file_priv"         -> ""
+    "secure_file_priv"         -> "",
+    // merge-on-read auto-compaction policy (graft extension): fold
+    // tombstones inline after a DML once their count crosses BOTH the
+    // absolute floor and the ratio of base data rows. SET GLOBAL makes
+    // a new policy durable for the warehouse.
+    "graft_auto_compact_min_tombstones" -> "10000",
+    "graft_auto_compact_ratio"          -> "0.2"
   )
 
   private val session = mutable.Map.empty[String, String]

@@ -155,26 +155,45 @@ class MergeOnReadSpec extends AnyFunSuite {
     g.sql("delete from ac where id = 1")
     assert(tombstoneFiles(wh, "ac").nonEmpty)
     assert(logLines(wh, "ac") == Seq("v1\tcreate"))
-    // tighten the policy: >= 2 tombstones and >= 20% of data rows
-    val cat = g.catalog
-    val (oldMin, oldRatio) = (cat.autoCompactMinTombstones, cat.autoCompactRatio)
-    cat.autoCompactMinTombstones = 2
-    cat.autoCompactRatio = 0.2
-    try {
-      g.sql("delete from ac where id = 2") // 2 tombstones / 5 rows = 40%
-      assert(activeTombstones(wh, "ac").isEmpty, "policy breach compacts inline")
-      assert(logLines(wh, "ac") == Seq("v1\tcreate", "v2\trewrite"))
-      assert(rows(g, "select id from ac order by id")
-        == Seq(Seq("3"), Seq("4"), Seq("5")))
-      // an UPDATE's tombstone rides the same trigger
-      g.sql("update ac set v = 0 where id >= 3") // 3 tombstones / 3+3 rows
-      assert(activeTombstones(wh, "ac").isEmpty)
-      assert(rows(g, "select id, v from ac order by id")
-        == Seq(Seq("3", "0"), Seq("4", "0"), Seq("5", "0")))
-    } finally {
-      cat.autoCompactMinTombstones = oldMin
-      cat.autoCompactRatio = oldRatio
-    }
+    // tighten the policy over SQL: >= 2 tombstones and >= 20% of data
+    // rows (session scope — SET GLOBAL would make it warehouse-durable)
+    g.sql("set graft_auto_compact_min_tombstones = 2")
+    g.sql("set graft_auto_compact_ratio = 0.2")
+    g.sql("delete from ac where id = 2") // 2 tombstones / 5 rows = 40%
+    assert(activeTombstones(wh, "ac").isEmpty, "policy breach compacts inline")
+    assert(logLines(wh, "ac") == Seq("v1\tcreate", "v2\trewrite"))
+    assert(rows(g, "select id from ac order by id")
+      == Seq(Seq("3"), Seq("4"), Seq("5")))
+    // an UPDATE's tombstone rides the same trigger
+    g.sql("update ac set v = 0 where id >= 3") // 3 tombstones / 3+3 rows
+    assert(activeTombstones(wh, "ac").isEmpty)
+    assert(rows(g, "select id, v from ac order by id")
+      == Seq(Seq("3", "0"), Seq("4", "0"), Seq("5", "0")))
+  }
+
+  test("DELETE storm auto-compacts; the merged view stays exchange-free after") {
+    val (g, wh) = freshSession()
+    g.sql("create table st (id int, v int, primary key(id))")
+    g.sql("insert into st values " +
+      (1 to 40).map(i => s"($i,$i)").mkString(","))
+    g.sql("set graft_auto_compact_min_tombstones = 8")
+    g.sql("set graft_auto_compact_ratio = 0.2")
+    // a storm of single-row DELETEs: tombstones accumulate below the
+    // floor, then the 8th (8/40 = 20%) folds the whole storm inline
+    (1 to 7).foreach(i => g.sql(s"delete from st where id = $i"))
+    assert(activeTombstones(wh, "st").nonEmpty, "below the floor: no churn")
+    g.sql("delete from st where id = 8")
+    assert(activeTombstones(wh, "st").isEmpty, "storm folded inline")
+    assert(rows(g, "select count(*) as n from st") == Seq(Seq("32")))
+    // the auto-compaction used the bucketed layout: pk joins and pk
+    // aggregations over the merged view run with no data-side Exchange
+    assert(g.catalog.bucketCount("mor", "st") > 0, "compacted layout not bucketed")
+    val plan = g.sql(
+      "select a.id from st a join st b on a.id = b.id where b.v > 0")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"pk join over compacted view shuffled:\n$plan")
   }
 
   test("regression: rows with a NULL pk component are still maskable (null-safe merge)") {
