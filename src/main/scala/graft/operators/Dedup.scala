@@ -179,6 +179,83 @@ object Dedup {
     result
   }
 
+  /** Connected components with adaptive dispatch — the q54 production
+    * entry point. The VERIFIED near-dup pair graph is orders of magnitude
+    * smaller than the corpus (the whole point of dedup: most documents
+    * pair with nothing), so the common case fits one task: union-find
+    * with path compression over the staged edge list, a single fused job
+    * with no per-round scheduling at all. Graphs past `smallEdgeLimit`
+    * edges (or with non-integral ids) take `keepersStar`, the
+    * diameter-independent iterative path. Both produce the identical
+    * (doc_id, keeper = component-minimum id) frame, so callers and
+    * oracles never see which side ran — the same correctness-gated
+    * adaptivity pattern as Ann.centroidCountFor/lshBitsFor.
+    *
+    * The limit bounds ONE task's memory (two long maps over edges+nodes,
+    * ~100 MB at the default 1M edges) — at 100 TB a pair graph past it
+    * means near-dup structure heavy enough that the O(log²|V|) star
+    * rounds are worth their scheduling cost.
+    */
+  def keepersAuto(pairs: DataFrame,
+                  smallEdgeLimit: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integralIds = pairs.schema("doc_a").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _                                             => false
+    }
+    // one eager materialization feeds the size probe AND whichever CC
+    // path runs (the pair subtree is the expensive minhash pipeline)
+    val staged = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    if (integralIds && staged.count() <= smallEdgeLimit)
+      keepersFused(staged)
+    else keepersStar(staged)
+  }
+
+  /** Single-task union-find over an integral-id pair list: keeper = the
+    * set minimum by rooting every union at the smaller id (path halving
+    * keeps chains amortized-flat). One narrow coalesce — no shuffle, no
+    * rounds. Returned frame is materialized (contract parity with
+    * `keepers`/`keepersStar`); caller unpersists.
+    */
+  private[operators] def keepersFused(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val idType = pairs.schema("doc_a").dataType
+    val result = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val gp = parent.getOrElse(p, p)
+            parent(x) = gp // path halving
+            x = p; p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        val seen = scala.collection.mutable.LongMap.empty[Unit]
+        it.foreach { case (a, b) =>
+          seen(a) = (); seen(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        seen.keysIterator.map(x => (x, find(x)))
+      }
+      .toDF("doc_id", "keeper")
+      // ids went through long for the union-find maps; restore the
+      // caller's exact column type so the fused path is schema-invisible
+      .select(col("doc_id").cast(idType), col("keeper").cast(idType))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    result
+  }
+
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014) — the scale path for `keepers`: converges in O(log²

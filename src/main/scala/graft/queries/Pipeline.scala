@@ -629,12 +629,14 @@ object Pipeline {
         .minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleK = 5, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
-      // label propagation here: near-dup components are shallow at bench
-      // scale, where star contraction's extra per-round jobs (~6 vs ~2)
-      // cost more than its diameter-independent round bound saves.
-      // keepersStar is the 100 TB path for chain-shaped components and
-      // is spec-pinned equal to this on the same pair graph.
-      graft.operators.Dedup.keepers(pairs)
+      // adaptive CC dispatch: the VERIFIED pair graph is tiny relative
+      // to the corpus (256 pairs from 6k docs at bench scale), so the
+      // common case runs union-find in one fused task — zero per-round
+      // scheduling, the cost that made this query ~15% of the bench.
+      // Past the edge limit it switches to the diameter-independent
+      // star rounds. All three CC paths are spec-pinned equal; the
+      // oracle's transitive closure never sees which one ran.
+      graft.operators.Dedup.keepersAuto(pairs)
         .orderBy(col("doc_id"))
     },
     Some("""WITH RECURSIVE sh AS (

@@ -230,8 +230,48 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaStar = Dedup.keepersStar(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAuto = Dedup.keepersAuto(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     corpus.unpersist()
     assert(viaStar == viaProp)
+    assert(viaAuto == viaProp)
+  }
+
+  test("keepersAuto: fused union-find == iterative paths on every shape") {
+    import graft.operators.Dedup
+    def fused(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      // force the fused path regardless of size (limit far above input)
+      val df = Dedup.keepersAuto(pairs.toDF("doc_a", "doc_b"))
+      val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      df.unpersist(); m
+    }
+    def viaStar(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val df = Dedup.keepersStar(pairs.toDF("doc_a", "doc_b"))
+      val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      df.unpersist(); m
+    }
+    val shapes = Seq(
+      (1L until 60L).map(i => (i, i + 1)),                  // deep chain
+      Seq((5L, 1L), (5L, 9L), (5L, 3L)),                    // star, root mid
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 3L)),          // merged chains
+      Seq((7L, 7L), (8L, 9L), (9L, 8L)))                    // self-loop, dup
+    shapes.foreach(p => assert(fused(p) == viaStar(p), s"shape $p"))
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(500)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+    assert(fused(random) == viaStar(random))
+    // past the edge limit the dispatch goes iterative — same answer
+    val big = (1L to 50L).map(i => (i, i + 1))
+    val viaLimit = Dedup.keepersAuto(big.toDF("doc_a", "doc_b"),
+      smallEdgeLimit = 4)
+    val m = viaLimit.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaLimit.unpersist()
+    assert(m == viaStar(big))
+    // the fused path preserves the caller's id type (ints stay ints)
+    val ints = Seq((1, 2), (2, 3)).toDF("doc_a", "doc_b")
+    val intOut = Dedup.keepersAuto(ints)
+    assert(intOut.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    intOut.unpersist()
   }
 
   test("asofJoin picks the latest right row at-or-before each left ts, per key") {

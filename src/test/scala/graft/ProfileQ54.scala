@@ -20,8 +20,8 @@ object ProfileQ54 {
       println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
     }
     t(spark, dir, "documents").count() // warm handles
-    // steady state: run everything twice, report the second
-    for (round <- 1 to 2) {
+    // steady state: run everything thrice, report the later rounds
+    for (round <- 1 to 3) {
       val pairs = graft.operators.Dedup
         .minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
           shingleK = 5, threshold = 0.5)
