@@ -47,10 +47,21 @@ def shift_text(s: str, k: int) -> str:
             out.append(chr(48 + (o - 48 + k) % 10))
         else:
             out.append(ch)
+    # The Caesar shift repeats mod 26, and the corpus is letter-only
+    # tokens — replicas i and i+26 would be BIT-IDENTICAL (measured:
+    # 100% of 5-token shingles are digit-free), silently doubling every
+    # cross-replica dedup structure at sf5. The second 26-block reverses
+    # the string: shingle windows of a reversed doc map bijectively onto
+    # reversed shingles of the original, so WITHIN a replica every
+    # pairwise jaccard is exactly preserved, while across blocks shingle
+    # strings share ~nothing. Supports up to 52 distinct replicas.
+    if (k // 26) % 2 == 1:
+        out.reverse()
     return "".join(out)
 
 def main():
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    assert n <= 52, "text decorrelation (Caesar x reversal) supports <= 52 replicas"
     import os
     os.makedirs(dst, exist_ok=True)
     import shutil
