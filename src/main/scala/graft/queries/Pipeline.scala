@@ -106,13 +106,24 @@ object Pipeline {
 
   // ---- D4: n-gram Jaccard pair similarity (exact, oracled) ---------------
   // The exact-verification primitive: 3-gram jaccard over an explicit
-  // candidate subset (doc_id < 150). At scale candidates come from q31's
-  // LSH buckets, never from a corpus cross-join.
+  // candidate subset. At scale candidates come from q31's LSH buckets,
+  // never from a corpus cross-join. The subset here is the fixed id
+  // window (keeps the near-dup pairs the small-SF corpora carry) UNION
+  // every member of an exact-duplicate md5 group — a keyed groupBy +
+  // broadcast semi-join, both linear — so the pairwise stage stays
+  // candidate-bounded yet non-vacuous at EVERY scale (the id window
+  // alone went empty past sf0.01: the generated dup groups sit at high
+  // doc_ids there).
   private val q33 = Qdef(
     "q33_ngram_jaccard",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .filter(col("doc_id") < 150)
+      val all = t(s, dir, "documents").withColumn("m", md5(col("text")))
+      val dupM = all.groupBy(col("m")).count()
+        .filter(col("count") > 1).select(col("m"))
+      val cand = all.filter(col("doc_id") < 150)
+        .unionByName(all.join(broadcast(dupM), Seq("m"), "left_semi"))
+        .dropDuplicates("doc_id")
+      val docs = cand
         .select(col("doc_id"), textShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
       val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -124,11 +135,14 @@ object Pipeline {
         .filter(col("jaccard") >= 0.05)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""WITH sh AS (
+    Some("""WITH cand AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 150 OR md5(text) IN
+        (SELECT md5(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)),
+    sh AS (
       SELECT doc_id,
         list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-            WHERE doc_id < 150)
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM cand)
       WHERE len(toks) >= 3)
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

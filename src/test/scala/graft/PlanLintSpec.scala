@@ -25,12 +25,15 @@ class PlanLintSpec extends AnyFunSuite {
     *         plan shows no join at all)
     *  - q60: one-row broadcast max-source-mass aggregate
     *  - q61: one-row broadcast top-V vocabulary array
+    *  - q67: one-row broadcast kmeans-refined codebook (ivfTopKWith) —
+    *         same shape as q43, the codebook just comes from Lloyd
+    *         rounds instead of the modulo sample
     * (q19's one-row global-max cross join needs no exemption: Catalyst
     * pushes the equality filter into it, planning a BroadcastHashJoin.)
     */
   private val bnljAllowed = Set("q14_join_cross", "q33_ngram_jaccard",
     "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf",
-    "q57_kmeans", "q60_mixing", "q61_vocab")
+    "q57_kmeans", "q60_mixing", "q61_vocab", "q67_ann_ivf_kmeans")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
