@@ -15,6 +15,12 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
+# The sf5 ANN/cluster oracles (codebook x corpus argmin replays)
+# materialize >125 GB unbounded; a limit + temp dir lets DuckDB spill
+# instead of getting OOM-killed. GRAFT_CHECK_MEMLIMIT overrides.
+import os
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEMLIMIT', '80GB')}'")
+con.execute("SET temp_directory='/tmp/duck_spill'")
 for t in TABLES:
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
