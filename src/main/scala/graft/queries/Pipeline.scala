@@ -453,6 +453,148 @@ object Pipeline {
       FROM cand)
     WHERE rn <= 10 ORDER BY q_id, rn"""))
 
+  // ---- D6+D7+D7b: ANN recall audit ---------------------------------------
+  // An approximate index without a measured recall is not a production
+  // operator: this query grades BOTH approximate ANN paths — hyperplane
+  // LSH (q36's exact operator + adaptive band width) and IVF probe
+  // (q43's) — against the exact brute-force top-10 ground truth (q35's),
+  // reporting hits/truth per method. LSH is graded on the truth pairs at
+  // or above its own verify threshold (pairs it is designed to discard
+  // are not misses); IVF on the full top-10. The audit calls the same
+  // operator entry points the oracled queries use, so it exercises the
+  // production plans, and every count is an exact BIGINT — the recall
+  // division is one correctly-rounded op on identical integers in both
+  // engines. At 100 TB this runs as a sampled side-channel (a bounded
+  // query batch against the same index build), which is exactly the
+  // shape here: nothing in it is corpus × corpus beyond what the graded
+  // operators themselves do.
+  private val q68 = Qdef(
+    "q68_ann_recall",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val n = t(s, dir, "embeddings").count()
+      val truth = graft.operators.Ann
+        .bruteForceTopK(embs, embs.filter(col("id") < 10), k = 10)
+      val lsh = graft.operators.Ann
+        .lshPairs(embs, planes = 32, bands = 4, threshold = 0.3,
+          bitsPerBand = graft.operators.Ann.lshBitsFor(n))
+      val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
+      val ivf = graft.operators.Ann
+        .ivfTopK(embs, queryFilter = col("vec_id") < 10,
+          centroidFilter = col("vec_id") % stride === 0, nprobe = 4, k = 10)
+
+      val ivfStats = truth.select(col("q_id"), col("neighbor"))
+        .join(ivf.select(col("q_id"), col("neighbor"), lit(1).as("hit")),
+          Seq("q_id", "neighbor"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(lit("ivf").as("method"), col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+      val lshStats = truth.filter(col("cos_sim") >= 0.3)
+        .select(least(col("q_id"), col("neighbor")).as("ka"),
+          greatest(col("q_id"), col("neighbor")).as("kb"))
+        .join(lsh.select(col("vec_a").as("ka"), col("vec_b").as("kb"),
+          lit(1).as("hit")), Seq("ka", "kb"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(lit("lsh").as("method"), col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+      ivfStats.union(lshStats).orderBy(col("method"))
+    },
+    Some("""WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    truth AS (
+      SELECT q_id, neighbor, cos_sim FROM (
+        SELECT qs.vec_id AS q_id, c.vec_id AS neighbor,
+          list_dot_product(qs.qv, c.qv) /
+            sqrt(list_dot_product(qs.qv, qs.qv) * list_dot_product(c.qv, c.qv)) AS cos_sim,
+          ROW_NUMBER() OVER (PARTITION BY qs.vec_id ORDER BY
+            list_dot_product(qs.qv, c.qv) /
+            sqrt(list_dot_product(qs.qv, qs.qv) * list_dot_product(c.qv, c.qv)) DESC,
+            c.vec_id) AS rn
+        FROM q qs JOIN q c ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id)
+      WHERE rn <= 10),
+    params AS (
+      SELECT CASE WHEN COUNT(*) <= 75 * 16 THEN 4
+                  WHEN COUNT(*) <= 75 * 32 THEN 5
+                  WHEN COUNT(*) <= 75 * 64 THEN 6
+                  WHEN COUNT(*) <= 75 * 128 THEN 7
+                  ELSE 8 END AS bits
+      FROM q),
+    signs AS (
+      SELECT tp.p, td.d,
+        (('0x' || substring(md5(tp.p || ':' || td.d), 1, 1))::INT % 2) * 2 - 1 AS s
+      FROM UNNEST(range(0, 32)) AS tp(p), UNNEST(range(0, 64)) AS td(d)),
+    projs AS (
+      SELECT v.vec_id, s.p, SUM(v.qv[s.d + 1] * s.s) AS proj
+      FROM q v, signs s GROUP BY v.vec_id, s.p),
+    sigs AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN proj >= 0 THEN CAST(CAST(1 AS UBIGINT) << p AS HUGEINT)
+                      ELSE 0 END) AS UBIGINT) AS sig
+      FROM projs GROUP BY vec_id),
+    banded AS (
+      SELECT s.vec_id, q.qv, tb.b AS band,
+        (s.sig >> (8 * tb.b)) & ((CAST(1 AS UBIGINT) << (SELECT bits FROM params)) - 1) AS bval
+      FROM sigs s JOIN q USING (vec_id), UNNEST(range(0, 4)) AS tb(b)),
+    lshp AS (
+      SELECT vec_a, vec_b FROM (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_dot_product(a.qv, b.qv) /
+            sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS cos_sim
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
+      WHERE cos_sim >= 0.3),
+    cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
+              WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
+                GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
+    scored AS (
+      SELECT q.vec_id, q.qv, c.c_id,
+        list_dot_product(q.qv, c.c_qv) /
+          sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) AS c_cos
+      FROM q CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, qv, c_id AS cell FROM (
+        SELECT vec_id, qv, c_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
+        FROM scored) WHERE crn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, qv AS q_qv, c_id AS cell FROM (
+        SELECT vec_id, qv, c_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS prn
+        FROM scored WHERE vec_id < 10) WHERE prn <= 4),
+    cand AS (
+      SELECT DISTINCT p.q_id, a.vec_id AS neighbor,
+        list_dot_product(p.q_qv, a.qv) /
+          sqrt(list_dot_product(p.q_qv, p.q_qv) * list_dot_product(a.qv, a.qv)) AS cos_sim
+      FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+    ivfk AS (
+      SELECT q_id, neighbor FROM (
+        SELECT q_id, neighbor,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor) AS rn
+        FROM cand) WHERE rn <= 10),
+    ivf_stats AS (
+      SELECT COUNT(*) AS n_truth,
+        CAST(SUM(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM truth t LEFT JOIN ivfk i
+        ON i.q_id = t.q_id AND i.neighbor = t.neighbor),
+    lsh_stats AS (
+      SELECT COUNT(*) AS n_truth,
+        CAST(SUM(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM (SELECT LEAST(q_id, neighbor) AS ka, GREATEST(q_id, neighbor) AS kb
+            FROM truth WHERE cos_sim >= 0.3) t
+        LEFT JOIN lshp l ON l.vec_a = t.ka AND l.vec_b = t.kb)
+    SELECT method, n_truth, n_hits, recall FROM (
+      SELECT 'ivf' AS method, n_truth, n_hits,
+        CAST(n_hits AS DOUBLE) / n_truth AS recall FROM ivf_stats
+      UNION ALL
+      SELECT 'lsh', n_truth, n_hits,
+        CAST(n_hits AS DOUBLE) / n_truth FROM lsh_stats)
+    ORDER BY method"""))
+
   // ---- semi-structured: JSON props extraction ----------------------------
   // events.props is a JSON string; extraction stays codegen'd
   // (get_json_object) and the aggregate is grouped on the extracted key —
@@ -783,5 +925,5 @@ object Pipeline {
     GROUP BY c.doc_id ORDER BY doc_id"""))
 
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44, q47, q48, q49, q50, q54, q55, q56)
+    q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68)
 }

@@ -44,6 +44,22 @@ class PipelineSpec extends AnyFunSuite {
       s"q31 must never go corpus x corpus:\n$plan")
   }
 
+  test("q68 recall audit: sane bounds and an exact-integer ratio") {
+    val rows = Pipeline.all.find(_.name == "q68_ann_recall").get
+      .fn(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "lsh"))
+    for (r <- rows) {
+      val (truth, hits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(truth > 0 && hits >= 0 && hits <= truth,
+        s"${r.getString(0)}: hits $hits out of range for truth $truth")
+      assert(recall == hits.toDouble / truth,
+        s"${r.getString(0)}: recall must be the exact ratio")
+      // both indexes must actually find something at test SF — a recall
+      // of 0 means the audit is vacuous (wrong band width / codebook)
+      assert(recall > 0.0, s"${r.getString(0)}: vacuous recall")
+    }
+  }
+
   test("q43 IVF codebook is broadcast; probe is an equi-join on the cell key") {
     val df = Pipeline.all.find(_.name == "q43_ann_ivf").get.fn(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -28,12 +28,16 @@ class PlanLintSpec extends AnyFunSuite {
     *  - q67: one-row broadcast kmeans-refined codebook (ivfTopKWith) —
     *         same shape as q43, the codebook just comes from Lloyd
     *         rounds instead of the modulo sample
+    *  - q68: the recall audit composes q35's broadcast query batch and
+    *         q43's one-row codebook — both shapes already justified
+    *         above; the audit adds only keyed joins on top
     * (q19's one-row global-max cross join needs no exemption: Catalyst
     * pushes the equality filter into it, planning a BroadcastHashJoin.)
     */
   private val bnljAllowed = Set("q14_join_cross", "q33_ngram_jaccard",
     "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf",
-    "q57_kmeans", "q60_mixing", "q61_vocab", "q67_ann_ivf_kmeans")
+    "q57_kmeans", "q60_mixing", "q61_vocab", "q67_ann_ivf_kmeans",
+    "q68_ann_recall")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
