@@ -45,6 +45,14 @@ object Curation {
     * matching Cluster.kmeansAssignSeeded's arithmetic (argmax ties to
     * the lower centroid id; centroid update = ROUND over an exact
     * BIGINT sum).
+    *
+    * Replay-cost note: the argmax windows deliberately do NOT carry the
+    * 64-element qv list — the n x k scored intermediate holds only
+    * (vec_id, c_id, c_cos) and qv re-joins by vec_id afterward. With qv
+    * inline the sf5 replay materialized >70 GB (DuckDB windows
+    * materialize their input); slimmed, the same intermediate is ~24
+    * bytes/row, which is what makes the oracle gate runnable at the
+    * rehearsal scales at all.
     */
   private val kmeansCtes = """WITH q AS (
       SELECT vec_id,
@@ -54,24 +62,26 @@ object Curation {
            WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
              GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
     a0 AS (
-      SELECT vec_id, qv, cell AS cluster FROM (
-        SELECT q.vec_id, q.qv, c.c_id AS cell,
-          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-            list_dot_product(q.qv, c.c_qv) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) DESC,
-            c.c_id) AS crn
-        FROM q CROSS JOIN c0 c) WHERE crn = 1),
+      SELECT s.vec_id, q.qv, s.cluster FROM (
+        SELECT vec_id, cell AS cluster FROM (
+          SELECT q.vec_id, c.c_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.qv, c.c_qv) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) DESC,
+              c.c_id) AS crn
+          FROM q CROSS JOIN c0 c) WHERE crn = 1) s JOIN q USING (vec_id)),
     ex AS (SELECT cluster, unnest(qv) AS val, unnest(range(len(qv))) AS pos FROM a0),
     c1 AS (
       SELECT cluster AS c_id, list(v ORDER BY pos) AS c_qv FROM (
         SELECT cluster, pos, CAST(ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS v
         FROM ex GROUP BY cluster, pos) GROUP BY cluster),
     a1 AS (
-      SELECT vec_id, qv, cell AS cluster FROM (
-        SELECT q.vec_id, q.qv, c.c_id AS cell,
-          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-            list_dot_product(q.qv, c.c_qv) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) DESC,
-            c.c_id) AS crn
-        FROM q CROSS JOIN c1 c) WHERE crn = 1)"""
+      SELECT s.vec_id, q.qv, s.cluster FROM (
+        SELECT vec_id, cell AS cluster FROM (
+          SELECT q.vec_id, c.c_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.qv, c.c_qv) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) DESC,
+              c.c_id) AS crn
+          FROM q CROSS JOIN c1 c) WHERE crn = 1) s JOIN q USING (vec_id))"""
 
   // ---- D20: k-means embedding clustering (Lloyd, 2 rounds) --------------
   // Assignment is the map-side native argmax over a broadcast codebook

@@ -187,15 +187,16 @@ object Pipeline {
               WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
                 GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
     scored AS (
-      SELECT q.vec_id, q.qv, c.c_id,
+      SELECT q.vec_id, c.c_id,
         list_dot_product(q.qv, c.c_qv) /
           sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) AS c_cos
       FROM q CROSS JOIN cents c),
     assign AS (
-      SELECT vec_id, qv, c_id AS cell FROM (
-        SELECT vec_id, qv, c_id,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
-        FROM scored) WHERE crn = 1)
+      SELECT s.vec_id, q.qv, s.cell FROM (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
+          FROM scored) WHERE crn = 1) s JOIN q USING (vec_id))
     SELECT vec_a, vec_b, cos_sim FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         list_dot_product(a.qv, b.qv) /
@@ -428,20 +429,22 @@ object Pipeline {
               WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
                 GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
     scored AS (
-      SELECT q.vec_id, q.qv, c.c_id,
+      SELECT q.vec_id, c.c_id,
         list_dot_product(q.qv, c.c_qv) /
           sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) AS c_cos
       FROM q CROSS JOIN cents c),
     assign AS (
-      SELECT vec_id, qv, c_id AS cell FROM (
-        SELECT vec_id, qv, c_id,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
-        FROM scored) WHERE crn = 1),
+      SELECT s.vec_id, q.qv, s.cell FROM (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
+          FROM scored) WHERE crn = 1) s JOIN q USING (vec_id)),
     probes AS (
-      SELECT vec_id AS q_id, qv AS q_qv, c_id AS cell FROM (
-        SELECT vec_id, qv, c_id,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS prn
-        FROM scored WHERE vec_id < 10) WHERE prn <= 4),
+      SELECT s.vec_id AS q_id, q.qv AS q_qv, s.cell FROM (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS prn
+          FROM scored WHERE vec_id < 10) WHERE prn <= 4) s JOIN q USING (vec_id)),
     cand AS (
       SELECT DISTINCT p.q_id, a.vec_id AS neighbor,
         list_dot_product(p.q_qv, a.qv) /
@@ -552,20 +555,22 @@ object Pipeline {
               WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
                 GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
     scored AS (
-      SELECT q.vec_id, q.qv, c.c_id,
+      SELECT q.vec_id, c.c_id,
         list_dot_product(q.qv, c.c_qv) /
           sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) AS c_cos
       FROM q CROSS JOIN cents c),
     assign AS (
-      SELECT vec_id, qv, c_id AS cell FROM (
-        SELECT vec_id, qv, c_id,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
-        FROM scored) WHERE crn = 1),
+      SELECT s.vec_id, q.qv, s.cell FROM (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
+          FROM scored) WHERE crn = 1) s JOIN q USING (vec_id)),
     probes AS (
-      SELECT vec_id AS q_id, qv AS q_qv, c_id AS cell FROM (
-        SELECT vec_id, qv, c_id,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS prn
-        FROM scored WHERE vec_id < 10) WHERE prn <= 4),
+      SELECT s.vec_id AS q_id, q.qv AS q_qv, s.cell FROM (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS prn
+          FROM scored WHERE vec_id < 10) WHERE prn <= 4) s JOIN q USING (vec_id)),
     cand AS (
       SELECT DISTINCT p.q_id, a.vec_id AS neighbor,
         list_dot_product(p.q_qv, a.qv) /
