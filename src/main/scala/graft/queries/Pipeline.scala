@@ -109,19 +109,29 @@ object Pipeline {
   // candidate subset. At scale candidates come from q31's LSH buckets,
   // never from a corpus cross-join. The subset here is the fixed id
   // window (keeps the near-dup pairs the small-SF corpora carry) UNION
-  // every member of an exact-duplicate md5 group — a keyed groupBy +
-  // broadcast semi-join, both linear — so the pairwise stage stays
-  // candidate-bounded yet non-vacuous at EVERY scale (the id window
-  // alone went empty past sf0.01: the generated dup groups sit at high
-  // doc_ids there).
+  // the 2 lowest-id members of each of the 64 lexicographically-smallest
+  // exact-duplicate md5 groups. Both arms are BOUNDED (≤ 150 + 128 docs
+  // at ANY corpus size) yet non-vacuous at every scale: the id window
+  // alone went empty past sf0.01, and taking EVERY dup-group member —
+  // the first fix — grew candidates linearly with the corpus and made
+  // the all-pairs verify quadratic (the sf10 rehearsal measured 0.35 s
+  // -> 40 s for 2x data; a verification primitive must have a
+  // scale-constant candidate budget, exactly like a real pipeline
+  // sampling pairs for QA).
   private val q33 = Qdef(
     "q33_ngram_jaccard",
     (s, dir) => {
       val all = t(s, dir, "documents").withColumn("m", md5(col("text")))
       val dupM = all.groupBy(col("m")).count()
         .filter(col("count") > 1).select(col("m"))
+        .orderBy(col("m")).limit(64)
+      val mem = all.join(broadcast(dupM), Seq("m"), "left_semi")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("m")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 2).drop("rn")
       val cand = all.filter(col("doc_id") < 150)
-        .unionByName(all.join(broadcast(dupM), Seq("m"), "left_semi"))
+        .unionByName(mem)
         .dropDuplicates("doc_id")
       val docs = cand
         .select(col("doc_id"), textShingles(col("text"), 3).as("sh"))
@@ -135,10 +145,20 @@ object Pipeline {
         .filter(col("jaccard") >= 0.05)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""WITH cand AS (
-      SELECT doc_id, text FROM documents
-      WHERE doc_id < 150 OR md5(text) IN
-        (SELECT md5(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)),
+    Some("""WITH dupg AS (
+      SELECT m FROM (
+        SELECT md5(text) AS m FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        ORDER BY m LIMIT 64)),
+    mem AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents WHERE md5(text) IN (SELECT m FROM dupg))
+      WHERE rn <= 2),
+    cand AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION
+      SELECT doc_id, text FROM mem),
     sh AS (
       SELECT doc_id,
         list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS s
