@@ -17,9 +17,15 @@ object Tables {
 
   /** Load one table from an sf directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default; read it as a long and floor-divide to micros —
-    * exactly the ns→µs truncation DuckDB applies, so oracles agree.
+    * `events.ts` normalizes to a session-TZ TIMESTAMP whatever the file
+    * carries — generator vintages differ: TIMESTAMP(NANOS) (Spark 4
+    * rejects it by default; read as long under `nanosAsLong` and
+    * floor-divide to micros, the same ns→µs truncation DuckDB applies)
+    * vs plain TIMESTAMP(MICROS) with no UTC flag (arrives as
+    * TIMESTAMP_NTZ; cast is value-identical under the UTC session TZ,
+    * and DuckDB reads the same file naively — oracles agree either way).
+    * The branch is on the INFERRED type, so scaled rehearsal dirs built
+    * from an older vintage keep working next to the current testdata.
     *
     * Handles are memoized per (session, dir, table): `spark.read.parquet`
     * reads footers for schema inference at creation, a fixed per-call tax
@@ -33,8 +39,15 @@ object Tables {
     cache.computeIfAbsent((spark, dir, name), { case (s, d, n) =>
       if (n == "events") {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(s"$d/$n.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        val raw = s.read.parquet(s"$d/$n.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", raw("ts").cast("timestamp"))
+          case _ => raw
+        }
       } else {
         s.read.parquet(s"$d/$n.parquet")
       }

@@ -269,5 +269,96 @@ object Curation {
       FROM cand)
     WHERE rn <= 10 ORDER BY q_id, rn"""))
 
-  val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61, q67)
+  // ---- D7c+D20: recall audit of the kmeans-refined IVF path --------------
+  // q68 grades the modulo-sample codebook paths; this grades the
+  // PRODUCTION codebook (q67's kmeans-refined one) against the same
+  // brute-force top-10 ground truth, and adds the per-query recall
+  // DISTRIBUTION (min / p50) — a mean recall can hide queries the index
+  // fully misses. Everything that decides output values is exact BIGINT
+  // arithmetic: per-query hit counts are ints, the median is the sum of
+  // the two middle order statistics (no engine interpolation — Spark's
+  // percentile() computes a*w1+b*w2 while DuckDB's quantile_cont
+  // computes a+(b-a)*f, and the two differ in rounding; the dsum 1-ulp
+  // lesson from the sf5 rehearsal applies verbatim), and each final
+  // recall is ONE correctly-rounded division of identical integers.
+  // Truth is k=10 per query by construction, so /10 (min) and /20
+  // (median-of-two-middles) are the exact denominators.
+  private val q69 = Qdef(
+    "q69_ann_recall_kmeans",
+    (s, dir) => {
+      val corpus = qEmb(s, dir)
+      val truth = graft.operators.Ann
+        .bruteForceTopK(corpus, corpus.filter(col("id") < 10), k = 10)
+      val cb = graft.operators.Cluster
+        .kmeansCodebook(corpus, seedOf(s, dir), rounds = 1)
+      val ivfK = graft.operators.Ann
+        .ivfTopKWith(corpus, cb, queryFilter = col("vec_id") < 10,
+          nprobe = 4, k = 10)
+      val perq = truth.select(col("q_id"), col("neighbor"))
+        .join(ivfK.select(col("q_id"), col("neighbor"), lit(1).as("hit")),
+          Seq("q_id", "neighbor"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_truth_q"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits_q"))
+      perq
+        .agg(sum(col("n_truth_q")).as("n_truth"),
+          sum(col("n_hits_q")).as("n_hits"),
+          min(col("n_hits_q")).as("min_hits"),
+          sort_array(collect_list(col("n_hits_q"))).as("hs"),
+          count(lit(1)).as("nq"))
+        .select(lit("ivf_kmeans").as("method"),
+          col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth")).as("recall"),
+          (col("min_hits").cast("double") / lit(10.0)).as("min_recall"),
+          ((element_at(col("hs"), ((col("nq") + lit(1)) / lit(2)).cast("int"))
+            + element_at(col("hs"), ((col("nq") + lit(2)) / lit(2)).cast("int")))
+            .cast("double") / lit(20.0)).as("p50_recall"))
+    },
+    Some(kmeansCtes + """,
+    probes AS (
+      SELECT vec_id AS q_id, qv AS q_qv, c_id AS cell FROM (
+        SELECT q.vec_id, q.qv, c.c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_dot_product(q.qv, c.c_qv) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) DESC,
+            c.c_id) AS prn
+        FROM q CROSS JOIN c1 c WHERE q.vec_id < 10) WHERE prn <= 4),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS neighbor,
+        list_dot_product(p.q_qv, a.qv) /
+          sqrt(list_dot_product(p.q_qv, p.q_qv) * list_dot_product(a.qv, a.qv)) AS cos_sim
+      FROM probes p JOIN a1 a ON p.cell = a.cluster AND a.vec_id <> p.q_id),
+    ivfk AS (
+      SELECT q_id, neighbor FROM (
+        SELECT q_id, neighbor,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor) AS rn
+        FROM cand) WHERE rn <= 10),
+    truth AS (
+      SELECT q_id, neighbor FROM (
+        SELECT qs.vec_id AS q_id, c.vec_id AS neighbor,
+          ROW_NUMBER() OVER (PARTITION BY qs.vec_id ORDER BY
+            list_dot_product(qs.qv, c.qv) /
+            sqrt(list_dot_product(qs.qv, qs.qv) * list_dot_product(c.qv, c.qv)) DESC,
+            c.vec_id) AS rn
+        FROM q qs JOIN q c ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id)
+      WHERE rn <= 10),
+    perq AS (
+      SELECT t.q_id, COUNT(*) AS n_truth_q,
+        CAST(SUM(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_q
+      FROM truth t LEFT JOIN ivfk i
+        ON i.q_id = t.q_id AND i.neighbor = t.neighbor
+      GROUP BY t.q_id),
+    agg AS (
+      SELECT CAST(SUM(n_truth_q) AS BIGINT) AS n_truth,
+        CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
+        MIN(n_hits_q) AS min_hits,
+        list_sort(list(n_hits_q)) AS hs,
+        COUNT(*) AS nq
+      FROM perq)
+    SELECT 'ivf_kmeans' AS method, n_truth, n_hits,
+      CAST(n_hits AS DOUBLE) / n_truth AS recall,
+      CAST(min_hits AS DOUBLE) / 10.0 AS min_recall,
+      CAST(hs[CAST((nq + 1) // 2 AS INT)] + hs[CAST((nq + 2) // 2 AS INT)] AS DOUBLE) / 20.0 AS p50_recall
+    FROM agg"""))
+
+  val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61, q67, q69)
 }
