@@ -94,18 +94,25 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** LSH band width for corpus size `n`: smallest width in 4..8 whose
+  /** LSH band width for corpus size `n`: smallest width in 4..16 whose
     * expected bucket occupancy n/2^bits is ≤ `target`. Integer-exact
     * ladder (NOT float log2) so the DuckDB oracle's CASE replays it
     * bit-identically — libm rounding at an exact power-of-two boundary
     * could differ between engines.
+    *
+    * The ceiling tracks the signature stride: callers pass planes=64 /
+    * bands=4 (stride 16), so the ladder can keep occupancy ≤ target up
+    * to n = target·2^16 ≈ 4.9M vectors. The previous 32-plane/8-bit cap
+    * made candidate volume quadratic past n = target·256 — the sf10
+    * rehearsal measured q36 at 312M candidate pairs from 200k vectors,
+    * with the NEXT decade due to double the per-vector candidate count
+    * again; each +1 bit halves it instead.
     */
-  def lshBitsFor(n: Long, target: Long = 75L): Int =
-    if (n <= (target << 4)) 4
-    else if (n <= (target << 5)) 5
-    else if (n <= (target << 6)) 6
-    else if (n <= (target << 7)) 7
-    else 8
+  def lshBitsFor(n: Long, target: Long = 75L): Int = {
+    var bits = 4
+    while (bits < 16 && n > (target << bits)) bits += 1
+    bits
+  }
 
   /** IVF centroid count for corpus size `n`: cells of ~`target` vectors,
     * clamped. Holding k FIXED makes in-cell pairwise work n²/k — the sf1

@@ -253,14 +253,17 @@ object Pipeline {
     WHERE rn <= 10 ORDER BY q_id, rn"""))
 
   // ---- D7: LSH-bucketed ANN (random hyperplane signs) --------------------
-  // 32 deterministic Rademacher hyperplanes -> 32-bit signature -> 4
-  // bands at stride 8, reading an ADAPTIVE 4..8 bits each
+  // 64 deterministic Rademacher hyperplanes -> 64-bit signature -> 4
+  // bands at stride 16, reading an ADAPTIVE 4..16 bits each
   // (Ann.lshBitsFor: occupancy-targeted, the rehearsal's scale fix) ->
   // band join -> exact cosine verify. Candidate volume scales with
-  // bucket occupancy, not corpus². The sign matrix is md5-nibble parity
-  // (ExprKernels.hyperplaneSigns), a data-independent constant both
-  // engines can compute, so the oracle replays the ENTIRE pipeline —
-  // signatures, adaptive banding, verify — in SQL (dim = 64).
+  // bucket occupancy, not corpus² — the 16-bit ceiling holds occupancy
+  // ≤ 75 to ~4.9M vectors, where the previous 32-plane/8-bit signature
+  // went quadratic past 19k (312M candidate pairs at sf10, measured).
+  // The sign matrix is md5-nibble parity (ExprKernels.hyperplaneSigns),
+  // a data-independent constant both engines can compute, so the oracle
+  // replays the ENTIRE pipeline — signatures, adaptive banding, verify —
+  // in SQL (dim = 64).
   private val q36 = Qdef(
     "q36_ann_lsh",
     (s, dir) => {
@@ -269,7 +272,7 @@ object Pipeline {
       val bits = graft.operators.Ann.lshBitsFor(
         t(s, dir, "embeddings").count())
       graft.operators.Ann
-        .lshPairs(embs, planes = 32, bands = 4, threshold = 0.3,
+        .lshPairs(embs, planes = 64, bands = 4, threshold = 0.3,
           bitsPerBand = bits)
         .orderBy(col("vec_a"), col("vec_b"))
     },
@@ -282,12 +285,20 @@ object Pipeline {
                   WHEN COUNT(*) <= 75 * 32 THEN 5
                   WHEN COUNT(*) <= 75 * 64 THEN 6
                   WHEN COUNT(*) <= 75 * 128 THEN 7
-                  ELSE 8 END AS bits
+                  WHEN COUNT(*) <= 75 * 256 THEN 8
+                  WHEN COUNT(*) <= 75 * 512 THEN 9
+                  WHEN COUNT(*) <= 75 * 1024 THEN 10
+                  WHEN COUNT(*) <= 75 * 2048 THEN 11
+                  WHEN COUNT(*) <= 75 * 4096 THEN 12
+                  WHEN COUNT(*) <= 75 * 8192 THEN 13
+                  WHEN COUNT(*) <= 75 * 16384 THEN 14
+                  WHEN COUNT(*) <= 75 * 32768 THEN 15
+                  ELSE 16 END AS bits
       FROM q),
     signs AS (
       SELECT tp.p, td.d,
         (('0x' || substring(md5(tp.p || ':' || td.d), 1, 1))::INT % 2) * 2 - 1 AS s
-      FROM UNNEST(range(0, 32)) AS tp(p), UNNEST(range(0, 64)) AS td(d)),
+      FROM UNNEST(range(0, 64)) AS tp(p), UNNEST(range(0, 64)) AS td(d)),
     projs AS (
       SELECT v.vec_id, s.p, SUM(v.qv[s.d + 1] * s.s) AS proj
       FROM q v, signs s GROUP BY v.vec_id, s.p),
@@ -298,7 +309,7 @@ object Pipeline {
       FROM projs GROUP BY vec_id),
     banded AS (
       SELECT s.vec_id, q.qv, tb.b AS band,
-        (s.sig >> (8 * tb.b)) & ((CAST(1 AS UBIGINT) << (SELECT bits FROM params)) - 1) AS bval
+        (s.sig >> (16 * tb.b)) & ((CAST(1 AS UBIGINT) << (SELECT bits FROM params)) - 1) AS bval
       FROM sigs s JOIN q USING (vec_id), UNNEST(range(0, 4)) AS tb(b)),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -500,7 +511,7 @@ object Pipeline {
       val truth = graft.operators.Ann
         .bruteForceTopK(embs, embs.filter(col("id") < 10), k = 10)
       val lsh = graft.operators.Ann
-        .lshPairs(embs, planes = 32, bands = 4, threshold = 0.3,
+        .lshPairs(embs, planes = 64, bands = 4, threshold = 0.3,
           bitsPerBand = graft.operators.Ann.lshBitsFor(n))
       val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
       val ivf = graft.operators.Ann
@@ -545,12 +556,20 @@ object Pipeline {
                   WHEN COUNT(*) <= 75 * 32 THEN 5
                   WHEN COUNT(*) <= 75 * 64 THEN 6
                   WHEN COUNT(*) <= 75 * 128 THEN 7
-                  ELSE 8 END AS bits
+                  WHEN COUNT(*) <= 75 * 256 THEN 8
+                  WHEN COUNT(*) <= 75 * 512 THEN 9
+                  WHEN COUNT(*) <= 75 * 1024 THEN 10
+                  WHEN COUNT(*) <= 75 * 2048 THEN 11
+                  WHEN COUNT(*) <= 75 * 4096 THEN 12
+                  WHEN COUNT(*) <= 75 * 8192 THEN 13
+                  WHEN COUNT(*) <= 75 * 16384 THEN 14
+                  WHEN COUNT(*) <= 75 * 32768 THEN 15
+                  ELSE 16 END AS bits
       FROM q),
     signs AS (
       SELECT tp.p, td.d,
         (('0x' || substring(md5(tp.p || ':' || td.d), 1, 1))::INT % 2) * 2 - 1 AS s
-      FROM UNNEST(range(0, 32)) AS tp(p), UNNEST(range(0, 64)) AS td(d)),
+      FROM UNNEST(range(0, 64)) AS tp(p), UNNEST(range(0, 64)) AS td(d)),
     projs AS (
       SELECT v.vec_id, s.p, SUM(v.qv[s.d + 1] * s.s) AS proj
       FROM q v, signs s GROUP BY v.vec_id, s.p),
@@ -561,7 +580,7 @@ object Pipeline {
       FROM projs GROUP BY vec_id),
     banded AS (
       SELECT s.vec_id, q.qv, tb.b AS band,
-        (s.sig >> (8 * tb.b)) & ((CAST(1 AS UBIGINT) << (SELECT bits FROM params)) - 1) AS bval
+        (s.sig >> (16 * tb.b)) & ((CAST(1 AS UBIGINT) << (SELECT bits FROM params)) - 1) AS bval
       FROM sigs s JOIN q USING (vec_id), UNNEST(range(0, 4)) AS tb(b)),
     lshp AS (
       SELECT vec_a, vec_b FROM (
