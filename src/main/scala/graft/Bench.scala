@@ -26,6 +26,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // Shuffle width stays = cpus; the sf20 rehearsal measured BOTH
+    // alternatives losing: initialPartitionNum=4x slots fixed the three
+    // spill-bound queries (q65/q66/q43, -2 s each) but cost MORE in
+    // per-round scheduling overhead on the iterative/multi-job family
+    // (q67 +6.3 s, q69 +5.3 s, q31 +4.9 s; total 224 -> 259 s), and an
+    // oversized heap (64 GiB) un-spills the shuffles but evicts the OS
+    // page cache and re-reads parquet from disk (sf10 scans 10x
+    // slower). On a real cluster the same knobs are per-executor: size
+    // the heap to the per-task working set and leave the rest to the
+    // page cache; don't widen shuffles past the slot count for memory
+    // you can buy with heap.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

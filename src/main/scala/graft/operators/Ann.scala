@@ -114,13 +114,29 @@ object Ann {
     bits
   }
 
-  /** IVF centroid count for corpus size `n`: cells of ~`target` vectors,
-    * clamped. Holding k FIXED makes in-cell pairwise work n²/k — the sf1
-    * rehearsal measured q34 at 36 s / 162M pairs from 20k vectors with
-    * k=16; k ~ n/target makes it n·target/2, linear.
+  /** IVF centroid count for corpus size `n`: k = ⌊√n⌋ (min 16), the
+    * classic IVF balance point. The total work of a blocked pairwise /
+    * probe pipeline is n·k (every vector scores every centroid in the
+    * assign pass) + n·(n/k) (in-cell candidate work); k ~ n/target keeps
+    * the second term linear but makes the ASSIGN pass n²/target — the
+    * sf20 rehearsal measured it at 1.6B centroid dots, 80× the pairwise
+    * work, with the old 4096 clamp only capping (and hiding) it. √n
+    * minimizes the sum at O(n^1.5) with no clamp for a quadratic to
+    * hide behind; the broadcast codebook stays tiny far past any
+    * single-machine corpus (√10⁹ ≈ 31.6k centroids ≈ 16 MB — the
+    * two-level IVF frontier is ~n=10¹², documented, not silently
+    * clamped). History: fixed k=16 was quadratic in the verify (sf1,
+    * 162M pairs from 20k vectors); n/75 fixed that and moved the
+    * quadratic into the assign (sf20) — the lesson is the SUM is the
+    * objective, not either term.
+    *
+    * Floor-of-double-sqrt is engine-exact for the replaying oracle:
+    * IEEE sqrt is correctly rounded, n ≪ 2^52, and a correctly-rounded
+    * sqrt of a non-square never lands on the next integer, so
+    * FLOOR(SQRT(n)) in DuckDB == math.sqrt(n).toLong here, bit-for-bit.
     */
-  def centroidCountFor(n: Long, target: Long = 75L): Long =
-    math.max(16L, math.min(4096L, n / target))
+  def centroidCountFor(n: Long): Long =
+    math.max(16L, math.sqrt(n.toDouble).toLong)
 
   /** One-row codebook frame: the centroid set collapsed into a single
     * sorted array<struct<c_id,c_qv,c_dot>> column, hinted broadcast. A

@@ -26,11 +26,13 @@ object Curation {
       .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
 
   /** Centroid seed for q57/q58: a uniform modulo sample sized by
-    * `Ann.centroidCountFor` (k ~ n/75 clamped). Fixed k made q58's
-    * in-cluster pairwise work n²/k — the same quadratic defect the §5
-    * rehearsal measured on q34's fixed IVF cells (q58 was the worst
-    * sf1→sf2 scaler before this, 2.1× for 2× data); prefix seeds
-    * collapse replicated id spaces. The count() is footer-cheap.
+    * `Ann.centroidCountFor` (k = ⌊√n⌋, min 16). Fixed k made q58's
+    * in-cluster pairwise work n²/k (the §5 sf1 rehearsal defect);
+    * k ~ n/75 fixed that but made the ASSIGN pass n²/75 — the sf20
+    * decade measured 1.6B centroid dots, 80× the pairwise work. √n
+    * balances the two at O(n^1.5) with no clamp (see centroidCountFor's
+    * scaladoc). Prefix seeds collapse replicated id spaces. The
+    * count() is footer-cheap.
     */
   private def seedOf(s: org.apache.spark.sql.SparkSession,
                      dir: String): org.apache.spark.sql.Column = {
@@ -60,7 +62,7 @@ object Curation {
       FROM embeddings),
     c0 AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
            WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
-             GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
+             GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM q) = 0),
     a0 AS (
       SELECT s.vec_id, q.qv, s.cluster FROM (
         SELECT vec_id, cell AS cluster FROM (

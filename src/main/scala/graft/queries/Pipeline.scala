@@ -205,7 +205,7 @@ object Pipeline {
       FROM embeddings),
     cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
               WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
-                GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
+                GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM q) = 0),
     scored AS (
       SELECT q.vec_id, c.c_id,
         list_dot_product(q.qv, c.c_qv) /
@@ -442,9 +442,11 @@ object Pipeline {
     (s, dir) => {
       val embs = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
-      // same occupancy-targeted, uniformly-sampled codebook as q34:
-      // probe cost per query is nprobe * (n/k); fixed k (or a prefix
-      // sample) would make every probe scan grow with n
+      // same √n-sized, uniformly-sampled codebook as q34 (the FAISS-
+      // style balance: assign n·k vs probe/verify n²/k meet at √n);
+      // fixed k (or a prefix sample) would make every probe scan grow
+      // linearly with n, while k ~ n/const makes the assign pass
+      // quadratic — the sf20 decade measured both regimes
       val n = t(s, dir, "embeddings").count()
       val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
       graft.operators.Ann
@@ -458,7 +460,7 @@ object Pipeline {
       FROM embeddings),
     cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
               WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
-                GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
+                GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM q) = 0),
     scored AS (
       SELECT q.vec_id, c.c_id,
         list_dot_product(q.qv, c.c_qv) /
@@ -592,7 +594,7 @@ object Pipeline {
       WHERE cos_sim >= 0.3),
     cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
               WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
-                GREATEST(16, LEAST(4096, COUNT(*) // 75))) FROM q) = 0),
+                GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM q) = 0),
     scored AS (
       SELECT q.vec_id, c.c_id,
         list_dot_product(q.qv, c.c_qv) /
