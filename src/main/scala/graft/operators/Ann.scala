@@ -229,6 +229,80 @@ object Ann {
       k)
   }
 
+  /** Coarse centroid count for the two-level index: c₁ = ⌊∛n⌋ (min 8),
+    * computed with an exact integer ladder — NOT Math.cbrt, which is not
+    * required to be correctly rounded by IEEE 754, so FLOOR(CBRT(n))
+    * could disagree between engines at a perfect cube. The oracle
+    * replays the same ladder as MAX(c) over a bounded range WHERE
+    * c*c*c <= n (integer compares only; bit-exact in any engine).
+    *
+    * Why ∛n: the single-level index at k = √n broadcasts the whole
+    * codebook, which stops fitting an executor at n ≈ 10¹²
+    * (√10¹² × 64 dims × 8 B ≈ 512 MB). Two levels split the work
+    * n·c₁ (coarse assign) + n·c₂ (fine assign inside the coarse cell)
+    * + n·(n/(c₁·c₂)) (in-cell candidates); c₁ = c₂ = ∛n balances all
+    * three at O(n^{4/3}) TOTAL work with a broadcast codebook of only
+    * ∛n rows (10⁴ at n = 10¹² — trivially broadcastable) — strictly
+    * better asymptotics than the single-level O(n^{3/2}) AND a smaller
+    * broadcast. The price is one keyed corpus shuffle (the fine-codebook
+    * equi-join), which is linear and AQE-skew-safe.
+    */
+  def coarseCountFor(n: Long): Long = {
+    var c = 1L
+    while (c < 2097151L && (c + 1) * (c + 1) * (c + 1) <= n) c += 1
+    math.max(8L, c)
+  }
+
+  /** Two-level IVF assignment — the scale path past the single-level
+    * broadcast frontier (see coarseCountFor). Every vector gets
+    * (cell1, cell2): cell1 by map-side argmax over the broadcast coarse
+    * codebook (zero exchange, same kernel as ivfAssign), cell2 by argmax
+    * over the FINE centroids of its own coarse cell — fine centroids are
+    * the `fineFilter` rows labeled by the same coarse pass, collapsed to
+    * one codebook array row per coarse cell and equi-joined on cell1
+    * (c₁ rows; a broadcast at test scale, a keyed shuffle join at 10¹²).
+    * A coarse cell with no fine seed keeps cell2 = -1 (its rows block
+    * together unsplit). Deterministic end-to-end: both argmaxes tie-break
+    * (cosine desc, id asc), so DuckDB replays the full assignment.
+    */
+  def twoLevelAssign(corpus: DataFrame, coarseFilter: Column,
+                     fineFilter: Column): DataFrame = {
+    val embs = withSelfDot(corpus).withColumnRenamed("id", "vec_id")
+    val cents = embs.filter(coarseFilter)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("selfdot").as("c_dot"))
+    val coarse = assignTo(embs, cents).withColumnRenamed("cell", "cell1")
+    val fine = coarse.filter(fineFilter)
+      .groupBy(col("cell1"))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
+        col("qv").as("c_qv"), col("selfdot").as("c_dot")))).as("fb"))
+    coarse.join(fine, Seq("cell1"), "left")
+      .select(col("vec_id"), col("qv"), col("selfdot"), col("cell1"),
+        coalesce(nearestCentroid(col("qv"), col("selfdot"), col("fb")),
+          lit(-1L)).as("cell2"))
+  }
+
+  /** Two-level cell-blocked near-duplicate pairs: cellBlockedPairs'
+    * contract with (cell1, cell2) as the blocking key — in-cell
+    * candidate work shrinks from n/√n to n/(c₁·c₂) rows per block while
+    * the broadcast stays ∛n. Exact cosine verify ≥ `threshold` as
+    * everywhere else (SURVEY.md §2.D5/D7b scale path).
+    */
+  def twoLevelBlockedPairs(corpus: DataFrame, coarseFilter: Column,
+                           fineFilter: Column,
+                           threshold: Double): DataFrame = {
+    val assign = twoLevelAssign(corpus, coarseFilter, fineFilter)
+    assign.as("a")
+      .join(assign.as("b"),
+        col("a.cell1") === col("b.cell1") &&
+          col("a.cell2") === col("b.cell2") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos(col("a.qv"), col("b.qv"), col("a.selfdot"), col("b.selfdot"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Cell-blocked exact near-duplicate pairs: vectors pair only within
     * their IVF cell (same deterministic assignment as ivfTopK), verified
     * with exact cosine ≥ `threshold`. The corpus-level embedding-dedup

@@ -970,6 +970,77 @@ object Pipeline {
     FROM corpus c JOIN bench b ON c.gram = b.gram
     GROUP BY c.doc_id ORDER BY doc_id"""))
 
+  // ---- D7e: two-level IVF blocked pairs (the 10¹² scale path, oracled) ---
+  // q34's single-level index broadcasts a √n-row codebook, which stops
+  // fitting an executor at n ≈ 10¹² (≈512 MB); Ann.twoLevelAssign splits
+  // the index into ∛n coarse cells (broadcast argmax, zero exchange) and
+  // ∛n fine centroids per coarse cell (equi-joined by cell key — linear),
+  // for O(n^{4/3}) total work and a ∛n-row broadcast. This query drives
+  // the whole two-stage assignment + (cell1, cell2)-blocked verify
+  // through the driver gate: DuckDB replays BOTH argmaxes (integer-exact
+  // ∛ ladder, ROW_NUMBER tie-breaks) so every cell label — and therefore
+  // every emitted pair — is bit-identical.
+  private val q70 = Qdef(
+    "q70_dedup_embedding_2level",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val n = t(s, dir, "embeddings").count()
+      val c1 = graft.operators.Ann.coarseCountFor(n)
+      val stride1 = math.max(1L, n / c1)
+      val stride2 = math.max(1L, n / (c1 * c1))
+      graft.operators.Ann
+        .twoLevelBlockedPairs(embs,
+          coarseFilter = col("vec_id") % stride1 === 0,
+          fineFilter = col("vec_id") % stride2 === 0,
+          threshold = 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some("""WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    c1 AS (
+      SELECT GREATEST(8, MAX(c)) AS c FROM range(1, 1000001) t(c)
+      WHERE c*c*c <= (SELECT COUNT(*) FROM q)),
+    cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
+              WHERE vec_id % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
+                (SELECT c FROM c1))) = 0),
+    scored AS (
+      SELECT q.vec_id, c.c_id,
+        list_dot_product(q.qv, c.c_qv) /
+          sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) AS c_cos
+      FROM q CROSS JOIN cents c),
+    assign1 AS (
+      SELECT s.vec_id, q.qv, s.cell1 FROM (
+        SELECT vec_id, c_id AS cell1 FROM (
+          SELECT vec_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
+          FROM scored) WHERE crn = 1) s JOIN q USING (vec_id)),
+    fine AS (
+      SELECT vec_id AS f_id, qv AS f_qv, cell1 FROM assign1
+      WHERE vec_id % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
+        ((SELECT c FROM c1) * (SELECT c FROM c1)))) = 0),
+    scored2 AS (
+      SELECT a.vec_id, f.f_id,
+        list_dot_product(a.qv, f.f_qv) /
+          sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(f.f_qv, f.f_qv)) AS f_cos
+      FROM assign1 a JOIN fine f ON a.cell1 = f.cell1),
+    assign2 AS (
+      SELECT a.vec_id, a.qv, a.cell1, COALESCE(s.cell2, -1) AS cell2
+      FROM assign1 a LEFT JOIN (
+        SELECT vec_id, f_id AS cell2 FROM (
+          SELECT vec_id, f_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY f_cos DESC, f_id) AS frn
+          FROM scored2) WHERE frn = 1) s USING (vec_id))
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_dot_product(a.qv, b.qv) /
+          sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS cos_sim
+      FROM assign2 a JOIN assign2 b
+        ON a.cell1 = b.cell1 AND a.cell2 = b.cell2 AND a.vec_id < b.vec_id)
+    WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68)
+    q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70)
 }

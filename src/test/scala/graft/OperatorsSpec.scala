@@ -289,6 +289,62 @@ class OperatorsSpec extends AnyFunSuite {
       "T3" -> null))  // no quote at or before 00:03
   }
 
+  test("D7e two-level IVF: exact ∛ ladder; coarse == single-level; blocked pairs verified") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    import graft.operators.Ann
+    // the integer cube-root ladder is exact at the boundaries Math.cbrt
+    // could miss (8 is the floor; 999 < 10³ ≤ 1000; 10¹² is the frontier)
+    assert(Ann.coarseCountFor(7) == 8L)
+    assert(Ann.coarseCountFor(999) == 9L)
+    assert(Ann.coarseCountFor(1000) == 10L)
+    assert(Ann.coarseCountFor(1000000000000L) == 10000L)
+
+    val embs = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+    val n = embs.count()
+    val c1 = Ann.coarseCountFor(n)
+    val s1 = math.max(1L, n / c1)
+    val s2 = math.max(1L, n / (c1 * c1))
+    val coarseF = col("vec_id") % s1 === 0
+    val fineF = col("vec_id") % s2 === 0
+    val a2 = Ann.twoLevelAssign(embs, coarseF, fineF).cache()
+    try {
+      // partition property: every vector labeled exactly once
+      assert(a2.count() == n)
+      // the coarse stage is the single-level assignment, bit-for-bit
+      val a1 = graft.operators.Ann.ivfAssign(embs, coarseF)
+        .select(col("vec_id"), col("cell").as("cell1"))
+      assert(a2.select("vec_id", "cell1").except(a1).count() == 0)
+      // cell2 = -1 exactly on the coarse cells that hold no fine seed
+      val seeded = a2.filter(fineF).select("cell1").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val bad = a2.filter(
+        (col("cell2") === -1L) =!= !col("cell1").isin(seeded.toSeq: _*))
+      assert(bad.count() == 0)
+      // fine labels are real centroids of the row's own coarse cell
+      val fineCents = a2.filter(fineF)
+        .select(col("cell1"), col("vec_id").as("cell2"))
+      assert(a2.filter(col("cell2") =!= -1L).select("cell1", "cell2")
+        .except(fineCents).count() == 0)
+      // the pair operator == an independently-joined recomputation, and
+      // every emitted pair passes the exact-cosine threshold
+      val pairs = Ann.twoLevelBlockedPairs(embs, coarseF, fineF, 0.4)
+      val manual = a2.as("a").join(a2.as("b"),
+          col("a.cell1") === col("b.cell1") &&
+            col("a.cell2") === col("b.cell2") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          quantCosine(col("a.qv"), col("b.qv")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+      assert(pairs.select("vec_a", "vec_b")
+        .except(manual.select("vec_a", "vec_b")).count() == 0)
+      assert(manual.select("vec_a", "vec_b")
+        .except(pairs.select("vec_a", "vec_b")).count() == 0)
+      assert(pairs.filter(col("cos_sim") < 0.4).count() == 0)
+    } finally a2.unpersist()
+  }
+
   test("E5 GraftExtensions exposes native functions to spark.sql") {
     Tables.registerAll(spark, sfDir)
     val out = spark.sql(

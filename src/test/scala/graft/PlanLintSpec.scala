@@ -33,13 +33,16 @@ class PlanLintSpec extends AnyFunSuite {
     *         above; the audit adds only keyed joins on top
     *  - q69: same composition as q68 with the kmeans-refined codebook
     *         (q67's one-row broadcast) in place of the modulo sample
+    *  - q70: one-row broadcast COARSE codebook (twoLevelAssign's first
+    *         stage, as in q34); the fine stage and the pair join are
+    *         both cell-key equi-joins
     * (q19's one-row global-max cross join needs no exemption: Catalyst
     * pushes the equality filter into it, planning a BroadcastHashJoin.)
     */
   private val bnljAllowed = Set("q14_join_cross", "q33_ngram_jaccard",
     "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf",
     "q57_kmeans", "q60_mixing", "q61_vocab", "q67_ann_ivf_kmeans",
-    "q68_ann_recall", "q69_ann_recall_kmeans")
+    "q68_ann_recall", "q69_ann_recall_kmeans", "q70_dedup_embedding_2level")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
