@@ -266,7 +266,17 @@ object Ann {
     * (cosine desc, id asc), so DuckDB replays the full assignment.
     */
   def twoLevelAssign(corpus: DataFrame, coarseFilter: Column,
-                     fineFilter: Column): DataFrame = {
+                     fineFilter: Column): DataFrame =
+    twoLevelParts(corpus, coarseFilter, fineFilter)._3
+
+  /** Shared internals of the two-level index: (embs+selfdot, per-cell
+    * fine codebooks, full (cell1, cell2) assignment). The fine codebook
+    * of coarse cell c is the `fineFilter` rows that COARSE-assign to c,
+    * collapsed into one sorted array row — ≤ c₁ rows total, equi-joined
+    * (never broadcast as a whole).
+    */
+  private def twoLevelParts(corpus: DataFrame, coarseFilter: Column,
+                            fineFilter: Column): (DataFrame, DataFrame, DataFrame) = {
     val embs = withSelfDot(corpus).withColumnRenamed("id", "vec_id")
     val cents = embs.filter(coarseFilter)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
@@ -276,10 +286,11 @@ object Ann {
       .groupBy(col("cell1"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
         col("qv").as("c_qv"), col("selfdot").as("c_dot")))).as("fb"))
-    coarse.join(fine, Seq("cell1"), "left")
+    val assign = coarse.join(fine, Seq("cell1"), "left")
       .select(col("vec_id"), col("qv"), col("selfdot"), col("cell1"),
         coalesce(nearestCentroid(col("qv"), col("selfdot"), col("fb")),
           lit(-1L)).as("cell2"))
+    (embs, fine, assign)
   }
 
   /** Two-level cell-blocked near-duplicate pairs: cellBlockedPairs'
@@ -301,6 +312,44 @@ object Ann {
         cos(col("a.qv"), col("b.qv"), col("a.selfdot"), col("b.selfdot"))
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Two-level IVF top-k probe — ANN search through the same two-stage
+    * index as twoLevelAssign: a query probes its `nprobe1` nearest
+    * coarse cells (broadcast ∛n codebook), then within EACH probed
+    * coarse cell its `nprobe2` nearest fine centroids (per-cell fine
+    * codebook equi-joined on cell1), and candidates are the corpus rows
+    * sharing a probed (cell1, cell2); exact re-rank via the TopKPairs
+    * partial aggregate. Coarse cells with no fine seed contribute their
+    * whole cell (cell2 = -1 matches the assignment side). Candidates are
+    * unique by construction — a vector lives in exactly one (cell1,
+    * cell2) and a query's probed pairs are distinct — so no distinct
+    * pass, mirroring ivfTopK.
+    */
+  def twoLevelTopK(corpus: DataFrame, coarseFilter: Column,
+                   fineFilter: Column, queryFilter: Column,
+                   nprobe1: Int = 4, nprobe2: Int = 4,
+                   k: Int = 10): DataFrame = {
+    val (embs, fine, assign) = twoLevelParts(corpus, coarseFilter, fineFilter)
+    val cents = embs.filter(coarseFilter)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("selfdot").as("c_dot"))
+    val coarseProbes = embs.filter(queryFilter).crossJoin(codebookOf(cents))
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("selfdot").as("q_dot"),
+        explode(nearestCells(col("qv"), col("selfdot"), col("cb"), nprobe1))
+          .as("cell1"))
+    val probes = coarseProbes.join(fine, Seq("cell1"), "left")
+      .select(col("q_id"), col("q_qv"), col("q_dot"), col("cell1"),
+        explode(coalesce(
+          nearestCells(col("q_qv"), col("q_dot"), col("fb"), nprobe2),
+          array(lit(-1L)))).as("cell2"))
+    topK(
+      assign.join(broadcast(probes), Seq("cell1", "cell2"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("id"),
+          cos(col("q_qv"), col("qv"), col("q_dot"), col("selfdot")).as("c")),
+      k)
   }
 
   /** Cell-blocked exact near-duplicate pairs: vectors pair only within

@@ -345,6 +345,45 @@ class OperatorsSpec extends AnyFunSuite {
     } finally a2.unpersist()
   }
 
+  test("D7e twoLevelTopK: full probe == brute force; scores exact; k-bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    import graft.operators.Ann
+    val embs = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+    val n = embs.count()
+    val c1 = Ann.coarseCountFor(n)
+    val s1 = math.max(1L, n / c1)
+    val s2 = math.max(1L, n / (c1 * c1))
+    val coarseF = col("vec_id") % s1 === 0
+    val fineF = col("vec_id") % s2 === 0
+    val qF = col("vec_id") < 5
+    // probing EVERY coarse cell and every fine cell makes the candidate
+    // set the whole corpus, so the approximate search must equal the
+    // exact baseline row-for-row (same tie-break, same arithmetic)
+    val full = Ann.twoLevelTopK(embs, coarseF, fineF, qF,
+      nprobe1 = n.toInt, nprobe2 = n.toInt, k = 10)
+    val brute = Ann.bruteForceTopK(embs, embs.filter(qF), k = 10)
+    assert(full.except(brute).count() == 0 && brute.except(full).count() == 0)
+    // default probes: per-query ≤ k rows, no self-hits, descending
+    // scores, and every reported score is the exact quantized cosine
+    val out = Ann.twoLevelTopK(embs, coarseF, fineF, qF).cache()
+    try {
+      assert(out.filter(col("q_id") === col("neighbor")).count() == 0)
+      assert(out.groupBy("q_id").count().filter(col("count") > 10).count() == 0)
+      val mono = out.withColumn("prev", lag(col("cos_sim"), 1)
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("rn"))))
+        .filter(col("prev") < col("cos_sim"))
+      assert(mono.count() == 0)
+      val qv = embs.select(col("id").as("q_id"), col("qv").as("a"))
+      val nv = embs.select(col("id").as("neighbor"), col("qv").as("b"))
+      val wrong = out.join(qv, "q_id").join(nv, "neighbor")
+        .filter(quantCosine(col("a"), col("b")) =!= col("cos_sim"))
+      assert(wrong.count() == 0)
+    } finally out.unpersist()
+  }
+
   test("E5 GraftExtensions exposes native functions to spark.sql") {
     Tables.registerAll(spark, sfDir)
     val out = spark.sql(
