@@ -1041,6 +1041,145 @@ object Pipeline {
         ON a.cell1 = b.cell1 AND a.cell2 = b.cell2 AND a.vec_id < b.vec_id)
     WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b"""))
 
+  // ---- D7e: recall audit of the two-level ANN query path -----------------
+  // q68/q69 grade the single-level paths; this grades Ann.twoLevelTopK —
+  // the designated 10¹²-corpus path — against the same brute-force
+  // top-10 ground truth, with the q69 per-query distribution (min/p50):
+  // an index meant to replace the single-level one at scale must carry a
+  // measured recall at its default probe budget, not just the
+  // exhaustive-probe == brute-force spec pin (AnnSpec). The audit calls
+  // the production operator entry point, so the graded plan is the
+  // production plan: broadcast ∛n coarse probe + per-cell fine probe +
+  // (cell1, cell2) candidate equi-join + TopKPairs partial agg. All
+  // compared values are exact-integer-derived (hit counts, two-middle
+  // median, one correctly-rounded division) — the q69 determinism
+  // contract verbatim.
+  private val q71 = Qdef(
+    "q71_ann_recall_2level",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val n = t(s, dir, "embeddings").count()
+      val c1 = graft.operators.Ann.coarseCountFor(n)
+      val stride1 = math.max(1L, n / c1)
+      val stride2 = math.max(1L, n / (c1 * c1))
+      val truth = graft.operators.Ann
+        .bruteForceTopK(embs, embs.filter(col("id") < 10), k = 10)
+      val tl = graft.operators.Ann.twoLevelTopK(embs,
+        coarseFilter = col("vec_id") % stride1 === 0,
+        fineFilter = col("vec_id") % stride2 === 0,
+        queryFilter = col("vec_id") < 10,
+        nprobe1 = 4, nprobe2 = 4, k = 10)
+      val perq = truth.select(col("q_id"), col("neighbor"))
+        .join(tl.select(col("q_id"), col("neighbor"), lit(1).as("hit")),
+          Seq("q_id", "neighbor"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_truth_q"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits_q"))
+      perq
+        .agg(sum(col("n_truth_q")).as("n_truth"),
+          sum(col("n_hits_q")).as("n_hits"),
+          min(col("n_hits_q")).as("min_hits"),
+          sort_array(collect_list(col("n_hits_q"))).as("hs"),
+          count(lit(1)).as("nq"))
+        .select(lit("ivf2").as("method"),
+          col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth")).as("recall"),
+          (col("min_hits").cast("double") / lit(10.0)).as("min_recall"),
+          ((element_at(col("hs"), ((col("nq") + lit(1)) / lit(2)).cast("int"))
+            + element_at(col("hs"), ((col("nq") + lit(2)) / lit(2)).cast("int")))
+            .cast("double") / lit(20.0)).as("p50_recall"))
+    },
+    Some("""WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    c1 AS (
+      SELECT GREATEST(8, MAX(c)) AS c FROM range(1, 1000001) t(c)
+      WHERE c*c*c <= (SELECT COUNT(*) FROM q)),
+    cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
+              WHERE vec_id % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
+                (SELECT c FROM c1))) = 0),
+    scored AS (
+      SELECT q.vec_id, q.qv, c.c_id,
+        list_dot_product(q.qv, c.c_qv) /
+          sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) AS c_cos
+      FROM q CROSS JOIN cents c),
+    assign1 AS (
+      SELECT s.vec_id, q.qv, s.cell1 FROM (
+        SELECT vec_id, c_id AS cell1 FROM (
+          SELECT vec_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crn
+          FROM scored) WHERE crn = 1) s JOIN q USING (vec_id)),
+    fine AS (
+      SELECT vec_id AS f_id, qv AS f_qv, cell1 FROM assign1
+      WHERE vec_id % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
+        ((SELECT c FROM c1) * (SELECT c FROM c1)))) = 0),
+    scored2 AS (
+      SELECT a.vec_id, f.f_id,
+        list_dot_product(a.qv, f.f_qv) /
+          sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(f.f_qv, f.f_qv)) AS f_cos
+      FROM assign1 a JOIN fine f ON a.cell1 = f.cell1),
+    assign2 AS (
+      SELECT a.vec_id, a.qv, a.cell1, COALESCE(s.cell2, -1) AS cell2
+      FROM assign1 a LEFT JOIN (
+        SELECT vec_id, f_id AS cell2 FROM (
+          SELECT vec_id, f_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY f_cos DESC, f_id) AS frn
+          FROM scored2) WHERE frn = 1) s USING (vec_id)),
+    probes1 AS (
+      SELECT vec_id AS q_id, qv AS q_qv, cell1 FROM (
+        SELECT vec_id, qv, c_id AS cell1,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS prn
+        FROM scored WHERE vec_id < 10) WHERE prn <= 4),
+    probes2 AS (
+      SELECT q_id, q_qv, cell1, cell2 FROM (
+        SELECT p.q_id, p.q_qv, p.cell1, COALESCE(f.f_id, -1) AS cell2,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id, p.cell1 ORDER BY
+            (list_dot_product(p.q_qv, f.f_qv) /
+              sqrt(list_dot_product(p.q_qv, p.q_qv) * list_dot_product(f.f_qv, f.f_qv)))
+              DESC NULLS LAST, f.f_id) AS frn
+        FROM probes1 p LEFT JOIN fine f ON f.cell1 = p.cell1)
+      WHERE frn <= 4),
+    cand AS (
+      SELECT pr.q_id, a.vec_id AS neighbor,
+        list_dot_product(pr.q_qv, a.qv) /
+          sqrt(list_dot_product(pr.q_qv, pr.q_qv) * list_dot_product(a.qv, a.qv)) AS cos_sim
+      FROM probes2 pr JOIN assign2 a
+        ON a.cell1 = pr.cell1 AND a.cell2 = pr.cell2 AND a.vec_id <> pr.q_id),
+    ivfk AS (
+      SELECT q_id, neighbor FROM (
+        SELECT q_id, neighbor,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor) AS rn
+        FROM cand) WHERE rn <= 10),
+    truth AS (
+      SELECT q_id, neighbor FROM (
+        SELECT qs.vec_id AS q_id, c.vec_id AS neighbor,
+          ROW_NUMBER() OVER (PARTITION BY qs.vec_id ORDER BY
+            list_dot_product(qs.qv, c.qv) /
+            sqrt(list_dot_product(qs.qv, qs.qv) * list_dot_product(c.qv, c.qv)) DESC,
+            c.vec_id) AS rn
+        FROM q qs JOIN q c ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id)
+      WHERE rn <= 10),
+    perq AS (
+      SELECT t.q_id, COUNT(*) AS n_truth_q,
+        CAST(SUM(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_q
+      FROM truth t LEFT JOIN ivfk i
+        ON i.q_id = t.q_id AND i.neighbor = t.neighbor
+      GROUP BY t.q_id),
+    agg AS (
+      SELECT CAST(SUM(n_truth_q) AS BIGINT) AS n_truth,
+        CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
+        MIN(n_hits_q) AS min_hits,
+        list_sort(list(n_hits_q)) AS hs,
+        COUNT(*) AS nq
+      FROM perq)
+    SELECT 'ivf2' AS method, n_truth, n_hits,
+      CAST(n_hits AS DOUBLE) / n_truth AS recall,
+      CAST(min_hits AS DOUBLE) / 10.0 AS min_recall,
+      CAST(hs[CAST((nq + 1) // 2 AS INT)] + hs[CAST((nq + 2) // 2 AS INT)] AS DOUBLE) / 20.0 AS p50_recall
+    FROM agg"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70)
+    q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71)
 }

@@ -36,13 +36,17 @@ class PlanLintSpec extends AnyFunSuite {
     *  - q70: one-row broadcast COARSE codebook (twoLevelAssign's first
     *         stage, as in q34); the fine stage and the pair join are
     *         both cell-key equi-joins
+    *  - q71: the recall audit composes q35's broadcast query batch and
+    *         q70's one-row coarse codebook; fine probe and candidate
+    *         joins are (cell1, cell2) equi-joins
     * (q19's one-row global-max cross join needs no exemption: Catalyst
     * pushes the equality filter into it, planning a BroadcastHashJoin.)
     */
   private val bnljAllowed = Set("q14_join_cross", "q33_ngram_jaccard",
     "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf",
     "q57_kmeans", "q60_mixing", "q61_vocab", "q67_ann_ivf_kmeans",
-    "q68_ann_recall", "q69_ann_recall_kmeans", "q70_dedup_embedding_2level")
+    "q68_ann_recall", "q69_ann_recall_kmeans", "q70_dedup_embedding_2level",
+    "q71_ann_recall_2level")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
