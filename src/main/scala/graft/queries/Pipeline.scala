@@ -1180,6 +1180,106 @@ object Pipeline {
       CAST(hs[CAST((nq + 1) // 2 AS INT)] + hs[CAST((nq + 2) // 2 AS INT)] AS DOUBLE) / 20.0 AS p50_recall
     FROM agg"""))
 
+  // ---- D25: sequence packing (concat-and-chunk planning) -----------------
+  // The batching op between a curated corpus and a training run: documents
+  // are concatenated in deterministic order and cut into fixed
+  // token-budget context windows ("bins"); each doc gets (bin,
+  // bin_offset) so the loader can materialize any bin independently.
+  // Scale shape: packing is inherently a running sum, which is a
+  // single-partition window if done globally — so it is done PER SHARD,
+  // exactly as production loaders shard their output files. The shard
+  // count is COUNT-driven (~4096 docs per shard at any corpus size), so
+  // per-shard window state is scale-constant while shards grow linearly
+  // — a keyed window, never an unpartitioned one (the q19 lesson). All
+  // emitted values are exact integer arithmetic (integer DIV/MOD on a
+  // BIGINT running sum), replayed identically by DuckDB.
+  private val q72 = Qdef(
+    "q72_seq_packing",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = t(s, dir, "documents").count()
+      val nshards = math.max(16L, n / 4096L)
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(nshards)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("cum_before",
+          coalesce(sum(col("tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("tokens"),
+          expr("cum_before DIV 512").as("bin"),
+          pmod(col("cum_before"), lit(512L)).as("bin_offset"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    tok AS (
+      SELECT doc_id,
+        doc_id % (SELECT GREATEST(16, n // 4096) FROM n) AS shard,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, shard, tokens,
+        COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM tok)
+    SELECT doc_id, shard, tokens,
+      CAST(cum_before // 512 AS BIGINT) AS bin,
+      CAST(cum_before % 512 AS BIGINT) AS bin_offset
+    FROM packed ORDER BY doc_id"""))
+
+  // ---- D26: cross-document common-gram flagging --------------------------
+  // The C4/RefinedWeb-style INTER-document repetition pass (distinct
+  // from q55's within-doc metrics and q56's benchmark contamination):
+  // grams shared by many documents are boilerplate; documents dominated
+  // by them are templates. Document frequency per distinct trigram, a
+  // common set at df >= 4, and each doc's fraction of common grams.
+  // Scale shape: explode is scan-linear; df is ONE gram-key aggregation
+  // (map-side partial); the common set joins back by gram key — a keyed
+  // equi-join, NOT a broadcast (unlike q56's fixed-size benchmark index,
+  // the boilerplate vocabulary grows with the corpus); the per-doc
+  // rollup is a doc_id-key aggregation. Everything linear and keyed.
+  // The fraction is one division of exact ints — engine-identical.
+  private val q73 = Qdef(
+    "q73_common_grams",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val g3 = transform(sequence(lit(0), size(toks) - lit(3)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(3))))
+      val eg = t(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"), explode(array_distinct(g3)).as("gram"))
+      val common = eg.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 4)
+        .select(col("gram"), lit(1L).as("hit"))
+      eg.join(common, Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+        .select(col("doc_id"), col("n_grams"), col("n_common"),
+          (col("n_common") * lit(1.0) / col("n_grams")).as("common_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_distinct([array_to_string(tk[i:i+2], ' ')
+                       for i in range(1, len(tk)-1)]) AS gs
+      FROM tk WHERE len(tk) >= 3),
+    eg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+    dfreq AS (SELECT gram, COUNT(*) AS df FROM eg GROUP BY gram),
+    common AS (SELECT gram FROM dfreq WHERE df >= 4)
+    SELECT e.doc_id,
+      COUNT(*) AS n_grams,
+      CAST(SUM(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_common,
+      CAST(SUM(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        * 1.0 / COUNT(*) AS common_frac
+    FROM eg e LEFT JOIN common c ON e.gram = c.gram
+    GROUP BY e.doc_id ORDER BY e.doc_id"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71)
+    q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
+    q73)
 }
