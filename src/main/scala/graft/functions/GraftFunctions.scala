@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, MinHashBandsE, MinHashSigE, NearestCellsE, NearestCentroidE, RollingFingerprint, SimHash64, TextShinglesE, TopKPairs}
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, Md5Prefix48E, MinHashBandsE, MinHashSigE, NearestCellsE, NearestCentroidE, RollingFingerprint, SimHash64, TextGramStatsE, TextShinglesE, TopKPairs}
 
 /** Column-API surface of graft's text/vector function library
   * (SURVEY.md §2.D/E4). Everything here is either a native codegen
@@ -58,6 +58,14 @@ object GraftFunctions {
     */
   def textShingles(text: Column, k: Int): Column =
     expr2col(TextShinglesE(exprOf(text), k))
+
+  /** One-pass k-gram stats struct (n_grams, n_distinct, max_freq) —
+    * native kernel, value-identical to size(grams) /
+    * size(array_distinct(grams)) / the sorted run-length fold
+    * (NativeExprSpec pins all three).
+    */
+  def textGramStats(text: Column, k: Int): Column =
+    expr2col(TextGramStatsE(exprOf(text), k))
 
   // ---- MinHash ----------------------------------------------------------
 
@@ -162,8 +170,10 @@ object GraftFunctions {
     * (Bar-Yossef et al.), deterministic bit-for-bit across engines.
     */
   def kmvDistinct(value: Column, k: Int = 64): Column = {
-    val h = conv(substring(md5(value.cast("string").cast("binary")), 1, 12),
-      16, 10).cast("long")
+    // native 48-bit md5-prefix kernel — bit-identical to
+    // conv(substring(md5(cast(cast(v as string) as binary)),1,12),16,10)
+    // (NativeExprSpec pins it) without the per-row hex-string round-trip
+    val h = expr2col(Md5Prefix48E(exprOf(value.cast("string"))))
     val top = expr2col(TopKPairs(exprOf((-h).cast("double")), exprOf(h), k,
       dedup = true).toAggregateExpression())
     val kth = -element_at(top, k).getField("score") // = h_k as double

@@ -877,35 +877,29 @@ object Pipeline {
     "q55_repetition",
     (s, dir) => {
       val toks = split(col("text"), " ")
-      def grams(k: Int): Column =
-        transform(sequence(lit(0), size(toks) - lit(k)),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
-      val g2 = grams(2)
-      val g3 = grams(3)
-      val n2 = size(toks) - lit(1)
-      val n3 = size(toks) - lit(2)
-      // max multiplicity of a 2-gram: run-length fold over the sorted
-      // gram array (array_sort groups equal grams adjacently)
-      val top2 = aggregate(
-        array_sort(g2),
-        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-            .otherwise(lit(1))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
+      // one-pass native gram stats per k: the composed form — grams via
+      // transform(slice/concat_ws), distinct via array_distinct (O(k²)
+      // UTF8String equality), top multiplicity via an interpreted
+      // aggregate() fold over array_sort — costs ~1.8 ms/doc; the
+      // kernel tokenizes once and counts in a hash map (~8 µs/doc;
+      // NativeExprSpec pins field-for-field equality with the composed
+      // expressions). The two struct columns project in a separate
+      // select so each kernel runs once per row (CollapseProject leaves
+      // multi-use non-cheap aliases in place).
       t(s, dir, "documents")
         .filter(size(toks) >= 3)
+        .select(col("doc_id"),
+          textGramStats(col("text"), 2).as("s2"),
+          textGramStats(col("text"), 3).as("s3"))
         .select(
           col("doc_id"),
-          n2.cast("long").as("n_2grams"),
-          ((n2 - size(array_distinct(g2))) * lit(1.0) / n2)
-            .as("dup_2gram_frac"),
-          ((n3 - size(array_distinct(g3))) * lit(1.0) / n3)
-            .as("dup_3gram_frac"),
-          (top2 * lit(1.0) / n2).as("top_2gram_frac"))
+          col("s2.n_grams").cast("long").as("n_2grams"),
+          ((col("s2.n_grams") - col("s2.n_distinct")) * lit(1.0)
+            / col("s2.n_grams")).as("dup_2gram_frac"),
+          ((col("s3.n_grams") - col("s3.n_distinct")) * lit(1.0)
+            / col("s3.n_grams")).as("dup_3gram_frac"),
+          (col("s2.max_freq") * lit(1.0) / col("s2.n_grams"))
+            .as("top_2gram_frac"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH tk AS (

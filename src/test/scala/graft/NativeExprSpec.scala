@@ -45,6 +45,49 @@ class NativeExprSpec extends AnyFunSuite {
     assert(ediffs == 0)
   }
 
+  test("textGramStats (native) == composed size/array_distinct/sorted-run fold") {
+    def composed(k: Int) = {
+      val toks = tokens(col("text"))
+      val g = transform(sequence(lit(0), size(toks) - lit(k)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
+      val top = aggregate(
+        array_sort(g),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      struct((size(toks) - lit(k) + lit(1)).as("n_grams"),
+        size(array_distinct(g)).as("n_distinct"), top.as("max_freq"))
+    }
+    val docs = Tables.t(spark, sfDir, "documents").limit(200)
+      .filter(size(tokens(col("text"))) >= 3)
+    for (k <- Seq(2, 3)) {
+      val diffs = docs
+        .select(textGramStats(col("text"), k).as("native"),
+          composed(k).as("ref"))
+        .filter(col("native") =!= col("ref")).count()
+      assert(diffs == 0, s"k=$k gram-stats mismatch")
+    }
+    // short/degenerate texts: below k tokens the kernel returns zeros
+    val edge = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1("solo"), Tuple1("a b"), Tuple1("a a a a"),
+      Tuple1("x  y z"))).toDF("text")
+    val zeros = edge.filter(size(tokens(col("text"))) < 3)
+      .select(textGramStats(col("text"), 3).as("s"))
+      .filter(col("s.n_grams") =!= 0 || col("s.n_distinct") =!= 0 ||
+        col("s.max_freq") =!= 0).count()
+    assert(zeros == 0)
+    val ediffs = edge.filter(size(tokens(col("text"))) >= 3)
+      .select(textGramStats(col("text"), 3).as("native"),
+        composed(3).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(ediffs == 0)
+  }
+
   test("minhashBandKeys (native) == bandKeys(minhashSig(sh))") {
     val docs = Tables.t(spark, sfDir, "documents").limit(50)
       .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))

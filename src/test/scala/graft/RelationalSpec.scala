@@ -65,6 +65,26 @@ class RelationalSpec extends AnyFunSuite {
       s"q19 must reuse the revenue exchange (one lineitem scan):\n$finalPlan")
   }
 
+  test("q06c KMV estimate tracks the exact distinct count") {
+    // the accuracy pin that used to ride inside q06c's output as an
+    // exact count(distinct) companion column (dropped from the query:
+    // it duplicated q04's coverage and doubled the query's cost).
+    // KMV standard error is ~1/sqrt(k-1) ≈ 12.6% at k=64; assert 3σ.
+    import org.apache.spark.sql.functions._
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.GraftFunctions.kmvDistinct(col("l_orderkey"), 64)
+          .as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      assert(math.abs(a - e) / e <= 0.38,
+        s"flag ${r.get(0)}: approx $a vs exact $e off by ${math.abs(a - e) / e}")
+    }
+  }
+
   test("queries and oracleSql keys line up") {
     val qkeys = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qkeys))
