@@ -136,33 +136,43 @@ object Relational {
   private val q06 = Qdef(
     "q06_percentiles",
     (s, dir) => {
-      // exact percentile via rank anchors instead of Spark's percentile()
-      // aggregate: the aggregate's partial state is an OpenHashMap over
-      // DISTINCT values, which reduces nothing on high-cardinality
-      // doubles (~560k distinct prices → map-size shuffles + boxed
-      // merges; 1.6 s steady-state at sf0.1 vs 0.6 s here). This form
-      // shuffles raw (flag, price) once, sorts within each flag, keeps
-      // only the 2 anchor rows per percentile, and interpolates with
-      // DuckDB's own formula a+(b-a)·f. Both forms put each whole group
-      // on one reducer (exact per-group percentile is inherently
-      // group-parallel); the corpus-scale answer is the approx face
+      // exact percentile from a VALUE HISTOGRAM, not from raw rows:
+      // groupBy (flag, price) count is map-side combinable (one shuffle
+      // of ≤ distinct-values rows), the rank math then runs on a
+      // cumulative-count window over DISTINCT values per flag. Two
+      // rejected forms, both measured: Spark's percentile() aggregate
+      // carries an OpenHashMap over distinct values as partial state
+      // (no map-side reduction into the shuffle, boxed merges — 1.6 s
+      // at sf0.1); a row_number window over RAW rows puts every row of
+      // a group through one reducer's sort — fine at sf0.1 (0.6 s),
+      // 100.3 s at sf10 (60M rows, 3 flags — the same-day scale
+      // rehearsal caught it before it shipped). The histogram form is
+      // the classic scalable exact percentile: per-reducer work is
+      // O(distinct values), not O(rows). Interpolation is DuckDB's own
+      // a+(b-a)·f; the exact per-group percentile remains inherently
+      // group-parallel — the corpus-scale answer is the approx face
       // (q06b/q06c sketches).
       import org.apache.spark.sql.expressions.Window
       val wS = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("l_returnflag"))
       def anchor(p: Double) = floor((col("n") - 1) * p) + 1
       def frac(p: Double) = (col("n") - 1) * p - floor((col("n") - 1) * p)
+      // rank k lives in this histogram row iff cum-cnt < k <= cum
+      def has(k: org.apache.spark.sql.Column) =
+        (col("cum") - col("cnt") < k) && (k <= col("cum"))
       def interp(p: Double) = {
-        val lo = max(when(col("rn") === anchor(p), col("l_extendedprice")))
-        val hi = max(when(col("rn") === anchor(p) + 1, col("l_extendedprice")))
+        val lo = max(when(has(anchor(p)), col("l_extendedprice")))
+        val hi = max(when(has(anchor(p) + 1), col("l_extendedprice")))
         lo + (coalesce(hi, lo) - lo) * first(frac(p))
       }
       t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(wS))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .filter(col("rn") === anchor(0.5) || col("rn") === anchor(0.5) + 1 ||
-          col("rn") === anchor(0.9) || col("rn") === anchor(0.9) + 1)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wS))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .filter(has(anchor(0.5)) || has(anchor(0.5) + 1) ||
+          has(anchor(0.9)) || has(anchor(0.9) + 1))
         .groupBy(col("l_returnflag"))
         .agg(round(interp(0.5), 4).as("p50_price"),
           round(interp(0.9), 4).as("p90_price"))
