@@ -13,6 +13,7 @@ object PlanAudit {
   private val headliners: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> "column-pruned scan, partial aggregation (map-side combine)",
     "q03_filter"          -> "predicates pushed into the parquet scan (PushedFilters)",
+    "q06_percentiles"     -> "exact percentile from a value histogram: map-side-combinable (flag, value) counts into the shuffle; rank anchors over DISTINCT values — never a group's raw rows through one reducer's sort (the sf10 rehearsal killed that form at 100.3 s)",
     "q08_topn"            -> "top-N as TakeOrderedAndProject — no full sort",
     "q09_join_inner"      -> "dimension joins broadcast; no shuffle of the fact side for dims",
     "q19_cte"             -> "single fact-table pass (1-row max broadcast back via ReuseExchange; no unpartitioned window, no scalar-subquery rescan)",

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, Md5Prefix48E, MinHashBandsE, MinHashSigE, NearestCellsE, NearestCentroidE, RollingFingerprint, SimHash64, TextGramStatsE, TextShinglesE, TopKPairs}
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, Md5Prefix48E, MinHashBandsE, MinHashSigE, RegexTokenCountE, NearestCellsE, NearestCentroidE, RollingFingerprint, SimHash64, TextGramStatsE, TextShinglesE, TopKPairs}
 
 /** Column-API surface of graft's text/vector function library
   * (SURVEY.md §2.D/E4). Everything here is either a native codegen
@@ -66,6 +66,13 @@ object GraftFunctions {
     */
   def textGramStats(text: Column, k: Int): Column =
     expr2col(TextGramStatsE(exprOf(text), k))
+
+  /** Count of `[a-z]+|[0-9]+|[^a-z0-9 ]` matches — native linear scan,
+    * value-identical to size(regexp_extract_all(text, ...)) without the
+    * regex engine materializing every match (NativeExprSpec pins it).
+    */
+  def regexTokenCount(text: Column): Column =
+    expr2col(RegexTokenCountE(exprOf(text)))
 
   // ---- MinHash ----------------------------------------------------------
 

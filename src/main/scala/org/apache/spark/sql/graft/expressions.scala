@@ -152,6 +152,35 @@ object ExprKernels {
       Array[Any](tokens - k + 1, counts.size, maxf))
   }
 
+  /** Count of matches of `[a-z]+|[0-9]+|[^a-z0-9 ]` — the BPE-ish token
+    * count of q39 — as one linear byte scan instead of a regex engine
+    * materializing every match string. Alternation semantics replayed
+    * exactly: a lowercase run is one match, a digit run is one match,
+    * every other CODE POINT (not byte — continuation bytes 0b10xxxxxx
+    * are skipped, so multibyte UTF-8 chars count once, as the regex's
+    * per-character class does) except space is one match.
+    */
+  def regexTokenCount(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') {
+        count += 1
+        while (i < n && bytes(i) >= 'a' && bytes(i) <= 'z') i += 1
+      } else if (b >= '0' && b <= '9') {
+        count += 1
+        while (i < n && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+      } else {
+        if (b != ' ' && (b & 0xc0) != 0x80) count += 1
+        i += 1
+      }
+    }
+    count
+  }
+
   private val md5TL: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
@@ -425,6 +454,24 @@ case class TextShinglesE(child: Expression, k: Int)
     defineCodeGen(ctx, ev, s => s"org.apache.spark.sql.graft.ExprKernels.textShingles($s, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): TextShinglesE =
+    copy(child = newChild)
+}
+
+/** Text → count of `[a-z]+|[0-9]+|[^a-z0-9 ]` matches (SURVEY.md §2.D10). */
+case class RegexTokenCountE(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "regex_token_count"
+
+  override protected def nullSafeEval(s: Any): Any =
+    ExprKernels.regexTokenCount(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"org.apache.spark.sql.graft.ExprKernels.regexTokenCount($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): RegexTokenCountE =
     copy(child = newChild)
 }
 

@@ -88,6 +88,27 @@ class NativeExprSpec extends AnyFunSuite {
     assert(ediffs == 0)
   }
 
+  test("regexTokenCount (native) == size(regexp_extract_all)") {
+    def ref = size(regexp_extract_all(col("text"),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    val docs = Tables.t(spark, sfDir, "documents").limit(300)
+    val diffs = docs
+      .select(regexTokenCount(col("text")).as("native"), ref.as("r"))
+      .filter(col("native") =!= col("r")).count()
+    assert(diffs == 0)
+    // edge cases: empty, runs at boundaries, punctuation, digits,
+    // multibyte UTF-8 (each non-matching code point = one match),
+    // consecutive spaces
+    val edge = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1("   "), Tuple1("abc"), Tuple1("123"),
+      Tuple1("a1b2"), Tuple1("hello, world! 42x"), Tuple1("héllo wörld"),
+      Tuple1("a  b"), Tuple1("!!!"), Tuple1("ñ"), Tuple1("x9 9x"))).toDF("text")
+    val ediffs = edge
+      .select(regexTokenCount(col("text")).as("native"), ref.as("r"))
+      .filter(col("native") =!= col("r")).count()
+    assert(ediffs == 0)
+  }
+
   test("minhashBandKeys (native) == bandKeys(minhashSig(sh))") {
     val docs = Tables.t(spark, sfDir, "documents").limit(50)
       .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
