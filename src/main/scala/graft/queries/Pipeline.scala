@@ -1097,7 +1097,7 @@ object Pipeline {
               WHERE vec_id % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
                 (SELECT c FROM c1))) = 0),
     scored AS (
-      SELECT q.vec_id, q.qv, c.c_id,
+      SELECT q.vec_id, c.c_id,
         list_dot_product(q.qv, c.c_qv) /
           sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.c_qv, c.c_qv)) AS c_cos
       FROM q CROSS JOIN cents c),
@@ -1124,10 +1124,11 @@ object Pipeline {
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY f_cos DESC, f_id) AS frn
           FROM scored2) WHERE frn = 1) s USING (vec_id)),
     probes1 AS (
-      SELECT vec_id AS q_id, qv AS q_qv, cell1 FROM (
-        SELECT vec_id, qv, c_id AS cell1,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS prn
-        FROM scored WHERE vec_id < 10) WHERE prn <= 4),
+      SELECT s.vec_id AS q_id, q.qv AS q_qv, s.cell1 FROM (
+        SELECT vec_id, c_id AS cell1 FROM (
+          SELECT vec_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS prn
+          FROM scored WHERE vec_id < 10) WHERE prn <= 4) s JOIN q USING (vec_id)),
     probes2 AS (
       SELECT q_id, q_qv, cell1, cell2 FROM (
         SELECT p.q_id, p.q_qv, p.cell1, COALESCE(f.f_id, -1) AS cell2,
