@@ -919,8 +919,56 @@ object Relational {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name"""))
 
+  // ---- A18: event funnel (staged conditional aggregation composite) -----
+  // The classic event-analytics shape the suite lacked: per user, first
+  // view, first click within 72 h AFTER that view, first purchase within
+  // 72 h after THAT click — each stage conditions on the previous
+  // stage's timestamp, so this cannot be one grouped aggregation.
+  // Scale shape: three user-keyed aggregations + user-keyed equi-joins
+  // (stage tables are ≤ one row per user, so the per-stage join's build
+  // side shrinks monotonically down the funnel); all linear, no window
+  // over raw events, no self-join on the event table by time.
+  // Timestamps compare exactly (µs integers in both engines; the
+  // interval add is exact integer arithmetic).
+  private val q74 = Qdef(
+    "q74_funnel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 72 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 72 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 72 HOUR
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 72 HOUR
+      GROUP BY e.user_id)
+    SELECT user_id, t1, t2, t3
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    ORDER BY user_id"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q06c, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q45, q46, q52, q53, q62, q63, q64, q65, q66)
+    q27, q28, q29, q45, q46, q52, q53, q62, q63, q64, q65, q66, q74)
 }
