@@ -967,8 +967,42 @@ object Relational {
     FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
     ORDER BY user_id"""))
 
+  // ---- A18: weekly cohort retention --------------------------------------
+  // The companion event-analytics composite to q74's funnel: users
+  // cohorted by first-seen week, retention = distinct users of cohort c
+  // active in week w, for every (c, w) with w >= c. Scale shape: one
+  // user-keyed MIN aggregation (cohort), one (user, week) distinct
+  // projection of the event scan, a user-keyed equi-join of the two,
+  // and one (cohort, week) count — all linear, no window, and the
+  // retained count is map-side-partial-aggregated. All output values
+  // are exact integers; DATE_TRUNC('week', ts) is identical in both
+  // engines (ISO Monday weeks).
+  private val q75 = Qdef(
+    "q75_cohort_retention",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      active.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week"))
+    },
+    Some("""WITH cohort AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week FROM events)
+    SELECT c.cohort_week, a.week, COUNT(DISTINCT a.user_id) AS n_active
+    FROM active a JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, a.week
+    ORDER BY c.cohort_week, a.week"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q06c, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q45, q46, q52, q53, q62, q63, q64, q65, q66, q74)
+    q27, q28, q29, q45, q46, q52, q53, q62, q63, q64, q65, q66, q74, q75)
 }
