@@ -45,7 +45,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A subset run writes oracle_sql.subset.json: overwriting the full
+    // oracle_sql.json in a reused outDir (with earlier full-run parquet
+    // dumps still present) would make a compare driver silently skip
+    // every other query's oracle. The full, unfiltered run keeps the
+    // canonical filename the driver reads.
+    val jsonName = if (only.isDefined) "oracle_sql.subset.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$jsonName"), json)
     spark.stop()
   }
 }

@@ -283,8 +283,10 @@ object Curation {
   // computes a+(b-a)*f, and the two differ in rounding; the dsum 1-ulp
   // lesson from the sf5 rehearsal applies verbatim), and each final
   // recall is ONE correctly-rounded division of identical integers.
-  // Truth is k=10 per query by construction, so /10 (min) and /20
-  // (median-of-two-middles) are the exact denominators.
+  // Denominators are DERIVED from the data — MAX(n_truth_q) (= k when
+  // the corpus has ≥ k+1 vectors, the per-query truth size otherwise)
+  // and 2·MAX for the median-of-two-middles — never hard-coded to k,
+  // so changing k or auditing a tiny corpus cannot silently misreport.
   private val q69 = Qdef(
     "q69_ann_recall_kmeans",
     (s, dir) => {
@@ -306,15 +308,16 @@ object Curation {
         .agg(sum(col("n_truth_q")).as("n_truth"),
           sum(col("n_hits_q")).as("n_hits"),
           min(col("n_hits_q")).as("min_hits"),
+          max(col("n_truth_q")).as("max_truth"),
           sort_array(collect_list(col("n_hits_q"))).as("hs"),
           count(lit(1)).as("nq"))
         .select(lit("ivf_kmeans").as("method"),
           col("n_truth"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_truth")).as("recall"),
-          (col("min_hits").cast("double") / lit(10.0)).as("min_recall"),
+          (col("min_hits").cast("double") / col("max_truth")).as("min_recall"),
           ((element_at(col("hs"), ((col("nq") + lit(1)) / lit(2)).cast("int"))
             + element_at(col("hs"), ((col("nq") + lit(2)) / lit(2)).cast("int")))
-            .cast("double") / lit(20.0)).as("p50_recall"))
+            .cast("double") / (lit(2) * col("max_truth"))).as("p50_recall"))
     },
     Some(kmeansCtes + """,
     probes AS (
@@ -353,13 +356,14 @@ object Curation {
       SELECT CAST(SUM(n_truth_q) AS BIGINT) AS n_truth,
         CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
         MIN(n_hits_q) AS min_hits,
+        MAX(n_truth_q) AS max_truth,
         list_sort(list(n_hits_q)) AS hs,
         COUNT(*) AS nq
       FROM perq)
     SELECT 'ivf_kmeans' AS method, n_truth, n_hits,
       CAST(n_hits AS DOUBLE) / n_truth AS recall,
-      CAST(min_hits AS DOUBLE) / 10.0 AS min_recall,
-      CAST(hs[CAST((nq + 1) // 2 AS INT)] + hs[CAST((nq + 2) // 2 AS INT)] AS DOUBLE) / 20.0 AS p50_recall
+      CAST(min_hits AS DOUBLE) / max_truth AS min_recall,
+      CAST(hs[CAST((nq + 1) // 2 AS INT)] + hs[CAST((nq + 2) // 2 AS INT)] AS DOUBLE) / (2 * max_truth) AS p50_recall
     FROM agg"""))
 
   val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61, q67, q69)

@@ -1076,15 +1076,19 @@ object Pipeline {
         .agg(sum(col("n_truth_q")).as("n_truth"),
           sum(col("n_hits_q")).as("n_hits"),
           min(col("n_hits_q")).as("min_hits"),
+          // denominators derived from the data (q69's rule): MAX(n_truth_q)
+          // = k when the corpus has ≥ k+1 vectors, the actual truth size
+          // otherwise — never a hard-coded k constant
+          max(col("n_truth_q")).as("max_truth"),
           sort_array(collect_list(col("n_hits_q"))).as("hs"),
           count(lit(1)).as("nq"))
         .select(lit("ivf2").as("method"),
           col("n_truth"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_truth")).as("recall"),
-          (col("min_hits").cast("double") / lit(10.0)).as("min_recall"),
+          (col("min_hits").cast("double") / col("max_truth")).as("min_recall"),
           ((element_at(col("hs"), ((col("nq") + lit(1)) / lit(2)).cast("int"))
             + element_at(col("hs"), ((col("nq") + lit(2)) / lit(2)).cast("int")))
-            .cast("double") / lit(20.0)).as("p50_recall"))
+            .cast("double") / (lit(2) * col("max_truth"))).as("p50_recall"))
     },
     Some("""WITH q AS (
       SELECT vec_id,
@@ -1168,13 +1172,14 @@ object Pipeline {
       SELECT CAST(SUM(n_truth_q) AS BIGINT) AS n_truth,
         CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
         MIN(n_hits_q) AS min_hits,
+        MAX(n_truth_q) AS max_truth,
         list_sort(list(n_hits_q)) AS hs,
         COUNT(*) AS nq
       FROM perq)
     SELECT 'ivf2' AS method, n_truth, n_hits,
       CAST(n_hits AS DOUBLE) / n_truth AS recall,
-      CAST(min_hits AS DOUBLE) / 10.0 AS min_recall,
-      CAST(hs[CAST((nq + 1) // 2 AS INT)] + hs[CAST((nq + 2) // 2 AS INT)] AS DOUBLE) / 20.0 AS p50_recall
+      CAST(min_hits AS DOUBLE) / max_truth AS min_recall,
+      CAST(hs[CAST((nq + 1) // 2 AS INT)] + hs[CAST((nq + 2) // 2 AS INT)] AS DOUBLE) / (2 * max_truth) AS p50_recall
     FROM agg"""))
 
   // ---- D25: sequence packing (concat-and-chunk planning) -----------------
@@ -1230,11 +1235,14 @@ object Pipeline {
   // grams shared by many documents are boilerplate; documents dominated
   // by them are templates. Document frequency per distinct trigram, a
   // common set at df >= 4, and each doc's fraction of common grams.
-  // Scale shape: explode is scan-linear; df is ONE gram-key aggregation
-  // (map-side partial); the common set joins back by gram key — a keyed
-  // equi-join, NOT a broadcast (unlike q56's fixed-size benchmark index,
-  // the boilerplate vocabulary grows with the corpus); the per-doc
-  // rollup is a doc_id-key aggregation. Everything linear and keyed.
+  // Scale shape: explode is scan-linear; df is attached in place by an
+  // unordered count window over Window.partitionBy(gram) — ONE gram-key
+  // shuffle total (the groupBy+join-back formulation re-derives the
+  // exploded grams per side and shuffles three times); groups are
+  // per-distinct-trigram — tiny and skew-free — and the boilerplate
+  // vocabulary is never broadcast (unlike q56's fixed benchmark index,
+  // it grows with the corpus); the per-doc rollup is a doc_id-key
+  // aggregation. Everything linear and keyed.
   // The fraction is one division of exact ints — engine-identical.
   private val q73 = Qdef(
     "q73_common_grams",

@@ -156,6 +156,17 @@ object Relational {
       val wS = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("l_returnflag"))
+      // Anchor rank DELIBERATELY in double — floor((n-1)*p) with p the
+      // same double literal DuckDB's QUANTILE_CONT uses — NOT in exact
+      // integer math (floor((n-1)*9/10) via BIGINTs). Both engines
+      // perform the identical IEEE multiply of identical operands, so
+      // the rounding (including any cross of an integer boundary, e.g.
+      // double(0.9) > 9/10 can push (n-1)*p just above an integer the
+      // exact product sits below) agrees bit-for-bit; exact integer
+      // anchors would DISAGREE with DuckDB at exactly those boundaries.
+      // Preconditions, both held at any realistic scale: n-1 exactly
+      // representable (n < 2^53), and DuckDB computing its index as
+      // (n-1)*q in double (quantile.cpp's RN = (n-1)*q).
       def anchor(p: Double) = floor((col("n") - 1) * p) + 1
       def frac(p: Double) = (col("n") - 1) * p - floor((col("n") - 1) * p)
       // rank k lives in this histogram row iff cum-cnt < k <= cum

@@ -1,10 +1,13 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [oracleJsonName]
 Reads <outDir>/oracle_sql.json + each <outDir>/<name>/ parquet written by
 graft.Verify, replays the SQL in DuckDB over the same sf parquet tables,
 and compares (schema by sorted column names, values by sorted rows).
+A SPARK_GRAFT_ONLY subset run of Verify writes oracle_sql.subset.json
+instead (so a reused outDir's full-run manifest is never clobbered);
+pass that name as the third arg to gate just the subset.
 """
 import sys, json, glob, math, struct
 import duckdb
@@ -24,7 +27,8 @@ con.execute("SET temp_directory='/tmp/duck_spill'")
 for t in TABLES:
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+oracle_name = sys.argv[3] if len(sys.argv) > 3 else "oracle_sql.json"
+oracle = json.load(open(f"{outdir}/{oracle_name}"))
 
 # GRAFT_CHECK_SKIP: comma-separated query names to skip — used by the
 # sf1 scale rehearsal, where a few oracles are brute-force-quadratic by
