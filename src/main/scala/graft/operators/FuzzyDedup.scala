@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked edit-distance near-duplicate detection (SURVEY.md §2.D28) —
+  * the record-linkage classic: cheap BLOCKING keys generate candidate
+  * pairs by equi-join, an exact Levenshtein verify runs only inside
+  * blocks. Complements the token-set family (MinHash jaccard q31,
+  * SimHash q32): edit distance is ORDER-sensitive, so it catches
+  * character-level edits (typos, OCR noise, template fills) that
+  * set-of-shingles similarity scores identically, and is the verify
+  * primitive entity-resolution pipelines run after candidate
+  * generation.
+  *
+  * Scale shape: each blocking key is one keyed self-equi-join — linear
+  * in corpus size times in-block occupancy (the LSH in-bucket-verify
+  * cost class, never corpus²). Two complementary keys (token prefix,
+  * token suffix — each paired with a token-length bucket) so a single
+  * edit at one end of the document cannot escape both blocks; the
+  * union dedups on the pair key. Levenshtein is O(len²) per candidate
+  * — strictly a verify primitive; the blocking keys are what bound how
+  * often it runs (q33's scale-constant-budget rule applies to the
+  * block design, not to this operator's mechanics).
+  *
+  * Determinism: Spark's `levenshtein` and DuckDB's `levenshtein` are
+  * both the textbook unit-cost DP (insert/delete/substitute = 1) over
+  * identical strings → identical BIGINTs; the relative distance is one
+  * correctly-rounded division by GREATEST of exact lengths.
+  */
+object FuzzyDedup {
+
+  /** Near-dup pairs with edit_dist / max(len) ≤ `maxRel`, candidates
+    * blocked on (first-2-tokens, ⌊n_tokens/lenBucket⌋) OR
+    * (last-2-tokens, ⌊n_tokens/lenBucket⌋).
+    * Output: (doc_a, doc_b, edit_dist, rel_dist) with doc_a < doc_b.
+    */
+  def editPairs(docs: DataFrame, idCol: String, textCol: String,
+                maxRel: Double = 0.1, lenBucket: Int = 8): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      concat_ws(" ", slice(toks, 1, 2)).as("pre2"),
+      concat_ws(" ", slice(toks, -2, 2)).as("suf2"),
+      floor(size(toks) / lit(lenBucket.toDouble)).as("lb"))
+    def pairsBy(key: String): DataFrame =
+      base.as("a").join(base.as("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.text").as("ta"), col("b.text").as("tb"))
+    pairsBy("pre2").union(pairsBy("suf2"))
+      .distinct() // same (doc_a, doc_b) carries identical texts in both branches
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("rel_dist", col("edit_dist").cast("double") /
+        greatest(length(col("ta")), length(col("tb"))))
+      .filter(col("rel_dist") <= lit(maxRel))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("rel_dist"))
+  }
+}

@@ -1290,7 +1290,90 @@ object Pipeline {
     FROM eg e LEFT JOIN common c ON e.gram = c.gram
     GROUP BY e.doc_id ORDER BY e.doc_id"""))
 
+  // ---- D27: BM25 full-text retrieval -------------------------------------
+  // Okapi BM25 (k1=1.2, b=0.75) over the inverted-index relational shape
+  // — operators/Retrieval.scala carries the full scale + determinism
+  // contract (postings prune to the broadcast query-term set map-side;
+  // per-term contributions are floor(idf·w·10⁶) BIGINTs so the score
+  // sum is order-independent; idf's ln is the only cross-engine
+  // final-ulp risk, the q53 transcendental class, masked by the 10⁶
+  // floor). Top-k reduces via the TopKPairs partial aggregate.
+  private val q76 = Qdef(
+    "q76_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val qt = Seq((0, "spark"), (0, "join"),
+        (1, "hash"), (1, "merge"), (1, "window"),
+        (2, "stream"), (2, "batch")).toDF("q_id", "term")
+      graft.operators.Retrieval
+        .bm25TopK(t(s, dir, "documents"), "doc_id", "text", qt, k = 10,
+          stage = true)
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some("""WITH qt(q_id, term) AS (VALUES
+      (0, 'spark'), (0, 'join'), (1, 'hash'), (1, 'merge'), (1, 'window'),
+      (2, 'stream'), (2, 'batch')),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+              FROM dl),
+    dfq AS (SELECT t.term, COUNT(*) AS df FROM tf t
+            JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+            GROUP BY t.term),
+    scored AS (
+      SELECT q.q_id, t.doc_id,
+        CAST(SUM(CAST(FLOOR(
+          ln(CAST(2*s.n_docs + 2 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE))
+          * (CAST(44*s.total_len*t.tf AS DOUBLE)
+             / CAST(20*s.total_len*t.tf + 6*s.total_len + 18*l.dl*s.n_docs AS DOUBLE))
+          * 1000000.0) AS BIGINT)) AS BIGINT) AS score_scaled
+      FROM tf t JOIN qt q USING (term) JOIN dfq d ON d.term = t.term
+        JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s
+      GROUP BY q.q_id, t.doc_id)
+    SELECT q_id, rn, doc_id, score_scaled,
+      CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
+    FROM (SELECT q_id, doc_id, score_scaled,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY score_scaled DESC, doc_id) AS INT) AS rn
+      FROM scored)
+    WHERE rn <= 10 ORDER BY q_id, rn"""))
+
+  // ---- D28: blocked edit-distance near-dup pairs --------------------------
+  // The record-linkage fuzzy-dedup primitive — operators/FuzzyDedup.scala
+  // carries the contract (two complementary blocking keys as keyed
+  // self-equi-joins, Levenshtein verify only inside blocks; both
+  // engines' levenshtein is the unit-cost DP → identical BIGINTs).
+  private val q77 = Qdef(
+    "q77_fuzzy_dedup",
+    (s, dir) =>
+      graft.operators.FuzzyDedup
+        .editPairs(t(s, dir, "documents"), "doc_id", "text", maxRel = 0.1)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+    b AS (
+      SELECT doc_id, text,
+        array_to_string(tk[1:2], ' ') AS pre2,
+        array_to_string(tk[-2:], ' ') AS suf2,
+        CAST(FLOOR(len(tk) / 8.0) AS BIGINT) AS lb
+      FROM d),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        a.text AS ta, b2.text AS tb
+      FROM b a JOIN b b2 ON a.lb = b2.lb AND a.doc_id < b2.doc_id
+        AND (a.pre2 = b2.pre2 OR a.suf2 = b2.suf2))
+    SELECT doc_a, doc_b,
+      CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+      CAST(levenshtein(ta, tb) AS DOUBLE) / GREATEST(len(ta), len(tb))
+        AS rel_dist
+    FROM cand
+    WHERE CAST(levenshtein(ta, tb) AS DOUBLE) / GREATEST(len(ta), len(tb))
+      <= 0.1
+    ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73)
+    q73, q76, q77)
 }

@@ -1012,8 +1012,68 @@ object Relational {
     GROUP BY c.cohort_week, a.week
     ORDER BY c.cohort_week, a.week"""))
 
+  // ---- A19: PIVOT ------------------------------------------------------
+  // The relational cross-tab: Spark's RelationalGroupedDataset.pivot with
+  // EXPLICIT pivot values (never the two-pass value-discovery form — at
+  // 100 TB the discovery pass is a full distinct scan; production always
+  // knows its pivot domain). Catalyst rewrites pivot-on-literals into a
+  // single aggregate over conditional expressions — ONE scan, map-side
+  // partials, no extra shuffle vs the plain groupBy — which is exactly
+  // the CASE-filtered aggregation the oracle spells out. Money sums ride
+  // dsum (pivot subsets preserve the exact-decimal contract per cell).
+  private val q78 = Qdef(
+    "q78_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+          col("F_qty").as("qty_f"), col("F_cnt").as("cnt_f"),
+          col("O_qty").as("qty_o"), col("O_cnt").as("cnt_o"))
+        .orderBy(col("l_returnflag")),
+    Some(s"""SELECT l_returnflag,
+      ${sqlDsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+      COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f,
+      ${sqlDsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o,
+      COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---- A19: UNPIVOT ----------------------------------------------------
+  // The inverse cross-tab (Dataset.unpivot / melt): wide aggregate row →
+  // long (metric, value) rows. Runs AFTER the aggregation, so the
+  // unpivot itself touches k×groups rows — scan-local expression work,
+  // no shuffle (Catalyst plans it as Expand). Oracle replays as the
+  // UNION ALL it desugars to.
+  private val q79 = Qdef(
+    "q79_unpivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_discount")).as("sum_disc"),
+          dsum(col("l_tax")).as("sum_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_disc"), col("sum_tax")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric")),
+    Some(s"""WITH a AS (
+      SELECT l_returnflag,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_discount")} AS sum_disc,
+        ${sqlDsum("l_tax")} AS sum_tax
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM a
+      UNION ALL
+      SELECT l_returnflag, 'sum_tax' AS metric, sum_tax AS value FROM a)
+    ORDER BY l_returnflag, metric"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q06c, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q45, q46, q52, q53, q62, q63, q64, q65, q66, q74, q75)
+    q27, q28, q29, q45, q46, q52, q53, q62, q63, q64, q65, q66, q74, q75,
+    q78, q79)
 }
