@@ -44,7 +44,9 @@ object PlanAudit {
     "q76_bm25" -> "inverted-index retrieval: ONE corpus tokenization (staged tf table; dl/stats/df all derive from it), postings pruned to the broadcast query-term set map-side, one-row stats cross join, per-query top-k via the TopKPairs partial aggregate — never a window over all scored rows",
     "q77_fuzzy_dedup" -> "blocked edit-distance dedup: candidates from two keyed self-equi-joins (prefix/suffix x length-bucket), pair-dedup BEFORE the Levenshtein verify so the O(len^2) DP runs once per unique candidate; no cartesian",
     "q78_pivot" -> "pivot on EXPLICIT literals: Catalyst rewrites to ONE conditional aggregate over one scan (map-side partials) — no value-discovery pass, no extra shuffle vs the plain groupBy",
-    "q79_unpivot" -> "unpivot after aggregation: Expand over k x groups rows, scan-local, no added shuffle")
+    "q79_unpivot" -> "unpivot after aggregation: Expand over k x groups rows, scan-local, no added shuffle",
+    "q80_ann_pq" -> "product quantization: broadcast codebook + LUT (m·ks rows at any corpus size), encode = explode(m) -> broadcast join -> keyed argmin with map-side partials, ADC = codes x broadcast LUT -> keyed BIGINT sum, top-R via TopKPairs; only <= q·R re-rank rows join back to full vectors",
+    "q81_ann_recall_pq" -> "PQ recall audit: q35's broadcast-query-batch ground-truth shape + the q80 plan; hit join is (q_id, neighbor)-keyed")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

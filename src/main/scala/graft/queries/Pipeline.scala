@@ -1373,7 +1373,138 @@ object Pipeline {
       <= 0.1
     ORDER BY doc_a, doc_b"""))
 
+  // Shared DuckDB replay of the PQ pipeline (q80/q81): quantize →
+  // per-subspace modulo codebook → encode (argmin by exact integer d²)
+  // → query LUT → ADC sums → top-50 by ADC → exact re-rank distances.
+  // Every distance is BIGINT: list_dot_product's doubles are exact
+  // below 2^53 (max term 64·10¹² ≈ 6.4e13) and cast back immediately.
+  private val pqCtes = """WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    st AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM q),
+    cb AS (
+      SELECT s.sub, c.vec_id AS c_id,
+        c.qv[s.sub*8+1 : s.sub*8+8] AS c_sv
+      FROM q c CROSS JOIN range(0, 8) s(sub)
+      WHERE c.vec_id % (SELECT stride FROM st) = 0),
+    enc0 AS (
+      SELECT v.vec_id AS id, c.sub, c.c_id,
+        CAST(list_dot_product(v.qv[c.sub*8+1 : c.sub*8+8],
+                              v.qv[c.sub*8+1 : c.sub*8+8]) AS BIGINT)
+          + CAST(list_dot_product(c.c_sv, c.c_sv) AS BIGINT)
+          - 2*CAST(list_dot_product(v.qv[c.sub*8+1 : c.sub*8+8], c.c_sv)
+              AS BIGINT) AS d2
+      FROM q v CROSS JOIN cb c),
+    codes AS (
+      SELECT id, sub, c_id AS code FROM (
+        SELECT id, sub, c_id,
+          ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY d2, c_id) AS rn
+        FROM enc0) WHERE rn = 1),
+    lut AS (
+      SELECT qr.vec_id AS q_id, c.sub, c.c_id,
+        CAST(list_dot_product(qr.qv[c.sub*8+1 : c.sub*8+8],
+                              qr.qv[c.sub*8+1 : c.sub*8+8]) AS BIGINT)
+          + CAST(list_dot_product(c.c_sv, c.c_sv) AS BIGINT)
+          - 2*CAST(list_dot_product(qr.qv[c.sub*8+1 : c.sub*8+8], c.c_sv)
+              AS BIGINT) AS d2q
+      FROM q qr CROSS JOIN cb c WHERE qr.vec_id < 10),
+    adc AS (
+      SELECT l.q_id, co.id, CAST(SUM(l.d2q) AS BIGINT) AS adc
+      FROM codes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
+      WHERE co.id <> l.q_id
+      GROUP BY l.q_id, co.id),
+    cand AS (
+      SELECT q_id, id FROM (
+        SELECT q_id, id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, id) AS rn
+        FROM adc) WHERE rn <= 50),
+    pq_exact AS (
+      SELECT ca.q_id, ca.id,
+        CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+          + CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+          - 2*CAST(list_dot_product(qq.qv, v.qv) AS BIGINT) AS dist2
+      FROM cand ca JOIN q v ON v.vec_id = ca.id
+        JOIN q qq ON qq.vec_id = ca.q_id)"""
+
+  // ---- D7f: product-quantization ANN -------------------------------------
+  // The memory-compression face of approximate search (operators/Pq.scala
+  // carries the full contract): m=8 subspaces × ks=16 modulo-sampled
+  // centroids, ADC lookup-table distances, exact re-rank of the top-50.
+  // EVERYTHING is exact BIGINT squared-L2 arithmetic (d² = ⟨a,a⟩+⟨b,b⟩
+  // −2⟨a,b⟩ on the native DotLong kernel) — the one ANN oracle with zero
+  // floating-point anywhere.
+  private val q80 = Qdef(
+    "q80_ann_pq",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val n = t(s, dir, "embeddings").count()
+      val stride = math.max(1L, n / 16)
+      graft.operators.Pq
+        .adcTopK(embs, embs.filter(col("id") < 10), stride,
+          m = 8, subDim = 8, k = 10, rerank = 50)
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(pqCtes + """
+    SELECT q_id, rn, neighbor, dist2 FROM (
+      SELECT q_id, id AS neighbor, dist2,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2, id) AS INT)
+          AS rn
+      FROM pq_exact) WHERE rn <= 10
+    ORDER BY q_id, rn"""))
+
+  // ---- D7f: PQ recall audit ----------------------------------------------
+  // q68's rule — an approximate index without a measured recall is not a
+  // production operator — applied to the PQ path: graded against the
+  // exact squared-L2 brute-force top-10 (Pq.bruteForceL2TopK, itself
+  // all-BIGINT, so unlike q68/q69/q71 even the GROUND TRUTH replays with
+  // no floating point). recall = one division of exact BIGINTs.
+  private val q81 = Qdef(
+    "q81_ann_recall_pq",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val n = t(s, dir, "embeddings").count()
+      val stride = math.max(1L, n / 16)
+      val queries = embs.filter(col("id") < 10)
+      val truth = graft.operators.Pq.bruteForceL2TopK(embs, queries, k = 10)
+      val pq = graft.operators.Pq
+        .adcTopK(embs, queries, stride, m = 8, subDim = 8, k = 10, rerank = 50)
+      truth.select(col("q_id"), col("neighbor"))
+        .join(pq.select(col("q_id"), col("neighbor"), lit(1).as("hit")),
+          Seq("q_id", "neighbor"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(lit("pq").as("method"), col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+    },
+    Some(pqCtes + """,
+    pqk AS (
+      SELECT q_id, id AS neighbor FROM (
+        SELECT q_id, id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+        FROM pq_exact) WHERE rn <= 10),
+    truth AS (
+      SELECT q_id, neighbor FROM (
+        SELECT qq.vec_id AS q_id, v.vec_id AS neighbor,
+          ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+            CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+              + CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+              - 2*CAST(list_dot_product(qq.qv, v.qv) AS BIGINT),
+            v.vec_id) AS rn
+        FROM q qq JOIN q v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id)
+      WHERE rn <= 10)
+    SELECT 'pq' AS method, COUNT(*) AS n_truth,
+      CAST(SUM(CASE WHEN p.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_hits,
+      CAST(SUM(CASE WHEN p.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall
+    FROM truth t LEFT JOIN pqk p
+      ON p.q_id = t.q_id AND p.neighbor = t.neighbor"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73, q76, q77)
+    q73, q76, q77, q80, q81)
 }
