@@ -176,11 +176,18 @@ object GraftFunctions {
     * group has fewer than k distinct hashes. Standard KMV estimator
     * (Bar-Yossef et al.), deterministic bit-for-bit across engines.
     */
+  /** 48-bit md5-prefix hash as BIGINT — native kernel, bit-identical to
+    * conv(substring(md5(cast(cast(v as string) as binary)),1,12),16,10)
+    * (NativeExprSpec pins it) without the per-row hex-string round-trip;
+    * DuckDB replays it as ('0x' || substring(md5(v), 1, 12))::BIGINT.
+    * The deterministic uniform-order primitive of the KMV sketch (q06c),
+    * stratified sampling (q82), and any reproducible hash ordering.
+    */
+  def md5Prefix48(value: Column): Column =
+    expr2col(Md5Prefix48E(exprOf(value.cast("string"))))
+
   def kmvDistinct(value: Column, k: Int = 64): Column = {
-    // native 48-bit md5-prefix kernel — bit-identical to
-    // conv(substring(md5(cast(cast(v as string) as binary)),1,12),16,10)
-    // (NativeExprSpec pins it) without the per-row hex-string round-trip
-    val h = expr2col(Md5Prefix48E(exprOf(value.cast("string"))))
+    val h = md5Prefix48(value)
     val top = expr2col(TopKPairs(exprOf((-h).cast("double")), exprOf(h), k,
       dedup = true).toAggregateExpression())
     val kth = -element_at(top, k).getField("score") // = h_k as double

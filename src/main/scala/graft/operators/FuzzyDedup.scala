@@ -50,10 +50,27 @@ object FuzzyDedup {
           col("a.text").as("ta"), col("b.text").as("tb"))
     pairsBy("pre2").union(pairsBy("suf2"))
       .distinct() // same (doc_a, doc_b) carries identical texts in both branches
-      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .withColumn("rel_dist", col("edit_dist").cast("double") /
-        greatest(length(col("ta")), length(col("tb"))))
-      .filter(col("rel_dist") <= lit(maxRel))
-      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("rel_dist"))
+      // cheap length gate first: |lenA − lenB| alone bounds the distance,
+      // so pairs it disqualifies never reach the DP at all
+      .filter(abs(length(col("ta")) - length(col("tb")))
+        <= lit(maxRel) * greatest(length(col("ta")), length(col("tb"))))
+      // the DP itself: (a) BANDED — the 3-arg levenshtein takes the
+      // per-pair threshold ⌊maxRel·maxlen⌋ and runs O(len·threshold)
+      // with early exit, returning −1 past the band (d ≤ t ⇔ rel ≤
+      // maxRel exactly, d and t being ints); (b) computed INSIDE an
+      // aggregate so its output is an opaque attribute — a plain
+      // projection's alias gets substituted into the pushed-down filter
+      // and the optimizer then evaluates the DP up to 3× per pair
+      // (filter + both projected columns; measured 7.5 s → the whole
+      // q77 now runs in well under a second at sf0.1)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        min(expr(s"levenshtein(ta, tb, cast(floor(greatest(length(ta), " +
+          s"length(tb)) * $maxRel) as int))")).cast("long").as("edit_dist"),
+        min(greatest(length(col("ta")), length(col("tb")))).cast("double")
+          .as("mlen"))
+      .filter(col("edit_dist") >= 0) // −1 = distance beyond the band
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        (col("edit_dist").cast("double") / col("mlen")).as("rel_dist"))
   }
 }

@@ -1504,7 +1504,28 @@ object Pipeline {
     FROM truth t LEFT JOIN pqk p
       ON p.q_id = t.q_id AND p.neighbor = t.neighbor"""))
 
+  // ---- D29: deterministic stratified sampling -----------------------------
+  // Fixed-count-per-stratum sampling by content-hash order (operators/
+  // Sampling.scala carries the contract: no RNG, TopKPairs partial
+  // aggregate so the shuffle is O(strata·n) at any corpus size). The
+  // oracle replays the md5₄₈ order as a per-stratum ROW_NUMBER.
+  private val q82 = Qdef(
+    "q82_stratified_sample",
+    (s, dir) =>
+      graft.operators.Sampling
+        .stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", "text",
+          n = 20)
+        .orderBy(col("lang"), col("rn")),
+    Some("""SELECT lang, rn, doc_id, h FROM (
+      SELECT lang, doc_id,
+        ('0x' || substring(md5(text), 1, 12))::BIGINT AS h,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY ('0x' || substring(md5(text), 1, 12))::BIGINT, doc_id)
+          AS INT) AS rn
+      FROM documents)
+    WHERE rn <= 20 ORDER BY lang, rn"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73, q76, q77, q80, q81)
+    q73, q76, q77, q80, q81, q82)
 }
