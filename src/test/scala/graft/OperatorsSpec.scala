@@ -428,6 +428,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"native expression must sit inside a codegen stage:\n$plan")
   }
 
+  test("E8 runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shape: a selectively-filtered dimension too big to
+    // broadcast still prunes the fact scan at runtime — Spark injects a
+    // bloom_filter_agg subquery on the creation side and a might_contain
+    // filter on the fact side BEFORE the shuffle, so non-matching fact
+    // rows never enter the exchange. Local thresholds are lowered to
+    // exercise the rewrite at spec scale; on a cluster the defaults
+    // (10 MB creation / 10 GB application) gate it to where it pays.
+    import org.apache.spark.sql.functions.col
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val li = Tables.t(spark, sfDir, "lineitem")
+      val ord = Tables.t(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"runtime bloom filter must be injected on the fact side:\n$opt")
+      // and it must not change results vs the plain join
+      val plain = withConf(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      }
+      assert(j.count() == plain)
+    }
+  }
+
   private def withConf[A](kvs: (String, String)*)(body: => A): A = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
