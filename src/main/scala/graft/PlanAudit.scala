@@ -47,7 +47,8 @@ object PlanAudit {
     "q79_unpivot" -> "unpivot after aggregation: Expand over k x groups rows, scan-local, no added shuffle",
     "q80_ann_pq" -> "product quantization: broadcast codebook + LUT (m·ks rows at any corpus size), encode = explode(m) -> broadcast join -> keyed argmin with map-side partials, ADC = codes x broadcast LUT -> keyed BIGINT sum, top-R via TopKPairs; only <= q·R re-rank rows join back to full vectors",
     "q81_ann_recall_pq" -> "PQ recall audit: q35's broadcast-query-batch ground-truth shape + the q80 plan; hit join is (q_id, neighbor)-keyed",
-    "q82_stratified_sample" -> "stratified sampling: ONE stratum-keyed TopKPairs partial aggregate (<= n rows per stratum per partition into the exchange) — never a per-stratum window sort over all rows")
+    "q82_stratified_sample" -> "stratified sampling: ONE stratum-keyed TopKPairs partial aggregate (<= n rows per stratum per partition into the exchange) — never a per-stratum window sort over all rows",
+    "q83_containment" -> "containment dedup: bottom-k sketch equi-joins a df-capped posting list (candidates <= sketchK x dfCap per doc, scale-constant); exact intersection by (doc, h) KEY joins; one staged shingle-hash table feeds all five consumers")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Shingle-containment near-dup detection (SURVEY.md §2.D30) — the
+  * ASYMMETRIC similarity the jaccard family cannot express: a short
+  * document quoted or wrapped inside a long one has
+  * C(A→B) = |S(A)∩S(B)| / |S(A)| ≈ 1 while jaccard ≈ |A|/|B| ≈ 0, so
+  * MinHash banding (tuned for symmetric overlap) never surfaces the
+  * pair. Production curation runs this as the quote/wrapper/boilerplate
+  *-inclusion pass (Broder's containment sketches, SEQUENCES '97 — the
+  * same paper that gave MinHash its resemblance form).
+  *
+  * Scale shape (everything keyed, nothing corpus²):
+  *   - the (doc, shingle-hash) table is ONE explode of the corpus,
+  *     staged (localCheckpoint) because five consumers read it;
+  *   - candidates: each doc's BOTTOM-k sketch (k smallest md5₄₈ shingle
+  *     hashes — order statistics of a uniform hash, so P(sketch hash of
+  *     A lands in S(B)) ≈ C(A→B)) equi-joins the full posting list by
+  *     hash; a df-cap drops ubiquitous boilerplate shingles first, so
+  *     bucket occupancy is bounded and candidates per doc are
+  *     ≤ sketchK·dfCap — scale-constant (the q33 budget rule);
+  *   - exact verify: candidate pairs join BACK to the staged hash table
+  *     on (doc, h) both sides — intersection counted by key, never by
+  *     pairwise array work.
+  *
+  * Determinism: the operator is DEFINED over 48-bit md5 shingle hashes
+  * (collisions are deterministic and replayed identically by the
+  * oracle), so every emitted number is exact-integer-derived; the final
+  * containment is one correctly-rounded division.
+  */
+object Containment {
+
+  /** Ordered containment pairs C(doc_a→doc_b) ≥ `threshold`, doc_a the
+    * contained (smaller-set) side. Output:
+    * (doc_a, doc_b, n_a, inter, containment).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 5, sketchK: Int = 16,
+                       dfCap: Int = 32, minMatch: Int = 8,
+                       threshold: Double = 0.8): DataFrame = {
+    val shd = docs
+      .select(col(idCol).as("doc_id"),
+        explode(textShingles(col(textCol), shingleK)).as("gram"))
+      .select(col("doc_id"), md5Prefix48(col("gram")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // bottom-k sketch per doc: the KMV pattern — partial top-k on -h
+    val bk = shd
+      .groupBy(col("doc_id"))
+      .agg(topKPairs((-col("h")).cast("double"), col("h"), sketchK).as("top"))
+      .select(col("doc_id").as("doc_a"), explode(col("top.id")).as("h"))
+    // posting list with the ubiquitous-shingle cap
+    val dfreq = shd.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val post = shd.join(dfreq.filter(col("c") <= dfCap).select("h"), Seq("h"))
+      .select(col("h"), col("doc_id").as("doc_b"))
+    val cand = bk.join(post, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minMatch)
+      .select(col("doc_a"), col("doc_b"))
+    // exact intersection by (doc, h) key joins — never pairwise arrays
+    val inter = cand
+      .join(shd.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= lit(threshold) &&
+        (col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("inter"),
+        col("containment"))
+  }
+}

@@ -1525,7 +1525,57 @@ object Pipeline {
       FROM documents)
     WHERE rn <= 20 ORDER BY lang, rn"""))
 
+  // ---- D30: shingle-containment near-dup pairs ---------------------------
+  // The ASYMMETRIC dedup pass (operators/Containment.scala carries the
+  // contract: bottom-k containment sketch → df-capped posting join →
+  // exact by-key intersection; everything integer over md5₄₈ shingle
+  // hashes). NOTE the synthetic corpus has no strongly asymmetric
+  // containment (measured min |S(A)|/|S(B)| among ≥0.8-containment
+  // pairs is 0.875), so this oracle gates the full sketch machinery on
+  // the symmetric families; the asymmetric semantics — a doc QUOTED
+  // inside a longer one, invisible to jaccard — is pinned by
+  // ContainmentSpec on planted data.
+  private val q83 = Qdef(
+    "q83_containment",
+    (s, dir) =>
+      graft.operators.Containment
+        .containmentPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents),
+    g AS (SELECT doc_id,
+        list_distinct([array_to_string(tk[i:i+4], ' ')
+                       for i in range(1, len(tk)-3)]) AS gs
+      FROM tk WHERE len(tk) >= 5),
+    shd AS (SELECT DISTINCT doc_id,
+        ('0x' || substring(md5(u.gram), 1, 12))::BIGINT AS h
+      FROM g, unnest(g.gs) AS u(gram)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    bk AS (SELECT doc_id AS doc_a, h FROM (
+        SELECT doc_id, h,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        FROM shd) WHERE rn <= 16),
+    dfreq AS (SELECT h, COUNT(*) AS c FROM shd GROUP BY h),
+    post AS (SELECT s.h, s.doc_id AS doc_b FROM shd s
+      JOIN dfreq d ON d.h = s.h WHERE d.c <= 32),
+    cand AS (SELECT a.doc_a, p.doc_b FROM bk a JOIN post p ON a.h = p.h
+      WHERE a.doc_a <> p.doc_b
+      GROUP BY a.doc_a, p.doc_b HAVING COUNT(*) >= 8),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN shd x ON x.doc_id = c.doc_a
+      JOIN shd y ON y.doc_id = c.doc_b AND y.h = x.h
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, n_a, inter, containment FROM (
+      SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+        CAST(i.inter AS DOUBLE) / sa.n AS containment
+      FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b)
+    WHERE containment >= 0.8
+      AND (n_a < n_b OR (n_a = n_b AND doc_a < doc_b))
+    ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73, q76, q77, q80, q81, q82)
+    q73, q76, q77, q80, q81, q82, q83)
 }
