@@ -238,7 +238,8 @@ object GraftFunctions {
         NearestCellsE(a(0), a(1), a(2),
           a(3).eval().asInstanceOf[Number].intValue)),
       d("topk_pairs", 3, a =>
-        TopKPairs(a(0), a(1), a(2).eval().asInstanceOf[Number].intValue)))
+        TopKPairs(a(0), a(1), a(2).eval().asInstanceOf[Number].intValue)),
+      d("md5_prefix48", 1, a => Md5Prefix48E(a(0))))
   }
 
   /** Register the native expressions as SQL functions on a live session

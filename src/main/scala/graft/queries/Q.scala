@@ -27,15 +27,53 @@ import org.apache.spark.sql.types.DecimalType
 object Q {
   val D: DecimalType = DecimalType(18, 6)
 
-  /** Order-independent, engine-exact sum of a money-ish double expr. */
-  def dsum(c: Column): Column =
-    (sum(c.cast(D)) * lit(1000000)).cast("long").cast("double") / lit(1000000.0)
+  /** Order-independent, engine-exact sum of a money-ish double expr.
+    *
+    * TWO-LIMB form (round-7 sf50 rehearsal catch): the original
+    * single-BIGINT scaling — `(SUM(decimal) * 10^6)::BIGINT` — overflows
+    * 2^63 once the scaled sum passes 9.2e18 (measured: q01's
+    * sum_base_price at 300M rows is 1.87e19 scaled; the count()-action
+    * benches never executed the cast, so the fifth decade under the
+    * honest action was the first to hit it). Fix: each ROW's value is
+    * scaled to an exact BIGINT (row magnitudes ≤ ~1e11, far below 2^63)
+    * and split at 10^9 into non-negative `lo = pmod(s, 10^9)` and exact
+    * `hi = (s - lo) / 10^9` (floor semantics, valid for negative rows
+    * too). Both limb SUMS stay exact BIGINTs to ~6e9 rows (sum_lo <
+    * n·10^9; sum_hi ≤ n·10^2). Recombination
+    * `(hi_sum·1e9 + lo_sum) / 1e6` runs in DOUBLE — three IEEE ops on
+    * identical inputs, so both engines round identically; the result is
+    * within 2 ulps of the exact sum, the same class as the original
+    * conversion chain, and bit-equal across engines, which is the
+    * actual contract.
+    */
+  def dsum(c: Column): Column = {
+    val s = (c.cast(D) * lit(1000000)).cast("long")
+    val lo = pmod(s, lit(1000000000L))
+    // (s - lo) is an exact multiple of 10^9 with |s| ≤ ~1e11, so the
+    // double division is exact and the long cast recovers the exact
+    // integer limb (Spark's `/` on longs is double division; `div`
+    // would need expr()) — the limb SUM must be integral or it would
+    // be order-dependent
+    val hi = ((s - lo) / lit(1000000000L)).cast("long")
+    (sum(hi).cast("double") * lit(1.0e9) + sum(lo).cast("double")) /
+      lit(1000000.0)
+  }
 
   /** Exact average: the engine-exact dsum divided by count, in doubles. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
-  /** SQL spellings of the same (DuckDB side must match bit-for-bit). */
-  def sqlDsum(e: String): String =
-    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0"
+  /** SQL spellings of the same — parsed by BOTH DuckDB (oracles) and
+    * Spark SQL (q17 embeds it), so only the common dialect is used:
+    * `%` then `+10^9 %` reproduces pmod's non-negative remainder; the
+    * subtraction makes the dividend an exact ≤1e11 multiple of 10^9,
+    * so the engines' int/int `/` (double division in both) is exact
+    * and the BIGINT cast recovers the integer limb.
+    */
+  def sqlDsum(e: String): String = {
+    val s = s"CAST(CAST(($e) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    val lo = s"((($s) % 1000000000) + 1000000000) % 1000000000"
+    val hi = s"CAST((($s) - ($lo)) / 1000000000 AS BIGINT)"
+    s"(CAST(SUM($hi) AS DOUBLE) * 1.0e9 + CAST(SUM($lo) AS DOUBLE)) / 1000000.0"
+  }
   def sqlDavg(e: String): String = s"${sqlDsum(e)} / COUNT(*)"
 }

@@ -419,6 +419,13 @@ class OperatorsSpec extends AnyFunSuite {
       """SELECT topk_pairs(CAST(vec_id AS DOUBLE), vec_id, 3) AS top
         |FROM embeddings""".stripMargin).collect()(0)
     assert(topkRow.getSeq[org.apache.spark.sql.Row](0).length == 3)
+    // round-7 addition: the 48-bit md5-prefix hash resolves in SQL and
+    // matches its documented hex identity
+    val h = spark.sql(
+      """SELECT md5_prefix48('abc') AS h,
+        |  CAST(conv(substring(md5(CAST('abc' AS BINARY)), 1, 12), 16, 10) AS LONG) AS ref
+        |""".stripMargin).collect()(0)
+    assert(h.getLong(0) == h.getLong(1))
     // whole-stage codegen covers the native expressions (no UDF break):
     // the `*(1)` star prefix marks the codegen stage containing the Project
     val plan = spark.sql(
