@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring (SURVEY.md §2.D31) — the
+  * CCNet-class quality filter (Wenzek et al., "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data", LREC 2020, which
+  * scores candidate text with a KenLM n-gram model and keeps the
+  * low-perplexity head). Here the model is a corpus-self-trained
+  * add-one-smoothed bigram LM — the declarative, oracle-replayable
+  * stand-in with the SAME pipeline shape a pretrained-model deployment
+  * has: a (history, word) → probability TABLE joined to the corpus by
+  * n-gram key, scan-local scoring, one doc-keyed rollup. Swapping in a
+  * pretrained model is swapping the table.
+  *
+  * Scale shape: bigram extraction is scan-local (zip_with over the
+  * token array — multiplicity preserved, unlike the deduping shingle
+  * kernel); model counts are TWO keyed aggregations with map-side
+  * partials; the probability table joins back by (w1, w2) KEY — not
+  * broadcast, the bigram vocabulary grows with the corpus; the per-doc
+  * score is one doc-keyed aggregation. Everything linear and keyed.
+  *
+  * Determinism (the q76 contract): P(w2|w1) = (c₁₂+1)/(c₁+V) is ln of
+  * ONE correctly-rounded division of exact BIGINTs; each occurrence
+  * contributes floor(−10⁶·ln p) — identical quantized BIGINTs in both
+  * engines (ln's final ulp masked by the floor except within ~1e-10 of
+  * an integer, the q53/q76 class); per-doc sums are exact-integer; the
+  * reported avg is one division of exact BIGINTs.
+  */
+object LmScore {
+
+  /** Per-doc bigram negative log-likelihood under the corpus-trained
+    * add-one bigram LM. Output: (doc_id, n_bigrams, nll_scaled,
+    * avg_nll) where nll_scaled = Σ floor(−10⁶·ln P) and avg_nll =
+    * nll_scaled / (10⁶·n_bigrams) — the log-perplexity proxy a quality
+    * gate thresholds on.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(zip_with(
+        slice(toks, 1, size(toks) - 1),
+        slice(toks, 2, size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+    val cBg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // history count = occurrences of w1 as a bigram left side (the MLE
+    // conditioning denominator), NOT raw unigram frequency
+    val cW1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // smoothing vocabulary: distinct predicted-side words, a one-row
+    // broadcast scalar
+    val vocab = bg.agg(countDistinct(col("w2")).as("v"))
+    val model = cBg.join(cW1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(lit(-1000000.0) *
+          log((col("c12") + lit(1L)).cast("double") /
+            (col("c1") + col("v")).cast("double"))).cast("long")
+          .as("q"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("nll_scaled"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_scaled"),
+        (col("nll_scaled").cast("double") /
+          (col("n_bigrams") * lit(1000000L))).as("avg_nll"))
+  }
+}

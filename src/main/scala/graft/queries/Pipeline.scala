@@ -1575,7 +1575,39 @@ object Pipeline {
       AND (n_a < n_b OR (n_a = n_b AND doc_a < doc_b))
     ORDER BY doc_a, doc_b"""))
 
+  // ---- D31: n-gram LM perplexity quality scoring --------------------------
+  // The CCNet-class perplexity gate (operators/LmScore.scala carries the
+  // contract: corpus-trained add-one bigram LM as a keyed probability
+  // table, scan-local bigram extraction with multiplicity, quantized
+  // floor(−10⁶·ln p) contributions so per-doc sums are exact BIGINTs).
+  private val q84 = Qdef(
+    "q84_lm_perplexity",
+    (s, dir) =>
+      graft.operators.LmScore
+        .bigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents),
+    bgl AS (SELECT doc_id,
+        [[tk[i], tk[i+1]] for i in range(1, len(tk))] AS bl FROM tok),
+    bg AS (SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+      FROM bgl, unnest(bl) AS u(p)),
+    cbg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    cw1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    voc AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+    model AS (
+      SELECT c.w1, c.w2,
+        CAST(FLOOR(-1000000.0 *
+          ln(CAST(c.c12 + 1 AS DOUBLE) / CAST(h.c1 + voc.v AS DOUBLE)))
+          AS BIGINT) AS q
+      FROM cbg c JOIN cw1 h ON h.w1 = c.w1 CROSS JOIN voc)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      CAST(SUM(m.q) AS BIGINT) AS nll_scaled,
+      CAST(SUM(m.q) AS DOUBLE) / (COUNT(*) * 1000000) AS avg_nll
+    FROM bg b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+    GROUP BY b.doc_id ORDER BY b.doc_id"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73, q76, q77, q80, q81, q82, q83)
+    q73, q76, q77, q80, q81, q82, q83, q84)
 }
