@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   * in corpus size times in-block occupancy (the LSH in-bucket-verify
   * cost class, never corpus²). Two complementary keys (token prefix,
   * token suffix — each paired with a token-length bucket) so a single
-  * edit at one end of the document cannot escape both blocks; the
+  * INTERIOR edit cannot escape both blocks. Known recall boundary: an
+  * edit that changes the token count across a lenBucket boundary
+  * (e.g. 15 → 16 tokens at lenBucket=8) moves the shared length-bucket
+  * component of BOTH keys, so such a pair escapes both blocks — the
+  * standard blocking trade (guaranteed coverage would need joining
+  * adjacent buckets too, doubling candidate volume for a
+  * boundary-population gain). The oracle shares the same keys, so this
+  * is a recall limitation, not a gate divergence. The
   * union dedups on the pair key. Levenshtein is O(len²) per candidate
   * — strictly a verify primitive; the blocking keys are what bound how
   * often it runs (q33's scale-constant-budget rule applies to the

@@ -40,8 +40,8 @@ object LmScore {
     val toks = split(col(textCol), " ")
     val bg = docs.select(col(idCol).as("doc_id"),
       explode(zip_with(
-        slice(toks, 1, size(toks) - 1),
-        slice(toks, 2, size(toks) - 1),
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("e"))
       .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
     val cBg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))

@@ -38,8 +38,11 @@ object Q {
     * scaled to an exact BIGINT (row magnitudes ≤ ~1e11, far below 2^63)
     * and split at 10^9 into non-negative `lo = pmod(s, 10^9)` and exact
     * `hi = (s - lo) / 10^9` (floor semantics, valid for negative rows
-    * too). Both limb SUMS stay exact BIGINTs to ~6e9 rows (sum_lo <
-    * n·10^9; sum_hi ≤ n·10^2). Recombination
+    * too). Both limb SUMS stay exact as BIGINTs to ~6e9 rows (sum_lo <
+    * n·10^9; sum_hi ≤ n·10^2) — but their DOUBLE casts round once a
+    * limb sum passes 2^53 (~9e6 rows for sum_lo), identically in both
+    * engines, so past that point the contract is bit-equality, not
+    * exactness. Recombination
     * `(hi_sum·1e9 + lo_sum) / 1e6` runs in DOUBLE — three IEEE ops on
     * identical inputs, so both engines round identically; the result is
     * within 2 ulps of the exact sum, the same class as the original

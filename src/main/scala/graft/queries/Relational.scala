@@ -1028,9 +1028,17 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("cnt"))
+        // Empty-cell semantics: Spark's PivotFirst leaves an absent
+        // (flag, status) cell NULL for EVERY aggregate including counts,
+        // while a CASE-filtered COUNT is 0 — coalesce the count cells so
+        // an empty combo (canonical TPC-H has no (A,O)/(R,O) rows) reads
+        // 0 in both engines. Sum cells stay NULL-on-empty by design
+        // (SUM over no rows IS NULL in SQL).
         .select(col("l_returnflag"),
-          col("F_qty").as("qty_f"), col("F_cnt").as("cnt_f"),
-          col("O_qty").as("qty_o"), col("O_cnt").as("cnt_o"))
+          col("F_qty").as("qty_f"),
+          coalesce(col("F_cnt"), lit(0L)).as("cnt_f"),
+          col("O_qty").as("qty_o"),
+          coalesce(col("O_cnt"), lit(0L)).as("cnt_o"))
         .orderBy(col("l_returnflag")),
     Some(s"""SELECT l_returnflag,
       ${sqlDsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,

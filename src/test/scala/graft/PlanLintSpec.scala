@@ -45,6 +45,10 @@ class PlanLintSpec extends AnyFunSuite {
     *  - q81: the PQ recall audit's ground truth is q35's broadcast
     *         query-batch × one-corpus-scan shape (Pq.bruteForceL2TopK);
     *         the graded PQ path itself is all equi-joins
+    *  - q84: one-row broadcast smoothing-vocabulary scalar (|distinct
+    *         w2|) cross-joined onto the bigram model table (the
+    *         q60/q61/q76 stats-broadcast shape); the corpus-sized model
+    *         join is a (w1, w2) equi-join
     * (q19's one-row global-max cross join needs no exemption: Catalyst
     * pushes the equality filter into it, planning a BroadcastHashJoin.)
     */
@@ -52,7 +56,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf",
     "q57_kmeans", "q60_mixing", "q61_vocab", "q67_ann_ivf_kmeans",
     "q68_ann_recall", "q69_ann_recall_kmeans", "q70_dedup_embedding_2level",
-    "q71_ann_recall_2level", "q76_bm25", "q81_ann_recall_pq")
+    "q71_ann_recall_2level", "q76_bm25", "q81_ann_recall_pq",
+    "q84_lm_perplexity")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]

@@ -85,6 +85,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q78 pivot empty-cell semantics: absent combo counts 0, sums NULL") {
+    // Canonical TPC-H has no (A,O)/(R,O) rows; the synthetic generator
+    // fills all six combos, so pin the empty-cell contract directly: a
+    // pivot cell with no input rows must read count=0 (coalesced, the
+    // CASE-filtered-COUNT semantics the oracle computes) and sum=NULL.
+    import org.apache.spark.sql.functions._
+    import graft.queries.Q.dsum
+    val df = spark.createDataFrame(Seq(
+      ("A", "F", 1.0), ("A", "F", 2.0), ("N", "O", 3.0)
+    )).toDF("l_returnflag", "l_linestatus", "l_quantity")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        col("F_qty").as("qty_f"),
+        coalesce(col("F_cnt"), lit(0L)).as("cnt_f"),
+        col("O_qty").as("qty_o"),
+        coalesce(col("O_cnt"), lit(0L)).as("cnt_o"))
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("A").getLong(2) == 2L && rows("A").getLong(4) == 0L)
+    assert(rows("A").isNullAt(3), "empty (A,O) sum cell must be NULL")
+    assert(rows("N").getLong(2) == 0L && rows("N").getLong(4) == 1L)
+    assert(rows("N").isNullAt(1), "empty (N,F) sum cell must be NULL")
+  }
+
   test("queries and oracleSql keys line up") {
     val qkeys = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qkeys))
