@@ -48,7 +48,9 @@ object PlanAudit {
     "q80_ann_pq" -> "product quantization: broadcast codebook + LUT (m·ks rows at any corpus size), encode = explode(m) -> broadcast join -> keyed argmin with map-side partials, ADC = codes x broadcast LUT -> keyed BIGINT sum, top-R via TopKPairs; only <= q·R re-rank rows join back to full vectors",
     "q81_ann_recall_pq" -> "PQ recall audit: q35's broadcast-query-batch ground-truth shape + the q80 plan; hit join is (q_id, neighbor)-keyed",
     "q82_stratified_sample" -> "stratified sampling: ONE stratum-keyed TopKPairs partial aggregate (<= n rows per stratum per partition into the exchange) — never a per-stratum window sort over all rows",
-    "q83_containment" -> "containment dedup: bottom-k sketch equi-joins a df-capped posting list (candidates <= sketchK x dfCap per doc, scale-constant); exact intersection by (doc, h) KEY joins; one staged shingle-hash table feeds all five consumers")
+    "q83_containment" -> "containment dedup: bottom-k sketch equi-joins a df-capped posting list (candidates <= sketchK x dfCap per doc, scale-constant); exact intersection by (doc, h) KEY joins; one staged shingle-hash table feeds all five consumers",
+    "q84_lm_perplexity" -> "bigram-LM scoring: scan-local bigram extraction (zip_with), model counts as TWO keyed aggregations with map-side partials, probability table joined back by (w1, w2) KEY (not broadcast — bigram vocabulary grows with the corpus), one-row vocab broadcast, doc-keyed rollup",
+    "q85_quality_classifier" -> "NB quality classifier: ONE explode -> (doc,token)-keyed tf aggregation; model re-aggregates tf by token (no second corpus scan); scoring join by token KEY (not broadcast — vocabulary grows with the corpus); totals/priors one-row broadcast; doc-keyed rollup")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -1607,7 +1607,59 @@ object Pipeline {
     FROM bg b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
     GROUP BY b.doc_id ORDER BY b.doc_id"""))
 
+  // ---- D32: fastText-style NB quality classifier --------------------------
+  // The model-based filter after the heuristic gates (operators/
+  // NbQuality.scala carries the contract: q38's integer-exact keep-gate
+  // as the reference label, add-one multinomial NB over token unigrams
+  // as a token-keyed weight table, quantized per-class ln pieces so the
+  // log-odds is an exact-BIGINT combination and the kept set replays
+  // bit-for-bit).
+  private val q85 = Qdef(
+    "q85_quality_classifier",
+    (s, dir) =>
+      graft.operators.NbQuality
+        .nbLogOdds(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+        (len(string_split(text, ' ')) >= 50 AND
+         len(list_distinct(string_split(text, ' '))) * 10
+           >= len(string_split(text, ' ')) * 3) AS pos
+      FROM documents),
+    tf AS (SELECT doc_id, pos, u.tok AS tok, COUNT(*) AS m
+      FROM base, unnest(base.tk) AS u(tok) GROUP BY doc_id, pos, u.tok),
+    model AS (SELECT tok,
+        SUM(CASE WHEN pos THEN m ELSE 0 END) AS cp,
+        SUM(CASE WHEN pos THEN 0 ELSE m END) AS cn
+      FROM tf GROUP BY tok),
+    mq AS (SELECT tok,
+        CAST(FLOOR(1000000.0 * ln(CAST(cp + 1 AS DOUBLE))) AS BIGINT) AS q1p,
+        CAST(FLOOR(1000000.0 * ln(CAST(cn + 1 AS DOUBLE))) AS BIGINT) AS q1n
+      FROM model),
+    tot AS (SELECT SUM(cp) AS totp, SUM(cn) AS totn, COUNT(*) AS v
+      FROM model),
+    prior AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS ndp,
+        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS ndn FROM base),
+    consts AS (SELECT
+        CAST(FLOOR(1000000.0 * ln(CAST(totp + v AS DOUBLE))) AS BIGINT) AS q2p,
+        CAST(FLOOR(1000000.0 * ln(CAST(totn + v AS DOUBLE))) AS BIGINT) AS q2n,
+        CAST(FLOOR(1000000.0 * ln(CAST(ndp + 1 AS DOUBLE))) AS BIGINT) AS q3p,
+        CAST(FLOOR(1000000.0 * ln(CAST(ndn + 1 AS DOUBLE))) AS BIGINT) AS q3n
+      FROM tot CROSS JOIN prior)
+    SELECT t.doc_id,
+      CAST(SUM(t.m) AS BIGINT) AS n_toks,
+      t.pos AS label_pos,
+      CAST(SUM(t.m * (q.q1p - q.q1n))
+           - SUM(t.m) * (c.q2p - c.q2n) + (c.q3p - c.q3n) AS BIGINT)
+        AS logodds_scaled,
+      (SUM(t.m * (q.q1p - q.q1n))
+           - SUM(t.m) * (c.q2p - c.q2n) + (c.q3p - c.q3n)) > 0
+        AS predicted_keep
+    FROM tf t JOIN mq q ON q.tok = t.tok CROSS JOIN consts c
+    GROUP BY t.doc_id, t.pos, c.q2p, c.q2n, c.q3p, c.q3n
+    ORDER BY t.doc_id"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73, q76, q77, q80, q81, q82, q83, q84)
+    q73, q76, q77, q80, q81, q82, q83, q84, q85)
 }

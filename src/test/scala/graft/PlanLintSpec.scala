@@ -49,6 +49,9 @@ class PlanLintSpec extends AnyFunSuite {
     *         w2|) cross-joined onto the bigram model table (the
     *         q60/q61/q76 stats-broadcast shape); the corpus-sized model
     *         join is a (w1, w2) equi-join
+    *  - q85: one-row broadcast totals/prior scalars cross-joined onto
+    *         the per-doc rollup (same stats-broadcast shape); the
+    *         corpus-sized scoring join is a token equi-join
     * (q19's one-row global-max cross join needs no exemption: Catalyst
     * pushes the equality filter into it, planning a BroadcastHashJoin.)
     */
@@ -57,7 +60,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q57_kmeans", "q60_mixing", "q61_vocab", "q67_ann_ivf_kmeans",
     "q68_ann_recall", "q69_ann_recall_kmeans", "q70_dedup_embedding_2level",
     "q71_ann_recall_2level", "q76_bm25", "q81_ann_recall_pq",
-    "q84_lm_perplexity")
+    "q84_lm_perplexity", "q85_quality_classifier")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
