@@ -69,6 +69,15 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       def run(): (Double, Long) = {
+        // Drop the PREVIOUS run's shuffle files before timing: a single
+        // big-SF query's spill can be tens of GB (q80's sf50 ADC:
+        // ~39 GB), and ContextCleaner deletes the files only after a
+        // JVM GC notices the dereferenced shuffle deps — without this
+        // nudge, back-to-back steady-state runs hold 2x the peak disk
+        // and the fifth decade runs out of device. GC + a short drain
+        // window sit OUTSIDE the timed region.
+        System.gc()
+        Thread.sleep(200)
         val t0 = System.nanoTime()
         // Execute the DECLARED physical plan: df.count() would build a
         // new Aggregate over the logical plan and let the optimizer

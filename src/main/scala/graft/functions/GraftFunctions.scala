@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, Md5Prefix48E, MinHashBandsE, MinHashSigE, RegexTokenCountE, NearestCellsE, NearestCentroidE, RollingFingerprint, SimHash64, TextGramStatsE, TextShinglesE, TopKPairs}
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, Md5Prefix48E, MinHashBandsE, MinHashSigE, RegexTokenCountE, NearestCellsE, NearestCentroidE, PqCodesE, RollingFingerprint, SimHash64, TextGramStatsE, TextShinglesE, TopKPairs}
 
 /** Column-API surface of graft's text/vector function library
   * (SURVEY.md §2.D/E4). Everything here is either a native codegen
@@ -153,6 +153,14 @@ object GraftFunctions {
     */
   def nearestCentroid(qv: Column, selfdot: Column, codebook: Column): Column =
     expr2col(NearestCentroidE(exprOf(qv), exprOf(selfdot), exprOf(codebook)))
+
+  /** PQ per-subspace codes (ranks 0..ks-1) of a quantized vector against
+    * the flattened broadcast codebook — scan-local native codegen; the
+    * layout/tie-break contract lives on ExprKernels.pqCodes.
+    */
+  def pqCodes(qv: Column, cbFlat: Column, m: Int, subDim: Int,
+              ks: Int): Column =
+    expr2col(PqCodesE(exprOf(qv), exprOf(cbFlat), m, subDim, ks))
 
   /** The `nprobe` nearest codebook centroids, best first (IVF probe). */
   def nearestCells(qv: Column, selfdot: Column, codebook: Column,

@@ -45,6 +45,14 @@ import org.apache.spark.sql.functions._
   * integer — the accepted q53 class). predicted = logodds > 0 is an
   * integer comparison, so the kept set replays bit-for-bit.
   */
+/** The four one-row scalars of a trained NB model (quantized ln pieces
+  * — see NbQuality's scaladoc): smoothing denominators q2p/q2n and doc
+  * priors q3p/q3n. Collected once at train time (one-row collect, the
+  * bounded class); carried as literals so a scoring plan — batch or
+  * streaming — needs only the token-keyed weight table.
+  */
+case class NbConsts(q2p: Long, q2n: Long, q3p: Long, q3n: Long)
+
 object NbQuality {
 
   /** Per-doc Naive-Bayes quality log-odds under the corpus-self-trained
@@ -60,6 +68,24 @@ object NbQuality {
     */
   def nbLogOdds(docs: DataFrame, idCol: String, textCol: String,
                 stage: Boolean = false): DataFrame = {
+    val (tf, modelQ, consts) = build(docs, idCol, textCol, stage)
+    tf.join(modelQ, Seq("tok"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("m")).as("n_toks"),
+        sum(col("m") * (col("q1p") - col("q1n"))).as("s1"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        col("n_toks"),
+        col("pos").as("label_pos"),
+        (col("s1") - col("n_toks") * (col("q2p") - col("q2n")) +
+          (col("q3p") - col("q3n"))).as("logodds_scaled"),
+        (col("s1") - col("n_toks") * (col("q2p") - col("q2n")) +
+          (col("q3p") - col("q3n")) > 0L).as("predicted_keep"))
+  }
+
+  /** Shared trainer: (tf, token-keyed quantized model, one-row consts). */
+  private def build(docs: DataFrame, idCol: String, textCol: String,
+                    stage: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val toks = split(col(textCol), " ")
     val base = docs.select(
       col(idCol).as("doc_id"),
@@ -102,17 +128,50 @@ object NbQuality {
         .cast("long").as("q3p"),
       floor(lit(1000000.0) * log((col("ndn") + lit(1L)).cast("double")))
         .cast("long").as("q3n"))
-    tf.join(model.select(col("tok"), col("q1p"), col("q1n")), Seq("tok"))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("m")).as("n_toks"),
-        sum(col("m") * (col("q1p") - col("q1n"))).as("s1"))
-      .crossJoin(broadcast(consts))
-      .select(col("doc_id"),
-        col("n_toks"),
-        col("pos").as("label_pos"),
-        (col("s1") - col("n_toks") * (col("q2p") - col("q2n")) +
-          (col("q3p") - col("q3n"))).as("logodds_scaled"),
-        (col("s1") - col("n_toks") * (col("q2p") - col("q2n")) +
-          (col("q3p") - col("q3n")) > 0L).as("predicted_keep"))
+    (tf, model.select(col("tok"), col("q1p"), col("q1n")), consts)
   }
+
+  /** Trains the NB model and SEPARATES it from its training corpus:
+    * returns the token-keyed quantized weight table plus the four
+    * one-row scalars collected into `NbConsts` (bounded one-row
+    * collect). This is the deployment artifact — `scoreWithModel` (or
+    * the streaming `EventStreams.scoreStream`) applies it to any other
+    * corpus, which is exactly the fastText/DCLM production split:
+    * train once on the reference mix, score every ingest batch.
+    */
+  def trainModel(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, NbConsts) = {
+    val (_, modelQ, consts) = build(docs, idCol, textCol, stage = true)
+    val r = consts.collect()(0)
+    (modelQ,
+      NbConsts(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  /** Scores an arbitrary corpus under an already-trained model. Tokens
+    * OUTSIDE the training vocabulary contribute ln(1) = 0 to the
+    * class-conditional term (they still count in n_toks, so they pay
+    * the smoothing denominator) — the textbook add-one treatment of
+    * OOV, realized as a LEFT join + coalesce-to-0, so on the training
+    * corpus itself this reproduces `nbLogOdds`' logodds bit-for-bit
+    * (NbQualitySpec pins that). Output: (doc_id, n_toks,
+    * logodds_scaled, predicted_keep) — no label column: scoring
+    * corpora are unlabeled.
+    */
+  def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
+                     model: DataFrame, consts: NbConsts): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+      .join(model, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_toks"),
+        sum(col("m") * (coalesce(col("q1p"), lit(0L)) -
+          coalesce(col("q1n"), lit(0L)))).as("s1"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("s1") - col("n_toks") * lit(consts.q2p - consts.q2n) +
+          lit(consts.q3p - consts.q3n)).as("logodds_scaled"),
+        (col("s1") - col("n_toks") * lit(consts.q2p - consts.q2n) +
+          lit(consts.q3p - consts.q3n) > 0L).as("predicted_keep"))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -23,17 +24,29 @@ import graft.functions.GraftFunctions._
   * constant, so the adaptive-k lessons of q34/q43 do not apply here
   * and there is no clamp for a quadratic to hide behind).
   *
-  * Scale shape: codebooks and LUTs broadcast (m·ks and q·m·ks rows);
-  * encoding is explode(m) → broadcast join → (id, sub)-keyed argmin
-  * with map-side partials; ADC is codes ⋈ broadcast LUT → (q, id)-keyed
-  * exact BIGINT sum; top-R reduces via the TopKPairs partial aggregate;
-  * only the ≤ q·R re-rank rows ever join back to full vectors.
+  * Scale shape (round-8 rewrite): both hot stages are SCAN-LOCAL array
+  * expressions over one-row broadcasts — encode evaluates the m·ks
+  * argmin per vector inside a projection against the broadcast ranked
+  * codebook array (128 structs), and ADC sums m O(1) element_at
+  * lookups per (vector, query) against the broadcast LUT array
+  * (q·m·ks longs, index = (qIdx·m + sub)·ks + rank). Nothing is
+  * exploded n·m·ks wide and nothing aggregates by (q, id): the only
+  * exchange before the re-rank is TopKPairs' partial top-R (≤ R rows
+  * per query per partition). The previous form (explode(m) → broadcast
+  * join → keyed argmin; codes ⋈ LUT → (q, id)-keyed sum) was
+  * algebraically identical but materialized n·m·ks join rows through
+  * two aggregations — linear, but with a sort-spill cliff once the
+  * per-task hash state outgrew memory (measured at sf50: ~39 GB of
+  * UnsafeExternalSorter spill, 14× the sf10 wall for 5× the data; the
+  * scan-local form has no aggregation state at all).
   *
   * Determinism: EVERYTHING is exact BIGINT arithmetic — squared L2 over
   * quantized vectors via d² = ⟨a,a⟩ + ⟨b,b⟩ − 2⟨a,b⟩ on the native
-  * DotLong kernel, argmin tie-break (d², c_id), ADC sums of exact ints.
-  * Unlike the cosine family there is NO floating-point op anywhere, so
-  * the q80/q81 oracles replay with zero ulp risk.
+  * DotLong kernel, argmin tie-break (d², centroid rank) with ranks
+  * assigned by c_id order (so the winner equals the old min(struct(d²,
+  * c_id)) exactly), ADC sums of exact ints. Unlike the cosine family
+  * there is NO floating-point op anywhere, so the q80/q81 oracles
+  * replay with zero ulp risk.
   */
 object Pq {
 
@@ -56,24 +69,41 @@ object Pq {
       .select(col("e.sub").as("sub"), col("c_id"), col("e.c_sv").as("c_sv"),
         quantDot(col("e.c_sv"), col("e.c_sv")).as("c_self"))
 
+  /** The codebook with a dense per-subspace rank (0..ks-1, assigned by
+    * c_id order — the argmin tie-break order), flattened to the ONE-ROW
+    * broadcast the native encode kernel reads: `cbf` is the
+    * (s·ks + r)·(subDim+1)-offset layout of [c_sv, c_self] blocks
+    * (ExprKernels.pqCodes contract), `cid` maps (s·ks + r) back to the
+    * centroid's vector id (the public code value). The ks-row window is
+    * bounded at any corpus size (ks is the fixed compression budget).
+    */
+  private def rankedCbArr(cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sub")).orderBy(col("c_id"))
+    cb.withColumn("r", row_number().over(w) - 1)
+      .agg(sort_array(collect_list(struct(
+        col("sub"), col("r"), col("c_id"), col("c_sv"), col("c_self"))))
+        .as("cbe"))
+      .select(
+        flatten(transform(col("cbe"),
+          e => concat(e("c_sv"), array(e("c_self"))))).as("cbf"),
+        transform(col("cbe"), e => e("c_id")).as("cid"))
+  }
+
   /** PQ codes: nearest per-subspace centroid for every corpus vector.
     * Output (id, sub, code) — the m·log2(ks)-bit compressed corpus.
+    * One scan, one native projection (pqCodes kernel), one bounded
+    * explode to the long layout; no join rows, no aggregation.
     */
-  def encode(corpus: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame =
+  def encode(corpus: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val ks = cb.filter(col("sub") === 0).count().toInt
     corpus
-      .select(col("id"),
-        explode(array((0 until m).map { s =>
-          struct(lit(s).as("sub"), sub(col("qv"), s, subDim).as("sv"))
-        }: _*)).as("e"))
-      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"),
-        quantDot(col("e.sv"), col("e.sv")).as("self"))
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("id"), col("sub"),
-        struct(d2(col("self"), col("c_self"), quantDot(col("sv"), col("c_sv")))
-          .as("d2"), col("c_id")).as("cand"))
-      .groupBy(col("id"), col("sub"))
-      .agg(min(col("cand")).as("best"))
-      .select(col("id"), col("sub"), col("best.c_id").as("code"))
+      .crossJoin(broadcast(rankedCbArr(cb)))
+      .select(col("id"), col("cid"),
+        posexplode(pqCodes(col("qv"), col("cbf"), m, subDim, ks)))
+      .select(col("id"), col("pos").cast("int").as("sub"),
+        element_at(col("cid"),
+          (col("pos") * ks + col("col") + 1).cast("int")).as("code"))
+  }
 
   /** ADC top-k by squared L2: per-query per-subspace LUT against the
     * codebook, candidate distances summed from codes, top-`rerank` by
@@ -84,29 +114,50 @@ object Pq {
               m: Int = 8, subDim: Int = 8, k: Int = 10,
               rerank: Int = 50): DataFrame = {
     val cb = codebook(corpus, stride, m, subDim)
-    val codes = encode(corpus, cb, m, subDim)
-    // LUT: distance of each query subvector to each per-subspace centroid
-    val lut = queries
+    // ks from the bounded codebook (stride = n/16 can yield 16 or 17
+    // centroids; the index arithmetic needs the exact count) — a
+    // bounded driver action, same class as the stride's own count()
+    val ks = cb.filter(col("sub") === 0).count().toInt
+    val w = Window.partitionBy(col("sub")).orderBy(col("c_id"))
+    val cbR = cb.withColumn("r", row_number().over(w) - 1)
+    // LUT: d²(query subvector, centroid) for every (query, sub, rank),
+    // flattened to ONE broadcast array ordered by (q_id, sub, r) so
+    // lut[(qIdx·m + sub)·ks + r] is an O(1) element_at; qids carries
+    // the same q_id order for the per-vector posexplode. q·m·ks longs
+    // — bounded at any corpus size (the query batch is bounded).
+    val lutRow = queries
       .select(col("id").as("q_id"),
         explode(array((0 until m).map { s =>
           struct(lit(s).as("sub"), sub(col("qv"), s, subDim).as("qsv"))
         }: _*)).as("e"))
       .select(col("q_id"), col("e.sub").as("sub"), col("e.qsv").as("qsv"),
         quantDot(col("e.qsv"), col("e.qsv")).as("qself"))
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("q_id"), col("sub").as("l_sub"), col("c_id").as("l_cid"),
+      .join(broadcast(cbR), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("r"),
         d2(col("qself"), col("c_self"), quantDot(col("qsv"), col("c_sv")))
           .as("d2q"))
-    val adc = codes
-      .join(broadcast(lut),
-        col("sub") === col("l_sub") && col("code") === col("l_cid"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("q_id"), col("sub"), col("r"),
+            col("d2q")))),
+          e => e("d2q")).as("lut"),
+        sort_array(collect_set(col("q_id"))).as("qids"))
+    // scan-local scoring: the native pqCodes projection once per vector,
+    // then q rows per vector via posexplode(qids), adc = Σ_s lut[idx] —
+    // m O(1) element_at lookups, all whole-stage-codegen; the only
+    // exchange is TopKPairs' partial top-R (≤ R rows/query/partition)
+    val adcSum = (0 until m).map { s =>
+      element_at(col("lut"),
+        ((col("pos") * m + s) * ks +
+          element_at(col("codes"), s + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val cands = corpus
+      .crossJoin(broadcast(rankedCbArr(cb).crossJoin(lutRow)))
+      .select(col("id"),
+        pqCodes(col("qv"), col("cbf"), m, subDim, ks).as("codes"),
+        col("lut"), posexplode(col("qids")))
+      .select(col("id"), col("pos"), col("col").as("q_id"), adcSum.as("adc"))
       .filter(col("id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("id"))
-      .agg(sum(col("d2q")).as("adc"))
-    // top-R candidates per query: TopKPairs on the NEGATED distance
-    // (its order is score desc, id asc ⇒ distance asc, id asc); adc
-    // < 2^53 so the double cast is exact
-    val cands = adc
       .groupBy(col("q_id"))
       .agg(topKPairs((-col("adc")).cast("double"), col("id"), rerank).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("id"))

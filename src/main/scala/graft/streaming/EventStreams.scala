@@ -373,4 +373,68 @@ object EventStreams {
       .groupBy(col("doc_id"), col("ts"))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  // ---- C13: model scoring on ingest --------------------------------------
+
+  /** Scores every incoming document under an already-trained NB quality
+    * model (`NbQuality.trainModel`) — the fastText/DCLM production
+    * split run as a stream: train once on the reference mix, score each
+    * ingest micro-batch, gate on `predicted_keep` downstream. The
+    * stream side explodes to tokens scan-locally, LEFT-joins the STATIC
+    * token-keyed weight table (stream-static joins are stateless — no
+    * watermark state accrues on the join; the static side is re-planned
+    * per micro-batch, and a small model broadcasts), and the per-doc
+    * rollup keyed by (doc_id, ts) finalizes in append mode as the
+    * watermark passes (the C12 pattern). OOV tokens contribute ln(1)=0
+    * but still pay the smoothing denominator — identical semantics to
+    * `NbQuality.scoreWithModel`, which StreamingSpec pins stream ==
+    * batch against. Consts ride as literals (collected once at train
+    * time), so the streaming plan carries no one-row cross join.
+    */
+  def scoreStream(docs: DataFrame, model: DataFrame,
+                  consts: graft.operators.NbConsts,
+                  delay: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        explode(split(col("text"), " ")).as("tok"))
+      .join(model, Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("q1p"), lit(0L)) -
+          coalesce(col("q1n"), lit(0L))).as("s1"))
+      .select(col("doc_id"), col("ts"), col("n_toks"),
+        (col("s1") - col("n_toks") * lit(consts.q2p - consts.q2n) +
+          lit(consts.q3p - consts.q3n)).as("logodds_scaled"),
+        (col("s1") - col("n_toks") * lit(consts.q2p - consts.q2n) +
+          lit(consts.q3p - consts.q3n) > 0L).as("predicted_keep"))
+
+  // ---- C14: dedup against the historical corpus --------------------------
+
+  /** Ingest-time exact dedup against everything ALREADY ingested: drops
+    * an incoming doc if its content hash appears in the static `seen`
+    * index (one `h` BIGINT column — md5₄₈ of text, the q30 key), and
+    * collapses duplicates WITHIN the stream via
+    * dropDuplicatesWithinWatermark (bounded state). The historical
+    * check is a stream-static LEFT OUTER join + null filter — the
+    * anti-join shape expressed through the supported stream-static
+    * join types; Spark broadcasts or shuffles the static side by size,
+    * and the stream side never accumulates join state. At 100 TB the
+    * seen-index is a parquet table maintained by the batch dedup pass
+    * (q30's groups are exactly its rows) and re-snapshot per
+    * micro-batch — the standing lambda-architecture split between the
+    * batch corpus and its ingest edge.
+    */
+  def dedupAgainstHistory(docs: DataFrame, seen: DataFrame,
+                          delay: String = "2 hours"): DataFrame = {
+    import graft.functions.GraftFunctions.md5Prefix48
+    docs
+      .withWatermark("ts", delay)
+      .withColumn("h", md5Prefix48(col("text")))
+      .dropDuplicatesWithinWatermark("h")
+      .join(seen.select(col("h")).distinct().withColumn("_seen", lit(1)),
+        Seq("h"), "left_outer")
+      .filter(col("_seen").isNull)
+      .drop("_seen", "h")
+  }
 }

@@ -268,6 +268,47 @@ object ExprKernels {
   def nearestCentroid(qv: ArrayData, selfdot: Double, cb: ArrayData): Long =
     nearestCells(qv, selfdot, cb, 1).getLong(0)
 
+  /** PQ per-subspace encode (SURVEY.md §2.D7f hot loop): for each of m
+    * subspaces, the rank (0..ks-1) of the squared-L2-nearest centroid in
+    * the flattened codebook. `cbFlat` layout: for sub s, rank r, the
+    * (subDim+1)-long block [c_sv(subDim longs), c_self] at offset
+    * (s·ks + r)·(subDim+1) — ranks assigned by c_id order upstream, so
+    * first-wins on equal d² IS the (d², c_id) argmin tie-break. All
+    * exact BIGINT arithmetic (d² = qself + cself − 2·dot), bit-identical
+    * to the declarative min(struct(d², c_id)) formulation the q80
+    * oracle replays (NativeExprSpec pins it).
+    */
+  def pqCodes(qv: ArrayData, cbFlat: ArrayData,
+              m: Int, subDim: Int, ks: Int): ArrayData = {
+    val out = new Array[Long](m)
+    val stride = subDim + 1
+    var s = 0
+    while (s < m) {
+      var qself = 0L
+      var d = 0
+      while (d < subDim) {
+        val x = qv.getLong(s * subDim + d); qself += x * x; d += 1
+      }
+      var bestD2 = Long.MaxValue
+      var bestR = 0L
+      var r = 0
+      while (r < ks) {
+        val base = (s * ks + r) * stride
+        var dot = 0L
+        d = 0
+        while (d < subDim) {
+          dot += qv.getLong(s * subDim + d) * cbFlat.getLong(base + d); d += 1
+        }
+        val dd = qself + cbFlat.getLong(base + subDim) - 2L * dot
+        if (dd < bestD2) { bestD2 = dd; bestR = r }
+        r += 1
+      }
+      out(s) = bestR
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deterministic Rademacher hyperplane signs: sign(p, d) = parity of
     * the first hex nibble of md5("p:d"), mapped to ±1. md5 (not xxhash64)
     * so the SAME constant matrix is reproducible in plain SQL —
@@ -411,6 +452,33 @@ case class DotLong(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** PQ per-subspace encode over the flattened broadcast codebook — the
+  * scan-local projection kernel that replaces the explode(m) → broadcast
+  * join → keyed-argmin encode (SURVEY.md §2.D7f; ExprKernels.pqCodes
+  * carries the layout and tie-break contract).
+  */
+case class PqCodesE(left: Expression, right: Expression,
+                    m: Int, subDim: Int, ks: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override protected def nullSafeEval(qv: Any, cb: Any): Any =
+    ExprKernels.pqCodes(qv.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      m, subDim, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (qv, cb) =>
+      s"org.apache.spark.sql.graft.ExprKernels.pqCodes($qv, $cb, $m, $subDim, $ks)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodesE =
     copy(left = newLeft, right = newRight)
 }
 

@@ -205,4 +205,37 @@ class NativeExprSpec extends AnyFunSuite {
       .filter(col("native") =!= col("ref")).count()
     assert(diffs == 0)
   }
+
+  test("pqCodes (native) == declarative min(struct(d2, c_id)) argmin per subspace") {
+    import org.apache.spark.sql.expressions.Window
+    val (m, subDim) = (8, 8)
+    val embs = Tables.t(spark, sfDir, "embeddings").limit(300)
+      .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+    val cb = graft.operators.Pq.codebook(embs, stride = 16, m, subDim)
+    val ks = cb.filter(col("sub") === 0).count().toInt
+    // declarative reference: the old explode -> broadcast join -> keyed
+    // argmin encode, spelled inline (code = winning centroid's c_id)
+    def subv(v: org.apache.spark.sql.Column, s: Int) =
+      slice(v, s * subDim + 1, subDim)
+    val exploded = embs.select(col("id"),
+      explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"), subv(col("qv"), s).as("sv"))
+      }: _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"),
+        quantDot(col("e.sv"), col("e.sv")).as("self"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("id"), col("sub"),
+        struct((col("self") + col("c_self") -
+          lit(2L) * quantDot(col("sv"), col("c_sv"))).as("d2"),
+          col("c_id")).as("cand"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("id"), col("sub"), col("best.c_id").as("ref_code"))
+    val native = graft.operators.Pq.encode(embs, cb, m, subDim)
+    val diffs = native.join(exploded, Seq("id", "sub"))
+      .filter(col("code") =!= col("ref_code")).count()
+    assert(diffs == 0)
+    assert(native.count() == 300L * m)
+    assert(ks >= 16, s"codebook should have >= 16 centroids/sub, got $ks")
+  }
 }

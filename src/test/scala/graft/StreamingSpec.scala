@@ -309,6 +309,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set(Seq(20L, 11L)), s"got $pairs")
   }
 
+  test("C13 streaming model scoring == batch scoreWithModel on the same docs") {
+    import graft.operators.NbQuality
+    // training corpus: clearly separated classes (the NbQualitySpec corpus)
+    val train = Seq(
+      (1L, (0 until 60).map(i => s"w$i").mkString(" ")),
+      (2L, ((0 until 55).map(i => s"v$i") :+ "shared").mkString(" ")),
+      (3L, "shared x x shared"),
+      (4L, (0 until 60).map(_ => "y").mkString(" "))
+    ).toDF("doc_id", "text")
+    val (model, consts) = NbQuality.trainModel(train, "doc_id", "text")
+    // scoring stream: one reference-shaped doc, one junk doc, one doc
+    // full of OOV tokens (pays only the smoothing denominator)
+    val docs = Seq(
+      StreamDoc(10, ts(0), (0 until 50).map(i => s"w$i").mkString(" ")),
+      StreamDoc(11, ts(5), "shared x shared x"),
+      StreamDoc(12, ts(9), "zz qq zz qq zz"))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = EventStreams.scoreStream(input.toDF(), model, consts)
+      .writeStream.format("memory").queryName("c13_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    input.addData(StreamDoc(99, ts(2000), "watermark advancing sentinel document"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("c13_sink")
+      .select("doc_id", "n_toks", "logodds_scaled", "predicted_keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val want = NbQuality.scoreWithModel(
+        docs.toDF().select(col("doc_id"), col("text")), "doc_id", "text",
+        model, consts)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.view.filterKeys(_ != 99L).toMap ==
+      want.view.filterKeys(_ != 99L).toMap, s"stream=$got batch=$want")
+    assert(got(10L)._3 && !got(11L)._3, "separated classes must score apart")
+  }
+
+  test("C13b scoreWithModel on the training corpus reproduces nbLogOdds") {
+    import graft.operators.NbQuality
+    val train = Seq(
+      (1L, (0 until 60).map(i => s"w$i").mkString(" ")),
+      (2L, ((0 until 55).map(i => s"v$i") :+ "shared").mkString(" ")),
+      (3L, "shared x x shared"),
+      (4L, (0 until 60).map(_ => "y").mkString(" "))
+    ).toDF("doc_id", "text")
+    val (model, consts) = NbQuality.trainModel(train, "doc_id", "text")
+    val scored = NbQuality.scoreWithModel(train, "doc_id", "text", model, consts)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val direct = NbQuality.nbLogOdds(train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scored == direct, s"scored=$scored direct=$direct")
+  }
+
+  test("C14 streaming dedup-against-history drops seen and in-stream dups") {
+    import graft.functions.GraftFunctions.md5Prefix48
+    val history = Seq((100L, "previously ingested document body"),
+      (101L, "another old document")).toDF("doc_id", "text")
+      .select(md5Prefix48(col("text")).as("h"))
+    val docs = Seq(
+      StreamDoc(1, ts(0), "previously ingested document body"), // historical dup
+      StreamDoc(2, ts(1), "a genuinely new document"),
+      StreamDoc(3, ts(2), "a genuinely new document"),          // in-stream dup of 2
+      StreamDoc(4, ts(3), "another fresh document"))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = EventStreams.dedupAgainstHistory(input.toDF(), history)
+      .writeStream.format("memory").queryName("c14_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("c14_sink").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L), s"kept=$kept")
+  }
+
   test("C5 streaming dedup drops duplicate event_ids within watermark") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.dedup(input.toDF())
