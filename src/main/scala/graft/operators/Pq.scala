@@ -77,9 +77,21 @@ object Pq {
     * centroid's vector id (the public code value). The ks-row window is
     * bounded at any corpus size (ks is the fixed compression budget).
     */
-  private def rankedCbArr(cb: DataFrame): DataFrame = {
+  /** The codebook with its dense per-subspace rank, MATERIALIZED once
+    * (localCheckpoint — m·ks rows, the q57/Banding staging pattern):
+    * deriving the codebook scans the corpus, and without staging that
+    * scan re-runs for the ks count, the LUT build, and the in-plan
+    * encode broadcast — three extra corpus scans of pure overhead.
+    * Values are unchanged by staging, so the oracle replay is
+    * unaffected.
+    */
+  private def ranked(cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("sub")).orderBy(col("c_id"))
-    cb.withColumn("r", row_number().over(w) - 1)
+    cb.withColumn("r", row_number().over(w) - 1).localCheckpoint()
+  }
+
+  private def rankedCbArr(cbR: DataFrame): DataFrame =
+    cbR
       .agg(sort_array(collect_list(struct(
         col("sub"), col("r"), col("c_id"), col("c_sv"), col("c_self"))))
         .as("cbe"))
@@ -87,7 +99,6 @@ object Pq {
         flatten(transform(col("cbe"),
           e => concat(e("c_sv"), array(e("c_self"))))).as("cbf"),
         transform(col("cbe"), e => e("c_id")).as("cid"))
-  }
 
   /** PQ codes: nearest per-subspace centroid for every corpus vector.
     * Output (id, sub, code) — the m·log2(ks)-bit compressed corpus.
@@ -95,9 +106,10 @@ object Pq {
     * explode to the long layout; no join rows, no aggregation.
     */
   def encode(corpus: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame = {
-    val ks = cb.filter(col("sub") === 0).count().toInt
+    val cbR = ranked(cb)
+    val ks = cbR.filter(col("sub") === 0).count().toInt
     corpus
-      .crossJoin(broadcast(rankedCbArr(cb)))
+      .crossJoin(broadcast(rankedCbArr(cbR)))
       .select(col("id"), col("cid"),
         posexplode(pqCodes(col("qv"), col("cbf"), m, subDim, ks)))
       .select(col("id"), col("pos").cast("int").as("sub"),
@@ -113,13 +125,11 @@ object Pq {
   def adcTopK(corpus: DataFrame, queries: DataFrame, stride: Long,
               m: Int = 8, subDim: Int = 8, k: Int = 10,
               rerank: Int = 50): DataFrame = {
-    val cb = codebook(corpus, stride, m, subDim)
-    // ks from the bounded codebook (stride = n/16 can yield 16 or 17
-    // centroids; the index arithmetic needs the exact count) — a
-    // bounded driver action, same class as the stride's own count()
-    val ks = cb.filter(col("sub") === 0).count().toInt
-    val w = Window.partitionBy(col("sub")).orderBy(col("c_id"))
-    val cbR = cb.withColumn("r", row_number().over(w) - 1)
+    // ks from the bounded staged codebook (stride = n/16 can yield 16
+    // or 17 centroids; the index arithmetic needs the exact count) — a
+    // bounded driver action over the checkpointed m·ks rows
+    val cbR = ranked(codebook(corpus, stride, m, subDim))
+    val ks = cbR.filter(col("sub") === 0).count().toInt
     // LUT: d²(query subvector, centroid) for every (query, sub, rank),
     // flattened to ONE broadcast array ordered by (q_id, sub, r) so
     // lut[(qIdx·m + sub)·ks + r] is an O(1) element_at; qids carries
@@ -152,7 +162,7 @@ object Pq {
           element_at(col("codes"), s + 1) + 1).cast("int"))
     }.reduce(_ + _)
     val cands = corpus
-      .crossJoin(broadcast(rankedCbArr(cb).crossJoin(lutRow)))
+      .crossJoin(broadcast(rankedCbArr(cbR).crossJoin(lutRow)))
       .select(col("id"),
         pqCodes(col("qv"), col("cbf"), m, subDim, ks).as("codes"),
         col("lut"), posexplode(col("qids")))
