@@ -42,9 +42,13 @@ class PlanLintSpec extends AnyFunSuite {
     *  - q76: one-row corpus-stats broadcast cross-joined onto the
     *         pruned postings (the q60/q61 stats-broadcast shape); all
     *         corpus-sized joins are term/doc-key equi-joins
-    *  - q81: the PQ recall audit's ground truth is q35's broadcast
-    *         query-batch × one-corpus-scan shape (Pq.bruteForceL2TopK);
-    *         the graded PQ path itself is all equi-joins
+    *  - q80: the scan-local PQ path (round 8) cross-joins the one-row
+    *         flattened codebook + LUT broadcast onto the corpus scan —
+    *         the q60/q61 stats-broadcast shape (m·ks + q·m·ks longs at
+    *         any corpus size); candidate scoring never joins row-wise
+    *  - q81: the PQ recall audit composes q35's broadcast query-batch
+    *         ground truth (Pq.bruteForceL2TopK) with q80's one-row
+    *         codebook/LUT broadcast
     *  - q84: one-row broadcast smoothing-vocabulary scalar (|distinct
     *         w2|) cross-joined onto the bigram model table (the
     *         q60/q61/q76 stats-broadcast shape); the corpus-sized model
@@ -59,8 +63,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q34_dedup_embedding", "q35_ann_bruteforce", "q43_ann_ivf",
     "q57_kmeans", "q60_mixing", "q61_vocab", "q67_ann_ivf_kmeans",
     "q68_ann_recall", "q69_ann_recall_kmeans", "q70_dedup_embedding_2level",
-    "q71_ann_recall_2level", "q76_bm25", "q81_ann_recall_pq",
-    "q84_lm_perplexity", "q85_quality_classifier")
+    "q71_ann_recall_2level", "q76_bm25", "q80_ann_pq",
+    "q81_ann_recall_pq", "q84_lm_perplexity", "q85_quality_classifier")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
