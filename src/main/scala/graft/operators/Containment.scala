@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions._
 
@@ -16,7 +17,15 @@ import graft.functions.GraftFunctions._
   *
   * Scale shape (everything keyed, nothing corpus²):
   *   - the (doc, shingle-hash) table is ONE explode of the corpus,
-  *     staged (localCheckpoint) because five consumers read it;
+  *     staged because five consumers read it — to DISK_ONLY storage:
+  *     it is the largest staged table in the suite (~120 rows/doc at
+  *     any corpus size, ~600M rows at 5M docs), and the default
+  *     memory-first residency pinned it against the very heap the five
+  *     consumers' aggregation maps need (measured: the sf100 probe's
+  *     steady-state repeats heap-OOM'd a 24 GiB JVM; disk-backed
+  *     blocks cost one serialize/deserialize pass and free the heap —
+  *     on a cluster this is the "materialize the staging table"
+  *     production shape);
   *   - candidates: each doc's BOTTOM-k sketch (k smallest md5₄₈ shingle
   *     hashes — order statistics of a uniform hash, so P(sketch hash of
   *     A lands in S(B)) ≈ C(A→B)) equi-joins the full posting list by
@@ -47,7 +56,7 @@ object Containment {
         explode(textShingles(col(textCol), shingleK)).as("gram"))
       .select(col("doc_id"), md5Prefix48(col("gram")).as("h"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // bottom-k sketch per doc: the KMV pattern — partial top-k on -h
     val bk = shd
