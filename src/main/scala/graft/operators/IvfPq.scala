@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** IVF-PQ composite ANN — IVFADC (SURVEY.md §2.D7g; Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011, §IV): the production 10¹²-scale composition of the suite's two
+  * separately-proven faces — coarse IVF cells bound WHICH vectors a
+  * query scores (the partition face, q43/q70), and PQ codes on the
+  * RESIDUAL v − centroid(cell(v)) bound what scoring one vector costs
+  * (the compression face, q80). A query probes its nprobe nearest
+  * coarse cells and runs ADC only inside them, so query work is
+  * nprobe·(n/kc)·m table lookups instead of n·m — with the memory story
+  * unchanged (4 B/vec codes + one coarse id). Encoding the residual
+  * rather than the raw vector is §IV's key point: residuals concentrate
+  * near 0, so a shared ks-entry product codebook quantizes them with
+  * far less error than the raw, spread-out vectors.
+  *
+  * Scale shape — everything before the final bounded re-rank is either
+  * scan-local or an equi-join:
+  *   - coarse assign: the PqCodesE kernel with m=1, subDim=dim over the
+  *     ONE-ROW broadcast flattened coarse codebook (kc = ⌊√n⌋ rows, the
+  *     q43 integer ladder) — a pure projection, zero exchange;
+  *   - residual + encode: in the SAME projection, residual = qv −
+  *     centroid[cell] (zip_with against the broadcast centroid array)
+  *     feeds PqCodesE(m=8) over the broadcast residual codebook — no
+  *     join rows, no aggregation state (the q80 round-8 discipline);
+  *   - probe scoring: the per-(query, probed-cell) LUT table is q·nprobe
+  *     rows (bounded — queries are a batch, nprobe a constant) and
+  *     equi-joins the encoded corpus ON THE CELL KEY — a broadcast HASH
+  *     join, not even a nested loop; ADC is m O(1) element_at lookups;
+  *   - the only exchange is TopKPairs' partial top-R, then ≤ q·R
+  *     candidates join back for the exact re-rank.
+  *
+  * Determinism: the whole family stays in the PQ discipline — exact
+  * BIGINT squared-L2 everywhere (d² = ⟨a,a⟩+⟨b,b⟩−2⟨a,b⟩ on DotLong;
+  * residuals are differences of quantized longs, still exact), argmin
+  * tie-breaks by centroid rank (= c_id order), ADC sums of exact ints.
+  * Zero floating point anywhere, so the q86/q87 oracles replay with no
+  * ulp risk.
+  */
+object IvfPq {
+
+  private def d2(dotAA: Column, dotBB: Column, dotAB: Column): Column =
+    dotAA + dotBB - lit(2L) * dotAB
+
+  /** One staged index per (corpus, dim, m, ks-target): coarse centroid
+    * table + its flattened one-row broadcast form + the residual PQ
+    * codebook — built once, shared by q86 and q87 (and bench repeats),
+    * the Pq.stagedCodebook memo discipline: an index build is a
+    * reusable deployment artifact.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int),
+      Index]()
+
+  private[graft] case class Index(coarse: DataFrame, coarseArr: DataFrame,
+                                  kc: Int, pqCbR: DataFrame,
+                                  pqArr: DataFrame, ks: Int,
+                                  dim: Int, m: Int, subDim: Int)
+
+  /** Coarse centroids as ONE sorted-array row: uniform modulo sample
+    * (the q34 rule — never a prefix), kc_target = max(16, ⌊√n⌋) (the
+    * q43 ladder), c_id order. The dense rank `cr` is the ARRAY POSITION
+    * (posexplode below) — no rank window anywhere, so the corpus-scale
+    * "No Partition Defined" lint stays clean without a fake partition
+    * key. Bounded (≈√n entries), staged once.
+    */
+  private def coarseArrayRow(corpus: DataFrame, cStride: Long): DataFrame =
+    corpus.filter(col("id") % cStride === 0)
+      .select(col("id").as("c_id"), col("qv").as("c_vec"),
+        quantDot(col("qv"), col("qv")).as("c_self"))
+      .agg(sort_array(collect_list(struct(
+        col("c_id"), col("c_vec"), col("c_self")))).as("ce"))
+      .localCheckpoint()
+
+  /** Per-centroid rows (cr, c_id, c_vec, c_self) — rank = position in
+    * the sorted array.
+    */
+  private def coarseRowsOf(ceArr: DataFrame): DataFrame =
+    ceArr.select(posexplode(col("ce")))
+      .select(col("pos").cast("long").as("cr"), col("col.c_id").as("c_id"),
+        col("col.c_vec").as("c_vec"), col("col.c_self").as("c_self"))
+
+  /** The coarse table flattened to the one-row broadcast the kernels
+    * read: `ccbf` = rank-ordered [c_vec, c_self] blocks (the PqCodesE
+    * m=1 layout), `cvecs` = rank-ordered centroid vectors (for the
+    * residual subtraction), `cids` = rank → centroid vector id.
+    */
+  private def coarseArrOf(ceArr: DataFrame): DataFrame =
+    ceArr
+      .select(
+        flatten(transform(col("ce"),
+          e => concat(e("c_vec"), array(e("c_self"))))).as("ccbf"),
+        transform(col("ce"), e => e("c_vec")).as("cvecs"),
+        transform(col("ce"), e => e("c_id")).as("cids"))
+
+  /** (id, cell, res): coarse cell rank + residual for every corpus
+    * vector — ONE scan-local projection (coarse argmin via PqCodesE
+    * m=1, residual via zip_with against the broadcast centroid array).
+    */
+  private[graft] def assignResidual(corpus: DataFrame, coarseArr: DataFrame,
+                                    kc: Int, dim: Int): DataFrame =
+    corpus.crossJoin(broadcast(coarseArr))
+      .withColumn("cell", element_at(pqCodes(col("qv"), col("ccbf"), 1, dim, kc), 1))
+      .select(col("id"), col("cell"),
+        zip_with(col("qv"),
+          element_at(col("cvecs"), (col("cell") + 1).cast("int")),
+          (a, b) => a - b).as("res"))
+
+  /** Residual product codebook: m subspaces × (≈ks) modulo-sampled
+    * RESIDUALS (ks is the fixed compression budget — constant at any n,
+    * the q80 contract), dense per-subspace rank by c_id.
+    */
+  private def pqCodebook(assigned: DataFrame, pStride: Long, m: Int,
+                         subDim: Int): DataFrame = {
+    val w = Window.partitionBy(col("sub")).orderBy(col("c_id"))
+    assigned.filter(col("id") % pStride === 0)
+      .select(col("id").as("c_id"),
+        explode(array((0 until m).map { s =>
+          struct(lit(s).as("sub"),
+            slice(col("res"), s * subDim + 1, subDim).as("c_sv"))
+        }: _*)).as("e"))
+      .select(col("c_id"), col("e.sub").as("sub"), col("e.c_sv").as("c_sv"),
+        quantDot(col("e.c_sv"), col("e.c_sv")).as("c_self"))
+      .withColumn("r", row_number().over(w) - 1)
+      .localCheckpoint()
+  }
+
+  private def pqArrOf(pqCbR: DataFrame): DataFrame =
+    pqCbR
+      .agg(sort_array(collect_list(struct(
+        col("sub"), col("r"), col("c_sv"), col("c_self")))).as("pe"))
+      .select(flatten(transform(col("pe"),
+        e => concat(e("c_sv"), array(e("c_self"))))).as("pcbf"))
+
+  private[graft] def index(corpus: DataFrame, n: Long, dim: Int = 64,
+                           m: Int = 8, ksTarget: Int = 16): Index = {
+    val planKey = corpus.queryExecution.analyzed.canonicalized.toString +
+      "@" + System.identityHashCode(corpus.sparkSession)
+    memo.computeIfAbsent((planKey, n, m, ksTarget), _ => {
+      val subDim = dim / m
+      val kcTarget = Ann.centroidCountFor(n)
+      val cStride = math.max(1L, n / kcTarget)
+      val pStride = math.max(1L, n / ksTarget)
+      val ceArr = coarseArrayRow(corpus, cStride)
+      val coarse = coarseRowsOf(ceArr)
+      val kc = coarse.count().toInt
+      val coarseArr = coarseArrOf(ceArr).localCheckpoint()
+      val pqCbR = pqCodebook(assignResidual(corpus, coarseArr, kc, dim),
+        pStride, m, subDim)
+      val ks = pqCbR.filter(col("sub") === 0).count().toInt
+      Index(coarse, coarseArr, kc, pqCbR, pqArrOf(pqCbR).localCheckpoint(),
+        ks, dim, m, subDim)
+    })
+  }
+
+  /** IVFADC top-k. Output (q_id, rn, neighbor, dist2) — the q80 shape,
+    * exact BIGINTs throughout. `nprobe` is the caller's recall knob
+    * (q68's standing rule: the q87 audit is its meter).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, n: Long,
+                dim: Int = 64, m: Int = 8, ksTarget: Int = 16,
+                nprobe: Int = 4, k: Int = 10, rerank: Int = 50): DataFrame = {
+    val ix = index(corpus, n, dim, m, ksTarget)
+    import ix.{kc, ks, subDim}
+
+    // encoded corpus: ONE scan-local projection — cell + m codes
+    val enc = assignResidual(corpus, ix.coarseArr, kc, dim)
+      .crossJoin(broadcast(ix.pqArr))
+      .select(col("id"), col("cell"),
+        pqCodes(col("res"), col("pcbf"), m, subDim, ks).as("codes"))
+
+    // probes: q × kc scored rows (bounded), keep the nprobe nearest
+    // cells per query; the window is over the bounded probe frame
+    val qs = queries.select(col("id").as("q_id"), col("qv").as("q_qv"),
+      quantDot(col("qv"), col("qv")).as("q_self"))
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd2"), col("cr"))
+    val probes = qs.crossJoin(broadcast(ix.coarse))
+      .select(col("q_id"), col("q_qv"), col("cr"), col("c_vec"),
+        d2(col("q_self"), col("c_self"),
+          quantDot(col("q_qv"), col("c_vec"))).as("cd2"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("cr").as("cell"),
+        zip_with(col("q_qv"), col("c_vec"), (a, b) => a - b).as("rq"))
+
+    // per-(query, probed cell) LUT: d²(query-residual subvector, pq
+    // centroid) for every (sub, rank) — q·nprobe·m·ks rows, bounded
+    val lut = probes
+      .crossJoin(broadcast(ix.pqCbR))
+      .select(col("q_id"), col("cell"), col("sub"), col("r"),
+        d2(quantDot(slice(col("rq"), col("sub") * subDim + 1, lit(subDim)),
+             slice(col("rq"), col("sub") * subDim + 1, lit(subDim))),
+           col("c_self"),
+           quantDot(slice(col("rq"), col("sub") * subDim + 1, lit(subDim)),
+             col("c_sv"))).as("d2q"))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("r"), col("d2q")))),
+        e => e("d2q")).as("lut"))
+
+    // ADC inside probed cells only: broadcast HASH join on the cell key
+    val adcSum = (0 until m).map { s =>
+      element_at(col("lut"),
+        (lit(s * ks) + element_at(col("codes"), s + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val cands = enc.join(broadcast(lut), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), adcSum.as("adc"))
+      .groupBy(col("q_id"))
+      .agg(topKPairs((-col("adc")).cast("double"), col("id"), rerank).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("id"))
+
+    // exact re-rank of ≤ q·R candidates (the q80 tail)
+    val cv = corpus.select(col("id"), col("qv"),
+      quantDot(col("qv"), col("qv")).as("self"))
+    cands
+      .join(cv, Seq("id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .select(col("q_id"), col("id"),
+        d2(col("q_self"), col("self"), quantDot(col("q_qv"), col("qv")))
+          .as("dist2"))
+      .groupBy(col("q_id"))
+      .agg(topKPairs((-col("dist2")).cast("double"), col("id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.id").as("neighbor"),
+        (-col("col.score")).cast("long").as("dist2"))
+  }
+}

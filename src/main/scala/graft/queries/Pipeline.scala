@@ -1504,6 +1504,171 @@ object Pipeline {
     FROM truth t LEFT JOIN pqk p
       ON p.q_id = t.q_id AND p.neighbor = t.neighbor"""))
 
+  // Shared DuckDB replay of the IVFADC pipeline (q86/q87): quantize →
+  // coarse modulo codebook (⌊√n⌋ cells, the q43 ladder) → coarse argmin
+  // assign → RESIDUAL per vector → shared residual product codebook
+  // (m=8 × ks≈16, the q80 budget) → per-vector codes → per-(query,
+  // probed-cell) LUT → ADC inside the nprobe probed cells only → top-50
+  // by ADC → exact re-rank. Every distance is BIGINT (residuals are
+  // differences of quantized longs — still exact below 2^53), so the
+  // replay carries zero ulp risk, like the q80/q81 family it composes.
+  // Window inputs are kept NARROW (id, cr, d2 — never the 64-elem qv;
+  // the §5 slimmed-replay rule) so the sf10 gate stays feasible.
+  private val ivfpqCtes = """WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    par AS (
+      SELECT GREATEST(1, COUNT(*) //
+          GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS cstride,
+        GREATEST(1, COUNT(*) // 16) AS pstride
+      FROM q),
+    cc AS (
+      SELECT vec_id AS c_id, qv AS cqv,
+        ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cr
+      FROM q WHERE vec_id % (SELECT cstride FROM par) = 0),
+    csc AS (
+      SELECT v.vec_id AS id, c.cr,
+        CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+          + CAST(list_dot_product(c.cqv, c.cqv) AS BIGINT)
+          - 2*CAST(list_dot_product(v.qv, c.cqv) AS BIGINT) AS d2
+      FROM q v CROSS JOIN cc c),
+    asg AS (SELECT id, cr FROM (
+        SELECT id, cr,
+          ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cr) AS rn
+        FROM csc) WHERE rn = 1),
+    res AS (SELECT a.id, a.cr,
+        [v.qv[i] - c.cqv[i] for i in range(1, len(v.qv)+1)] AS res
+      FROM asg a JOIN q v ON v.vec_id = a.id JOIN cc c ON c.cr = a.cr),
+    pcbr AS (SELECT c_id, sub, c_sv,
+        ROW_NUMBER() OVER (PARTITION BY sub ORDER BY c_id) - 1 AS r
+      FROM (
+        SELECT r.id AS c_id, s.sub, r.res[s.sub*8+1 : s.sub*8+8] AS c_sv
+        FROM res r CROSS JOIN range(0, 8) s(sub)
+        WHERE r.id % (SELECT pstride FROM par) = 0)),
+    esc AS (
+      SELECT e.id, b.sub, b.r,
+        CAST(list_dot_product(e.res[b.sub*8+1 : b.sub*8+8],
+                              e.res[b.sub*8+1 : b.sub*8+8]) AS BIGINT)
+          + CAST(list_dot_product(b.c_sv, b.c_sv) AS BIGINT)
+          - 2*CAST(list_dot_product(e.res[b.sub*8+1 : b.sub*8+8], b.c_sv)
+              AS BIGINT) AS d2
+      FROM res e CROSS JOIN pcbr b),
+    codes AS (SELECT id, sub, r AS code FROM (
+        SELECT id, sub, r,
+          ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY d2, r) AS rn
+        FROM esc) WHERE rn = 1),
+    qsc AS (
+      SELECT qq.vec_id AS q_id, c.cr,
+        CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+          + CAST(list_dot_product(c.cqv, c.cqv) AS BIGINT)
+          - 2*CAST(list_dot_product(qq.qv, c.cqv) AS BIGINT) AS d2
+      FROM q qq CROSS JOIN cc c WHERE qq.vec_id < 10),
+    probes AS (SELECT q_id, cr FROM (
+        SELECT q_id, cr,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cr) AS rn
+        FROM qsc) WHERE rn <= 4),
+    qres AS (SELECT p.q_id, p.cr,
+        [qq.qv[i] - c.cqv[i] for i in range(1, len(qq.qv)+1)] AS rq
+      FROM probes p JOIN q qq ON qq.vec_id = p.q_id
+        JOIN cc c ON c.cr = p.cr),
+    lut AS (SELECT r.q_id, r.cr, b.sub, b.r,
+        CAST(list_dot_product(r.rq[b.sub*8+1 : b.sub*8+8],
+                              r.rq[b.sub*8+1 : b.sub*8+8]) AS BIGINT)
+          + CAST(list_dot_product(b.c_sv, b.c_sv) AS BIGINT)
+          - 2*CAST(list_dot_product(r.rq[b.sub*8+1 : b.sub*8+8], b.c_sv)
+              AS BIGINT) AS d2q
+      FROM qres r CROSS JOIN pcbr b),
+    adc AS (SELECT l.q_id, co.id, CAST(SUM(l.d2q) AS BIGINT) AS adc
+      FROM codes co
+      JOIN asg a ON a.id = co.id
+      JOIN lut l ON l.cr = a.cr AND l.sub = co.sub AND l.r = co.code
+      WHERE co.id <> l.q_id
+      GROUP BY l.q_id, co.id),
+    icand AS (SELECT q_id, id FROM (
+        SELECT q_id, id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, id) AS rn
+        FROM adc) WHERE rn <= 50),
+    ipq_exact AS (SELECT ca.q_id, ca.id,
+        CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+          + CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+          - 2*CAST(list_dot_product(qq.qv, v.qv) AS BIGINT) AS dist2
+      FROM icand ca JOIN q v ON v.vec_id = ca.id
+        JOIN q qq ON qq.vec_id = ca.q_id)"""
+
+  // ---- D7g: IVF-PQ composite ANN (IVFADC) ---------------------------------
+  // The production composition of the partition face (q43/q70 cells) and
+  // the compression face (q80 codes) — operators/IvfPq.scala carries the
+  // full contract: coarse ⌊√n⌋ cells, shared residual product codebook,
+  // ADC only inside the nprobe probed cells, exact re-rank; everything
+  // exact BIGINT squared-L2.
+  private val q86 = Qdef(
+    "q86_ann_ivfpq",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val n = t(s, dir, "embeddings").count()
+      graft.operators.IvfPq
+        .ivfPqTopK(embs, embs.filter(col("id") < 10), n,
+          dim = 64, m = 8, ksTarget = 16, nprobe = 4, k = 10, rerank = 50)
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(ivfpqCtes + """
+    SELECT q_id, rn, neighbor, dist2 FROM (
+      SELECT q_id, id AS neighbor, dist2,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2, id) AS INT)
+          AS rn
+      FROM ipq_exact) WHERE rn <= 10
+    ORDER BY q_id, rn"""))
+
+  // ---- D7g: IVFADC recall audit -------------------------------------------
+  // q68's standing rule applied to the composite: graded against the
+  // exact squared-L2 brute-force top-10 (all-BIGINT ground truth, like
+  // q81). nprobe is the caller's recall knob; this audit is its meter.
+  private val q87 = Qdef(
+    "q87_ann_recall_ivfpq",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val n = t(s, dir, "embeddings").count()
+      val queries = embs.filter(col("id") < 10)
+      val truth = graft.operators.Pq.bruteForceL2TopK(embs, queries, k = 10)
+      val ipq = graft.operators.IvfPq
+        .ivfPqTopK(embs, queries, n,
+          dim = 64, m = 8, ksTarget = 16, nprobe = 4, k = 10, rerank = 50)
+      truth.select(col("q_id"), col("neighbor"))
+        .join(ipq.select(col("q_id"), col("neighbor"), lit(1).as("hit")),
+          Seq("q_id", "neighbor"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(lit("ivfpq").as("method"), col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+    },
+    Some(ivfpqCtes + """,
+    ipqk AS (
+      SELECT q_id, id AS neighbor FROM (
+        SELECT q_id, id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+        FROM ipq_exact) WHERE rn <= 10),
+    truth AS (
+      SELECT q_id, neighbor FROM (
+        SELECT qq.vec_id AS q_id, v.vec_id AS neighbor,
+          ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+            CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+              + CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+              - 2*CAST(list_dot_product(qq.qv, v.qv) AS BIGINT),
+            v.vec_id) AS rn
+        FROM q qq JOIN q v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id)
+      WHERE rn <= 10)
+    SELECT 'ivfpq' AS method, COUNT(*) AS n_truth,
+      CAST(SUM(CASE WHEN p.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_hits,
+      CAST(SUM(CASE WHEN p.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall
+    FROM truth t LEFT JOIN ipqk p
+      ON p.q_id = t.q_id AND p.neighbor = t.neighbor"""))
+
   // ---- D29: deterministic stratified sampling -----------------------------
   // Fixed-count-per-stratum sampling by content-hash order (operators/
   // Sampling.scala carries the contract: no RNG, TopKPairs partial
@@ -1661,5 +1826,5 @@ object Pipeline {
 
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73, q76, q77, q80, q81, q82, q83, q84, q85)
+    q73, q76, q77, q80, q81, q82, q83, q84, q85, q86, q87)
 }

@@ -424,6 +424,17 @@ object EventStreams {
     * (q30's groups are exactly its rows) and re-snapshot per
     * micro-batch — the standing lambda-architecture split between the
     * batch corpus and its ingest edge.
+    *
+    * CONTRACT: `seen` must be key-unique on `h` (one row per content
+    * hash — q30's groups are, by construction: `h` is their GROUP BY
+    * key). The operator deliberately does NOT re-deduplicate it: a
+    * defensive distinct() here would re-shuffle the ENTIRE historical
+    * index on every micro-batch re-plan — at 100 TB seen-index scale
+    * that full-index exchange would dominate per-batch latency, paid
+    * for rows the maintainer already made unique. (A duplicate `h` in
+    * a non-conforming index would only duplicate dropped-row work, not
+    * emit wrong rows — the join's matches are all filtered out — but
+    * the contract keeps the plan honest.)
     */
   def dedupAgainstHistory(docs: DataFrame, seen: DataFrame,
                           delay: String = "2 hours"): DataFrame = {
@@ -432,7 +443,7 @@ object EventStreams {
       .withWatermark("ts", delay)
       .withColumn("h", md5Prefix48(col("text")))
       .dropDuplicatesWithinWatermark("h")
-      .join(seen.select(col("h")).distinct().withColumn("_seen", lit(1)),
+      .join(seen.select(col("h")).withColumn("_seen", lit(1)),
         Seq("h"), "left_outer")
       .filter(col("_seen").isNull)
       .drop("_seen", "h")

@@ -56,6 +56,14 @@ class PlanLintSpec extends AnyFunSuite {
     *  - q85: one-row broadcast totals/prior scalars cross-joined onto
     *         the per-doc rollup (same stats-broadcast shape); the
     *         corpus-sized scoring join is a token equi-join
+    *  - q86: IVFADC (round 9) — one-row broadcast coarse codebook +
+    *         residual PQ codebook cross-joined onto the corpus scan
+    *         (the q80 shape); the probe/LUT crosses are bounded×bounded
+    *         (query batch × ≈√n checkpointed coarse rows / m·ks
+    *         codebook rows); the corpus-sized ADC join is a CELL-KEY
+    *         equi-join (BroadcastHashJoin, not BNLJ)
+    *  - q87: the IVFADC recall audit composes q35's broadcast
+    *         query-batch ground truth with q86's bounded broadcasts
     * (q19's one-row global-max cross join needs no exemption: Catalyst
     * pushes the equality filter into it, planning a BroadcastHashJoin.)
     */
@@ -64,7 +72,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q57_kmeans", "q60_mixing", "q61_vocab", "q67_ann_ivf_kmeans",
     "q68_ann_recall", "q69_ann_recall_kmeans", "q70_dedup_embedding_2level",
     "q71_ann_recall_2level", "q76_bm25", "q80_ann_pq",
-    "q81_ann_recall_pq", "q84_lm_perplexity", "q85_quality_classifier")
+    "q81_ann_recall_pq", "q84_lm_perplexity", "q85_quality_classifier",
+    "q86_ann_ivfpq", "q87_ann_recall_ivfpq")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
@@ -87,5 +96,59 @@ class PlanLintSpec extends AnyFunSuite {
     }
     assert(stillBnlj == bnljAllowed,
       s"stale whitelist entries: ${bnljAllowed -- stillBnlj}")
+  }
+
+  /** r8 advisor: the whitelist was query-granular, so a regression
+    * reintroducing a CORPUS-SIZED nested-loop join inside a whitelisted
+    * query (e.g. reverting PQ to a non-broadcast join) passed silently.
+    * This test walks every BNLJ node in each whitelisted query's
+    * physical plan and requires its BUILD (broadcast) side to be
+    * structurally bounded — one of:
+    *   - a global (no-grouping) aggregate: collapses to one row
+    *     (codebook/stats/vocab broadcasts);
+    *   - a checkpointed/local scan: the staging discipline's bounded
+    *     frames (m·ks codebooks, LUTs);
+    *   - a literal-comparison filter: the `id < 10` query-batch shape;
+    *   - a scan of a true dim table (region/nation) — q14's CROSS JOIN
+    *     coverage query.
+    * A raw corpus scan (documents/embeddings/lineitem, unfiltered, no
+    * collapsing aggregate) on the build side fails the lint even for a
+    * whitelisted query.
+    */
+  test("whitelisted nested-loop joins broadcast only bounded build sides") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate._
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+    def bounded(p: SparkPlan): Boolean =
+      p.collect { case n => n }.exists {
+        case a: HashAggregateExec       => a.groupingExpressions.isEmpty
+        case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+        case a: SortAggregateExec       => a.groupingExpressions.isEmpty
+        case _: RDDScanExec             => true
+        case _: LocalTableScanExec      => true
+        case f: FilterExec =>
+          f.condition.collectFirst {
+            case l: Literal if l.value != null => l
+          }.isDefined
+        case s: FileSourceScanExec =>
+          Seq("region", "nation").exists(d =>
+            s.relation.location.rootPaths.exists(_.toString.contains(d)))
+        case _ => false
+      }
+
+    val offenders = Seq.newBuilder[String]
+    bnljAllowed.toSeq.sorted.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        if (!bounded(build))
+          offenders += s"$name: unbounded BNLJ build side:\n$build"
+      }
+    }
+    assert(offenders.result().isEmpty,
+      s"unbounded build sides: ${offenders.result().mkString("; ")}")
   }
 }

@@ -18,14 +18,17 @@ rows = []
 for n in names:
     d = duck.get(n)
     g = graft.get(n)
+    gcell = f"{g:.3f}" if g is not None else "—"
     if d == "timeout":
-        rows.append(f"| {n} | > 90 (timeout) | {g:.3f} | — |")
+        rows.append(f"| {n} | > 90 (timeout) | {gcell} | — |")
         timeouts.append(n)
     elif d is None:
-        rows.append(f"| {n} | — (designed no-oracle) | {g:.3f} | — |")
+        rows.append(f"| {n} | — (designed no-oracle) | {gcell} | — |")
+    elif g is None:
+        rows.append(f"| {n} | {d:.3f} | — | — |")
     else:
         ratio = d / g if g else float("inf")
-        rows.append(f"| {n} | {d:.3f} | {g:.3f} | {ratio:.2f}x |")
+        rows.append(f"| {n} | {d:.3f} | {gcell} | {ratio:.2f}x |")
         both_d += d
         both_g += g
         n_both += 1
@@ -35,11 +38,14 @@ print()
 print(f"both-complete: {n_both} queries duck {both_d:.1f} s graft {both_g:.1f} s "
       f"graft/duck {both_g/both_d:.2f}x")
 for n in timeouts:
-    print(f"timeout: {n} graft {graft[n]:.2f} s")
+    if n in graft:
+        print(f"timeout: {n} graft {graft[n]:.2f} s")
 no_oracle = [n for n in names if n not in duck]
 for n in no_oracle:
-    print(f"no-oracle: {n} graft {graft[n]:.2f} s")
+    if n in graft:
+        print(f"no-oracle: {n} graft {graft[n]:.2f} s")
 q77d = duck.get("q77_fuzzy_dedup")
-if isinstance(q77d, float):
-    print(f"excl q77: graft/duck {(both_g - graft['q77_fuzzy_dedup'])/(both_d - q77d):.2f}x")
+q77g = graft.get("q77_fuzzy_dedup")
+if isinstance(q77d, float) and q77g is not None:
+    print(f"excl q77: graft/duck {(both_g - q77g)/(both_d - q77d):.2f}x")
 print(f"all {len(graft)} graft total {sum(graft.values()):.1f} s")
