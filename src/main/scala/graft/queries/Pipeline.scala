@@ -1669,6 +1669,71 @@ object Pipeline {
     FROM truth t LEFT JOIN ipqk p
       ON p.q_id = t.q_id AND p.neighbor = t.neighbor"""))
 
+  // ---- D33: learned-BPE tokenizer -----------------------------------------
+  // One unrolled training+application round of the q88 oracle: count
+  // adjacent symbol pairs over the top-W table (weighted by word
+  // frequency, overlaps counted — the standard BPE definition), pick
+  // the (count DESC, pair ASC) winner, then apply it greedy
+  // left-to-right to BOTH the training table and the all-distinct-words
+  // application table via the list_reduce fold (the q32 fold-replay
+  // idiom; wrapped singletons because list_reduce's accumulator must
+  // match the element type). An exhausted round (no pairs left) yields
+  // an empty b$i whose NULL scalars make every CASE take the no-op
+  // branch — matching the Scala trainer's early stop.
+  private def bpeRound(i: Int): String = s""",
+    p$i AS MATERIALIZED (SELECT u.p[1] AS x, u.p[2] AS y, SUM(t.wc) AS c
+      FROM (SELECT wc,
+              [[syms[j], syms[j+1]] for j in range(1, len(syms))] AS pl
+            FROM s$i) t, unnest(t.pl) AS u(p)
+      GROUP BY x, y),
+    b$i AS MATERIALIZED (SELECT x, y FROM p$i ORDER BY c DESC, x, y LIMIT 1),
+    s${i + 1} AS MATERIALIZED (SELECT word, wc,
+      CASE WHEN b.x IS NULL THEN syms ELSE
+        list_reduce(list_transform(syms, z -> [z]),
+          (acc, e) -> CASE WHEN acc[-1] = b.x AND e[1] = b.y
+            THEN list_concat(acc[1:len(acc)-1], [b.x || b.y])
+            ELSE list_concat(acc, e) END)
+      END AS syms FROM s$i LEFT JOIN b$i b ON TRUE),
+    a${i + 1} AS MATERIALIZED (SELECT word,
+      CASE WHEN b.x IS NULL THEN syms ELSE
+        list_reduce(list_transform(syms, z -> [z]),
+          (acc, e) -> CASE WHEN acc[-1] = b.x AND e[1] = b.y
+            THEN list_concat(acc[1:len(acc)-1], [b.x || b.y])
+            ELSE list_concat(acc, e) END)
+      END AS syms FROM a$i LEFT JOIN b$i b ON TRUE)"""
+
+  // The tokenizer the training-data stack actually meters budgets with
+  // (operators/BpeTokens.scala carries the contract: top-256 word table
+  // → 24 greedy merge rounds in plain Scala on the bounded driver
+  // artifact; application = keyed folds per DISTINCT word + word-key
+  // join + doc-keyed rollup — the q73/q84 keyed-model-table shape).
+  // The oracle REPLAYS TRAINING ITSELF: 24 unrolled rounds, each an
+  // aggregation + argmax + list_reduce application — the whole learned
+  // artifact is derived inside one SQL statement on both engines.
+  private val q88 = Qdef(
+    "q88_bpe_tokens",
+    (s, dir) =>
+      graft.operators.BpeTokens
+        .bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text",
+          topW = 256, rounds = 24)
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    wx AS MATERIALIZED (SELECT doc_id, u.w AS word
+      FROM tok, unnest(tk) AS u(w) WHERE u.w <> ''),
+    wcnt AS MATERIALIZED (SELECT word, COUNT(*) AS wc FROM wx GROUP BY word),
+    s0 AS MATERIALIZED (SELECT word, wc,
+        [word[j] for j in range(1, len(word)+1)] AS syms
+      FROM (SELECT word, wc FROM wcnt ORDER BY wc DESC, word LIMIT 256)),
+    a0 AS MATERIALIZED (SELECT word,
+        [word[j] for j in range(1, len(word)+1)] AS syms
+      FROM wcnt)""" +
+      (0 until 24).map(bpeRound).mkString + """
+    SELECT w.doc_id, COUNT(*) AS n_words,
+      CAST(SUM(len(a.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM wx w JOIN a24 a ON a.word = w.word
+    GROUP BY w.doc_id ORDER BY w.doc_id"""))
+
   // ---- D29: deterministic stratified sampling -----------------------------
   // Fixed-count-per-stratum sampling by content-hash order (operators/
   // Sampling.scala carries the contract: no RNG, TopKPairs partial
@@ -1826,5 +1891,5 @@ object Pipeline {
 
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73, q76, q77, q80, q81, q82, q83, q84, q85, q86, q87)
+    q73, q76, q77, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }
