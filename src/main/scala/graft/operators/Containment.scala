@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -43,6 +43,50 @@ import graft.functions.GraftFunctions._
   */
 object Containment {
 
+  /** The distinct (doc_id, h) shingle-hash table — the staging unit the
+    * whole family reads.
+    */
+  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+                           shingleK: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(textShingles(col(textCol), shingleK)).as("gram"))
+      .select(col("doc_id"), md5Prefix48(col("gram")).as("h"))
+      .distinct()
+
+  /** The df-capped posting index (h, doc_b) — the static side the
+    * streaming ingest face (C15) probes: ubiquitous boilerplate
+    * shingles (df > dfCap) are dropped FIRST, so any single probe hash
+    * returns ≤ dfCap candidates and per-doc candidate budgets stay
+    * scale-constant. At 100 TB this is a batch-maintained table
+    * (rebuilt with the corpus, like C14's seen-index).
+    */
+  def postingIndex(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 5, dfCap: Int = 32): DataFrame = {
+    val shd = shingleTable(docs, idCol, textCol, shingleK)
+    val dfreq = shd.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    shd.join(dfreq.filter(col("c") <= dfCap).select("h"), Seq("h"))
+      .select(col("h"), col("doc_id").as("doc_b"))
+  }
+
+  /** Bottom-k containment sketch computed IN THE ROW (for the streaming
+    * ingest face, where a per-doc groupBy would be needless state): the
+    * k smallest distinct md5₄₈ shingle hashes via one sorted-array
+    * dedup fold — exactly the batch operator's per-doc topKPairs
+    * result (StreamingSpec pins the two formulations equal). The fold
+    * is sequential over ~|shingles| longs — scan-local, no aggregation
+    * state.
+    */
+  def bottomKSketch(text: Column, shingleK: Int = 5,
+                    sketchK: Int = 16): Column = {
+    val sorted = array_sort(
+      transform(textShingles(text, shingleK), g => md5Prefix48(g)))
+    aggregate(sorted, array().cast("array<long>"),
+      (acc, x) => when(size(acc) < sketchK &&
+          (size(acc) === 0 || get(acc, size(acc) - 1) =!= x),
+        concat(acc, array(x))).otherwise(acc))
+  }
+
   /** Ordered containment pairs C(doc_a→doc_b) ≥ `threshold`, doc_a the
     * contained (smaller-set) side. Output:
     * (doc_a, doc_b, n_a, inter, containment).
@@ -51,11 +95,7 @@ object Containment {
                        shingleK: Int = 5, sketchK: Int = 16,
                        dfCap: Int = 32, minMatch: Int = 8,
                        threshold: Double = 0.8): DataFrame = {
-    val shd = docs
-      .select(col(idCol).as("doc_id"),
-        explode(textShingles(col(textCol), shingleK)).as("gram"))
-      .select(col("doc_id"), md5Prefix48(col("gram")).as("h"))
-      .distinct()
+    val shd = shingleTable(docs, idCol, textCol, shingleK)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // bottom-k sketch per doc: the KMV pattern — partial top-k on -h

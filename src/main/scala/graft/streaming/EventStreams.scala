@@ -448,4 +448,42 @@ object EventStreams {
       .filter(col("_seen").isNull)
       .drop("_seen", "h")
   }
+
+  // ---- C15: containment candidates at the ingest edge --------------------
+
+  /** The streaming face of D30/q83 — is an incoming document CONTAINED
+    * in (or a container of) something already in the corpus? The batch
+    * dedup family's last member without an ingest edge: MinHash banding
+    * (C9) misses quote-in-host pairs by construction (jaccard ≈ |A|/|B|
+    * ≈ 0), so ingest pipelines run the containment sketch as its own
+    * pass. Each incoming doc's bottom-k sketch is computed IN THE ROW
+    * (Containment.bottomKSketch — a scan-local sorted-dedup fold, no
+    * per-doc aggregation state; StreamingSpec pins it equal to the
+    * batch topKPairs formulation), explodes to ≤ sketchK probe hashes,
+    * and equi-joins the STATIC df-capped posting index
+    * (`Containment.postingIndex` — the batch-maintained table, C14's
+    * seen-index discipline). The stream-static join is stateless; the
+    * df-cap bounds any probe hash to ≤ dfCap matches, so per-doc
+    * candidates stay ≤ sketchK·dfCap at any corpus size (the q33
+    * budget rule, unchanged at the ingest edge). The (doc, ts,
+    * candidate) rollup finalizes in append mode as the watermark
+    * passes (the C12 pattern). Emits candidate pairs with their sketch
+    * match count m ≥ minMatch; exact verification joins back to the
+    * batch shingle table downstream, exactly as in batch q83.
+    */
+  def containmentCandidatesStream(docs: DataFrame, posting: DataFrame,
+                                  shingleK: Int = 5, sketchK: Int = 16,
+                                  minMatch: Int = 8,
+                                  delay: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.Containment
+          .bottomKSketch(col("text"), shingleK, sketchK)).as("h"))
+      .join(posting, Seq("h"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .groupBy(col("doc_id"), col("ts"), col("doc_b"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minMatch)
+      .select(col("doc_id").as("doc_a"), col("ts"), col("doc_b"), col("m"))
 }

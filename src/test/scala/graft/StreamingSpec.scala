@@ -6,7 +6,7 @@ import java.time.Instant
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, explode, expr}
+import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
 
 import graft.streaming.{Event, EventStreams}
 
@@ -384,6 +384,56 @@ class StreamingSpec extends AnyFunSuite {
     val kept = spark.table("c14_sink").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 4L), s"kept=$kept")
+  }
+
+  test("C15 streaming containment candidates == batch sketch/posting formulation") {
+    import graft.functions.GraftFunctions.{md5Prefix48, textShingles, topKPairs}
+    import graft.operators.Containment
+    // corpus: a long host doc that QUOTES a short incoming doc verbatim
+    // (the asymmetric pair jaccard misses), plus background docs
+    val quote = "the sacred river ran through caverns measureless to man down to a sunless sea"
+    val corpus = Seq(
+      (100L, "in xanadu did kubla khan a stately pleasure dome decree where " +
+        quote + " so twice five miles of fertile ground with walls and towers were girdled round"),
+      (101L, "completely unrelated background document about stream state and watermarks expiry"),
+      (102L, "another unrelated background document mentioning broadcast joins and shuffles"))
+      .toDF("doc_id", "text")
+    val posting = Containment.postingIndex(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val docs = Seq(
+      StreamDoc(1, ts(0), quote),                                // contained in 100
+      StreamDoc(2, ts(1), "a fresh document sharing nothing with the corpus at all today"))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = EventStreams.containmentCandidatesStream(input.toDF(), posting)
+      .writeStream.format("memory").queryName("c15_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    input.addData(StreamDoc(99, ts(2000), "watermark advancing sentinel document with plenty of words here"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("c15_sink").select("doc_a", "doc_b", "m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch reference: the ORIGINAL q83 bottom-k formulation (per-doc
+    // topKPairs over the exploded shingle table — a different
+    // implementation from the in-row fold) joined to the same posting
+    val want = docs.toDF()
+      .select(col("doc_id"),
+        explode(textShingles(col("text"), 5)).as("gram"))
+      .select(col("doc_id"), md5Prefix48(col("gram")).as("h")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(topKPairs((-col("h")).cast("double"), col("h"), 16).as("top"))
+      .select(col("doc_id").as("doc_a"), explode(col("top.id")).as("h"))
+      .join(posting, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stream=$got batch=$want")
+    // the quoted doc IS surfaced against its host; the fresh doc is not
+    assert(got.exists(p => p._1 == 1L && p._2 == 100L), s"got=$got")
+    assert(!got.exists(_._1 == 2L))
   }
 
   test("C5 streaming dedup drops duplicate event_ids within watermark") {
