@@ -45,12 +45,15 @@ object PlanAudit {
     "q77_fuzzy_dedup" -> "blocked edit-distance dedup: candidates from two keyed self-equi-joins (prefix/suffix x length-bucket), pair-dedup BEFORE the Levenshtein verify so the O(len^2) DP runs once per unique candidate; no cartesian",
     "q78_pivot" -> "pivot on EXPLICIT literals: Catalyst rewrites to ONE conditional aggregate over one scan (map-side partials) — no value-discovery pass, no extra shuffle vs the plain groupBy",
     "q79_unpivot" -> "unpivot after aggregation: Expand over k x groups rows, scan-local, no added shuffle",
-    "q80_ann_pq" -> "product quantization: broadcast codebook + LUT (m·ks rows at any corpus size), encode = explode(m) -> broadcast join -> keyed argmin with map-side partials, ADC = codes x broadcast LUT -> keyed BIGINT sum, top-R via TopKPairs; only <= q·R re-rank rows join back to full vectors",
+    "q80_ann_pq" -> "product quantization (scan-local round-8 form): ONE-ROW broadcast flattened codebook + LUT; encode = PqCodesE native projection per vector (no join rows), ADC = m O(1) element_at lookups in the same scan — NO aggregation state before TopKPairs' partial top-R (the old explode(m)->join->keyed-argmin form spilled 39 GB at sf50); only <= q·R re-rank rows join back to full vectors",
     "q81_ann_recall_pq" -> "PQ recall audit: q35's broadcast-query-batch ground-truth shape + the q80 plan; hit join is (q_id, neighbor)-keyed",
     "q82_stratified_sample" -> "stratified sampling: ONE stratum-keyed TopKPairs partial aggregate (<= n rows per stratum per partition into the exchange) — never a per-stratum window sort over all rows",
     "q83_containment" -> "containment dedup: bottom-k sketch equi-joins a df-capped posting list (candidates <= sketchK x dfCap per doc, scale-constant); exact intersection by (doc, h) KEY joins; one staged shingle-hash table feeds all five consumers",
     "q84_lm_perplexity" -> "bigram-LM scoring: scan-local bigram extraction (zip_with), model counts as TWO keyed aggregations with map-side partials, probability table joined back by (w1, w2) KEY (not broadcast — bigram vocabulary grows with the corpus), one-row vocab broadcast, doc-keyed rollup",
-    "q85_quality_classifier" -> "NB quality classifier: ONE explode -> (doc,token)-keyed tf aggregation; model re-aggregates tf by token (no second corpus scan); scoring join by token KEY (not broadcast — vocabulary grows with the corpus); totals/priors one-row broadcast; doc-keyed rollup")
+    "q85_quality_classifier" -> "NB quality classifier: ONE explode -> (doc,token)-keyed tf aggregation; model re-aggregates tf by token (no second corpus scan); scoring join by token KEY (not broadcast — vocabulary grows with the corpus); totals/priors one-row broadcast; doc-keyed rollup",
+    "q86_ann_ivfpq" -> "IVFADC composite: coarse assign + residual + m-code encode in ONE scan-local projection (PqCodesE over one-row broadcasts, zero exchange, no aggregation state); ADC only inside probed cells via a broadcast HASH join on the cell key (an equi-join, not a nested loop); TopKPairs partial top-R; <= q·R exact re-rank rows join back",
+    "q87_ann_recall_ivfpq" -> "IVFADC recall audit: q35's broadcast-query-batch ground-truth shape + the q86 plan; hit join is (q_id, neighbor)-keyed",
+    "q88_bpe_tokens" -> "learned-BPE tokenizer: word-frequency table = one keyed corpus aggregation (map-side partials, staged vocab-sized); training on the bounded top-W driver artifact; application = R chained scan-local folds per DISTINCT word + word-KEY join back (model table keyed, not broadcast); doc-keyed rollup")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
