@@ -53,7 +53,8 @@ object PlanAudit {
     "q85_quality_classifier" -> "NB quality classifier: ONE explode -> (doc,token)-keyed tf aggregation; model re-aggregates tf by token (no second corpus scan); scoring join by token KEY (not broadcast — vocabulary grows with the corpus); totals/priors one-row broadcast; doc-keyed rollup",
     "q86_ann_ivfpq" -> "IVFADC composite: coarse assign + residual + m-code encode in ONE scan-local projection (PqCodesE over one-row broadcasts, zero exchange, no aggregation state); ADC only inside probed cells via a broadcast HASH join on the cell key (an equi-join, not a nested loop); TopKPairs partial top-R; <= q·R exact re-rank rows join back",
     "q87_ann_recall_ivfpq" -> "IVFADC recall audit: q35's broadcast-query-batch ground-truth shape + the q86 plan; hit join is (q_id, neighbor)-keyed",
-    "q88_bpe_tokens" -> "learned-BPE tokenizer: word-frequency table = one keyed corpus aggregation (map-side partials, staged vocab-sized); training on the bounded top-W driver artifact; application = R chained scan-local folds per DISTINCT word + word-KEY join back (model table keyed, not broadcast); doc-keyed rollup")
+    "q88_bpe_tokens" -> "learned-BPE tokenizer: word-frequency table = one keyed corpus aggregation (map-side partials, staged vocab-sized); training on the bounded top-W driver artifact; application = R chained scan-local folds per DISTINCT word + word-KEY join back (model table keyed, not broadcast); doc-keyed rollup",
+    "q89_pii_redact" -> "PII audit: detection counts and the email->phone->IPv4 redaction chain are all SCAN-LOCAL codegen'd regex projections (zero joins, zero pre-rollup aggregation state); the only exchange is the final tiny per-group partial aggregate — one pass over the text bytes per pattern, the scrubber floor at any corpus size")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -1889,7 +1889,69 @@ object Pipeline {
     GROUP BY t.doc_id, t.pos, c.q2p, c.q2n, c.q3p, c.q3n
     ORDER BY t.doc_id"""))
 
+  // ---- D34: PII detection + redaction audit ------------------------------
+  // The pre-dedup curation pass (operators/PiiScrub.scala carries the
+  // contract: per-class detection on raw text, fixed-order email ->
+  // phone -> IPv4 global-replace chain, everything scan-local). The
+  // documents corpus is VERIFIED PII-free by construction (word-salad
+  // synthetic text — zero matches for any class at every SF), so the
+  // query scans it for the zero-count audit rows AND derives one
+  // deterministic contact note per customer row (name + keyed email /
+  // phone / IPv4, pure integer arithmetic on c_custkey that both
+  // engines compute identically) to gate the scrubber on text that
+  // actually contains PII. The oracle replays note derivation,
+  // detection counts, and the full redaction chain bit-for-bit
+  // (24-bit md5-prefix checksum of every redacted row).
+  private val q89 = Qdef(
+    "q89_pii_redact",
+    (s, dir) => {
+      val k = col("c_custkey")
+      val notes = t(s, dir, "customer").select(
+        concat(lit("contact:"), col("c_mktsegment")).as("grp"),
+        concat(
+          col("c_name"), lit(" <c"), k.cast("string"),
+          lit("@mail.example.com> ph "),
+          (lit(200) + k % 700).cast("string"), lit("-"),
+          (lit(100) + (k * 7919) % 900).cast("string"), lit("-"),
+          (lit(1000) + (k * 104729) % 9000).cast("string"),
+          lit(" ip 10."),
+          (k % 256).cast("string"), lit("."),
+          ((k * 31) % 256).cast("string"), lit("."),
+          (lit(1) + (k * 17) % 254).cast("string")).as("txt"))
+      val docs = t(s, dir, "documents").select(
+        concat(lit("doc:"), col("source")).as("grp"), col("text").as("txt"))
+      graft.operators.PiiScrub.piiAudit(notes.unionAll(docs), "grp", "txt")
+    },
+    Some("""WITH notes AS (
+      SELECT 'contact:' || c_mktsegment AS grp,
+        c_name || ' <c' || c_custkey || '@mail.example.com> ph ' ||
+        (200 + c_custkey % 700) || '-' || (100 + (c_custkey * 7919) % 900) ||
+        '-' || (1000 + (c_custkey * 104729) % 9000) || ' ip 10.' ||
+        (c_custkey % 256) || '.' || ((c_custkey * 31) % 256) || '.' ||
+        (1 + (c_custkey * 17) % 254) AS txt
+      FROM customer),
+    u AS (SELECT grp, txt FROM notes
+      UNION ALL SELECT 'doc:' || source AS grp, text AS txt FROM documents),
+    r AS (SELECT grp, txt,
+      regexp_replace(regexp_replace(regexp_replace(txt,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS red
+      FROM u)
+    SELECT grp, COUNT(*) AS n_rows,
+      CAST(SUM(len(regexp_extract_all(txt,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+        AS emails,
+      CAST(SUM(len(regexp_extract_all(txt,
+        '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS phones,
+      CAST(SUM(len(regexp_extract_all(txt,
+        '([0-9]{1,3}\.){3}[0-9]{1,3}'))) AS BIGINT) AS ips,
+      CAST(SUM(length(red)) AS BIGINT) AS redacted_chars,
+      CAST(SUM(('0x' || substring(md5(red), 1, 6))::BIGINT) AS BIGINT)
+        AS redact_sum
+    FROM r GROUP BY grp ORDER BY grp"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73, q76, q77, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q73, q76, q77, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }
