@@ -486,4 +486,33 @@ object EventStreams {
       .agg(count(lit(1)).as("m"))
       .filter(col("m") >= minMatch)
       .select(col("doc_id").as("doc_a"), col("ts"), col("doc_b"), col("m"))
+
+  // ---- C16: PII scrub at the ingest edge ----------------------------------
+
+  /** The streaming face of D34/q89 — identifiers leave the text at the
+    * ingest edge, BEFORE dedup hashes, model scoring, or storage ever
+    * see them (the ordering every public pipeline enforces: a raw email
+    * in one copy of a doc and a placeholder in another would even split
+    * exact-dedup groups). Emits per-doc detection counts (the audit
+    * numbers, on the raw text) alongside the redacted text.
+    *
+    * This is the ONE member of the ingest-edge family that needs no
+    * state at all: detection and the email→phone→IPv4 chain are
+    * scan-local projections (operators/PiiScrub.scala) — no watermark,
+    * no join, no aggregation state, so the operator composes with any
+    * downstream edge (feed `text` into C14's dedup or C13's scorer) at
+    * any throughput; backpressure is the only coupling. StreamingSpec
+    * pins stream == batch row-for-row, including planted PII.
+    */
+  def scrubStream(docs: DataFrame): DataFrame = {
+    import graft.operators.PiiScrub
+    docs.select(col("doc_id"), col("ts"),
+      regexp_count(col("text"), lit(PiiScrub.emailRe)).cast("long")
+        .as("emails"),
+      regexp_count(col("text"), lit(PiiScrub.phoneRe)).cast("long")
+        .as("phones"),
+      regexp_count(col("text"), lit(PiiScrub.ipv4Re)).cast("long")
+        .as("ips"),
+      PiiScrub.redact(col("text")).as("text"))
+  }
 }

@@ -6,7 +6,7 @@ import java.time.Instant
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
+import org.apache.spark.sql.functions.{col, count, explode, expr, lit, regexp_count}
 
 import graft.streaming.{Event, EventStreams}
 
@@ -434,6 +434,43 @@ class StreamingSpec extends AnyFunSuite {
     // the quoted doc IS surfaced against its host; the fresh doc is not
     assert(got.exists(p => p._1 == 1L && p._2 == 100L), s"got=$got")
     assert(!got.exists(_._1 == 2L))
+  }
+
+  test("C16 streaming PII scrub == batch projection, planted identifiers leave the edge") {
+    import graft.operators.PiiScrub
+    val docs = Seq(
+      StreamDoc(1, ts(0), "contact alice.w+spam@mail.example.org or 555-123-4567 for details"),
+      StreamDoc(2, ts(1), "server at 192.168.10.20 and fallback 10.0.0.7 are both reachable"),
+      StreamDoc(3, ts(2), "a perfectly clean document with no identifiers in it at all"))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = EventStreams.scrubStream(input.toDF())
+      .writeStream.format("memory").queryName("c16_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("c16_sink")
+      .select("doc_id", "emails", "phones", "ips", "text")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    val want = docs.toDF()
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(PiiScrub.emailRe)).cast("long"),
+        regexp_count(col("text"), lit(PiiScrub.phoneRe)).cast("long"),
+        regexp_count(col("text"), lit(PiiScrub.ipv4Re)).cast("long"),
+        PiiScrub.redact(col("text")))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got == want, s"stream=$got batch=$want")
+    // the scrubbed stream carries placeholders, never the identifiers
+    assert(got.exists(r => r._1 == 1L && r._5 ==
+      "contact [EMAIL] or [PHONE] for details"))
+    assert(got.exists(r => r._1 == 2L && r._5 ==
+      "server at [IP] and fallback [IP] are both reachable"))
+    assert(got.exists(r => r._1 == 3L && r._2 == 0L && r._5 ==
+      "a perfectly clean document with no identifiers in it at all"))
   }
 
   test("C5 streaming dedup drops duplicate event_ids within watermark") {
