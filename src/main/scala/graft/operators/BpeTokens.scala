@@ -100,7 +100,7 @@ object BpeTokens {
     * tokenizer is a reusable deployment artifact.
     */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int),
       (Seq[(String, String)], DataFrame)]()
 
   private[graft] def model(docs: DataFrame, idCol: String, textCol: String,
@@ -108,7 +108,7 @@ object BpeTokens {
       : (Seq[(String, String)], DataFrame) = {
     val planKey = docs.queryExecution.analyzed.canonicalized.toString +
       "@" + System.identityHashCode(docs.sparkSession)
-    memo.computeIfAbsent((planKey, topW, rounds), _ => {
+    memo.computeIfAbsent((planKey, textCol, topW, rounds), _ => {
       val wcnt = docs
         .select(explode(split(col(textCol), " ")).as("word"))
         .filter(col("word") =!= "")

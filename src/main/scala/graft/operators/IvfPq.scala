@@ -55,7 +55,7 @@ object IvfPq {
     * reusable deployment artifact.
     */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int, Int),
       Index]()
 
   private[graft] case class Index(coarse: DataFrame, coarseArr: DataFrame,
@@ -142,7 +142,7 @@ object IvfPq {
                            m: Int = 8, ksTarget: Int = 16): Index = {
     val planKey = corpus.queryExecution.analyzed.canonicalized.toString +
       "@" + System.identityHashCode(corpus.sparkSession)
-    memo.computeIfAbsent((planKey, n, m, ksTarget), _ => {
+    memo.computeIfAbsent((planKey, n, dim, m, ksTarget), _ => {
       val subDim = dim / m
       val kcTarget = Ann.centroidCountFor(n)
       val cStride = math.max(1L, n / kcTarget)

@@ -108,36 +108,48 @@ class PlanLintSpec extends AnyFunSuite {
     *     (codebook/stats/vocab broadcasts);
     *   - a checkpointed/local scan: the staging discipline's bounded
     *     frames (m·ks codebooks, LUTs);
-    *   - a literal-comparison filter: the `id < 10` query-batch shape;
+    *   - a `col < N`/`col <= N` integral-literal filter: the `id < 10`
+    *     query-batch shape (specifically, NOT any literal anywhere —
+    *     `=!= ""` does not count);
     *   - a scan of a true dim table (region/nation) — q14's CROSS JOIN
     *     coverage query.
-    * A raw corpus scan (documents/embeddings/lineitem, unfiltered, no
-    * collapsing aggregate) on the build side fails the lint even for a
-    * whitelisted query.
+    * The witness must sit on the build side's ROOT LINEAGE (r9 advisor):
+    * a node is bounded iff it is itself a witness or ALL its children
+    * are bounded — so a corpus-sized scan cross-joined with a one-row
+    * aggregate fails (the corpus child has no witness), as does a raw
+    * corpus scan carrying only a trivial literal filter.
     */
   test("whitelisted nested-loop joins broadcast only bounded build sides") {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.aggregate._
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.{
+      Attribute, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
 
-    def bounded(p: SparkPlan): Boolean =
-      p.collect { case n => n }.exists {
-        case a: HashAggregateExec       => a.groupingExpressions.isEmpty
-        case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
-        case a: SortAggregateExec       => a.groupingExpressions.isEmpty
-        case _: RDDScanExec             => true
-        case _: LocalTableScanExec      => true
-        case f: FilterExec =>
-          f.condition.collectFirst {
-            case l: Literal if l.value != null => l
-          }.isDefined
-        case s: FileSourceScanExec =>
-          Seq("region", "nation").exists(d =>
-            s.relation.location.rootPaths.exists(_.toString.contains(d)))
-        case _ => false
-      }
+    // the q35-family query-batch predicate: attribute </<= integral literal
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    def queryBatchShape(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      cond.collectFirst {
+        case LessThan(_: Attribute, Literal(v, t)) if v != null && integral(t) => ()
+        case LessThanOrEqual(_: Attribute, Literal(v, t)) if v != null && integral(t) => ()
+      }.isDefined
+
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty       => true
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty       => true
+      case _: RDDScanExec                                              => true
+      case _: LocalTableScanExec                                       => true
+      case f: FilterExec if queryBatchShape(f.condition)               => true
+      case s: FileSourceScanExec =>
+        Seq("region", "nation").exists(d =>
+          s.relation.location.rootPaths.exists(_.toString.contains(d)))
+      case other =>
+        other.children.nonEmpty && other.children.forall(bounded)
+    }
 
     val offenders = Seq.newBuilder[String]
     bnljAllowed.toSeq.sorted.foreach { name =>
