@@ -317,6 +317,94 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       .start()
   }
 
+  /** LIVE maintenance of the containment dedup index (round 10 — the
+    * gap between "a suite of operators" and "a pipeline that runs
+    * continuously"): each micro-batch of new documents updates the
+    * df-count table and the df-capped posting index that C15's ingest
+    * probe reads, through the same merge-on-read commit machinery as
+    * every other DML. `dfTable` must be a PK'd parquet table
+    * (h BIGINT PRIMARY KEY, c BIGINT); `postingTable`
+    * (h BIGINT, doc_b BIGINT, PRIMARY KEY (h, doc_b)).
+    *
+    * Per batch (Containment.postingDelta carries the delta contract):
+    * the old state is read ONLY through keyed joins on the batch's hash
+    * set, deltas are O(batch · bucket occupancy) and localCheckpointed
+    * BEFORE either table mutates (the compute-then-commit discipline —
+    * lazy plans must not observe their own writes), then df counts
+    * upsert by pk and the posting table applies its insert/retire rows,
+    * each under its table's DML lock. The df-cap is enforced
+    * incrementally: a bucket the batch pushes past the cap is retired
+    * with equality-delete tombstones, exactly matching a full rebuild
+    * (spec-pinned; the q92 batch face is oracled on the same identity).
+    *
+    * Restart semantics: a batch-id marker under the checkpoint makes
+    * replays of FULLY-applied batches no-ops (the standard foreachBatch
+    * idempotence pattern — the df upsert is an increment, not a
+    * replace, so it must not re-run). A crash BETWEEN the two table
+    * commits can leave the df table one batch ahead of the postings —
+    * the two commits are per-table atomic but not joint (single-FS
+    * scope; a lakehouse multi-table transaction is the cluster-grade
+    * fix) — re-running the batch after such a crash is the one case
+    * needing an operator rebuild, and the marker write-after-commit
+    * ordering makes the window one batch wide.
+    */
+  def maintainContainmentIndex(stream: DataFrame, dfTable: String,
+                               postingTable: String, checkpoint: String,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               shingleK: Int = 5, dfCap: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (dbD, tD) = qualify(dfTable)
+    val (dbP, tP) = qualify(postingTable)
+    require(catalog.meta(dbD, tD).mergeOnRead,
+      s"maintainContainmentIndex requires a merge-on-read df table; '$dfTable' is not")
+    require(catalog.meta(dbP, tP).mergeOnRead,
+      s"maintainContainmentIndex requires a merge-on-read posting table; '$postingTable' is not")
+    val marker = java.nio.file.Paths.get(checkpoint, "_graft_applied_batch")
+    def lastApplied: Long =
+      if (java.nio.file.Files.exists(marker))
+        java.nio.file.Files.readString(marker).trim.toLong
+      else -1L
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (batchId > lastApplied && !batch.isEmpty) {
+          // read the CURRENT index state through the session the catalog
+          // refreshes (the micro-batch's cloned session carries its own
+          // stale relation cache — the cross-session lesson), after a
+          // commit-counter freshen
+          catalog.freshenStale()
+          val (dfUp, postIns, postDel) = graft.operators.Containment
+            .postingDelta(
+              spark.table(s"`$dbD`.`$tD`").select(col("h"), col("c")),
+              spark.table(s"`$dbP`.`$tP`").select(col("h"), col("doc_b")),
+              batch.toDF(), idCol, textCol, shingleK, dfCap)
+          val dfUpM = dfUp.localCheckpoint(true)
+          val insM = postIns.localCheckpoint(true)
+          val delM = postDel.localCheckpoint(true)
+          catalog.withDmlLock(dbD, tD) {
+            catalog.freshenStale()
+            val seq = catalog.nextSeq(dbD, tD)
+            catalog.appendDeletes(dbD, tD, dfUpM.select(col("h")), seq)
+            catalog.append(dbD, tD, dfUpM, seqOpt = Some(seq))
+            autoCompact(dbD, tD)
+          }
+          catalog.withDmlLock(dbP, tP) {
+            catalog.freshenStale()
+            val seq = catalog.nextSeq(dbP, tP)
+            if (!delM.isEmpty) catalog.appendDeletes(dbP, tP, delM, seq)
+            catalog.append(dbP, tP, insM, seqOpt = Some(seq))
+            autoCompact(dbP, tP)
+          }
+          java.nio.file.Files.writeString(marker, batchId.toString)
+          Seq(dfUpM, insM, delM).foreach(_.unpersist())
+        }
+        ()
+      }
+      .start()
+  }
+
   // ---- schemas (create_db.rs / drop_schema.rs / set_default_schema.rs) ---
 
   private val CreateSchemaR =
@@ -1318,9 +1406,17 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     else (currentSchema, clean(name))
   }
 
-  /** MySQL column type → Spark DDL type. */
+  /** MySQL column type → Spark DDL type. `ARRAY<elem>` is a graft
+    * extension past the MySQL surface (MySQL has no array columns): the
+    * live dedup-index tables (C17's per-doc shingle/band arrays) are
+    * catalog tables like any other, and flattening them to one row per
+    * element would break the upsert-replaces-the-whole-doc semantics
+    * their maintenance relies on.
+    */
   private def sparkDdl(mysqlType: String): String = {
     val t = mysqlType.toLowerCase
+    if (t.startsWith("array<") && t.endsWith(">"))
+      return s"ARRAY<${sparkDdl(t.stripPrefix("array<").stripSuffix(">"))}>"
     val base = t.takeWhile(c => c != '(')
     base match {
       case "int" | "integer" | "mediumint" => "INT"

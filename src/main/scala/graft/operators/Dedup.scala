@@ -80,6 +80,16 @@ object Dedup {
     (docs, bands)
   }
 
+  /** Adapt the live per-doc index table (doc_id, sh, bks) — the
+    * merge-on-read table C17's `minhashIndexStream` maintains — to the
+    * (shingles, bands) pair `incrementalMinhashPairs` consumes. The
+    * band explode is scan-local; no shuffle is added over the batch
+    * `minhashIndex` shape.
+    */
+  def minhashIndexFromLive(live: DataFrame): (DataFrame, DataFrame) =
+    (live.select(col("doc_id"), col("sh")),
+      live.select(col("doc_id"), explode(col("bks")).as("bk")))
+
   /** Incremental near-dedup: pairs involving at least one NEW document,
     * against a previously-built index (`minhashIndex` of the existing
     * corpus). Work scales with |new| × bucket occupancy — the existing

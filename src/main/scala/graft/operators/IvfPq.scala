@@ -159,6 +159,192 @@ object IvfPq {
     })
   }
 
+  // ---- two-level IVFADC (round 10 — the 10¹² composition) ----------------
+  // q86's coarse quantizer is a √n one-row broadcast, which re-meets the
+  // 512 MB broadcast frontier at n ≈ 10¹² that the two-level IVF (q70)
+  // exists to cross. This composes the ∛n two-stage coarse assign with
+  // the PQ-residual encode: cell = (cell1, cell2), cell1 by PqCodesE
+  // m=1 over the ∛n one-row broadcast (scan-local), cell2 by exact-L2
+  // argmin over the FINE codebook of the vector's own coarse cell — the
+  // fine codebooks are ≤ c₁ rows keyed by cell1 and EQUI-JOINED, never
+  // broadcast as a whole (the q70 discipline), and the argmin itself is
+  // an array_min over a transform of d² structs: scan-local, exact
+  // BIGINT, tie-broken by fine centroid id so DuckDB replays it.
+  // Residuals are taken against the (cell1, cell2) centroid (coarse
+  // centroid when the cell has no fine seed, cell2 = -1), so they
+  // concentrate tighter than q86's — §IV's point applied twice.
+
+  private val memo2 =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Int, Int, Int), Index2]()
+
+  private[graft] case class Index2(coarse: DataFrame, coarseArr: DataFrame,
+                                   c1: Int, fine: DataFrame,
+                                   pqCbR: DataFrame, pqArr: DataFrame,
+                                   ks: Int, dim: Int, m: Int, subDim: Int)
+
+  /** Exact-L2 scored struct array over a fine codebook array `fb`
+    * (elements struct(c_id, c_vec, c_self), sorted by c_id): each entry
+    * (d2, cid, cv) — array_min gives the assignment (tie-break d2 then
+    * c_id, unique), array_sort + slice gives the probe set. Scan-local.
+    */
+  private def fineScored(v: Column, selfv: Column, fb: Column): Column =
+    transform(fb, e => struct(
+      d2(selfv, e("c_self"), quantDot(v, e("c_vec"))).as("d2"),
+      e("c_id").as("cid"), e("c_vec").as("cv")))
+
+  /** (id, cell1, cell2, res): two-stage cell + residual against the
+    * (cell1, cell2) centroid for every corpus vector. One scan-local
+    * coarse projection + ONE keyed equi-join on cell1 (c₁ fine rows —
+    * broadcastable at any n that fits ∛n·c₂ rows, a keyed shuffle join
+    * past that; either way linear).
+    */
+  private[graft] def assignResidual2(corpus: DataFrame, ix: Index2): DataFrame = {
+    import ix.{c1, dim}
+    corpus.crossJoin(broadcast(ix.coarseArr))
+      .withColumn("cell1",
+        element_at(pqCodes(col("qv"), col("ccbf"), 1, dim, c1), 1))
+      .withColumn("selfv", quantDot(col("qv"), col("qv")))
+      .select(col("id"), col("qv"), col("selfv"), col("cell1"),
+        element_at(col("cvecs"), (col("cell1") + 1).cast("int")).as("c_cv"))
+      .join(ix.fine, Seq("cell1"), "left")
+      .withColumn("best",
+        when(col("fb").isNull, lit(null))
+          .otherwise(array_min(fineScored(col("qv"), col("selfv"), col("fb")))))
+      .select(col("id"), col("cell1"),
+        coalesce(col("best.cid"), lit(-1L)).as("cell2"),
+        zip_with(col("qv"), coalesce(col("best.cv"), col("c_cv")),
+          (a, b) => a - b).as("res"))
+  }
+
+  private[graft] def index2(corpus: DataFrame, n: Long, dim: Int = 64,
+                            m: Int = 8, ksTarget: Int = 16): Index2 = {
+    val planKey = corpus.queryExecution.analyzed.canonicalized.toString +
+      "@" + System.identityHashCode(corpus.sparkSession)
+    memo2.computeIfAbsent((planKey, n, dim, m, ksTarget), _ => {
+      val subDim = dim / m
+      val c1Target = Ann.coarseCountFor(n)
+      val stride1 = math.max(1L, n / c1Target)
+      val stride2 = math.max(1L, n / (c1Target * c1Target))
+      val pStride = math.max(1L, n / ksTarget)
+      val ceArr = coarseArrayRow(corpus, stride1)
+      val coarse = coarseRowsOf(ceArr)
+      val c1 = coarse.count().toInt
+      val coarseArr = coarseArrOf(ceArr).localCheckpoint()
+      // fine seeds: modulo-sampled rows, labeled by the SAME coarse
+      // pass, collapsed to one sorted codebook array per coarse cell
+      // (≤ c₁ rows total — the q70 shape)
+      val fine = corpus.filter(col("id") % stride2 === 0)
+        .crossJoin(broadcast(coarseArr))
+        .select(col("id").as("c_id"), col("qv").as("c_vec"),
+          quantDot(col("qv"), col("qv")).as("c_self"),
+          element_at(pqCodes(col("qv"), col("ccbf"), 1, dim, c1), 1)
+            .as("cell1"))
+        .groupBy(col("cell1"))
+        .agg(sort_array(collect_list(struct(
+          col("c_id"), col("c_vec"), col("c_self")))).as("fb"))
+        .localCheckpoint()
+      val ixPart = Index2(coarse, coarseArr, c1, fine,
+        null, null, 0, dim, m, subDim)
+      val pqCbR = pqCodebook(
+        assignResidual2(corpus, ixPart), pStride, m, subDim)
+      val ks = pqCbR.filter(col("sub") === 0).count().toInt
+      ixPart.copy(pqCbR = pqCbR, pqArr = pqArrOf(pqCbR).localCheckpoint(),
+        ks = ks)
+    })
+  }
+
+  /** Two-level IVFADC top-k (q90): the q86 probe with the coarse
+    * quantizer replaced by the two-stage assign. A query probes its
+    * `nprobe1` nearest coarse cells (bounded q·c₁ window frame), within
+    * each its `nprobe2` nearest fine cells (scan-local sorted slice of
+    * the joined fine codebook), builds the per-(q, cell1, cell2)
+    * residual LUT, and ADC runs only in probed (cell1, cell2) cells via
+    * a broadcast hash join on the composite cell key. Exact BIGINT
+    * everywhere; output (q_id, rn, neighbor, dist2) — the q86 shape.
+    */
+  def ivfPq2TopK(corpus: DataFrame, queries: DataFrame, n: Long,
+                 dim: Int = 64, m: Int = 8, ksTarget: Int = 16,
+                 nprobe1: Int = 4, nprobe2: Int = 4, k: Int = 10,
+                 rerank: Int = 50): DataFrame = {
+    val ix = index2(corpus, n, dim, m, ksTarget)
+    import ix.{c1, ks, subDim}
+
+    val enc = assignResidual2(corpus, ix)
+      .crossJoin(broadcast(ix.pqArr))
+      .select(col("id"), col("cell1"), col("cell2"),
+        pqCodes(col("res"), col("pcbf"), m, subDim, ks).as("codes"))
+
+    // coarse probes: q × c₁ bounded frame, keep nprobe1 nearest cells
+    val qs = queries.select(col("id").as("q_id"), col("qv").as("q_qv"),
+      quantDot(col("qv"), col("qv")).as("q_self"))
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("cd2"), col("cr"))
+    val coarseProbes = qs.crossJoin(broadcast(ix.coarse))
+      .select(col("q_id"), col("q_qv"), col("q_self"), col("cr"),
+        col("c_vec"),
+        d2(col("q_self"), col("c_self"),
+          quantDot(col("q_qv"), col("c_vec"))).as("cd2"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe1)
+      .select(col("q_id"), col("q_qv"), col("q_self"),
+        col("cr").as("cell1"), col("c_vec").as("c_cv"))
+
+    // fine probes: per probed coarse cell, the nprobe2 nearest fine
+    // cells by the same scan-local scored-array slice; a cell with no
+    // fine seed probes (cell1, -1) against the coarse centroid
+    val probes = coarseProbes.join(ix.fine, Seq("cell1"), "left")
+      .select(col("q_id"), col("cell1"), col("q_qv"),
+        explode(when(col("fb").isNull,
+          array(struct(lit(-1L).as("cid"), col("c_cv").as("cv"))))
+          .otherwise(transform(
+            slice(array_sort(
+              fineScored(col("q_qv"), col("q_self"), col("fb"))),
+              1, nprobe2),
+            e => struct(e("cid").as("cid"), e("cv").as("cv"))))).as("f"))
+      .select(col("q_id"), col("cell1"), col("f.cid").as("cell2"),
+        zip_with(col("q_qv"), col("f.cv"), (a, b) => a - b).as("rq"))
+
+    // per-(query, cell1, cell2) LUT — bounded: q·nprobe1·nprobe2·m·ks
+    val lut = probes
+      .crossJoin(broadcast(ix.pqCbR))
+      .select(col("q_id"), col("cell1"), col("cell2"), col("sub"), col("r"),
+        d2(quantDot(slice(col("rq"), col("sub") * subDim + 1, lit(subDim)),
+             slice(col("rq"), col("sub") * subDim + 1, lit(subDim))),
+           col("c_self"),
+           quantDot(slice(col("rq"), col("sub") * subDim + 1, lit(subDim)),
+             col("c_sv"))).as("d2q"))
+      .groupBy(col("q_id"), col("cell1"), col("cell2"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("r"), col("d2q")))),
+        e => e("d2q")).as("lut"))
+
+    val adcSum = (0 until m).map { s =>
+      element_at(col("lut"),
+        (lit(s * ks) + element_at(col("codes"), s + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val cands = enc.join(broadcast(lut), Seq("cell1", "cell2"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), adcSum.as("adc"))
+      .groupBy(col("q_id"))
+      .agg(topKPairs((-col("adc")).cast("double"), col("id"), rerank).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("id"))
+
+    val cv = corpus.select(col("id"), col("qv"),
+      quantDot(col("qv"), col("qv")).as("self"))
+    cands
+      .join(cv, Seq("id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .select(col("q_id"), col("id"),
+        d2(col("q_self"), col("self"), quantDot(col("q_qv"), col("qv")))
+          .as("dist2"))
+      .groupBy(col("q_id"))
+      .agg(topKPairs((-col("dist2")).cast("double"), col("id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.id").as("neighbor"),
+        (-col("col.score")).cast("long").as("dist2"))
+  }
+
   /** IVFADC top-k. Output (q_id, rn, neighbor, dist2) — the q80 shape,
     * exact BIGINTs throughout. `nprobe` is the caller's recall knob
     * (q68's standing rule: the q87 audit is its meter).

@@ -1669,6 +1669,223 @@ object Pipeline {
     FROM truth t LEFT JOIN ipqk p
       ON p.q_id = t.q_id AND p.neighbor = t.neighbor"""))
 
+  // Shared DuckDB replay of the TWO-LEVEL IVFADC pipeline (q90/q91):
+  // the ivfpqCtes replay with the coarse quantizer replaced by the
+  // two-stage assign (q70's cell1/cell2 CTEs, recast into the exact
+  // BIGINT squared-L2 discipline): ∛n coarse cells -> per-cell fine
+  // seeds -> cell2 argmin inside the own coarse cell (tie-break d2 then
+  // f_id, matching the Spark array_min struct order) -> residual
+  // against the (cell1, cell2) centroid -> shared residual product
+  // codebook -> ADC inside the nprobe1 x nprobe2 probed cells -> exact
+  // re-rank. A coarse cell with no fine seed keeps cell2 = -1 and its
+  // coarse centroid as the residual source, on both the corpus and the
+  // probe side.
+  private val ivfpq2Ctes = """WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    c1p AS (
+      SELECT GREATEST(8, MAX(c)) AS c1 FROM range(1, 1000001) t(c)
+      WHERE c*c*c <= (SELECT COUNT(*) FROM q)),
+    par AS (
+      SELECT GREATEST(1, COUNT(*) // (SELECT c1 FROM c1p)) AS stride1,
+        GREATEST(1, COUNT(*) //
+          ((SELECT c1 FROM c1p) * (SELECT c1 FROM c1p))) AS stride2,
+        GREATEST(1, COUNT(*) // 16) AS pstride
+      FROM q),
+    cc AS (
+      SELECT vec_id AS c_id, qv AS cqv,
+        ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cr
+      FROM q WHERE vec_id % (SELECT stride1 FROM par) = 0),
+    csc AS (
+      SELECT v.vec_id AS id, c.cr,
+        CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+          + CAST(list_dot_product(c.cqv, c.cqv) AS BIGINT)
+          - 2*CAST(list_dot_product(v.qv, c.cqv) AS BIGINT) AS d2
+      FROM q v CROSS JOIN cc c),
+    asg1 AS (SELECT id, cr AS cell1 FROM (
+        SELECT id, cr,
+          ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cr) AS rn
+        FROM csc) WHERE rn = 1),
+    fine AS (
+      SELECT a.id AS f_id, v.qv AS f_qv, a.cell1
+      FROM asg1 a JOIN q v ON v.vec_id = a.id
+      WHERE a.id % (SELECT stride2 FROM par) = 0),
+    fsc AS (
+      SELECT a.id, f.f_id,
+        CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+          + CAST(list_dot_product(f.f_qv, f.f_qv) AS BIGINT)
+          - 2*CAST(list_dot_product(v.qv, f.f_qv) AS BIGINT) AS d2
+      FROM asg1 a JOIN q v ON v.vec_id = a.id
+      JOIN fine f ON f.cell1 = a.cell1),
+    asg2 AS (
+      SELECT a.id, a.cell1, COALESCE(s.cell2, -1) AS cell2
+      FROM asg1 a LEFT JOIN (
+        SELECT id, f_id AS cell2 FROM (
+          SELECT id, f_id,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, f_id) AS rn
+          FROM fsc) WHERE rn = 1) s ON s.id = a.id),
+    cent AS (
+      SELECT a.id, a.cell1, a.cell2,
+        CASE WHEN a.cell2 = -1 THEN c.cqv ELSE f.f_qv END AS cv
+      FROM asg2 a JOIN cc c ON c.cr = a.cell1
+      LEFT JOIN fine f ON f.f_id = a.cell2),
+    res AS (
+      SELECT ct.id, ct.cell1, ct.cell2,
+        [v.qv[i] - ct.cv[i] for i in range(1, len(v.qv)+1)] AS res
+      FROM cent ct JOIN q v ON v.vec_id = ct.id),
+    pcbr AS (SELECT c_id, sub, c_sv,
+        ROW_NUMBER() OVER (PARTITION BY sub ORDER BY c_id) - 1 AS r
+      FROM (
+        SELECT r.id AS c_id, s.sub, r.res[s.sub*8+1 : s.sub*8+8] AS c_sv
+        FROM res r CROSS JOIN range(0, 8) s(sub)
+        WHERE r.id % (SELECT pstride FROM par) = 0)),
+    esc AS (
+      SELECT e.id, b.sub, b.r,
+        CAST(list_dot_product(e.res[b.sub*8+1 : b.sub*8+8],
+                              e.res[b.sub*8+1 : b.sub*8+8]) AS BIGINT)
+          + CAST(list_dot_product(b.c_sv, b.c_sv) AS BIGINT)
+          - 2*CAST(list_dot_product(e.res[b.sub*8+1 : b.sub*8+8], b.c_sv)
+              AS BIGINT) AS d2
+      FROM res e CROSS JOIN pcbr b),
+    codes AS (SELECT id, sub, r AS code FROM (
+        SELECT id, sub, r,
+          ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY d2, r) AS rn
+        FROM esc) WHERE rn = 1),
+    qsc AS (
+      SELECT qq.vec_id AS q_id, c.cr,
+        CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+          + CAST(list_dot_product(c.cqv, c.cqv) AS BIGINT)
+          - 2*CAST(list_dot_product(qq.qv, c.cqv) AS BIGINT) AS d2
+      FROM q qq CROSS JOIN cc c WHERE qq.vec_id < 10),
+    probes1 AS (SELECT q_id, cr AS cell1 FROM (
+        SELECT q_id, cr,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cr) AS rn
+        FROM qsc) WHERE rn <= 4),
+    fprobe AS (
+      SELECT p.q_id, p.cell1, f.f_id,
+        CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+          + CAST(list_dot_product(f.f_qv, f.f_qv) AS BIGINT)
+          - 2*CAST(list_dot_product(qq.qv, f.f_qv) AS BIGINT) AS d2
+      FROM probes1 p JOIN q qq ON qq.vec_id = p.q_id
+      JOIN fine f ON f.cell1 = p.cell1),
+    probes AS (
+      SELECT q_id, cell1, f_id AS cell2 FROM (
+        SELECT q_id, cell1, f_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id, cell1 ORDER BY d2, f_id)
+            AS rn
+        FROM fprobe) WHERE rn <= 4
+      UNION ALL
+      SELECT p.q_id, p.cell1, -1 AS cell2 FROM probes1 p
+      WHERE NOT EXISTS (SELECT 1 FROM fine f WHERE f.cell1 = p.cell1)),
+    qcent AS (
+      SELECT p.q_id, p.cell1, p.cell2,
+        CASE WHEN p.cell2 = -1 THEN c.cqv ELSE f.f_qv END AS cv
+      FROM probes p JOIN cc c ON c.cr = p.cell1
+      LEFT JOIN fine f ON f.f_id = p.cell2),
+    qres AS (
+      SELECT qc.q_id, qc.cell1, qc.cell2,
+        [qq.qv[i] - qc.cv[i] for i in range(1, len(qq.qv)+1)] AS rq
+      FROM qcent qc JOIN q qq ON qq.vec_id = qc.q_id),
+    lut AS (SELECT r.q_id, r.cell1, r.cell2, b.sub, b.r,
+        CAST(list_dot_product(r.rq[b.sub*8+1 : b.sub*8+8],
+                              r.rq[b.sub*8+1 : b.sub*8+8]) AS BIGINT)
+          + CAST(list_dot_product(b.c_sv, b.c_sv) AS BIGINT)
+          - 2*CAST(list_dot_product(r.rq[b.sub*8+1 : b.sub*8+8], b.c_sv)
+              AS BIGINT) AS d2q
+      FROM qres r CROSS JOIN pcbr b),
+    adc AS (SELECT l.q_id, co.id, CAST(SUM(l.d2q) AS BIGINT) AS adc
+      FROM codes co
+      JOIN asg2 a ON a.id = co.id
+      JOIN lut l ON l.cell1 = a.cell1 AND l.cell2 = a.cell2
+        AND l.sub = co.sub AND l.r = co.code
+      WHERE co.id <> l.q_id
+      GROUP BY l.q_id, co.id),
+    icand AS (SELECT q_id, id FROM (
+        SELECT q_id, id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, id) AS rn
+        FROM adc) WHERE rn <= 50),
+    ipq2_exact AS (SELECT ca.q_id, ca.id,
+        CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+          + CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+          - 2*CAST(list_dot_product(qq.qv, v.qv) AS BIGINT) AS dist2
+      FROM icand ca JOIN q v ON v.vec_id = ca.id
+        JOIN q qq ON qq.vec_id = ca.q_id)"""
+
+  // ---- D7h: two-level IVFADC (the full 10¹² composition) ------------------
+  // operators/IvfPq.scala ivfPq2TopK carries the contract: ∛n coarse
+  // broadcast + equi-joined per-cell fine codebooks (q70's quantizer)
+  // feeding the PQ-residual encode and the probed-cells-only ADC (q86's
+  // scorer) — no single broadcast grows past ∛n rows at any corpus size.
+  private val q90 = Qdef(
+    "q90_ann_ivfpq_2level",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val n = t(s, dir, "embeddings").count()
+      graft.operators.IvfPq
+        .ivfPq2TopK(embs, embs.filter(col("id") < 10), n,
+          dim = 64, m = 8, ksTarget = 16, nprobe1 = 4, nprobe2 = 4,
+          k = 10, rerank = 50)
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(ivfpq2Ctes + """
+    SELECT q_id, rn, neighbor, dist2 FROM (
+      SELECT q_id, id AS neighbor, dist2,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2, id) AS INT)
+          AS rn
+      FROM ipq2_exact) WHERE rn <= 10
+    ORDER BY q_id, rn"""))
+
+  // ---- D7h: two-level IVFADC recall audit ----------------------------------
+  // q68's standing rule: the two-stage quantizer changes which cells a
+  // query sees, so the composite carries its own measured recall at the
+  // default probe budget against the exact BIGINT brute-force truth.
+  private val q91 = Qdef(
+    "q91_ann_recall_ivfpq2",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val n = t(s, dir, "embeddings").count()
+      val queries = embs.filter(col("id") < 10)
+      val truth = graft.operators.Pq.bruteForceL2TopK(embs, queries, k = 10)
+      val ipq2 = graft.operators.IvfPq
+        .ivfPq2TopK(embs, queries, n,
+          dim = 64, m = 8, ksTarget = 16, nprobe1 = 4, nprobe2 = 4,
+          k = 10, rerank = 50)
+      truth.select(col("q_id"), col("neighbor"))
+        .join(ipq2.select(col("q_id"), col("neighbor"), lit(1).as("hit")),
+          Seq("q_id", "neighbor"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(lit("ivfpq2").as("method"), col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+    },
+    Some(ivfpq2Ctes + """,
+    ipqk AS (
+      SELECT q_id, id AS neighbor FROM (
+        SELECT q_id, id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+        FROM ipq2_exact) WHERE rn <= 10),
+    truth AS (
+      SELECT q_id, neighbor FROM (
+        SELECT qq.vec_id AS q_id, v.vec_id AS neighbor,
+          ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+            CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+              + CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+              - 2*CAST(list_dot_product(qq.qv, v.qv) AS BIGINT),
+            v.vec_id) AS rn
+        FROM q qq JOIN q v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id)
+      WHERE rn <= 10)
+    SELECT 'ivfpq2' AS method, COUNT(*) AS n_truth,
+      CAST(SUM(CASE WHEN p.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_hits,
+      CAST(SUM(CASE WHEN p.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall
+    FROM truth t LEFT JOIN ipqk p
+      ON p.q_id = t.q_id AND p.neighbor = t.neighbor"""))
+
   // ---- D33: learned-BPE tokenizer -----------------------------------------
   // One unrolled training+application round of the q88 oracle: count
   // adjacent symbol pairs over the top-W table (weighted by word
@@ -1951,7 +2168,54 @@ object Pipeline {
         AS redact_sum
     FROM r GROUP BY grp ORDER BY grp"""))
 
+  // ---- D35: incremental posting-index maintenance (batch face) -----------
+  // The index-update step behind C18's live containment index
+  // (Containment.postingDelta carries the delta contract): the corpus is
+  // split into an EXISTING part (doc_id % 4 != 0, whose df counts and
+  // df-capped postings are staged as "the index on disk") and a DELTA
+  // batch (doc_id % 4 == 0) applied incrementally — old state touched
+  // only through keyed joins on the batch's hashes, the df-cap enforced
+  // by retiring crossed buckets. The output fingerprints the UPDATED
+  // posting index per doc (row count + exact 48-bit hash sum); the
+  // oracle computes the df-capped posting index of the FULL corpus
+  // directly, so a hash-match IS the incremental == rebuild identity —
+  // any stranded row of a retired bucket, missed insert, or double
+  // count moves h_sum with overwhelming probability.
+  private val q92 = Qdef(
+    "q92_posting_incremental",
+    (s, dir) => {
+      import graft.operators.Containment
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val delta = docs.filter(col("doc_id") % 4 === 0)
+      val oldDf = Containment.dfIndex(old, "doc_id", "text").localCheckpoint()
+      val oldPost = Containment.postingIndex(old, "doc_id", "text")
+        .localCheckpoint()
+      val (_, postIns, postDel) =
+        Containment.postingDelta(oldDf, oldPost, delta, "doc_id", "text")
+      oldPost.join(postDel, Seq("h", "doc_b"), "left_anti")
+        .unionByName(postIns)
+        .groupBy(col("doc_b"))
+        .agg(count(lit(1)).as("n_post"), sum(col("h")).as("h_sum"))
+        .orderBy(col("doc_b"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents),
+    g AS (SELECT doc_id,
+        list_distinct([array_to_string(tk[i:i+4], ' ')
+                       for i in range(1, len(tk)-3)]) AS gs
+      FROM tk WHERE len(tk) >= 5),
+    shd AS (SELECT DISTINCT doc_id,
+        ('0x' || substring(md5(u.gram), 1, 12))::BIGINT AS h
+      FROM g, unnest(g.gs) AS u(gram)),
+    dfreq AS (SELECT h, COUNT(*) AS c FROM shd GROUP BY h),
+    post AS (SELECT s.h, s.doc_id AS doc_b FROM shd s
+      JOIN dfreq d ON d.h = s.h WHERE d.c <= 32)
+    SELECT doc_b, COUNT(*) AS n_post, CAST(SUM(h) AS BIGINT) AS h_sum
+    FROM post GROUP BY doc_b ORDER BY doc_b"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
-    q73, q76, q77, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q73, q76, q77, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
+    q91, q92)
 }

@@ -487,6 +487,38 @@ object EventStreams {
       .filter(col("m") >= minMatch)
       .select(col("doc_id").as("doc_a"), col("ts"), col("doc_b"), col("m"))
 
+  // ---- C17: live MinHash index maintenance at the ingest edge ------------
+
+  /** The index-maintenance half C9 was missing (round 10): C9 emits
+    * near-dup candidates but probes a STATIC band index — a production
+    * ingest pipeline needs the index itself to grow as documents land.
+    * This is the scan-local projection that turns an incoming doc into
+    * its ONE index row (doc_id, ts, sh, bks): shingle set + all band
+    * keys computed IN THE ROW (textShingles / minhashBandKeys are
+    * row-local kernels — no aggregation state, no watermark), docs too
+    * short to shingle dropped exactly as the batch `Dedup.minhashIndex`
+    * drops them. Feed the result into `GraftSession.ingestUpsert` on a
+    * merge-on-read table (doc_id BIGINT PRIMARY KEY, ts TIMESTAMP,
+    * sh ARRAY<STRING>, bks ARRAY<BIGINT>): re-ingesting a revised doc
+    * REPLACES its row, so stale band keys of the old text leave the
+    * index atomically — the array-per-doc layout is what makes the
+    * upsert correct (a (doc_id, bk)-grained table would strand them).
+    * Probing stays the batch path: `Dedup.minhashIndexFromLive` adapts
+    * the table to `incrementalMinhashPairs`'s (shingles, bands) inputs
+    * (the band equi-join explodes bks at read time, scan-local).
+    * StreamingSpec pins: table content after N micro-batches ==
+    * `Dedup.minhashIndex` of the latest doc versions, and probing the
+    * live table == a full-corpus `minhashPairs` rebuild.
+    */
+  def minhashIndexStream(docs: DataFrame, shingleK: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions.{minhashBandKeys, textShingles}
+    docs
+      .select(col("doc_id"), col("ts"),
+        textShingles(col("text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("bks", minhashBandKeys(col("sh")))
+  }
+
   // ---- C16: PII scrub at the ingest edge ----------------------------------
 
   /** The streaming face of D34/q89 — identifiers leave the text at the

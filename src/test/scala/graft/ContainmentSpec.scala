@@ -44,6 +44,43 @@ class ContainmentSpec extends AnyFunSuite {
     assert(j.count() == 0)
   }
 
+  test("D35 postingDelta applied to the old index == full rebuild, cap crossings retire buckets") {
+    // dfCap = 2; the "crosser" phrase is shared by old docs 1,2 AND delta
+    // doc 3 (df 2 -> 3: its bucket must RETIRE when the delta lands); the
+    // "survivor" phrase is shared only by old doc 4 and delta doc 5
+    // (df 1 -> 2: stays live, delta row inserted)
+    val crosser = "alpha beta gamma delta epsilon"
+    val survivor = "zeta eta theta iota kappa"
+    def body(d: Int) = (1 to 20).map(i => s"d${d}w$i").mkString(" ")
+    val old = Seq(
+      (1L, s"$crosser ${body(1)}"), (2L, s"$crosser ${body(2)}"),
+      (4L, s"$survivor ${body(4)}")).toDF("doc_id", "text")
+    val delta = Seq(
+      (3L, s"$crosser ${body(3)}"), (5L, s"$survivor ${body(5)}"))
+      .toDF("doc_id", "text")
+    val all = old.unionByName(delta)
+    val cap = 2
+    val oldDf = Containment.dfIndex(old, "doc_id", "text").localCheckpoint()
+    val oldPost = Containment.postingIndex(old, "doc_id", "text", dfCap = cap)
+      .localCheckpoint()
+    val (dfUp, ins, del) = Containment.postingDelta(
+      oldDf, oldPost, delta, "doc_id", "text", dfCap = cap)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    // the crossing actually fired: the crosser gram's old bucket rows
+    // (docs 1 and 2) are retired
+    assert(del.count() == 2, "df 2 -> 3 must retire the old bucket rows")
+    // df table after upsert == full recount
+    val newDf = oldDf.join(dfUp, Seq("h"), "left_anti").unionByName(dfUp)
+    assert(rows(newDf) == rows(Containment.dfIndex(all, "doc_id", "text")))
+    // posting table after (delete, insert) == full rebuild at the same cap
+    val newPost = oldPost.join(del, Seq("h", "doc_b"), "left_anti")
+      .unionByName(ins)
+    assert(rows(newPost) ==
+      rows(Containment.postingIndex(all, "doc_id", "text", dfCap = cap)))
+  }
+
   test("D30 ubiquitous shingles are df-capped out of candidate generation") {
     // 40 docs all sharing one boilerplate sentence (df = 40 > cap) plus
     // disjoint bodies: the boilerplate alone must not produce candidates

@@ -48,6 +48,45 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("D7h two-level probe-all + rerank-all degrades to exact brute force") {
+    // probing every coarse cell AND every fine cell makes every vector
+    // an ADC candidate; rerank >= n re-ranks them all exactly — the
+    // D7g pin applied to the two-stage coarse quantizer
+    val n = embs.count()
+    val queries = embs.filter(col("id") < 5)
+    val c1 = graft.operators.Ann.coarseCountFor(n).toInt + 2
+    val got = IvfPq.ivfPq2TopK(embs, queries, n, dim = 64, m = 8,
+        ksTarget = 16, nprobe1 = c1, nprobe2 = n.toInt, k = 5,
+        rerank = n.toInt)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val bf = Pq.bruteForceL2TopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == bf.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("D7h a fine seed lands in its own (cell1, cell2) with residual exactly zero") {
+    // id 0 is always modulo-sampled at BOTH levels, so its fine cell
+    // must be itself (d² = 0 wins both argmins) and its residual —
+    // taken against the FINE centroid — must be exactly zero; pins the
+    // two-stage assignment and the residual-source selection in one shot
+    val n = embs.count()
+    val ix = IvfPq.index2(embs, n)
+    val row0 = IvfPq.assignResidual2(embs.filter(col("id") === 0L), ix)
+      .collect()(0)
+    assert(row0.getLong(2) == 0L, "fine seed must land in its own fine cell")
+    assert(row0.getSeq[Long](3).forall(_ == 0L),
+      "fine seed's residual must be exactly zero")
+    // default budget: k rows per query, exact non-decreasing distances
+    val queries = embs.filter(col("id") < 5)
+    val rows = IvfPq.ivfPq2TopK(embs, queries, n, k = 10).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 10))
+    byQ.values.foreach { qRows =>
+      val ordered = qRows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(ordered.head >= 0L && ordered.sameElements(ordered.sorted))
+    }
+  }
+
   test("D7g a coarse centroid's residual is all zeros and its cell is itself") {
     // centroids are corpus vectors (modulo sample); the vector AT a
     // centroid must land in its own cell with residual exactly 0 —

@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+import graft.operators.{Containment, Dedup}
+import graft.streaming.EventStreams
+
+/** Round 10 — LIVE dedup-index maintenance (SURVEY.md §2.C17/C18): the
+  * streaming indexes C9/C14/C15 probe stop being static. Each test runs
+  * a MemoryStream of documents through the maintenance operator in
+  * SEVERAL micro-batches against real merge-on-read catalog tables,
+  * then pins the live table content equal to a from-scratch batch
+  * rebuild on the latest corpus — the incremental == rebuild identity
+  * the q92 oracle replays in DuckDB.
+  */
+class LiveIndexSpec extends AnyFunSuite {
+  import SparkFixture._
+  import spark.implicits._
+
+  private def ts(minute: Int): Instant =
+    Instant.parse("2024-01-01T00:00:00Z").plusSeconds(minute * 60L)
+
+  private def chk(): String = Files.createTempDirectory("graft-chk").toString
+
+  private lazy val g = {
+    val wh = Files.createTempDirectory("graft-liveidx-wh").toString
+    val s = new GraftSession(spark, wh)
+    s.sql("create schema live")
+    s.sql("use live")
+    s
+  }
+
+  test("C17 live MinHash index: upserted per micro-batch == batch rebuild; revised docs replace their bands") {
+    g.sql("create table mh_index (doc_id bigint, ts timestamp, " +
+      "sh array<string>, bks array<bigint>, primary key(doc_id))")
+    val input = MemoryStream[StreamDoc](spark)
+    val q = g.ingestUpsert(
+      EventStreams.minhashIndexStream(input.toDF()),
+      "mh_index", chk(), orderCol = "ts")
+
+    val d1v1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val d2 = "completely different content about spark streaming joins and state expiry"
+    val d1v2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val d3 = "a third document about merge on read tables and commit sequences"
+    val tooShort = "too short"
+
+    input.addData(StreamDoc(1, ts(0), d1v1), StreamDoc(2, ts(1), d2))
+    q.processAllAvailable()
+    // batch 2: doc 3 lands, doc 1 is REVISED (upsert must replace its
+    // shingles and band keys atomically), a too-short doc is dropped
+    // exactly as the batch index drops it
+    input.addData(StreamDoc(3, ts(10), d3), StreamDoc(1, ts(11), d1v2),
+      StreamDoc(4, ts(12), tooShort))
+    q.processAllAvailable(); q.stop()
+
+    val latest = Seq((1L, d1v2), (2L, d2), (3L, d3), (4L, tooShort))
+      .toDF("doc_id", "text")
+    val (wantSh, wantBands) = Dedup.minhashIndex(latest, "doc_id", "text")
+    val live = g.sql("select doc_id, sh, bks from mh_index")
+
+    def shSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(shSets(live.select("doc_id", "sh")) == shSets(
+      wantSh.select(col("doc_id"), col("sh"))))
+
+    val liveBands = Dedup.minhashIndexFromLive(live)._2
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchBands = wantBands.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(liveBands == batchBands,
+      "exploded live band keys must equal the batch index's band table")
+    // doc 4 never made it in; doc 1's row is the REVISED version
+    assert(!shSets(live.select("doc_id", "sh")).contains(4L))
+  }
+
+  test("C17 probing the live index == full-corpus minhashPairs rebuild") {
+    // mh_index still holds the latest corpus from the previous test; a
+    // new near-dup of doc 2 probes it through the incremental path
+    val d2dup = "completely different content about spark streaming joins and state expiry now"
+    val newDocs = Seq((10L, d2dup)).toDF("doc_id", "text")
+    val (oldSh, oldBands) = Dedup.minhashIndexFromLive(
+      g.sql("select doc_id, sh, bks from mh_index"))
+    val inc = Dedup.incrementalMinhashPairs(newDocs, "doc_id", "text",
+      oldSh, oldBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val d1v2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val d2 = "completely different content about spark streaming joins and state expiry"
+    val d3 = "a third document about merge on read tables and commit sequences"
+    val full = Seq((1L, d1v2), (2L, d2), (3L, d3), (10L, d2dup))
+      .toDF("doc_id", "text")
+    val fullPairs = Dedup.minhashPairs(full, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantNew = fullPairs.filter(p => p._1 == 10L || p._2 == 10L)
+    assert(inc == wantNew, s"inc=$inc want=$wantNew")
+    assert(inc.contains((2L, 10L)), "the planted near-dup must surface")
+  }
+
+  test("C18 live containment index: df counts + df-capped postings track micro-batches, crossings retire buckets") {
+    g.sql("create table cont_df (h bigint, c bigint, primary key(h))")
+    g.sql("create table cont_posting (h bigint, doc_b bigint, " +
+      "primary key(h, doc_b))")
+    // dfCap = 2: the "crosser" phrase lands in batches 1,1,2 (df 2 -> 3
+    // exactly when batch 2 applies — its bucket must retire THROUGH the
+    // catalog tombstones); the "survivor" phrase lands once per batch
+    // (df 1 -> 2, stays live)
+    val crosser = "alpha beta gamma delta epsilon"
+    val survivor = "zeta eta theta iota kappa"
+    def body(d: Int) = (1 to 20).map(i => s"d${d}w$i").mkString(" ")
+    val b1 = Seq(
+      StreamDoc(1, ts(0), s"$crosser ${body(1)}"),
+      StreamDoc(2, ts(1), s"$crosser ${body(2)}"),
+      StreamDoc(4, ts(2), s"$survivor ${body(4)}"))
+    val b2 = Seq(
+      StreamDoc(3, ts(10), s"$crosser ${body(3)}"),
+      StreamDoc(5, ts(11), s"$survivor ${body(5)}"))
+
+    val input = MemoryStream[StreamDoc](spark)
+    val q = g.maintainContainmentIndex(input.toDF(), "cont_df",
+      "cont_posting", chk(), dfCap = 2)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    def check(docsSoFar: Seq[StreamDoc]): Unit = {
+      val corpus = docsSoFar.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+      assert(rows(g.sql("select h, c from cont_df")) ==
+        rows(Containment.dfIndex(corpus, "doc_id", "text")))
+      assert(rows(g.sql("select h, doc_b from cont_posting")) ==
+        rows(Containment.postingIndex(corpus, "doc_id", "text", dfCap = 2)))
+    }
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    check(b1)
+    input.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    check(b1 ++ b2)
+    // the retirement really went through the merge-on-read path: the
+    // crosser hash is in the df table at c=3 but has NO posting rows
+    val crosserPosting = g.sql("select p.h from cont_posting p join " +
+      "cont_df d on d.h = p.h where d.c > 2")
+    assert(crosserPosting.isEmpty, "df>cap buckets must hold no postings")
+    assert(g.sql("select h from cont_df where c = 3").count() >= 1,
+      "the crosser hash must have been counted across batches")
+  }
+
+  test("C18 C15's ingest probe against the LIVE posting table finds a quote-in-host pair") {
+    // corpus (with a long host doc) lands through the maintenance
+    // stream; then the ingest-edge probe (C15) reads the live catalog
+    // table instead of a static frame
+    val quote = "the sacred river ran through caverns measureless to man down to a sunless sea"
+    val host = "in xanadu did kubla khan a stately pleasure dome decree where " +
+      quote + " so twice five miles of fertile ground with walls and towers were girdled round"
+    g.sql("create table cont_df2 (h bigint, c bigint, primary key(h))")
+    g.sql("create table cont_posting2 (h bigint, doc_b bigint, " +
+      "primary key(h, doc_b))")
+    val maintIn = MemoryStream[StreamDoc](spark)
+    val maint = g.maintainContainmentIndex(maintIn.toDF(), "cont_df2",
+      "cont_posting2", chk())
+    maintIn.addData(
+      StreamDoc(100, ts(0), host),
+      StreamDoc(101, ts(1), "completely unrelated background document about stream state and watermarks expiry"))
+    maint.processAllAvailable(); maint.stop()
+
+    val probeIn = MemoryStream[StreamDoc](spark)
+    val probe = EventStreams.containmentCandidatesStream(probeIn.toDF(),
+      g.sql("select h, doc_b from cont_posting2"))
+      .writeStream.format("memory").queryName("c18_probe_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    probeIn.addData(StreamDoc(1, ts(5), quote))
+    probe.processAllAvailable()
+    probeIn.addData(StreamDoc(99, ts(2000),
+      "watermark advancing sentinel document with plenty of words here"))
+    probe.processAllAvailable(); probe.stop()
+    val got = spark.table("c18_probe_sink").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)),
+      s"the quoted doc must surface against its host via the live index; got=$got")
+  }
+}

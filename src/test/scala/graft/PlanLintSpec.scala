@@ -64,6 +64,12 @@ class PlanLintSpec extends AnyFunSuite {
     *         equi-join (BroadcastHashJoin, not BNLJ)
     *  - q87: the IVFADC recall audit composes q35's broadcast
     *         query-batch ground truth with q86's bounded broadcasts
+    *  - q90: two-level IVFADC (round 10) — the ∛n one-row coarse
+    *         broadcast (q70's shape) + residual PQ codebook crosses;
+    *         the fine codebooks and the ADC join are (cell1[, cell2])
+    *         equi-joins, and probe/LUT crosses are bounded×bounded
+    *  - q91: the two-level recall audit composes q35's broadcast
+    *         query-batch ground truth with q90's bounded broadcasts
     * (q19's one-row global-max cross join needs no exemption: Catalyst
     * pushes the equality filter into it, planning a BroadcastHashJoin.)
     */
@@ -73,7 +79,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q68_ann_recall", "q69_ann_recall_kmeans", "q70_dedup_embedding_2level",
     "q71_ann_recall_2level", "q76_bm25", "q80_ann_pq",
     "q81_ann_recall_pq", "q84_lm_perplexity", "q85_quality_classifier",
-    "q86_ann_ivfpq", "q87_ann_recall_ivfpq")
+    "q86_ann_ivfpq", "q87_ann_recall_ivfpq", "q90_ann_ivfpq_2level",
+    "q91_ann_recall_ivfpq2")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
