@@ -2106,19 +2106,25 @@ object Pipeline {
     GROUP BY t.doc_id, t.pos, c.q2p, c.q2n, c.q3p, c.q3n
     ORDER BY t.doc_id"""))
 
-  // ---- D34: PII detection + redaction audit ------------------------------
+  // ---- D34: PII detection + redaction audit (v2, round 10) ---------------
   // The pre-dedup curation pass (operators/PiiScrub.scala carries the
-  // contract: per-class detection on raw text, fixed-order email ->
-  // phone -> IPv4 global-replace chain, everything scan-local). The
+  // contract: per-class detection on raw text with a Luhn-gated card
+  // class, fixed-order email -> intl phone -> card -> NANP phone ->
+  // IPv4 -> IPv6 global-replace chain, everything scan-local). The
   // documents corpus is VERIFIED PII-free by construction (word-salad
   // synthetic text — zero matches for any class at every SF), so the
   // query scans it for the zero-count audit rows AND derives one
-  // deterministic contact note per customer row (name + keyed email /
-  // phone / IPv4, pure integer arithmetic on c_custkey that both
-  // engines compute identically) to gate the scrubber on text that
-  // actually contains PII. The oracle replays note derivation,
-  // detection counts, and the full redaction chain bit-for-bit
-  // (24-bit md5-prefix checksum of every redacted row).
+  // deterministic contact note per customer row: keyed email / dashed
+  // phone / range-valid IPv4 (pure integer arithmetic on c_custkey
+  // that both engines compute identically) plus the round-10 literal
+  // plants — an international phone, a Luhn-VALID card, a Luhn-INVALID
+  // card-shaped trap (redacted but NOT counted), a full-form IPv6, the
+  // version-string residual ("ver 1.2.3.4.5" -> "[IP].5", the
+  // documented no-lookaround limit), and the octet-range trap
+  // ("999.300.1.2" — must match NOTHING under the range-checked
+  // pattern). The oracle replays note derivation, all five detection
+  // classes including the Luhn fold, and the six-step redaction chain
+  // bit-for-bit (24-bit md5-prefix checksum of every redacted row).
   private val q89 = Qdef(
     "q89_pii_redact",
     (s, dir) => {
@@ -2134,7 +2140,11 @@ object Pipeline {
           lit(" ip 10."),
           (k % 256).cast("string"), lit("."),
           ((k * 31) % 256).cast("string"), lit("."),
-          (lit(1) + (k * 17) % 254).cast("string")).as("txt"))
+          (lit(1) + (k * 17) % 254).cast("string"),
+          lit(" intl +44 20 7946 0958 card 4539-1488-0343-6467" +
+            " bad 4111 1111 1111 1112" +
+            " ip6 2001:db8:85a3:0:0:8a2e:370:7334" +
+            " ver 1.2.3.4.5 big 999.300.1.2")).as("txt"))
       val docs = t(s, dir, "documents").select(
         concat(lit("doc:"), col("source")).as("grp"), col("text").as("txt"))
       graft.operators.PiiScrub.piiAudit(notes.unionAll(docs), "grp", "txt")
@@ -2145,24 +2155,52 @@ object Pipeline {
         (200 + c_custkey % 700) || '-' || (100 + (c_custkey * 7919) % 900) ||
         '-' || (1000 + (c_custkey * 104729) % 9000) || ' ip 10.' ||
         (c_custkey % 256) || '.' || ((c_custkey * 31) % 256) || '.' ||
-        (1 + (c_custkey * 17) % 254) AS txt
+        (1 + (c_custkey * 17) % 254) ||
+        ' intl +44 20 7946 0958 card 4539-1488-0343-6467' ||
+        ' bad 4111 1111 1111 1112' ||
+        ' ip6 2001:db8:85a3:0:0:8a2e:370:7334' ||
+        ' ver 1.2.3.4.5 big 999.300.1.2' AS txt
       FROM customer),
     u AS (SELECT grp, txt FROM notes
       UNION ALL SELECT 'doc:' || source AS grp, text AS txt FROM documents),
     r AS (SELECT grp, txt,
-      regexp_replace(regexp_replace(regexp_replace(txt,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(txt,
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
-        '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS red
+        '\+[0-9]{1,3}[-. ]?[0-9]{2,4}(?:[-. ]?[0-9]{2,4}){1,3}\b',
+          '[PHONE]', 'g'),
+        '\b(?:[0-9][ -]?){12,18}[0-9]\b', '[CARD]', 'g'),
+        '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g'),
+        '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b',
+          '[IP]', 'g'),
+        '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4}:){0,5}[0-9A-Fa-f]{1,4}\b',
+          '[IPV6]', 'g') AS red
       FROM u)
     SELECT grp, COUNT(*) AS n_rows,
       CAST(SUM(len(regexp_extract_all(txt,
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
         AS emails,
       CAST(SUM(len(regexp_extract_all(txt,
-        '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS phones,
+          '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+        + len(regexp_extract_all(txt,
+          '\+[0-9]{1,3}[-. ]?[0-9]{2,4}(?:[-. ]?[0-9]{2,4}){1,3}\b')))
+        AS BIGINT) AS phones,
       CAST(SUM(len(regexp_extract_all(txt,
-        '([0-9]{1,3}\.){3}[0-9]{1,3}'))) AS BIGINT) AS ips,
+          '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b'))
+        + len(regexp_extract_all(txt,
+          '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4}:){0,5}[0-9A-Fa-f]{1,4}\b')))
+        AS BIGINT) AS ips,
+      CAST(SUM(len(list_filter(
+        list_transform(regexp_extract_all(txt,
+          '\b(?:[0-9][ -]?){12,18}[0-9]\b'),
+          m -> reverse(regexp_replace(m, '[ -]', '', 'g'))),
+        d -> list_sum([CASE WHEN i % 2 = 1
+                 THEN ascii(substring(d, i, 1)) - 48
+                 ELSE 2*(ascii(substring(d, i, 1)) - 48)
+                      - CASE WHEN ascii(substring(d, i, 1)) - 48 > 4
+                             THEN 9 ELSE 0 END END
+                 for i in range(1, length(d)+1)]) % 10 = 0)))
+        AS BIGINT) AS cards,
       CAST(SUM(length(red)) AS BIGINT) AS redacted_chars,
       CAST(SUM(('0x' || substring(md5(red), 1, 6))::BIGINT) AS BIGINT)
         AS redact_sum

@@ -541,10 +541,13 @@ object EventStreams {
     docs.select(col("doc_id"), col("ts"),
       regexp_count(col("text"), lit(PiiScrub.emailRe)).cast("long")
         .as("emails"),
-      regexp_count(col("text"), lit(PiiScrub.phoneRe)).cast("long")
+      (regexp_count(col("text"), lit(PiiScrub.phoneRe)) +
+        regexp_count(col("text"), lit(PiiScrub.intlPhoneRe))).cast("long")
         .as("phones"),
-      regexp_count(col("text"), lit(PiiScrub.ipv4Re)).cast("long")
+      (regexp_count(col("text"), lit(PiiScrub.ipv4Re)) +
+        regexp_count(col("text"), lit(PiiScrub.ipv6Re))).cast("long")
         .as("ips"),
+      PiiScrub.luhnCardCount("text").cast("long").as("cards"),
       PiiScrub.redact(col("text")).as("text"))
   }
 }

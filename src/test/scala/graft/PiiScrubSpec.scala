@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.PiiScrub
 
-/** D34 PII detection + redaction (SURVEY.md §2) — q89 gates the DuckDB
-  * replay end-to-end; these pin the scrub semantics on PLANTED PII
-  * (the synthetic corpus contains none by construction, so the planted
-  * rows are the only place the match-bearing branches are exercised
-  * against a hand-computed expectation).
+/** D34 PII detection + redaction, v2 classes (SURVEY.md §2) — q89 gates
+  * the DuckDB replay end-to-end; these pin the scrub semantics on
+  * PLANTED PII (the synthetic corpus contains none by construction, so
+  * the planted rows are the only place the match-bearing branches are
+  * exercised against a hand-computed expectation), including the
+  * round-10 over-match traps: octet-range-violating dotted quads must
+  * match nothing, Luhn-invalid card-shaped runs must be redacted but
+  * not counted, and the version-string residual is pinned as the
+  * DOCUMENTED no-lookaround limit, not an accident.
   */
 class PiiScrubSpec extends AnyFunSuite {
   import SparkFixture._
@@ -19,11 +23,31 @@ class PiiScrubSpec extends AnyFunSuite {
     Seq(s).toDF("txt").select(PiiScrub.redact(col("txt"))).head.getString(0)
   }
 
+  private def counts(s: String): (Int, Int, Int, Int) = {
+    import spark.implicits._
+    val r = Seq(s).toDF("txt").select(
+      regexp_count(col("txt"), lit(PiiScrub.emailRe)),
+      regexp_count(col("txt"), lit(PiiScrub.phoneRe)) +
+        regexp_count(col("txt"), lit(PiiScrub.intlPhoneRe)),
+      regexp_count(col("txt"), lit(PiiScrub.ipv4Re)) +
+        regexp_count(col("txt"), lit(PiiScrub.ipv6Re)),
+      PiiScrub.luhnCardCount("txt")).head
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
   test("D34 redacts each class with its typed placeholder") {
     assert(scrub("write to bob.smith+x@mail.example.co.uk today") ==
       "write to [EMAIL] today")
     assert(scrub("call 555-867-5309 now") == "call [PHONE] now")
+    assert(scrub("or spaced 555 867 5309 or dotted 555.867.5309") ==
+      "or spaced [PHONE] or dotted [PHONE]")
+    assert(scrub("intl +44 20 7946 0958 and dense +15551234567") ==
+      "intl [PHONE] and dense [PHONE]")
     assert(scrub("from 192.168.0.1 port 80") == "from [IP] port 80")
+    assert(scrub("v6 2001:db8:85a3:0:0:8a2e:370:7334 short fe80::1 up") ==
+      "v6 [IPV6] short [IPV6] up")
+    assert(scrub("pay 4539-1488-0343-6467 or 4111 1111 1111 1111 ok") ==
+      "pay [CARD] or [CARD] ok")
   }
 
   test("D34 redacts multiple and adjacent occurrences globally") {
@@ -31,36 +55,81 @@ class PiiScrubSpec extends AnyFunSuite {
       == "[EMAIL] [EMAIL] [IP] [IP] [PHONE] [PHONE]")
   }
 
-  test("D34 chain order: an email's digits never leak into number scans") {
+  test("D34 chain order: composite identifiers are consumed whole, in order") {
     // the email is consumed whole by step 1; the standalone IP after it
-    // is still caught by step 3
+    // is still caught
     assert(scrub("u123@h4.example.com at 8.8.8.8") == "[EMAIL] at [IP]")
+    // an international number leaves before the NANP pattern could
+    // nibble at its tail; a card-shaped run before the phone pattern
+    assert(scrub("+1-555-123-4567 then 4539 1488 0343 6467") ==
+      "[PHONE] then [CARD]")
+  }
+
+  test("D34 octet-range trap: dotted quads with octets > 255 match nothing") {
+    val trap = "big 999.300.1.2 mid 256.1.1.1 ok 255.255.255.255"
+    assert(scrub(trap) == "big 999.300.1.2 mid 256.1.1.1 ok [IP]")
+    assert(counts(trap) == ((0, 0, 1, 0)))
+  }
+
+  test("D34 version-string residual is the documented no-lookaround behavior") {
+    // a valid quad embedded in a LONGER dotted run still matches —
+    // excluding it needs lookaround, outside the replayable subset;
+    // pinned here so the contract is explicit
+    assert(scrub("ver 1.2.3.4.5 done") == "ver [IP].5 done")
+    // but a match can never START mid-digit-run (\b anchoring): the
+    // leading "1234" cannot shed its first digit to become an octet
+    assert(scrub("serial 1234.5.6.7 end") == "serial 1234.5.6.7 end")
+    // ...while a valid quad AFTER a dot does match (the residual class)
+    assert(scrub("serial 12345.5.6.7.8 end") == "serial 12345.[IP] end")
+  }
+
+  test("D34 Luhn gate: card-shaped runs redact conservatively, count precisely") {
+    val t = "good 4539-1488-0343-6467 bad 4111 1111 1111 1112 short 123456789"
+    assert(scrub(t) == "good [CARD] bad [CARD] short 123456789")
+    assert(counts(t) == ((0, 0, 0, 1)))
+    // 20+ digit runs are not card-shaped (no \b-consistent 13-19 split)
+    assert(scrub("run 123456789012345678901234 x") ==
+      "run 123456789012345678901234 x")
   }
 
   test("D34 redaction is idempotent") {
-    val once = scrub("x a@b.io 1.2.3.4 123-456-7890 y")
-    assert(once == "x [EMAIL] [IP] [PHONE] y")
+    val once = scrub("x a@b.io 1.2.3.4 123-456-7890 then +44 20 7946 0958 " +
+      "pays 4539 1488 0343 6467 via 2001:db8:85a3:0:0:8a2e:370:7334 y")
+    assert(once ==
+      "x [EMAIL] [IP] [PHONE] then [PHONE] pays [CARD] via [IPV6] y")
     assert(scrub(once) == once)
   }
 
+  test("D34 adjacency trap: two spaced numbers in a row never fuse into a card") {
+    // the round-9 card-shape candidate '(?:[0-9][ -]?){12,18}[0-9]'
+    // fused "3333 444-555-6666" into one card-shaped run; the grouped
+    // form must not
+    assert(scrub("10.0.0.2 111-222-3333 444-555-6666") ==
+      "[IP] [PHONE] [PHONE]")
+    // and an intl number directly before a grouped card is the one
+    // ambiguity spaced formats cannot resolve — the intl pattern may
+    // absorb the first group; with a word between, both parse cleanly
+    assert(scrub("+44 20 7946 0958 pays 4111 1111 1111 1111") ==
+      "[PHONE] pays [CARD]")
+  }
+
   test("D34 clean text passes through unchanged, zero detections") {
-    import spark.implicits._
-    val clean = "no identifiers here, just words and the number 42"
+    val clean = "no identifiers here, just words and the number 42 at 12:30"
     assert(scrub(clean) == clean)
-    val counts = Seq(clean).toDF("txt").select(
-      regexp_count(col("txt"), lit(PiiScrub.emailRe)),
-      regexp_count(col("txt"), lit(PiiScrub.phoneRe)),
-      regexp_count(col("txt"), lit(PiiScrub.ipv4Re))).head
-    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) == ((0, 0, 0)))
+    assert(counts(clean) == ((0, 0, 0, 0)))
   }
 
   test("D34 corpus is PII-free by construction (q89's zero-count rows)") {
     val docs = Tables.t(spark, sfDir, "documents")
     val hits = docs.select(
       sum(regexp_count(col("text"), lit(PiiScrub.emailRe))).as("e"),
-      sum(regexp_count(col("text"), lit(PiiScrub.phoneRe))).as("p"),
-      sum(regexp_count(col("text"), lit(PiiScrub.ipv4Re))).as("i")).head
-    assert((hits.getLong(0), hits.getLong(1), hits.getLong(2)) == ((0L, 0L, 0L)))
+      sum(regexp_count(col("text"), lit(PiiScrub.phoneRe)) +
+        regexp_count(col("text"), lit(PiiScrub.intlPhoneRe))).as("p"),
+      sum(regexp_count(col("text"), lit(PiiScrub.ipv4Re)) +
+        regexp_count(col("text"), lit(PiiScrub.ipv6Re))).as("i"),
+      sum(PiiScrub.luhnCardCount("text"))).head
+    assert((hits.getLong(0), hits.getLong(1), hits.getLong(2),
+      hits.getLong(3)) == ((0L, 0L, 0L, 0L)))
   }
 
   test("D34 audit rolls up planted rows against a plain-Scala reference") {
@@ -69,31 +138,36 @@ class PiiScrubSpec extends AnyFunSuite {
       ("g1", "mail a@b.co and 1.2.3.4"),
       ("g1", "phone 123-456-7890 twice 321-654-0987"),
       ("g2", "nothing to see"),
-      ("g2", "c@d.io e@f.net 9.9.9.9 000-111-2222")).toDF("grp", "txt")
+      ("g2", "c@d.io e@f.net 9.9.9.9 000-111-2222 card 4539148803436467"))
+      .toDF("grp", "txt")
     val got = PiiScrub.piiAudit(rows, "grp", "txt")
-      .select("grp", "n_rows", "emails", "phones", "ips")
+      .select("grp", "n_rows", "emails", "phones", "ips", "cards")
       .collect().map(r =>
-        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
       .toList
     assert(got == List(
-      ("g1", 2L, 1L, 2L, 1L),
-      ("g2", 2L, 2L, 1L, 1L)))
+      ("g1", 2L, 1L, 2L, 1L, 0L),
+      ("g2", 2L, 2L, 1L, 1L, 1L)))
   }
 
-  test("D34 q89's derived contact note carries exactly one of each class") {
+  test("D34 q89's derived contact note carries the keyed classes plus the literal plants") {
     // the note built by q89 for a given custkey, derived independently
     // in plain Scala with the same integer arithmetic
     val k = 1234567L
     val note = s"Customer#001234567 <c$k@mail.example.com> ph " +
       s"${200 + k % 700}-${100 + (k * 7919) % 900}-${1000 + (k * 104729) % 9000}" +
-      s" ip 10.${k % 256}.${(k * 31) % 256}.${1 + (k * 17) % 254}"
-    import spark.implicits._
-    val c = Seq(note).toDF("txt").select(
-      regexp_count(col("txt"), lit(PiiScrub.emailRe)),
-      regexp_count(col("txt"), lit(PiiScrub.phoneRe)),
-      regexp_count(col("txt"), lit(PiiScrub.ipv4Re))).head
-    assert((c.getInt(0), c.getInt(1), c.getInt(2)) == ((1, 1, 1)))
+      s" ip 10.${k % 256}.${(k * 31) % 256}.${1 + (k * 17) % 254}" +
+      " intl +44 20 7946 0958 card 4539-1488-0343-6467" +
+      " bad 4111 1111 1111 1112" +
+      " ip6 2001:db8:85a3:0:0:8a2e:370:7334" +
+      " ver 1.2.3.4.5 big 999.300.1.2"
+    // emails 1; phones = keyed NANP + intl = 2; ips = keyed v4 +
+    // version residual + v6 = 3; cards: 2 card-shaped, 1 Luhn-valid
+    assert(counts(note) == ((1, 2, 3, 1)))
     assert(scrub(note) ==
-      "Customer#001234567 <[EMAIL]> ph [PHONE] ip [IP]")
+      "Customer#001234567 <[EMAIL]> ph [PHONE] ip [IP]" +
+      " intl [PHONE] card [CARD] bad [CARD]" +
+      " ip6 [IPV6] ver [IP].5 big 999.300.1.2")
   }
 }

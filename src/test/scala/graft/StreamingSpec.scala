@@ -440,8 +440,9 @@ class StreamingSpec extends AnyFunSuite {
     import graft.operators.PiiScrub
     val docs = Seq(
       StreamDoc(1, ts(0), "contact alice.w+spam@mail.example.org or 555-123-4567 for details"),
-      StreamDoc(2, ts(1), "server at 192.168.10.20 and fallback 10.0.0.7 are both reachable"),
-      StreamDoc(3, ts(2), "a perfectly clean document with no identifiers in it at all"))
+      StreamDoc(2, ts(1), "server at 192.168.10.20 and fallback 2001:db8:85a3:0:0:8a2e:370:7334 are both reachable"),
+      StreamDoc(3, ts(2), "a perfectly clean document with no identifiers in it at all"),
+      StreamDoc(4, ts(3), "intl +44 20 7946 0958 pays with 4539-1488-0343-6467 never 4111 1111 1111 1112"))
     val input = MemoryStream[StreamDoc](spark)
     val q = EventStreams.scrubStream(input.toDF())
       .writeStream.format("memory").queryName("c16_sink")
@@ -450,27 +451,35 @@ class StreamingSpec extends AnyFunSuite {
     input.addData(docs: _*)
     q.processAllAvailable(); q.stop()
     val got = spark.table("c16_sink")
-      .select("doc_id", "emails", "phones", "ips", "text")
+      .select("doc_id", "emails", "phones", "ips", "cards", "text")
       .collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5)))
       .toSet
     val want = docs.toDF()
       .select(col("doc_id"),
         regexp_count(col("text"), lit(PiiScrub.emailRe)).cast("long"),
-        regexp_count(col("text"), lit(PiiScrub.phoneRe)).cast("long"),
-        regexp_count(col("text"), lit(PiiScrub.ipv4Re)).cast("long"),
+        (regexp_count(col("text"), lit(PiiScrub.phoneRe)) +
+          regexp_count(col("text"), lit(PiiScrub.intlPhoneRe))).cast("long"),
+        (regexp_count(col("text"), lit(PiiScrub.ipv4Re)) +
+          regexp_count(col("text"), lit(PiiScrub.ipv6Re))).cast("long"),
+        PiiScrub.luhnCardCount("text").cast("long"),
         PiiScrub.redact(col("text")))
       .collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5)))
       .toSet
     assert(got == want, s"stream=$got batch=$want")
     // the scrubbed stream carries placeholders, never the identifiers
-    assert(got.exists(r => r._1 == 1L && r._5 ==
+    assert(got.exists(r => r._1 == 1L && r._6 ==
       "contact [EMAIL] or [PHONE] for details"))
-    assert(got.exists(r => r._1 == 2L && r._5 ==
-      "server at [IP] and fallback [IP] are both reachable"))
-    assert(got.exists(r => r._1 == 3L && r._2 == 0L && r._5 ==
+    assert(got.exists(r => r._1 == 2L && r._6 ==
+      "server at [IP] and fallback [IPV6] are both reachable"))
+    assert(got.exists(r => r._1 == 3L && r._2 == 0L && r._6 ==
       "a perfectly clean document with no identifiers in it at all"))
+    // both card-shaped runs leave the text, only the Luhn-valid one counts
+    assert(got.exists(r => r._1 == 4L && r._5 == 1L && r._6 ==
+      "intl [PHONE] pays with [CARD] never [CARD]"))
   }
 
   test("C5 streaming dedup drops duplicate event_ids within watermark") {
