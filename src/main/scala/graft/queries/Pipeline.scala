@@ -2252,8 +2252,187 @@ object Pipeline {
     SELECT doc_b, COUNT(*) AS n_post, CAST(SUM(h) AS BIGINT) AS h_sum
     FROM post GROUP BY doc_b ORDER BY doc_b"""))
 
+  // ---- D36: curation-report composite (round 10) --------------------------
+  // The one-query funnel a data team reviews before a training run:
+  // per-gate (n_docs, n_flagged, flag_rate) for every curation family,
+  // composing ONLY existing green operators — PII detection (D34 v2),
+  // language-ID mismatch (q37's argmax), quality keep-gate (q38's
+  // rule), exact-dup copies (q30's groups), SimHash near-dup membership
+  // (q32's pairs at hamming <= 3), benchmark contamination (q56's
+  // 8-gram broadcast probe, over the 6/7 held-out split it scans).
+  // Plan shape: ONE corpus scan serves the four scan-local gates (pii /
+  // langid / quality / exact — conditional sums + one distinct-hash
+  // count, exploded into gate rows), SimHash adds its sig-key pair
+  // machinery, contamination its broadcast gram probe; nothing beyond
+  // the operators' own keyed joins. flag_rate is one BIGINT/BIGINT
+  // division — bit-identical across engines.
+  private val q93 = Qdef(
+    "q93_curation_report",
+    (s, dir) => {
+      import graft.operators.{Dedup, PiiScrub}
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val piiFlag = (regexp_count(col("text"), lit(PiiScrub.emailRe)) +
+        regexp_count(col("text"), lit(PiiScrub.phoneRe)) +
+        regexp_count(col("text"), lit(PiiScrub.intlPhoneRe)) +
+        regexp_count(col("text"), lit(PiiScrub.ipv4Re)) +
+        regexp_count(col("text"), lit(PiiScrub.ipv6Re)) +
+        PiiScrub.luhnCardCount("text")) > 0
+      val hits = langStops.map { case (lang, stops) =>
+        lang -> size(filter(toks, tk => stops.map(tk === _).reduce(_ || _)))
+      }
+      val Seq(en, de, es, fr) = hits.map(_._2)
+      val predicted =
+        when(en >= de && en >= es && en >= fr && en > 0, "en")
+          .when(de >= es && de >= fr && de > 0, "de")
+          .when(es >= fr && es > 0, "es")
+          .when(fr > 0, "fr")
+          .otherwise("und")
+      val langFlag = predicted =!= col("lang")
+      val qualFlag =
+        !(size(toks) >= 50 && (size(array_distinct(toks)) / size(toks)) >= 0.3)
+      val scanGates = docs.agg(
+        count(lit(1)).as("n"),
+        sum(when(piiFlag, 1L).otherwise(0L)).as("fp"),
+        sum(when(langFlag, 1L).otherwise(0L)).as("fl"),
+        sum(when(qualFlag, 1L).otherwise(0L)).as("fq"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("fe"))
+        .select(explode(array(
+          struct(lit("dedup_exact").as("gate"), col("n").as("n_docs"),
+            col("fe").as("n_flagged")),
+          struct(lit("langid").as("gate"), col("n").as("n_docs"),
+            col("fl").as("n_flagged")),
+          struct(lit("pii").as("gate"), col("n").as("n_docs"),
+            col("fp").as("n_flagged")),
+          struct(lit("quality").as("gate"), col("n").as("n_docs"),
+            col("fq").as("n_flagged")))).as("g"))
+        .select(col("g.gate").as("gate"), col("g.n_docs").as("n_docs"),
+          col("g.n_flagged").as("n_flagged"))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      val inPair = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("f", lit(1))
+      val sim = docs.select(col("doc_id")).join(inPair, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f").isNotNull, 1L).otherwise(0L)).as("n_flagged"))
+        .select(lit("dedup_simhash").as("gate"), col("n_docs"),
+          col("n_flagged"))
+      def grams8(c: Column): Column =
+        graft.functions.GraftFunctions.textShingles(c, 8)
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+        .select(explode(grams8(col("text"))).as("gram")).distinct()
+      val contHits = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), explode(grams8(col("text"))).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .select(col("doc_id")).distinct().withColumn("f", lit(1))
+      val cont = docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"))
+        .join(contHits, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f").isNotNull, 1L).otherwise(0L)).as("n_flagged"))
+        .select(lit("contamination").as("gate"), col("n_docs"),
+          col("n_flagged"))
+      scanGates.unionByName(sim).unionByName(cont)
+        .withColumn("flag_rate",
+          col("n_flagged").cast("double") / col("n_docs"))
+        .orderBy(col("gate"))
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, text, lang, md5(text) AS m,
+        string_split(text, ' ') AS tk
+      FROM documents),
+    flags AS (
+      SELECT doc_id, m,
+        (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+         + len(regexp_extract_all(text, '\+[0-9]{1,3}[-. ]?[0-9]{2,4}(?:[-. ]?[0-9]{2,4}){1,3}\b'))
+         + len(regexp_extract_all(text, '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b'))
+         + len(regexp_extract_all(text, '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4}:){0,5}[0-9A-Fa-f]{1,4}\b'))
+         + len(list_filter(
+             list_transform(regexp_extract_all(text,
+               '\b(?:[0-9]{13,19}|[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{2,4})\b'),
+               x -> reverse(regexp_replace(x, '[ -]', '', 'g'))),
+             d -> list_sum([CASE WHEN i % 2 = 1
+                    THEN ascii(substring(d, i, 1)) - 48
+                    ELSE 2*(ascii(substring(d, i, 1)) - 48)
+                         - CASE WHEN ascii(substring(d, i, 1)) - 48 > 4
+                                THEN 9 ELSE 0 END END
+                    for i in range(1, length(d)+1)]) % 10 = 0))) > 0
+          AS fpii,
+        (CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+              WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+              WHEN es >= fr AND es > 0 THEN 'es'
+              WHEN fr > 0 THEN 'fr'
+              ELSE 'und' END) <> lang AS flang,
+        NOT (len(tk) >= 50
+             AND len(list_distinct(tk)) * 1.0 / len(tk) >= 0.3) AS fqual
+      FROM (SELECT *,
+          len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS en,
+          len(list_filter(tk, t -> t IN ('der','die','und','ist'))) AS de,
+          len(list_filter(tk, t -> t IN ('el','la','que','por'))) AS es,
+          len(list_filter(tk, t -> t IN ('le','les','et','dans'))) AS fr
+        FROM base)),
+    scan AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN fpii THEN 1 ELSE 0 END) AS fp,
+        SUM(CASE WHEN flang THEN 1 ELSE 0 END) AS fl,
+        SUM(CASE WHEN fqual THEN 1 ELSE 0 END) AS fq,
+        COUNT(*) - COUNT(DISTINCT m) AS fe
+      FROM flags),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    th AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(14695981039346656037 AS UBIGINT),
+            list_transform(range(1, length(tok) + 1),
+              i -> CAST(ascii(substring(tok, i, 1)) AS UBIGINT))),
+          (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                         % 18446744073709551616 AS UBIGINT)) AS h
+      FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+        SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+      FROM th, UNNEST(range(0, 64)) AS u(j)
+      GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT)
+                      ELSE 0 END) AS UBIGINT) AS sig
+      FROM bits GROUP BY doc_id),
+    sdocs AS (
+      SELECT COUNT(*) AS nf FROM (
+        SELECT DISTINCT doc_id FROM (
+          SELECT a.doc_id FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            AND bit_count(xor(a.sig, b.sig)) <= 3
+          UNION ALL
+          SELECT b.doc_id FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            AND bit_count(xor(a.sig, b.sig)) <= 3))),
+    g8 AS (
+      SELECT doc_id,
+        list_distinct([array_to_string(tk[i:i+7], ' ')
+                       for i in range(1, len(tk)-6)]) AS g
+      FROM base WHERE len(tk) >= 8),
+    cbench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM g8 WHERE doc_id % 7 = 0),
+    chits AS (
+      SELECT COUNT(DISTINCT c.doc_id) AS nf
+      FROM (SELECT doc_id, unnest(g) AS gram FROM g8 WHERE doc_id % 7 <> 0) c
+      JOIN cbench b ON c.gram = b.gram),
+    cn AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 7 <> 0),
+    rows AS (
+      SELECT 'dedup_exact' AS gate, n AS n_docs, fe AS n_flagged FROM scan
+      UNION ALL SELECT 'langid', n, fl FROM scan
+      UNION ALL SELECT 'pii', n, fp FROM scan
+      UNION ALL SELECT 'quality', n, fq FROM scan
+      UNION ALL SELECT 'dedup_simhash', (SELECT n FROM scan), nf FROM sdocs
+      UNION ALL SELECT 'contamination', (SELECT n FROM cn), nf FROM chits)
+    SELECT gate, CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(n_flagged AS BIGINT) AS n_flagged,
+      CAST(n_flagged AS DOUBLE) / n_docs AS flag_rate
+    FROM rows ORDER BY gate"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
     q73, q76, q77, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92)
+    q91, q92, q93)
 }

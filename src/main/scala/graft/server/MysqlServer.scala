@@ -43,9 +43,16 @@ import graft.engine.{GraftSession, SqlText}
   */
 final class MysqlServer(spark: SparkSession, warehouse: String,
                         port: Int = 0, idleTimeoutMs: Int = 0,
-                        secureFilePriv: Option[String] = None) {
+                        secureFilePriv: Option[String] = None,
+                        bindHost: Option[String] = None) {
 
-  private val listener = new ServerSocket(port)
+  // bind_host parity (reference config.toml server.bind_host): a
+  // concrete host binds that interface only; "0.0.0.0"/absent binds all
+  private val listener = bindHost match {
+    case Some(h) if h.nonEmpty && h != "0.0.0.0" =>
+      new ServerSocket(port, 50, java.net.InetAddress.getByName(h))
+    case _ => new ServerSocket(port)
+  }
   // LOAD DATA INFILE / SELECT INTO OUTFILE sandbox for network clients
   // (MySQL --secure-file-priv): defaults to a dir inside the warehouse;
   // pass Some("") to explicitly disable the gate.
@@ -583,14 +590,90 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     }
 }
 
+/** Server boot configuration — the reference's config.toml surface
+  * (config/def.rs:4): [server] bind_host/engines/log_file, [schema]
+  * engine, [engine.<name>] data_path. Parsed with a TOML-lite reader
+  * covering exactly the subset the reference file uses (sections,
+  * string values, string arrays) — anything else is a boot error, never
+  * a silent misread. Engine names map across the re-expression: the
+  * reference's `sled` IS graft's PK-sorted merge-on-read parquet
+  * warehouse, so `engine.sled.data_path` (or `engine.parquet.data_path`)
+  * names the warehouse directory.
+  */
+final case class ServerConfig(bindHost: String, port: Int,
+                              engines: Seq[String], schemaEngine: String,
+                              dataPath: Option[String], logFile: Option[String])
+
+object ServerConfig {
+  val default: ServerConfig =
+    ServerConfig("0.0.0.0", 3307, Seq("sled"), "sled", None, None)
+
+  def parse(text: String): ServerConfig = {
+    var section = ""
+    var cfg = default
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).foreach {
+        case l if l.startsWith("[") && l.endsWith("]") =>
+          section = l.substring(1, l.length - 1).trim
+        case l =>
+          val eq = l.indexOf('=')
+          require(eq > 0, s"unparseable config line: '$l'")
+          val key = l.substring(0, eq).trim
+          val raw = l.substring(eq + 1).trim
+          def str(v: String): String = {
+            require(v.length >= 2 && v.head == '"' && v.last == '"',
+              s"expected a quoted string for '$key', got: $raw")
+            v.substring(1, v.length - 1)
+          }
+          (section, key) match {
+            case ("server", "bind_host") =>
+              val hp = str(raw)
+              val i = hp.lastIndexOf(':')
+              require(i > 0, s"bind_host must be host:port, got: $hp")
+              cfg = cfg.copy(bindHost = hp.substring(0, i),
+                port = hp.substring(i + 1).toInt)
+            case ("server", "engines") =>
+              require(raw.startsWith("[") && raw.endsWith("]"),
+                s"expected an array for 'engines', got: $raw")
+              cfg = cfg.copy(engines = raw.substring(1, raw.length - 1)
+                .split(',').map(_.trim).filter(_.nonEmpty).map(str).toSeq)
+            case ("server", "log_file") =>
+              cfg = cfg.copy(logFile = Some(str(raw)))
+            case ("schema", "engine") =>
+              cfg = cfg.copy(schemaEngine = str(raw))
+            case (s, "data_path") if s.startsWith("engine.") =>
+              cfg = cfg.copy(dataPath = Some(str(raw)))
+            case other =>
+              sys.error(s"unknown config key: [$section] $key")
+          }
+      }
+    cfg
+  }
+
+  def load(path: String): ServerConfig =
+    parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))))
+}
+
 /** Standalone entry point: serve the warehouse over the MySQL protocol
-  * (reference main.rs:36). `sbt "runMain graft.server.MysqlServerMain
-  * [port] [warehouseDir]"`.
+  * (reference main.rs:36). Two boot forms:
+  *   `sbt "runMain graft.server.MysqlServerMain [port] [warehouseDir]"`
+  *   `sbt "runMain graft.server.MysqlServerMain --config config.toml"`
+  * — the latter reads the reference's config.toml shape (bind host +
+  * port, engine data_path as the warehouse).
   */
 object MysqlServerMain {
   def main(args: Array[String]): Unit = {
-    val port = if (args.length > 0) args(0).toInt else 3307
-    val warehouse = if (args.length > 1) args(1) else "/tmp/graft-warehouse"
+    val cfg: Option[ServerConfig] =
+      if (args.length >= 2 && args(0) == "--config")
+        Some(ServerConfig.load(args(1)))
+      else if (args.length == 1 && args(0).endsWith(".toml"))
+        Some(ServerConfig.load(args(0)))
+      else None
+    val port = cfg.map(_.port)
+      .getOrElse(if (args.length > 0) args(0).toInt else 3307)
+    val warehouse = cfg.flatMap(_.dataPath)
+      .getOrElse(if (args.length > 1) args(1) else "/tmp/graft-warehouse")
     val spark = SparkSession.builder()
       .master("local[*]")
       .appName("graft-mysql-server")
@@ -600,7 +683,8 @@ object MysqlServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val server = new MysqlServer(spark, warehouse, port).start()
+    val server = new MysqlServer(spark, warehouse, port,
+      bindHost = cfg.map(_.bindHost)).start()
     println(s"graft mysql server listening on port ${server.boundPort}")
     Thread.currentThread().join()
   }

@@ -828,4 +828,41 @@ class MysqlServerSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(okPath))
     c.quit()
   }
+
+  test("config-file boot: the reference config.toml shape parses and binds") {
+    // the reference's own config.toml, with graft's warehouse as the
+    // engine data_path (sled IS the merge-on-read parquet warehouse in
+    // the re-expression — SURVEY §2.B11)
+    val cfg = graft.server.ServerConfig.parse(
+      s"""# boot config
+         |[server]
+         |log_file = "./log4rs.yaml"
+         |bind_host = "127.0.0.1:0"
+         |engines = ["sled"]
+         |
+         |[schema]
+         |engine = "sled"
+         |
+         |[engine.sled]
+         |data_path = "$warehouse"
+         |""".stripMargin)
+    assert(cfg.bindHost == "127.0.0.1" && cfg.port == 0)
+    assert(cfg.engines == Seq("sled") && cfg.schemaEngine == "sled")
+    assert(cfg.dataPath.contains(warehouse))
+    assert(cfg.logFile.contains("./log4rs.yaml"))
+    // a server booted from the parsed config serves the warehouse on
+    // the configured interface
+    val s2 = new MysqlServer(spark, cfg.dataPath.get, cfg.port,
+      bindHost = Some(cfg.bindHost)).start()
+    try {
+      val c = new Client(s2.boundPort)
+      val rs = c.query("select 1 as one").asInstanceOf[ResultSet]
+      assert(rs.rows == Seq(Seq(Some("1"))))
+      c.quit()
+    } finally s2.stop()
+    // unknown keys are a boot error, never a silent misread
+    intercept[RuntimeException] {
+      graft.server.ServerConfig.parse("[server]\nbind_hots = \"x:1\"")
+    }
+  }
 }
