@@ -54,7 +54,11 @@ object PlanAudit {
     "q86_ann_ivfpq" -> "IVFADC composite: coarse assign + residual + m-code encode in ONE scan-local projection (PqCodesE over one-row broadcasts, zero exchange, no aggregation state); ADC only inside probed cells via a broadcast HASH join on the cell key (an equi-join, not a nested loop); TopKPairs partial top-R; <= q·R exact re-rank rows join back",
     "q87_ann_recall_ivfpq" -> "IVFADC recall audit: q35's broadcast-query-batch ground-truth shape + the q86 plan; hit join is (q_id, neighbor)-keyed",
     "q88_bpe_tokens" -> "learned-BPE tokenizer: word-frequency table = one keyed corpus aggregation (map-side partials, staged vocab-sized); training on the bounded top-W driver artifact; application = R chained scan-local folds per DISTINCT word + word-KEY join back (model table keyed, not broadcast); doc-keyed rollup",
-    "q89_pii_redact" -> "PII audit: detection counts and the email->phone->IPv4 redaction chain are all SCAN-LOCAL codegen'd regex projections (zero joins, zero pre-rollup aggregation state); the only exchange is the final tiny per-group partial aggregate — one pass over the text bytes per pattern, the scrubber floor at any corpus size")
+    "q89_pii_redact" -> "PII audit (v2 classes): detection for all five classes (incl. the per-match Luhn fold) and the email->intl->card->NANP->IPv4->IPv6 redaction chain are all SCAN-LOCAL regex projections (zero joins, zero pre-rollup aggregation state); the only exchange is the final tiny per-group partial aggregate — one pass over the text bytes per pattern, the scrubber floor at any corpus size",
+    "q90_ann_ivfpq_2level" -> "two-level IVFADC: coarse assign over the cbrt(n) ONE-ROW broadcast (scan-local), fine cell + residual via the cell1-keyed fine-codebook equi-join (<= c1 rows — broadcastable here, a keyed shuffle join at 10^12, either way linear) with the argmin as a scan-local array_min; ADC only inside probed (cell1, cell2) cells via a broadcast HASH join on the composite key; TopKPairs partial top-R; <= q·R exact re-rank rows join back — no broadcast past cbrt(n) rows",
+    "q91_ann_recall_ivfpq2" -> "two-level IVFADC recall audit: q35's broadcast-query-batch ground-truth shape + the q90 plan; hit join is (q_id, neighbor)-keyed",
+    "q92_posting_incremental" -> "incremental posting-index update: batch shingled ONCE (scan-local explode + distinct); old df/posting state touched only through h-KEYED equi-joins on the batch's hash set (never rescanned); retired-bucket deletes are a keyed join of the crossed set against old postings; fingerprint rollup is one doc-keyed aggregation",
+    "q93_curation_report" -> "curation funnel: ONE corpus scan serves the four scan-local gates (pii regex + langid argmax + quality ratios + md5 distinct, fused into one aggregate, exploded to gate rows); simhash gate adds only its sig-key pair machinery, contamination its broadcast 8-gram probe; union of three tiny aggregates — no gate rescans another gate's work")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
