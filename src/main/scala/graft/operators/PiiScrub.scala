@@ -128,20 +128,24 @@ object PiiScrub {
     */
   def piiAudit(rows: DataFrame, grpCol: String, textCol: String): DataFrame = {
     val txt = col(textCol)
-    val h24 = shiftright(
-      graft.functions.GraftFunctions.md5Prefix48(redact(txt)), 24)
+    // the six-step redact chain is the expensive projection — compute it
+    // ONCE per row (both redaction gates read the same column; leaving
+    // two redact(txt) calls inside the agg would run the chain twice)
     rows
+      .select(col(grpCol), txt.as("_txt"), redact(txt).as("_red"))
       .groupBy(col(grpCol))
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(regexp_count(txt, lit(emailRe)).cast("long")).as("emails"),
-        sum((regexp_count(txt, lit(phoneRe)) +
-          regexp_count(txt, lit(intlPhoneRe))).cast("long")).as("phones"),
-        sum((regexp_count(txt, lit(ipv4Re)) +
-          regexp_count(txt, lit(ipv6Re))).cast("long")).as("ips"),
-        sum(luhnCardCount(textCol).cast("long")).as("cards"),
-        sum(length(redact(txt)).cast("long")).as("redacted_chars"),
-        sum(h24).as("redact_sum"))
+        sum(regexp_count(col("_txt"), lit(emailRe)).cast("long")).as("emails"),
+        sum((regexp_count(col("_txt"), lit(phoneRe)) +
+          regexp_count(col("_txt"), lit(intlPhoneRe))).cast("long")).as("phones"),
+        sum((regexp_count(col("_txt"), lit(ipv4Re)) +
+          regexp_count(col("_txt"), lit(ipv6Re))).cast("long")).as("ips"),
+        sum(luhnCardCount("_txt").cast("long")).as("cards"),
+        sum(length(col("_red")).cast("long")).as("redacted_chars"),
+        sum(shiftright(
+          graft.functions.GraftFunctions.md5Prefix48(col("_red")), 24))
+          .as("redact_sum"))
       .orderBy(col(grpCol))
   }
 }
