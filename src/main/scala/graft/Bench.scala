@@ -40,6 +40,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan-split floor (round 10): the derived single-file tables are
+      // row-group-splittable (make_scale writes ~64 groups) but the
+      // 128 MB default split means a 40 MB table is ONE task however
+      // many cores exist — a compute-dense scan (q89's 13 regex passes
+      // over the PII-dense notes) then runs single-threaded through
+      // sf10 and on ≤4 cores even at sf100. 16 MB engages the slots at
+      // the bench decades while adding only ~8x task count on the big
+      // scans (milliseconds of scheduling against seconds of work). On
+      // a real cluster this is the same per-table sizing call §5
+      // documents; many-file production tables get the splits for free.
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -82,19 +82,49 @@ object PiiScrub {
   val ipv6Re = "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b|" +
     "\\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4}:){0,5}[0-9A-Fa-f]{1,4}\\b"
 
+  /** Cheap needle pre-filter: every class REQUIRES at least one of
+    * '@' (email), '+' (intl phone), ':' (IPv6), or a digit (phones,
+    * cards, IPv4) — a row containing none of them cannot match
+    * anything, so the whole chain/count is skipped after one trivial
+    * char-class scan. Soundness note for the per-class guards below:
+    * they read the ORIGINAL text, and no placeholder re-introduces a
+    * needle an earlier step consumed ([EMAIL]/[PHONE]/[CARD]/[IP]
+    * contain no '@'/'+'/':'/digits; [IPV6]'s '6' lands only at the
+    * chain's last step), so "needle absent from raw text" implies
+    * "class matches nothing at its step" at every position in the
+    * chain. This is the production shape — cheap literal gates before
+    * expensive regex — and it is what keeps the scrubber at one fast
+    * pass over the (mostly clean) corpus bytes instead of
+    * passes-per-class: Java's backtracking engine pays ~8x RE2 on the
+    * alternation-heavy classes, so skipping clean rows matters.
+    */
+  private val needleRe = "[@+:0-9]"
+
   /** The fixed-order global-replace chain (see contract). */
   def redact(text: Column): Column =
-    regexp_replace(
+    when(text.rlike(needleRe),
       regexp_replace(
         regexp_replace(
           regexp_replace(
             regexp_replace(
-              regexp_replace(text, emailRe, "[EMAIL]"),
-              intlPhoneRe, "[PHONE]"),
-            cardRe, "[CARD]"),
-          phoneRe, "[PHONE]"),
-        ipv4Re, "[IP]"),
-      ipv6Re, "[IPV6]")
+              regexp_replace(
+                regexp_replace(text, emailRe, "[EMAIL]"),
+                intlPhoneRe, "[PHONE]"),
+              cardRe, "[CARD]"),
+            phoneRe, "[PHONE]"),
+          ipv4Re, "[IP]"),
+        ipv6Re, "[IPV6]"))
+    .otherwise(text)
+
+  /** Guarded per-class detection counts on raw text (see needleRe). */
+  def emailCount(text: Column): Column =
+    when(text.contains("@"), regexp_count(text, lit(emailRe))).otherwise(lit(0))
+  def phoneCount(text: Column): Column =
+    when(text.rlike("[0-9]"), regexp_count(text, lit(phoneRe))).otherwise(lit(0)) +
+      when(text.contains("+"), regexp_count(text, lit(intlPhoneRe))).otherwise(lit(0))
+  def ipCount(text: Column): Column =
+    when(text.rlike("[0-9]"), regexp_count(text, lit(ipv4Re))).otherwise(lit(0)) +
+      when(text.contains(":"), regexp_count(text, lit(ipv6Re))).otherwise(lit(0))
 
   /** Luhn-valid card-shaped runs in `textCol` (SQL-text form so the
     * identical higher-order-function fold replays in DuckDB): extract
@@ -102,7 +132,11 @@ object PiiScrub {
     * doubled-every-second-digit contributions — valid iff sum % 10 = 0.
     * Exact integer arithmetic end to end.
     */
-  def luhnCardCount(textCol: String): Column = expr(
+  def luhnCardCount(textCol: String): Column =
+    when(col(textCol).rlike("[0-9]"), luhnCardCountRaw(textCol))
+      .otherwise(lit(0))
+
+  private def luhnCardCountRaw(textCol: String): Column = expr(
     // Spark's SQL parser escape-processes string literals, so the
     // pattern's backslashes must be doubled inside the expr text
     s"""size(filter(
@@ -136,11 +170,9 @@ object PiiScrub {
       .groupBy(col(grpCol))
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(regexp_count(col("_txt"), lit(emailRe)).cast("long")).as("emails"),
-        sum((regexp_count(col("_txt"), lit(phoneRe)) +
-          regexp_count(col("_txt"), lit(intlPhoneRe))).cast("long")).as("phones"),
-        sum((regexp_count(col("_txt"), lit(ipv4Re)) +
-          regexp_count(col("_txt"), lit(ipv6Re))).cast("long")).as("ips"),
+        sum(emailCount(col("_txt")).cast("long")).as("emails"),
+        sum(phoneCount(col("_txt")).cast("long")).as("phones"),
+        sum(ipCount(col("_txt")).cast("long")).as("ips"),
         sum(luhnCardCount("_txt").cast("long")).as("cards"),
         sum(length(col("_red")).cast("long")).as("redacted_chars"),
         sum(shiftright(

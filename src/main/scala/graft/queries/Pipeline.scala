@@ -2226,9 +2226,14 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       val old = docs.filter(col("doc_id") % 4 =!= 0)
       val delta = docs.filter(col("doc_id") % 4 === 0)
-      val oldDf = Containment.dfIndex(old, "doc_id", "text").localCheckpoint()
+      // the staged "index on disk" is shingle-scale (~90 rows/doc) —
+      // DISK_ONLY residency, the q83 round-9 lesson: memory-first
+      // checkpoint blocks pin the very heap the delta's aggregation
+      // maps need (measured: 16 GiB heap OOM at sf50)
+      val oldDf = Containment.dfIndex(old, "doc_id", "text")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val oldPost = Containment.postingIndex(old, "doc_id", "text")
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val (_, postIns, postDel) =
         Containment.postingDelta(oldDf, oldPost, delta, "doc_id", "text")
       oldPost.join(postDel, Seq("h", "doc_b"), "left_anti")
@@ -2272,11 +2277,9 @@ object Pipeline {
       import graft.operators.{Dedup, PiiScrub}
       val docs = t(s, dir, "documents")
       val toks = split(col("text"), " ")
-      val piiFlag = (regexp_count(col("text"), lit(PiiScrub.emailRe)) +
-        regexp_count(col("text"), lit(PiiScrub.phoneRe)) +
-        regexp_count(col("text"), lit(PiiScrub.intlPhoneRe)) +
-        regexp_count(col("text"), lit(PiiScrub.ipv4Re)) +
-        regexp_count(col("text"), lit(PiiScrub.ipv6Re)) +
+      val piiFlag = (PiiScrub.emailCount(col("text")) +
+        PiiScrub.phoneCount(col("text")) +
+        PiiScrub.ipCount(col("text")) +
         PiiScrub.luhnCardCount("text")) > 0
       val hits = langStops.map { case (lang, stops) =>
         lang -> size(filter(toks, tk => stops.map(tk === _).reduce(_ || _)))

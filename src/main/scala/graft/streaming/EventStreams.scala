@@ -539,14 +539,9 @@ object EventStreams {
   def scrubStream(docs: DataFrame): DataFrame = {
     import graft.operators.PiiScrub
     docs.select(col("doc_id"), col("ts"),
-      regexp_count(col("text"), lit(PiiScrub.emailRe)).cast("long")
-        .as("emails"),
-      (regexp_count(col("text"), lit(PiiScrub.phoneRe)) +
-        regexp_count(col("text"), lit(PiiScrub.intlPhoneRe))).cast("long")
-        .as("phones"),
-      (regexp_count(col("text"), lit(PiiScrub.ipv4Re)) +
-        regexp_count(col("text"), lit(PiiScrub.ipv6Re))).cast("long")
-        .as("ips"),
+      PiiScrub.emailCount(col("text")).cast("long").as("emails"),
+      PiiScrub.phoneCount(col("text")).cast("long").as("phones"),
+      PiiScrub.ipCount(col("text")).cast("long").as("ips"),
       PiiScrub.luhnCardCount("text").cast("long").as("cards"),
       PiiScrub.redact(col("text")).as("text"))
   }
