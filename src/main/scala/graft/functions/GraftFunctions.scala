@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, Md5Prefix48E, MinHashBandsE, MinHashSigE, RegexTokenCountE, NearestCellsE, NearestCentroidE, PqCodesE, RollingFingerprint, SimHash64, TextGramStatsE, TextShinglesE, TopKPairs}
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, Md5Prefix48E, MinHashBandsE, MinHashSigE, PiiScanE, RegexTokenCountE, NearestCellsE, NearestCentroidE, PqCodesE, RollingFingerprint, SimHash64, TextGramStatsE, TextShinglesE, TopKPairs}
 
 /** Column-API surface of graft's text/vector function library
   * (SURVEY.md §2.D/E4). Everything here is either a native codegen
@@ -193,6 +193,15 @@ object GraftFunctions {
     */
   def md5Prefix48(value: Column): Column =
     expr2col(Md5Prefix48E(exprOf(value.cast("string"))))
+
+  /** One-pass D34 PII scan struct (emails, phones, ips, cards, red) —
+    * native kernel, bit-identical to the regexp_count forms of
+    * PiiScrub's five detection classes and the six-step regexp_replace
+    * redaction chain (PiiScrubSpec pins both, plus a java.util.regex
+    * fuzz replay). One kernel call replaces ~13 backtracking-regex
+    * passes per PII-dense row.
+    */
+  def piiScan(text: Column): Column = expr2col(PiiScanE(exprOf(text)))
 
   def kmvDistinct(value: Column, k: Int = 64): Column = {
     val h = md5Prefix48(value)

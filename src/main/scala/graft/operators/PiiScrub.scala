@@ -100,8 +100,23 @@ object PiiScrub {
     */
   private val needleRe = "[@+:0-9]"
 
-  /** The fixed-order global-replace chain (see contract). */
-  def redact(text: Column): Column =
+  /** The whole scan (detection counts + redaction) as ONE native kernel
+    * evaluation — org.apache.spark.sql.graft.PiiKernel replays every
+    * pattern's java.util.regex semantics bit-for-bit (round-11 fix for
+    * the v2 classes' ~13 backtracking-regex passes per PII-dense row;
+    * PiiScrubSpec pins kernel == regex forms on plants and fuzz).
+    */
+  def piiScan(text: Column): Column =
+    graft.functions.GraftFunctions.piiScan(text)
+
+  /** The fixed-order global-replace chain (see contract) — native kernel;
+    * `redactRegex` below keeps the regexp_replace form the DuckDB oracle
+    * replays (and the spec pins the two identical).
+    */
+  def redact(text: Column): Column = piiScan(text).getField("red")
+
+  /** The regexp_replace reference form of the chain (oracle/spec side). */
+  def redactRegex(text: Column): Column =
     when(text.rlike(needleRe),
       regexp_replace(
         regexp_replace(
@@ -116,23 +131,27 @@ object PiiScrub {
         ipv6Re, "[IPV6]"))
     .otherwise(text)
 
-  /** Guarded per-class detection counts on raw text (see needleRe). */
-  def emailCount(text: Column): Column =
-    when(text.contains("@"), regexp_count(text, lit(emailRe))).otherwise(lit(0))
-  def phoneCount(text: Column): Column =
-    when(text.rlike("[0-9]"), regexp_count(text, lit(phoneRe))).otherwise(lit(0)) +
-      when(text.contains("+"), regexp_count(text, lit(intlPhoneRe))).otherwise(lit(0))
-  def ipCount(text: Column): Column =
-    when(text.rlike("[0-9]"), regexp_count(text, lit(ipv4Re))).otherwise(lit(0)) +
-      when(text.contains(":"), regexp_count(text, lit(ipv6Re))).otherwise(lit(0))
+  /** Per-class detection counts on raw text — kernel struct fields
+    * (identical columns collapse to one kernel call under Spark's
+    * subexpression elimination; the guarded regexp_count forms they
+    * replaced remain the spec/oracle reference).
+    */
+  def emailCount(text: Column): Column = piiScan(text).getField("emails")
+  def phoneCount(text: Column): Column = piiScan(text).getField("phones")
+  def ipCount(text: Column): Column = piiScan(text).getField("ips")
 
-  /** Luhn-valid card-shaped runs in `textCol` (SQL-text form so the
-    * identical higher-order-function fold replays in DuckDB): extract
-    * all card-shaped matches, strip separators, reverse, and sum the
-    * doubled-every-second-digit contributions — valid iff sum % 10 = 0.
-    * Exact integer arithmetic end to end.
+  /** Luhn-valid card-shaped runs (kernel; see `luhnCardCountRegex` for
+    * the HOF form the DuckDB oracle replays).
     */
   def luhnCardCount(textCol: String): Column =
+    piiScan(col(textCol)).getField("cards")
+
+  /** The guarded HOF reference form of the Luhn count (spec/oracle side):
+    * extract all card-shaped matches, strip separators, reverse, and sum
+    * the doubled-every-second-digit contributions — valid iff
+    * sum % 10 = 0. Exact integer arithmetic end to end.
+    */
+  def luhnCardCountRegex(textCol: String): Column =
     when(col(textCol).rlike("[0-9]"), luhnCardCountRaw(textCol))
       .otherwise(lit(0))
 
@@ -161,22 +180,22 @@ object PiiScrub {
     * Input: (grp, txt) rows; output one row per grp ordered by grp.
     */
   def piiAudit(rows: DataFrame, grpCol: String, textCol: String): DataFrame = {
-    val txt = col(textCol)
-    // the six-step redact chain is the expensive projection — compute it
-    // ONCE per row (both redaction gates read the same column; leaving
-    // two redact(txt) calls inside the agg would run the chain twice)
+    // the whole scan (counts + six-step redact chain) is ONE kernel
+    // evaluation per row: project the struct first so every aggregate
+    // reads fields of the same attribute (the projection's output is
+    // referenced six times, so the optimizer cannot inline-duplicate it)
     rows
-      .select(col(grpCol), txt.as("_txt"), redact(txt).as("_red"))
+      .select(col(grpCol), piiScan(col(textCol)).as("_pii"))
       .groupBy(col(grpCol))
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(emailCount(col("_txt")).cast("long")).as("emails"),
-        sum(phoneCount(col("_txt")).cast("long")).as("phones"),
-        sum(ipCount(col("_txt")).cast("long")).as("ips"),
-        sum(luhnCardCount("_txt").cast("long")).as("cards"),
-        sum(length(col("_red")).cast("long")).as("redacted_chars"),
+        sum(col("_pii.emails").cast("long")).as("emails"),
+        sum(col("_pii.phones").cast("long")).as("phones"),
+        sum(col("_pii.ips").cast("long")).as("ips"),
+        sum(col("_pii.cards").cast("long")).as("cards"),
+        sum(length(col("_pii.red")).cast("long")).as("redacted_chars"),
         sum(shiftright(
-          graft.functions.GraftFunctions.md5Prefix48(col("_red")), 24))
+          graft.functions.GraftFunctions.md5Prefix48(col("_pii.red")), 24))
           .as("redact_sum"))
       .orderBy(col(grpCol))
   }

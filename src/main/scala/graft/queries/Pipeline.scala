@@ -2120,11 +2120,16 @@ object Pipeline {
   // plants — an international phone, a Luhn-VALID card, a Luhn-INVALID
   // card-shaped trap (redacted but NOT counted), a full-form IPv6, the
   // version-string residual ("ver 1.2.3.4.5" -> "[IP].5", the
-  // documented no-lookaround limit), and the octet-range trap
+  // documented no-lookaround limit), the octet-range trap
   // ("999.300.1.2" — must match NOTHING under the range-checked
-  // pattern). The oracle replays note derivation, all five detection
-  // classes including the Luhn fold, and the six-step redaction chain
-  // bit-for-bit (24-bit md5-prefix checksum of every redacted row).
+  // pattern), and the round-11 grouping trap ("55555 44444 333", a
+  // 5-5-3 spaced digit run: the rejected digits-with-any-separators
+  // card shape would fuse it into one card, the contractual
+  // 4-4-4-(2-4)|bare-13-19 shape matches nothing — catches oracle
+  // pattern drift of that class). The oracle replays note derivation,
+  // all five detection classes including the Luhn fold, and the
+  // six-step redaction chain bit-for-bit (24-bit md5-prefix checksum
+  // of every redacted row).
   private val q89 = Qdef(
     "q89_pii_redact",
     (s, dir) => {
@@ -2144,7 +2149,8 @@ object Pipeline {
           lit(" intl +44 20 7946 0958 card 4539-1488-0343-6467" +
             " bad 4111 1111 1111 1112" +
             " ip6 2001:db8:85a3:0:0:8a2e:370:7334" +
-            " ver 1.2.3.4.5 big 999.300.1.2")).as("txt"))
+            " ver 1.2.3.4.5 big 999.300.1.2" +
+            " grp 55555 44444 333 end")).as("txt"))
       val docs = t(s, dir, "documents").select(
         concat(lit("doc:"), col("source")).as("grp"), col("text").as("txt"))
       graft.operators.PiiScrub.piiAudit(notes.unionAll(docs), "grp", "txt")
@@ -2159,7 +2165,8 @@ object Pipeline {
         ' intl +44 20 7946 0958 card 4539-1488-0343-6467' ||
         ' bad 4111 1111 1111 1112' ||
         ' ip6 2001:db8:85a3:0:0:8a2e:370:7334' ||
-        ' ver 1.2.3.4.5 big 999.300.1.2' AS txt
+        ' ver 1.2.3.4.5 big 999.300.1.2' ||
+        ' grp 55555 44444 333 end' AS txt
       FROM customer),
     u AS (SELECT grp, txt FROM notes
       UNION ALL SELECT 'doc:' || source AS grp, text AS txt FROM documents),
@@ -2169,7 +2176,7 @@ object Pipeline {
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         '\+[0-9]{1,3}[-. ]?[0-9]{2,4}(?:[-. ]?[0-9]{2,4}){1,3}\b',
           '[PHONE]', 'g'),
-        '\b(?:[0-9][ -]?){12,18}[0-9]\b', '[CARD]', 'g'),
+        '\b(?:[0-9]{13,19}|[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{2,4})\b', '[CARD]', 'g'),
         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g'),
         '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b',
           '[IP]', 'g'),
@@ -2192,7 +2199,7 @@ object Pipeline {
         AS BIGINT) AS ips,
       CAST(SUM(len(list_filter(
         list_transform(regexp_extract_all(txt,
-          '\b(?:[0-9][ -]?){12,18}[0-9]\b'),
+          '\b(?:[0-9]{13,19}|[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{2,4})\b'),
           m -> reverse(regexp_replace(m, '[ -]', '', 'g'))),
         d -> list_sum([CASE WHEN i % 2 = 1
                  THEN ascii(substring(d, i, 1)) - 48

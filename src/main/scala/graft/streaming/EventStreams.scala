@@ -538,11 +538,15 @@ object EventStreams {
     */
   def scrubStream(docs: DataFrame): DataFrame = {
     import graft.operators.PiiScrub
+    // one kernel evaluation per row: project the scan struct first, then
+    // unpack fields (round 11 — PiiScrub.piiScan carries the contract)
     docs.select(col("doc_id"), col("ts"),
-      PiiScrub.emailCount(col("text")).cast("long").as("emails"),
-      PiiScrub.phoneCount(col("text")).cast("long").as("phones"),
-      PiiScrub.ipCount(col("text")).cast("long").as("ips"),
-      PiiScrub.luhnCardCount("text").cast("long").as("cards"),
-      PiiScrub.redact(col("text")).as("text"))
+        PiiScrub.piiScan(col("text")).as("_pii"))
+      .select(col("doc_id"), col("ts"),
+        col("_pii.emails").cast("long").as("emails"),
+        col("_pii.phones").cast("long").as("phones"),
+        col("_pii.ips").cast("long").as("ips"),
+        col("_pii.cards").cast("long").as("cards"),
+        col("_pii.red").as("text"))
   }
 }

@@ -561,6 +561,36 @@ case class Md5Prefix48E(child: Expression)
     copy(child = newChild)
 }
 
+/** Text → the whole D34 PII scan in one evaluation: detection counts
+  * (emails, phones, ips, Luhn-gated cards) on the raw text plus the
+  * six-step fixed-order redaction chain (SURVEY.md §2.D34). Replaces
+  * ~13 Java backtracking-regex passes with hand-compiled scanners that
+  * replay the patterns' exact find/replaceAll semantics — PiiKernel
+  * carries the exactness contract; PiiScrubSpec pins kernel == regex
+  * forms on planted classes and fuzzed inputs.
+  */
+case class PiiScanE(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("emails", IntegerType, nullable = false),
+    StructField("phones", IntegerType, nullable = false),
+    StructField("ips", IntegerType, nullable = false),
+    StructField("cards", IntegerType, nullable = false),
+    StructField("red", StringType, nullable = false)))
+  override def prettyName: String = "pii_scan"
+
+  override protected def nullSafeEval(text: Any): Any =
+    PiiKernel.piiScan(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"org.apache.spark.sql.graft.PiiKernel.piiScan($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScanE =
+    copy(child = newChild)
+}
+
 /** Text → k-gram (count, distinct, max multiplicity) in one evaluation
   * (SURVEY.md §2.D18). */
 case class TextGramStatsE(child: Expression, k: Int)

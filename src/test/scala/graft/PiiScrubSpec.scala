@@ -23,7 +23,19 @@ class PiiScrubSpec extends AnyFunSuite {
     Seq(s).toDF("txt").select(PiiScrub.redact(col("txt"))).head.getString(0)
   }
 
+  /** Engine-side counts (the native kernel struct). */
   private def counts(s: String): (Int, Int, Int, Int) = {
+    import spark.implicits._
+    val r = Seq(s).toDF("txt").select(
+      PiiScrub.emailCount(col("txt")), PiiScrub.phoneCount(col("txt")),
+      PiiScrub.ipCount(col("txt")), PiiScrub.luhnCardCount("txt")).head
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** Regex reference side: the guarded regexp_count / HOF-Luhn /
+    * regexp_replace forms the kernel replaced (and the oracle replays).
+    */
+  private def countsRegex(s: String): (Int, Int, Int, Int) = {
     import spark.implicits._
     val r = Seq(s).toDF("txt").select(
       regexp_count(col("txt"), lit(PiiScrub.emailRe)),
@@ -31,8 +43,14 @@ class PiiScrubSpec extends AnyFunSuite {
         regexp_count(col("txt"), lit(PiiScrub.intlPhoneRe)),
       regexp_count(col("txt"), lit(PiiScrub.ipv4Re)) +
         regexp_count(col("txt"), lit(PiiScrub.ipv6Re)),
-      PiiScrub.luhnCardCount("txt")).head
+      PiiScrub.luhnCardCountRegex("txt")).head
     (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  private def scrubRegex(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("txt").select(PiiScrub.redactRegex(col("txt")))
+      .head.getString(0)
   }
 
   test("D34 redacts each class with its typed placeholder") {
@@ -161,13 +179,85 @@ class PiiScrubSpec extends AnyFunSuite {
       " intl +44 20 7946 0958 card 4539-1488-0343-6467" +
       " bad 4111 1111 1111 1112" +
       " ip6 2001:db8:85a3:0:0:8a2e:370:7334" +
-      " ver 1.2.3.4.5 big 999.300.1.2"
+      " ver 1.2.3.4.5 big 999.300.1.2" +
+      " grp 55555 44444 333 end"
     // emails 1; phones = keyed NANP + intl = 2; ips = keyed v4 +
-    // version residual + v6 = 3; cards: 2 card-shaped, 1 Luhn-valid
+    // version residual + v6 = 3; cards: 2 card-shaped, 1 Luhn-valid;
+    // the 5-5-3 grouping trap (round 11) matches NOTHING — the rejected
+    // digits-with-any-separators card shape would have fused it
     assert(counts(note) == ((1, 2, 3, 1)))
     assert(scrub(note) ==
       "Customer#001234567 <[EMAIL]> ph [PHONE] ip [IP]" +
       " intl [PHONE] card [CARD] bad [CARD]" +
-      " ip6 [IPV6] ver [IP].5 big 999.300.1.2")
+      " ip6 [IPV6] ver [IP].5 big 999.300.1.2" +
+      " grp 55555 44444 333 end")
+  }
+
+  test("D34 kernel == regex forms on every planted class (round-11 native scan)") {
+    val plants = Seq(
+      "write to bob.smith+x@mail.example.co.uk today",
+      "a@b.co c@d.org 10.0.0.1 10.0.0.2 111-222-3333 444-555-6666",
+      "u123@h4.example.com at 8.8.8.8",
+      "x@y.comabc@d.org and a@b.cd.ef-x tails",
+      "+1-555-123-4567 then 4539 1488 0343 6467",
+      "intl +44 20 7946 0958 and dense +15551234567 and +12 345678 ok",
+      "big 999.300.1.2 mid 256.1.1.1 ok 255.255.255.255",
+      "ver 1.2.3.4.5 done serial 1234.5.6.7 end serial 12345.5.6.7.8 end",
+      "good 4539-1488-0343-6467 bad 4111 1111 1111 1112 short 123456789",
+      "run 123456789012345678901234 x grp 55555 44444 333 end",
+      "v6 2001:db8:85a3:0:0:8a2e:370:7334 short fe80::1 up 1:2:3:4:5:6:7:8:9",
+      "deadbeefcafe:: 1:: ::1 a:b::c:2g xface:1 _0:1::2",
+      "no identifiers here, just words and the number 42 at 12:30",
+      "unicode édge 1.2.3.4é café@b.co é8.8.8.8 phé 555-123-4567",
+      "")
+    plants.foreach { s =>
+      assert(counts(s) == countsRegex(s), s"counts diverge on <$s>")
+      assert(scrub(s) == scrubRegex(s), s"redaction diverges on <$s>")
+    }
+  }
+
+  test("D34 kernel == java.util.regex chain on fuzzed PII-shaped inputs") {
+    import java.util.regex.Pattern
+    val pats = Seq(PiiScrub.emailRe, PiiScrub.intlPhoneRe, PiiScrub.cardRe,
+      PiiScrub.phoneRe, PiiScrub.ipv4Re, PiiScrub.ipv6Re).map(Pattern.compile)
+    val phs = Seq("[EMAIL]", "[PHONE]", "[CARD]", "[PHONE]", "[IP]", "[IPV6]")
+    def refRedact(s: String): String =
+      pats.zip(phs).foldLeft(s) { case (t, (p, ph)) =>
+        p.matcher(t).replaceAll(ph) } // placeholders contain no $ or \
+    def refCount(s: String, p: Pattern): Int = {
+      val m = p.matcher(s); var c = 0
+      while (m.find()) c += 1
+      c
+    }
+    def refLuhnCount(s: String): Int = {
+      val m = pats(2).matcher(s); var c = 0
+      while (m.find()) {
+        val d = m.group.filter(_.isDigit).reverse
+        val sum = d.zipWithIndex.map { case (ch, i0) =>
+          val v = ch - '0'
+          if ((i0 + 1) % 2 == 1) v else 2 * v - (if (v > 4) 9 else 0)
+        }.sum
+        if (sum % 10 == 0) c += 1
+      }
+      c
+    }
+    // alphabet tuned to the pattern family's needles, separators, word/
+    // non-word boundary chars, hex letters, and multibyte word chars
+    val alpha = "0123456789abf:.- @+_%gé世".toCharArray
+    val rnd = new scala.util.Random(4111)
+    val samples = (1 to 600).map { _ =>
+      val len = 1 + rnd.nextInt(40)
+      new String(Array.fill(len)(alpha(rnd.nextInt(alpha.length))))
+    } ++ Seq("4539148803436467", "+1 23 45 67 89 01", "1.2.3.4.5.6.7.8",
+      "00:11:22:33:44:55:66:77:88", "1234 5678 9012 34567")
+    samples.foreach { s =>
+      val k = counts(s)
+      val e = (refCount(s, pats.head),
+        refCount(s, pats(3)) + refCount(s, pats(1)),
+        refCount(s, pats(4)) + refCount(s, pats(5)),
+        refLuhnCount(s))
+      assert(k == e, s"counts diverge on <$s>")
+      assert(scrub(s) == refRedact(s), s"redaction diverges on <$s>")
+    }
   }
 }

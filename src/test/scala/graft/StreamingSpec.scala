@@ -463,8 +463,8 @@ class StreamingSpec extends AnyFunSuite {
           regexp_count(col("text"), lit(PiiScrub.intlPhoneRe))).cast("long"),
         (regexp_count(col("text"), lit(PiiScrub.ipv4Re)) +
           regexp_count(col("text"), lit(PiiScrub.ipv6Re))).cast("long"),
-        PiiScrub.luhnCardCount("text").cast("long"),
-        PiiScrub.redact(col("text")))
+        PiiScrub.luhnCardCountRegex("text").cast("long"),
+        PiiScrub.redactRegex(col("text")))
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getString(5)))
