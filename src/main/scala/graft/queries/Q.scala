@@ -49,18 +49,37 @@ object Q {
     * conversion chain, and bit-equal across engines, which is the
     * actual contract.
     */
-  def dsum(c: Column): Column = {
-    val s = (c.cast(D) * lit(1000000)).cast("long")
+  def dsum(c: Column): Column = dsumMerge(dsumHi(c), dsumLo(c))
+
+  /** The per-row exact scaled BIGINT of a money-ish double expr. */
+  private def dscaled(c: Column): Column =
+    (c.cast(D) * lit(1000000)).cast("long")
+
+  /** Partial-aggregation faces of dsum: the two limb SUMS as exact
+    * BIGINTs. A two-level rollup — dsumHi/dsumLo at a fine grain, then
+    * dsumMerge(sum-of-his, sum-of-los) at the final grain — is
+    * bit-identical to a one-level dsum, because long addition is exact
+    * and associative and the one double recombination happens only at
+    * the end, on identical totals. This is what lets a composite
+    * pre-aggregate revenue below a join (q28) without touching the
+    * engine-exactness contract.
+    */
+  def dsumHi(c: Column): Column = {
+    val s = dscaled(c)
     val lo = pmod(s, lit(1000000000L))
     // (s - lo) is an exact multiple of 10^9 with |s| ≤ ~1e11, so the
     // double division is exact and the long cast recovers the exact
     // integer limb (Spark's `/` on longs is double division; `div`
     // would need expr()) — the limb SUM must be integral or it would
     // be order-dependent
-    val hi = ((s - lo) / lit(1000000000L)).cast("long")
-    (sum(hi).cast("double") * lit(1.0e9) + sum(lo).cast("double")) /
-      lit(1000000.0)
+    sum(((s - lo) / lit(1000000000L)).cast("long"))
   }
+  def dsumLo(c: Column): Column = sum(pmod(dscaled(c), lit(1000000000L)))
+
+  /** Final recombination over already-aggregated limb columns. */
+  def dsumMerge(hiSum: Column, loSum: Column): Column =
+    (hiSum.cast("double") * lit(1.0e9) + loSum.cast("double")) /
+      lit(1000000.0)
 
   /** Exact average: the engine-exact dsum divided by count, in doubles. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))

@@ -631,17 +631,31 @@ object Relational {
     ORDER BY rf, ls"""))
 
   // ---- A18: multi-join composite (market share by region/year) -----------------
+  // Round-11 shape: revenue partial-aggregates to (o_custkey, o_year)
+  // BEFORE the customer join, so the fact side entering that join
+  // carries |distinct customer-years| rows instead of |lineitem ⋈
+  // orders| — the r10 sf50 telemetry caught a 9x shuffle-byte step when
+  // AQE demoted customer from broadcast at scale; with the pre-rollup
+  // the demotion costs a distinct-customer-year shuffle at any scale.
+  // The dsum limb partials stay exact BIGINTs through both levels
+  // (Q.dsumHi/dsumLo/dsumMerge), so the result is bit-identical.
   private val q28 = Qdef(
     "q28_market_share",
-    (s, dir) =>
-      t(s, dir, "lineitem")
+    (s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val perCustYear = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsumHi(rev).as("hi"), dsumLo(rev).as("lo"))
+      perCustYear
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy(col("r_name"), col("o_year")),
+        .groupBy(col("r_name"), col("o_year"))
+        .agg(dsumMerge(sum(col("hi")), sum(col("lo"))).as("revenue"))
+        .orderBy(col("r_name"), col("o_year"))
+    },
     Some(s"""SELECT r_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
     FROM lineitem
