@@ -337,16 +337,28 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     * with equality-delete tombstones, exactly matching a full rebuild
     * (spec-pinned; the q92 batch face is oracled on the same identity).
     *
-    * Restart semantics: a batch-id marker under the checkpoint makes
-    * replays of FULLY-applied batches no-ops (the standard foreachBatch
-    * idempotence pattern — the df upsert is an increment, not a
-    * replace, so it must not re-run). A crash BETWEEN the two table
-    * commits can leave the df table one batch ahead of the postings —
-    * the two commits are per-table atomic but not joint (single-FS
-    * scope; a lakehouse multi-table transaction is the cluster-grade
-    * fix) — re-running the batch after such a crash is the one case
-    * needing an operator rebuild, and the marker write-after-commit
-    * ordering makes the window one batch wide.
+    * Restart semantics (round 11 — the joint two-table commit): a
+    * batch-id marker under the checkpoint makes replays of
+    * FULLY-applied batches no-ops, and every NOT-fully-applied batch
+    * recovers through a WRITE-AHEAD staged-delta record: the three
+    * deltas are written durably under the checkpoint (with the batch
+    * id) BEFORE either table mutates, and both table applications are
+    * idempotent REPLACES of the staged keys (delete-keys ∪ insert-keys
+    * tombstoned, then the staged rows appended, per table, each
+    * per-table atomic under B17). A replayed batch therefore reapplies
+    * the SAME staged deltas — never recomputing them from
+    * already-updated state, which is what used to double-count — so a
+    * crash at ANY point (mid-staging, between the two commits, after
+    * both commits but before the marker) converges to exactly the
+    * incremental == rebuild state on restart. LiveIndexSpec pins the
+    * kill-between-commits and kill-before-marker replays.
+    *
+    * CONCURRENCY CONTRACT (single writer): like `ingest`, the deltas
+    * are computed from a snapshot of the df/posting tables before
+    * their DML locks are taken — no other writer may run DML on
+    * `dfTable` or `postingTable` while this maintenance stream is
+    * active, or the read-state is stale (lost update). The two tables
+    * belong to the index; the maintenance stream IS their writer.
     */
   def maintainContainmentIndex(stream: DataFrame, dfTable: String,
                                postingTable: String, checkpoint: String,
@@ -360,49 +372,104 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       s"maintainContainmentIndex requires a merge-on-read df table; '$dfTable' is not")
     require(catalog.meta(dbP, tP).mergeOnRead,
       s"maintainContainmentIndex requires a merge-on-read posting table; '$postingTable' is not")
-    val marker = java.nio.file.Paths.get(checkpoint, "_graft_applied_batch")
-    def lastApplied: Long =
-      if (java.nio.file.Files.exists(marker))
-        java.nio.file.Files.readString(marker).trim.toLong
-      else -1L
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        if (batchId > lastApplied && !batch.isEmpty) {
-          // read the CURRENT index state through the session the catalog
-          // refreshes (the micro-batch's cloned session carries its own
-          // stale relation cache — the cross-session lesson), after a
-          // commit-counter freshen
-          catalog.freshenStale()
-          val (dfUp, postIns, postDel) = graft.operators.Containment
-            .postingDelta(
-              spark.table(s"`$dbD`.`$tD`").select(col("h"), col("c")),
-              spark.table(s"`$dbP`.`$tP`").select(col("h"), col("doc_b")),
-              batch.toDF(), idCol, textCol, shingleK, dfCap)
-          val dfUpM = dfUp.localCheckpoint(true)
-          val insM = postIns.localCheckpoint(true)
-          val delM = postDel.localCheckpoint(true)
-          catalog.withDmlLock(dbD, tD) {
-            catalog.freshenStale()
-            val seq = catalog.nextSeq(dbD, tD)
-            catalog.appendDeletes(dbD, tD, dfUpM.select(col("h")), seq)
-            catalog.append(dbD, tD, dfUpM, seqOpt = Some(seq))
-            autoCompact(dbD, tD)
-          }
-          catalog.withDmlLock(dbP, tP) {
-            catalog.freshenStale()
-            val seq = catalog.nextSeq(dbP, tP)
-            if (!delM.isEmpty) catalog.appendDeletes(dbP, tP, delM, seq)
-            catalog.append(dbP, tP, insM, seqOpt = Some(seq))
-            autoCompact(dbP, tP)
-          }
-          java.nio.file.Files.writeString(marker, batchId.toString)
-          Seq(dfUpM, insM, delM).foreach(_.unpersist())
-        }
+        if (batchId > lastAppliedBatch(checkpoint) && !batch.isEmpty)
+          applyContainmentBatch(batch.toDF(), batchId, dbD, tD, dbP, tP,
+            checkpoint, idCol, textCol, shingleK, dfCap)
         ()
       }
       .start()
+  }
+
+  private def lastAppliedBatch(checkpoint: String): Long = {
+    val marker = java.nio.file.Paths.get(checkpoint, "_graft_applied_batch")
+    if (java.nio.file.Files.exists(marker))
+      java.nio.file.Files.readString(marker).trim.toLong
+    else -1L
+  }
+
+  private def deleteDirTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator.asScala.foreach(java.nio.file.Files.delete)
+    }
+
+  /** One joint index-maintenance transaction (see
+    * maintainContainmentIndex scaladoc). Package-private with crash
+    * hooks so LiveIndexSpec can kill the protocol between the two
+    * table commits / before the marker and pin that replay converges.
+    */
+  private[graft] def applyContainmentBatch(
+      batch: DataFrame, batchId: Long,
+      dbD: String, tD: String, dbP: String, tP: String,
+      checkpoint: String, idCol: String, textCol: String,
+      shingleK: Int, dfCap: Int,
+      afterDfCommit: () => Unit = () => (),
+      afterPostingCommit: () => Unit = () => ()): Unit = {
+    val txnDir = java.nio.file.Paths.get(checkpoint, "_graft_txn",
+      batchId.toString)
+    val stagedFlag = txnDir.resolve("_STAGED")
+    val dfDir = txnDir.resolve("df_up").toString
+    val insDir = txnDir.resolve("post_ins").toString
+    val delDir = txnDir.resolve("post_del").toString
+    if (!java.nio.file.Files.exists(stagedFlag)) {
+      // fresh batch (or crash mid-staging: neither table has mutated, so
+      // recomputing from the current tables is still correct — discard
+      // any partial stage and start over)
+      deleteDirTree(txnDir)
+      // read the CURRENT index state through the session the catalog
+      // refreshes (the micro-batch's cloned session carries its own
+      // stale relation cache — the cross-session lesson), after a
+      // commit-counter freshen
+      catalog.freshenStale()
+      val (dfUp, postIns, postDel) = graft.operators.Containment
+        .postingDelta(
+          spark.table(s"`$dbD`.`$tD`").select(col("h"), col("c")),
+          spark.table(s"`$dbP`.`$tP`").select(col("h"), col("doc_b")),
+          batch, idCol, textCol, shingleK, dfCap)
+      // the write-ahead record: all three deltas land durably BEFORE
+      // either table mutates (this is also the compute-then-commit
+      // materialization — lazy plans must not observe their own writes)
+      dfUp.write.parquet(dfDir)
+      postIns.write.parquet(insDir)
+      postDel.write.parquet(delDir)
+      java.nio.file.Files.createFile(stagedFlag)
+    }
+    val dfUpM = spark.read.parquet(dfDir)
+    val insM = spark.read.parquet(insDir)
+    val delM = spark.read.parquet(delDir)
+    // df application is a REPLACE of the staged hashes with their staged
+    // new totals — replaying it lands the identical state
+    catalog.withDmlLock(dbD, tD) {
+      catalog.freshenStale()
+      val seq = catalog.nextSeq(dbD, tD)
+      catalog.appendDeletes(dbD, tD, dfUpM.select(col("h")), seq)
+      catalog.append(dbD, tD, dfUpM, seqOpt = Some(seq))
+      autoCompact(dbD, tD)
+    }
+    afterDfCommit()
+    // posting application tombstones retire-keys AND insert-keys (the
+    // latter are no-ops on first application, and make the replay a
+    // replace instead of a duplicate-insert), then appends the inserts
+    catalog.withDmlLock(dbP, tP) {
+      catalog.freshenStale()
+      val seq = catalog.nextSeq(dbP, tP)
+      val delKeys = delM.select(col("h"), col("doc_b"))
+        .unionAll(insM.select(col("h"), col("doc_b")))
+      catalog.appendDeletes(dbP, tP, delKeys, seq)
+      catalog.append(dbP, tP, insM, seqOpt = Some(seq))
+      autoCompact(dbP, tP)
+    }
+    afterPostingCommit()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(checkpoint, "_graft_applied_batch"),
+      batchId.toString)
+    deleteDirTree(txnDir)
   }
 
   // ---- schemas (create_db.rs / drop_schema.rs / set_default_schema.rs) ---

@@ -148,6 +148,65 @@ class LiveIndexSpec extends AnyFunSuite {
       "the crosser hash must have been counted across batches")
   }
 
+  test("C18 joint commit: a crash BETWEEN the two table commits (and one before the marker) converges to incremental == rebuild on replay") {
+    g.sql("create table cont_dfx (h bigint, c bigint, primary key(h))")
+    g.sql("create table cont_postingx (h bigint, doc_b bigint, " +
+      "primary key(h, doc_b))")
+    val chkDir = chk()
+    val crosser = "alpha beta gamma delta epsilon"
+    def body(d: Int) = (1 to 20).map(i => s"x${d}w$i").mkString(" ")
+    val b0 = Seq((1L, s"$crosser ${body(1)}"), (2L, s"$crosser ${body(2)}"))
+    val b1 = Seq((3L, s"$crosser ${body(3)}"), (4L, body(4)))
+    val b2 = Seq((5L, body(5)))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def apply(rows: Seq[(Long, String)], id: Long,
+              afterDf: () => Unit = () => (),
+              afterPost: () => Unit = () => ()): Unit =
+      g.applyContainmentBatch(df(rows), id, "live", "cont_dfx", "live",
+        "cont_postingx", chkDir, "doc_id", "text", 5, 2, afterDf, afterPost)
+    def rows(q: String): Set[Seq[Any]] =
+      g.sql(q).collect().map(_.toSeq).toSet
+    def check(corpus: Seq[(Long, String)]): Unit = {
+      assert(rows("select h, c from cont_dfx") ==
+        df(corpus).transform(d =>
+          Containment.dfIndex(d, "doc_id", "text")).collect()
+          .map(_.toSeq).toSet)
+      assert(rows("select h, doc_b from cont_postingx") ==
+        df(corpus).transform(d =>
+          Containment.postingIndex(d, "doc_id", "text", dfCap = 2))
+          .collect().map(_.toSeq).toSet)
+    }
+    apply(b0, 0L)
+    check(b0)
+    // kill between the df commit and the posting commit: batch 1 carries
+    // the crosser's df 2 -> 3 crossing, so the crashed state has the df
+    // table ahead AND an unretired bucket the replay must still retire
+    val boom = intercept[RuntimeException] {
+      apply(b1, 1L, afterDf = () => throw new RuntimeException("kill -9"))
+    }
+    assert(boom.getMessage == "kill -9")
+    // crashed state: df updated, postings stale (doc 3/4 rows absent)
+    assert(rows("select h from cont_dfx where c = 3").nonEmpty,
+      "df table must already carry the crossing")
+    assert(!rows("select doc_b from cont_postingx").flatten.contains(3L))
+    // the write-ahead record survives the crash
+    assert(Files.exists(java.nio.file.Paths.get(chkDir, "_graft_txn", "1",
+      "_STAGED")))
+    // replay (same batch id, as stream restart does): converges exactly
+    apply(b1, 1L)
+    check(b0 ++ b1)
+    assert(!Files.exists(java.nio.file.Paths.get(chkDir, "_graft_txn", "1")),
+      "the txn record is cleared once the batch is fully applied")
+    // kill AFTER both commits but BEFORE the marker (the double-apply
+    // window the separate-marker protocol had): replay must be a no-op
+    // replace, not a double count
+    intercept[RuntimeException] {
+      apply(b2, 2L, afterPost = () => throw new RuntimeException("kill -9"))
+    }
+    apply(b2, 2L)
+    check(b0 ++ b1 ++ b2)
+  }
+
   test("C18 C15's ingest probe against the LIVE posting table finds a quote-in-host pair") {
     // corpus (with a long host doc) lands through the maintenance
     // stream; then the ingest-edge probe (C15) reads the live catalog
