@@ -608,9 +608,22 @@ object ServerConfig {
   val default: ServerConfig =
     ServerConfig("0.0.0.0", 3307, Seq("sled"), "sled", None, None)
 
+  /** sled IS the merge-on-read parquet warehouse in the re-expression
+    * (SURVEY §2.B11), so the two names resolve to the same engine.
+    */
+  private def aliases(engine: String): Set[String] =
+    if (engine == "sled" || engine == "parquet") Set("sled", "parquet")
+    else Set(engine)
+
   def parse(text: String): ServerConfig = {
     var section = ""
     var cfg = default
+    // data_path is recorded PER ENGINE SECTION and resolved against the
+    // schema engine at the end (engines/schema may be declared after the
+    // engine sections) — a section for an undeclared engine, a duplicate
+    // path, or two distinct paths for the schema engine's aliases are
+    // boot errors, never a silent last-wins
+    var enginePaths = scala.collection.immutable.ListMap.empty[String, String]
     text.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).foreach {
         case l if l.startsWith("[") && l.endsWith("]") =>
@@ -635,19 +648,42 @@ object ServerConfig {
             case ("server", "engines") =>
               require(raw.startsWith("[") && raw.endsWith("]"),
                 s"expected an array for 'engines', got: $raw")
-              cfg = cfg.copy(engines = raw.substring(1, raw.length - 1)
-                .split(',').map(_.trim).filter(_.nonEmpty).map(str).toSeq)
+              // tokenize quoted strings FIRST (a comma inside quotes is
+              // part of the name, not a separator), then require the
+              // residue to be pure separators — a quote that doesn't
+              // wrap a whole element can't parse silently
+              val inner = raw.substring(1, raw.length - 1)
+              val tok = "\"([^\"]*)\"".r
+              val names = tok.findAllMatchIn(inner).map(_.group(1)).toSeq
+              val residue =
+                tok.replaceAllIn(inner, "").replace(",", "").trim
+              require(residue.isEmpty,
+                s"malformed 'engines' array element(s) near: $residue")
+              cfg = cfg.copy(engines = names)
             case ("server", "log_file") =>
               cfg = cfg.copy(logFile = Some(str(raw)))
             case ("schema", "engine") =>
               cfg = cfg.copy(schemaEngine = str(raw))
             case (s, "data_path") if s.startsWith("engine.") =>
-              cfg = cfg.copy(dataPath = Some(str(raw)))
+              val name = s.substring("engine.".length).trim
+              require(!enginePaths.contains(name),
+                s"duplicate data_path for engine '$name'")
+              enginePaths += name -> str(raw)
             case other =>
               sys.error(s"unknown config key: [$section] $key")
           }
       }
-    cfg
+    val declared = cfg.engines.toSet.flatMap(aliases) ++
+      aliases(cfg.schemaEngine)
+    enginePaths.keys.foreach(n => require(declared.contains(n),
+      s"data_path for unknown engine '$n' " +
+        s"(declared: ${declared.mkString(", ")})"))
+    val schemaPaths =
+      aliases(cfg.schemaEngine).toSeq.flatMap(enginePaths.get).distinct
+    require(schemaPaths.size <= 1,
+      s"conflicting data_path values for schema engine " +
+        s"'${cfg.schemaEngine}': ${schemaPaths.mkString(", ")}")
+    cfg.copy(dataPath = schemaPaths.headOption)
   }
 
   def load(path: String): ServerConfig =

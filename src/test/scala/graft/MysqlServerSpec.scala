@@ -864,5 +864,34 @@ class MysqlServerSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       graft.server.ServerConfig.parse("[server]\nbind_hots = \"x:1\"")
     }
+    // round 11: data_path resolves PER ENGINE via the schema engine —
+    // a section for an undeclared engine is a boot error
+    intercept[RuntimeException] {
+      graft.server.ServerConfig.parse(
+        "[server]\nengines = [\"sled\"]\n[schema]\nengine = \"sled\"\n" +
+          "[engine.rocks]\ndata_path = \"/x\"")
+    }
+    // ...two engine sections no longer silently last-win: the schema
+    // engine's (aliased sled==parquet) path wins; a non-schema engine's
+    // path never leaks into dataPath
+    val multi = graft.server.ServerConfig.parse(
+      "[server]\nengines = [\"sled\", \"csv\"]\n[schema]\nengine = \"sled\"\n" +
+        "[engine.csv]\ndata_path = \"/csvdir\"\n" +
+        "[engine.parquet]\ndata_path = \"/wh\"")
+    assert(multi.dataPath.contains("/wh"))
+    // conflicting paths for the schema engine's aliases are a boot error
+    intercept[RuntimeException] {
+      graft.server.ServerConfig.parse(
+        "[server]\nengines = [\"sled\"]\n[schema]\nengine = \"sled\"\n" +
+          "[engine.sled]\ndata_path = \"/a\"\n" +
+          "[engine.parquet]\ndata_path = \"/b\"")
+    }
+    // a comma INSIDE a quoted engine name is part of the name; a quote
+    // that doesn't wrap a whole element is a boot error
+    assert(graft.server.ServerConfig.parse(
+      "[server]\nengines = [\"a,b\", \"c\"]").engines == Seq("a,b", "c"))
+    intercept[RuntimeException] {
+      graft.server.ServerConfig.parse("[server]\nengines = [\"a, b\"x]")
+    }
   }
 }
