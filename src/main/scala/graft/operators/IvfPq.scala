@@ -159,6 +159,57 @@ object IvfPq {
     })
   }
 
+  /** Encode arbitrary rows against a FROZEN index: adds (cell, codes)
+    * as ONE scan-local projection (coarse argmin → residual → PQ codes,
+    * all against the index's one-row broadcast frames), preserving
+    * every input column. Works identically on batch and STREAMING
+    * frames (the codebooks are static broadcast sides of a
+    * stream-static join) — the round-11 live-embedding-index face
+    * (SURVEY.md §2.C19/D37) and the batch q86 path share this exact
+    * code, so live == rebuild is structural.
+    */
+  private[graft] def encodeRows(rows: DataFrame, ix: Index,
+                                qvCol: String): DataFrame =
+    rows.crossJoin(broadcast(ix.coarseArr))
+      .withColumn("cell",
+        element_at(pqCodes(col(qvCol), col("ccbf"), 1, ix.dim, ix.kc), 1))
+      .withColumn("res",
+        zip_with(col(qvCol),
+          element_at(col("cvecs"), (col("cell") + 1).cast("int")),
+          (a, b) => a - b))
+      .crossJoin(broadcast(ix.pqArr))
+      .withColumn("codes",
+        pqCodes(col("res"), col("pcbf"), ix.m, ix.subDim, ix.ks))
+      .drop("ccbf", "cvecs", "cids", "res", "pcbf")
+
+  /** The encoded corpus (id, cell, codes) of ivfPqTopK, reusable as a
+    * maintained index table (C19 stores exactly this shape per vec).
+    */
+  private[graft] def encodeWith(corpus: DataFrame, ix: Index): DataFrame =
+    encodeRows(corpus, ix, "qv").select(col("id"), col("cell"), col("codes"))
+
+  /** Rebuild an Index from its two STORED codebook tables — the live
+    * deployment path (C19): `coarseRows` in the ix.coarse shape
+    * (cr, c_id, c_vec, c_self), `pqRows` in the ix.pqCbR shape
+    * (c_id, sub, c_sv, c_self, r). A restart reconstructs the exact
+    * frozen quantizer from the catalog, so encodes stay bit-identical
+    * across process lifetimes (LiveIndexSpec pins stored == memoized).
+    */
+  private[graft] def indexFromStored(coarseRows: DataFrame, pqRows: DataFrame,
+                                     dim: Int = 64, m: Int = 8): Index = {
+    val ceArr = coarseRows
+      .agg(sort_array(collect_list(struct(
+        col("c_id"), col("c_vec"), col("c_self")))).as("ce"))
+      .localCheckpoint()
+    val coarse = coarseRowsOf(ceArr)
+    val kc = coarseRows.count().toInt
+    val ks = pqRows.filter(col("sub") === 0).count().toInt
+    val pqCbR = pqRows.select(col("c_id"), col("sub"), col("c_sv"),
+      col("c_self"), col("r")).localCheckpoint()
+    Index(coarse, coarseArrOf(ceArr).localCheckpoint(), kc, pqCbR,
+      pqArrOf(pqCbR).localCheckpoint(), ks, dim, m, dim / m)
+  }
+
   // ---- two-level IVFADC (round 10 — the 10¹² composition) ----------------
   // q86's coarse quantizer is a √n one-row broadcast, which re-meets the
   // 512 MB broadcast frontier at n ≈ 10¹² that the two-level IVF (q70)
@@ -353,13 +404,21 @@ object IvfPq {
                 dim: Int = 64, m: Int = 8, ksTarget: Int = 16,
                 nprobe: Int = 4, k: Int = 10, rerank: Int = 50): DataFrame = {
     val ix = index(corpus, n, dim, m, ksTarget)
-    import ix.{kc, ks, subDim}
-
     // encoded corpus: ONE scan-local projection — cell + m codes
-    val enc = assignResidual(corpus, ix.coarseArr, kc, dim)
-      .crossJoin(broadcast(ix.pqArr))
-      .select(col("id"), col("cell"),
-        pqCodes(col("res"), col("pcbf"), m, subDim, ks).as("codes"))
+    probeEncoded(encodeWith(corpus, ix), corpus, queries, ix,
+      nprobe, k, rerank)
+  }
+
+  /** The probe half of ivfPqTopK over an ALREADY-ENCODED corpus `enc`
+    * (id, cell, codes) — C19 probes its maintained index table through
+    * this without re-encoding anything; `corpus` supplies the raw
+    * vectors for the exact re-rank tail only.
+    */
+  private[graft] def probeEncoded(enc: DataFrame, corpus: DataFrame,
+                                  queries: DataFrame, ix: Index,
+                                  nprobe: Int, k: Int,
+                                  rerank: Int): DataFrame = {
+    import ix.{ks, subDim, m}
 
     // probes: q × kc scored rows (bounded), keep the nprobe nearest
     // cells per query; the window is over the bounded probe frame

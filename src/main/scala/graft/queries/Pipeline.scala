@@ -2281,26 +2281,13 @@ object Pipeline {
   private val q93 = Qdef(
     "q93_curation_report",
     (s, dir) => {
-      import graft.operators.{Dedup, PiiScrub}
+      import graft.operators.{CurationGates, Dedup}
       val docs = t(s, dir, "documents")
-      val toks = split(col("text"), " ")
-      val piiFlag = (PiiScrub.emailCount(col("text")) +
-        PiiScrub.phoneCount(col("text")) +
-        PiiScrub.ipCount(col("text")) +
-        PiiScrub.luhnCardCount("text")) > 0
-      val hits = langStops.map { case (lang, stops) =>
-        lang -> size(filter(toks, tk => stops.map(tk === _).reduce(_ || _)))
-      }
-      val Seq(en, de, es, fr) = hits.map(_._2)
-      val predicted =
-        when(en >= de && en >= es && en >= fr && en > 0, "en")
-          .when(de >= es && de >= fr && de > 0, "de")
-          .when(es >= fr && es > 0, "es")
-          .when(fr > 0, "fr")
-          .otherwise("und")
-      val langFlag = predicted =!= col("lang")
-      val qualFlag =
-        !(size(toks) >= 50 && (size(array_distinct(toks)) / size(toks)) >= 0.3)
+      // the scan-local gates are the SHARED CurationGates definitions
+      // (round 11) — C20's streaming funnel reads the same columns
+      val piiFlag = CurationGates.piiFlag(col("text"))
+      val langFlag = CurationGates.langFlag(col("text"), col("lang"))
+      val qualFlag = CurationGates.qualFlag(col("text"))
       val scanGates = docs.agg(
         count(lit(1)).as("n"),
         sum(when(piiFlag, 1L).otherwise(0L)).as("fp"),
@@ -2441,8 +2428,109 @@ object Pipeline {
       CAST(n_flagged AS DOUBLE) / n_docs AS flag_rate
     FROM rows ORDER BY gate"""))
 
+  // ---- D37: incremental IVFADC index maintenance (batch face) -------------
+  // The encode-update step behind C19's live embedding index (the q92
+  // pattern applied to ANN): the corpus splits into an EXISTING part
+  // (vec_id % 4 != 0) whose frozen quantizer — coarse ⌊√n⌋ centroids +
+  // residual product codebook, both trained on the existing part ONLY —
+  // and staged encoded rows are "the index on disk", and a DELTA batch
+  // (vec_id % 4 == 0) encoded incrementally against the SAME frozen
+  // quantizer: one scan-local projection per new vector, old rows never
+  // re-read (IvfPq.encodeRows carries the contract; C19 streams this
+  // exact code). The output fingerprints the UPDATED index per cell
+  // (row count, vec_id sum, 24-bit md5 sum over "id:c0,..,c7"); the
+  // oracle replays the whole pipeline — frozen-codebook build from the
+  // existing part, then the FULL corpus encoded under it — so a
+  // hash-match IS the incremental == rebuild identity: any drifted
+  // assignment, stale code, or re-trained codebook moves h_sum with
+  // overwhelming probability. Residual-PQ honesty note: codes are only
+  // comparable under ONE quantizer, so the delta step NEVER retrains —
+  // retraining is the OPTIMIZE-style refresh C19 documents.
+  private val q94 = Qdef(
+    "q94_ivfpq_encode_incremental",
+    (s, dir) => {
+      import graft.operators.IvfPq
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      val existing = embs.filter(col("id") % 4 =!= 0)
+      val delta = embs.filter(col("id") % 4 === 0)
+      val n = existing.count()
+      val ix = IvfPq.index(existing, n, dim = 64, m = 8, ksTarget = 16)
+      // the staged "index on disk" — narrow rows (id, cell, m codes),
+      // DISK_ONLY by the q83/q92 staging discipline
+      val oldEnc = IvfPq.encodeWith(existing, ix)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val newEnc = IvfPq.encodeWith(delta, ix)
+      oldEnc.unionAll(newEnc)
+        .select(col("cell"), col("id"),
+          shiftright(graft.functions.GraftFunctions.md5Prefix48(
+            concat(col("id").cast("string"), lit(":"),
+              array_join(transform(col("codes"), c => c.cast("string")), ","))),
+            24).as("h"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("id")).as("sum_vec"),
+          sum(col("h")).as("h_sum"))
+        .orderBy(col("cell"))
+    },
+    Some("""WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings),
+    ex AS (SELECT * FROM q WHERE vec_id % 4 <> 0),
+    par AS (
+      SELECT GREATEST(1, COUNT(*) //
+          GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS cstride,
+        GREATEST(1, COUNT(*) // 16) AS pstride
+      FROM ex),
+    cc AS (
+      SELECT vec_id AS c_id, qv AS cqv,
+        ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cr
+      FROM ex WHERE vec_id % (SELECT cstride FROM par) = 0),
+    csc AS (
+      SELECT v.vec_id AS id, c.cr,
+        CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
+          + CAST(list_dot_product(c.cqv, c.cqv) AS BIGINT)
+          - 2*CAST(list_dot_product(v.qv, c.cqv) AS BIGINT) AS d2
+      FROM q v CROSS JOIN cc c),
+    asg AS (SELECT id, cr FROM (
+        SELECT id, cr,
+          ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cr) AS rn
+        FROM csc) WHERE rn = 1),
+    res AS (SELECT a.id, a.cr,
+        [v.qv[i] - c.cqv[i] for i in range(1, len(v.qv)+1)] AS res
+      FROM asg a JOIN q v ON v.vec_id = a.id JOIN cc c ON c.cr = a.cr),
+    pcbr AS (SELECT c_id, sub, c_sv,
+        ROW_NUMBER() OVER (PARTITION BY sub ORDER BY c_id) - 1 AS r
+      FROM (
+        SELECT r.id AS c_id, s.sub, r.res[s.sub*8+1 : s.sub*8+8] AS c_sv
+        FROM res r CROSS JOIN range(0, 8) s(sub)
+        WHERE r.id % 4 <> 0 AND r.id % (SELECT pstride FROM par) = 0)),
+    esc AS (
+      SELECT e.id, b.sub, b.r,
+        CAST(list_dot_product(e.res[b.sub*8+1 : b.sub*8+8],
+                              e.res[b.sub*8+1 : b.sub*8+8]) AS BIGINT)
+          + CAST(list_dot_product(b.c_sv, b.c_sv) AS BIGINT)
+          - 2*CAST(list_dot_product(e.res[b.sub*8+1 : b.sub*8+8], b.c_sv)
+              AS BIGINT) AS d2
+      FROM res e CROSS JOIN pcbr b),
+    codes AS (SELECT id, sub, r AS code FROM (
+        SELECT id, sub, r,
+          ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY d2, r) AS rn
+        FROM esc) WHERE rn = 1),
+    sig AS (
+      SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS cs
+      FROM codes GROUP BY id),
+    f AS (
+      SELECT a.cr AS cell, s.id,
+        ('0x' || substring(md5(s.id || ':' || s.cs), 1, 6))::BIGINT AS h
+      FROM sig s JOIN asg a ON a.id = s.id)
+    SELECT cell, COUNT(*) AS n_vecs, CAST(SUM(id) AS BIGINT) AS sum_vec,
+      CAST(SUM(h) AS BIGINT) AS h_sum
+    FROM f GROUP BY cell ORDER BY cell"""))
+
   val all: Seq[Qdef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q42, q43, q44, q47, q48, q49, q50, q54, q55, q56, q68, q70, q71, q72,
     q73, q76, q77, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93)
+    q91, q92, q93, q94)
 }

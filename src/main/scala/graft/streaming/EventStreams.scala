@@ -519,6 +519,115 @@ object EventStreams {
       .withColumn("bks", minhashBandKeys(col("sh")))
   }
 
+  // ---- C20: streaming curation-report funnel --------------------------------
+
+  /** The streaming face of D36/q93 (round 11): per-WINDOW gate counts
+    * over the ingest edge, so the curation report a data team reviews
+    * is continuously current instead of a batch artifact. The
+    * scan-local gates (pii / langid / quality) are the SHARED
+    * `CurationGates` definitions q93 reads — stream == batch is
+    * structural. The corpus-relative gates take their ingest-edge
+    * forms: exact-dup probes the C14 seen-hash index (stream-static
+    * left join, stateless), contamination probes the benchmark gram
+    * set COLLAPSED TO ONE BROADCAST ARRAY ROW and tests
+    * arrays_overlap(textShingles(text), bench) — scan-local, no
+    * explode, no per-doc aggregation state (eval suites are small at
+    * any corpus scale; a per-doc gram-join rollup would be a second
+    * stateful operator for nothing). Near-dup at the edge is C15's own
+    * candidate stream — it emits pairs, not a rate, and composes
+    * downstream of this report by design.
+    *
+    * The ONE stateful operator is the final window rollup: conditional
+    * sums keyed by window(ts), finalized in append mode as the
+    * watermark passes (the C2 pattern), then exploded into
+    * (win_start, gate, n_docs, n_flagged, flag_rate) rows — the q93
+    * shape with a window column. State is O(open windows), bounded by
+    * the watermark at any throughput.
+    */
+  def curationFunnelStream(docs: DataFrame, seenHashes: DataFrame,
+                           benchGrams: DataFrame,
+                           window: String = "10 minutes",
+                           delay: String = "2 hours",
+                           gramK: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions.{md5Prefix48, textShingles}
+    import graft.operators.CurationGates
+    val benchArr = benchGrams.select(col("gram")).distinct()
+      .agg(sort_array(collect_list(col("gram"))).as("bench"))
+    val flagged = docs
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        CurationGates.piiFlag(col("text")).as("fpii"),
+        CurationGates.langFlag(col("text"), col("lang")).as("flang"),
+        CurationGates.qualFlag(col("text")).as("fqual"),
+        md5Prefix48(col("text")).as("h"),
+        textShingles(col("text"), gramK).as("grams"))
+      .join(seenHashes.select(col("h")).withColumn("_seen", lit(1)),
+        Seq("h"), "left_outer")
+      .crossJoin(broadcast(benchArr))
+      .select(col("ts"), col("fpii"), col("flang"), col("fqual"),
+        col("_seen").isNotNull.as("fdup"),
+        arrays_overlap(col("grams"), col("bench")).as("fcont"))
+    flagged
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("fpii"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("flang"), 1L).otherwise(0L)).as("fl"),
+        sum(when(col("fqual"), 1L).otherwise(0L)).as("fq"),
+        sum(when(col("fdup"), 1L).otherwise(0L)).as("fd"),
+        sum(when(col("fcont"), 1L).otherwise(0L)).as("fc"))
+      .select(col("window.start").as("win_start"), explode(array(
+        struct(lit("contamination").as("gate"), col("n").as("n_docs"),
+          col("fc").as("n_flagged")),
+        struct(lit("dedup_exact").as("gate"), col("n").as("n_docs"),
+          col("fd").as("n_flagged")),
+        struct(lit("langid").as("gate"), col("n").as("n_docs"),
+          col("fl").as("n_flagged")),
+        struct(lit("pii").as("gate"), col("n").as("n_docs"),
+          col("fp").as("n_flagged")),
+        struct(lit("quality").as("gate"), col("n").as("n_docs"),
+          col("fq").as("n_flagged")))).as("g"))
+      .select(col("win_start"), col("g.gate").as("gate"),
+        col("g.n_docs").as("n_docs"), col("g.n_flagged").as("n_flagged"),
+        (col("g.n_flagged").cast("double") / col("g.n_docs"))
+          .as("flag_rate"))
+  }
+
+  // ---- C19: live embedding-index maintenance -------------------------------
+
+  /** The ANN analogue of C17 (round 11 — SURVEY.md §2.C19): each
+    * micro-batch of vectors is IVFADC-ENCODED at the ingest edge against
+    * a FROZEN quantizer (coarse argmin → residual → PQ codes, ONE
+    * scan-local projection — `IvfPq.encodeRows`, the exact code the
+    * batch q86 path runs, so live == rebuild is structural) and upserted
+    * into a (vec_id PK, cell, codes) catalog table by `ingestUpsert` —
+    * a revised vec_id replaces its cell and codes atomically, exactly as
+    * C17 replaces band keys. The maintained table IS the `enc` input of
+    * `IvfPq.probeEncoded`: queries probe the live index without
+    * re-encoding the corpus.
+    *
+    * The codebook itself persists as two catalog tables (the ix.coarse /
+    * ix.pqCbR shapes) — a restart rebuilds the exact frozen quantizer
+    * via `IvfPq.indexFromStored`, so encodes are bit-identical across
+    * process lifetimes. CODEBOOK REFRESH is deliberately NOT an
+    * ingest-edge concern: residual-PQ assignments are only comparable
+    * under one quantizer, so a refresh (retrain on the grown corpus,
+    * re-encode every vector) is an OPTIMIZE-style full rewrite through
+    * the same upsert machinery — LiveIndexSpec pins refreshed ==
+    * from-scratch rebuild under the new quantizer. At 100 TB: the
+    * encode is embarrassingly parallel (two one-row broadcast frames,
+    * ∛n-bounded by the two-level variant when √n outgrows the broadcast
+    * frontier), the upsert cost is the C17 merge-on-read path, and the
+    * refresh is a full corpus re-encode — scheduled, not streamed.
+    */
+  def embeddingIndexStream(vecs: DataFrame,
+                           ix: graft.operators.IvfPq.Index): DataFrame = {
+    import graft.functions.GraftFunctions.quantize
+    graft.operators.IvfPq.encodeRows(
+      vecs.select(col("vec_id"), col("ts"),
+        quantize(col("embedding")).as("qv")), ix, "qv")
+      .select(col("vec_id"), col("ts"), col("cell"), col("codes"))
+  }
+
   // ---- C16: PII scrub at the ingest edge ----------------------------------
 
   /** The streaming face of D34/q89 — identifiers leave the text at the

@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
-import graft.operators.{Containment, Dedup}
+import graft.operators.{Containment, Dedup, IvfPq}
 import graft.streaming.EventStreams
+
+case class StreamVec(vec_id: Long, ts: Instant, embedding: Seq[Float])
 
 /** Round 10 — LIVE dedup-index maintenance (SURVEY.md §2.C17/C18): the
   * streaming indexes C9/C14/C15 probe stop being static. Each test runs
@@ -205,6 +207,89 @@ class LiveIndexSpec extends AnyFunSuite {
     }
     apply(b2, 2L)
     check(b0 ++ b1 ++ b2)
+  }
+
+  test("C19 live embedding index: per-batch encode == frozen-quantizer rebuild; live table IS the probe input; stored codebook + refresh pinned") {
+    import graft.functions.GraftFunctions.quantize
+    val dim = 8; val m = 2
+    def emb(id: Long, salt: Long = 0): Seq[Float] =
+      Seq.tabulate(dim)(j => ((((id + salt) * 31 + j * 17) % 13) - 6) / 10.0f)
+    def qvOf(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("id", "embedding")
+        .select(col("id"), quantize(col("embedding")).as("qv"))
+    // the frozen quantizer trains on a seed corpus — the deployment
+    // artifact C19's scaladoc describes
+    val seed = (1L to 40L).map(i => (i, emb(i)))
+    val ix = IvfPq.index(qvOf(seed), 40L, dim = dim, m = m, ksTarget = 4)
+
+    // the codebook persists as catalog tables; a restart reconstructs
+    // the exact quantizer (stored == memoized, pinned on the encodes)
+    ix.coarse.createOrReplaceTempView("v_coarse")
+    ix.pqCbR.createOrReplaceTempView("v_pqcb")
+    g.sql("create table emb_coarse as select * from v_coarse")
+    g.sql("create table emb_pqcb as select * from v_pqcb")
+    val ixStored = IvfPq.indexFromStored(
+      g.sql("select cr, c_id, c_vec, c_self from emb_coarse"),
+      g.sql("select c_id, sub, c_sv, c_self, r from emb_pqcb"),
+      dim = dim, m = m)
+    def encRows(corpus: Seq[(Long, Seq[Float])], i: IvfPq.Index) =
+      IvfPq.encodeWith(qvOf(corpus), i).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+        .toSet
+    assert(encRows(seed, ixStored) == encRows(seed, ix),
+      "indexFromStored must reconstruct the exact frozen quantizer")
+
+    // live maintenance: vectors encode at the ingest edge and upsert
+    // into the (vec_id PK, cell, codes) table; a revised vec_id
+    // replaces its cell and codes
+    g.sql("create table emb_index (vec_id bigint, ts timestamp, " +
+      "cell bigint, codes array<bigint>, primary key(vec_id))")
+    val input = MemoryStream[StreamVec](spark)
+    val q = g.ingestUpsert(
+      EventStreams.embeddingIndexStream(input.toDF(), ix),
+      "emb_index", chk(), orderCol = "ts")
+    input.addData((41L to 50L).map(i => StreamVec(i, ts(i.toInt), emb(i))): _*)
+    q.processAllAvailable()
+    input.addData((51L to 55L).map(i => StreamVec(i, ts(i.toInt), emb(i))) :+
+      StreamVec(41L, ts(99), emb(41L, salt = 7)): _*)
+    q.processAllAvailable(); q.stop()
+    val latest = (42L to 55L).map(i => (i, emb(i))) :+ (41L, emb(41L, salt = 7))
+    def liveRows() = g.sql("select vec_id, cell, codes from emb_index")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .toSet
+    assert(liveRows() == encRows(latest, ix),
+      "live table must equal the frozen-quantizer encode of the latest corpus")
+
+    // the live table IS probeEncoded's enc input: no re-encode anywhere
+    val corpusQv = qvOf(latest)
+    val queries = corpusQv.filter(col("id") <= 42)
+    val liveEnc = g.sql("select vec_id, cell, codes from emb_index")
+      .select(col("vec_id").as("id"), col("cell"), col("codes"))
+    def probeRows(enc: org.apache.spark.sql.DataFrame) =
+      IvfPq.probeEncoded(enc, corpusQv, queries, ix,
+        nprobe = 2, k = 3, rerank = 5)
+        .collect().map(_.toSeq).toSet
+    assert(probeRows(liveEnc) ==
+      probeRows(IvfPq.encodeWith(corpusQv, ix)),
+      "probing the live table must equal probing a fresh encode")
+
+    // codebook refresh = OPTIMIZE-style rewrite under a NEW quantizer
+    // (codes are only comparable under one quantizer): retrain on the
+    // grown corpus, re-encode EVERYTHING through the same upsert
+    // machinery, and the table equals a from-scratch rebuild
+    val grown = seed ++ latest
+    val ix2 = IvfPq.index(qvOf(grown), grown.size.toLong,
+      dim = dim, m = m, ksTarget = 4)
+    val refresh = MemoryStream[StreamVec](spark)
+    val q2 = g.ingestUpsert(
+      EventStreams.embeddingIndexStream(refresh.toDF(), ix2),
+      "emb_index", chk(), orderCol = "ts")
+    refresh.addData(grown.zipWithIndex.map { case ((i, e), o) =>
+      StreamVec(i, ts(200 + o), e) }: _*)
+    q2.processAllAvailable(); q2.stop()
+    assert(liveRows() == encRows(grown, ix2),
+      "refresh must equal the new-quantizer rebuild of the grown corpus")
   }
 
   test("C18 C15's ingest probe against the LIVE posting table finds a quote-in-host pair") {

@@ -80,7 +80,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q71_ann_recall_2level", "q76_bm25", "q80_ann_pq",
     "q81_ann_recall_pq", "q84_lm_perplexity", "q85_quality_classifier",
     "q86_ann_ivfpq", "q87_ann_recall_ivfpq", "q90_ann_ivfpq_2level",
-    "q91_ann_recall_ivfpq2")
+    "q91_ann_recall_ivfpq2",
+    // q94: D37's frozen-quantizer encode — the q86 exemption class
+    // (one-row broadcast coarse/PQ codebook frames under encodeRows;
+    // both build sides are global aggregates/checkpointed bounded frames)
+    "q94_ivfpq_encode_incremental")
 
   test("no cartesian products; nested-loop joins only on the justified whitelist") {
     val offenders = Seq.newBuilder[String]
