@@ -14,6 +14,7 @@ import graft.streaming.{Event, EventStreams}
   * cannot derive an Encoder for a method-local case class).
   */
 case class StreamDoc(doc_id: Long, ts: Instant, text: String)
+case class StreamLangDoc(doc_id: Long, ts: Instant, text: String, lang: String)
 
 /** Drives the real streaming paths (SURVEY.md §2.C) through MemoryStream
   * and a parquet file source; asserts the stream results agree with the
@@ -480,6 +481,80 @@ class StreamingSpec extends AnyFunSuite {
     // both card-shaped runs leave the text, only the Luhn-valid one counts
     assert(got.exists(r => r._1 == 4L && r._5 == 1L && r._6 ==
       "intl [PHONE] pays with [CARD] never [CARD]"))
+  }
+
+  test("C20 streaming curation funnel: per-window gate counts == batch replay on the same docs") {
+    import graft.functions.GraftFunctions.{md5Prefix48, textShingles}
+    val longClean = (1 to 60).map(i => s"w$i").mkString(" ") +
+      " the a of and to"
+    val dupText = "this exact document already lives in the corpus " +
+      (1 to 45).map(i => s"d$i").mkString(" ")
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima"
+    val contaminated = "prefix words then " +
+      "alpha bravo charlie delta echo foxtrot golf hotel" +
+      " and unrelated tail content"
+    val piiDoc = "contact someone@example.com for details"
+    val shortDoc = "just a few words"
+    val docs = Seq(
+      StreamLangDoc(1, ts(1), longClean, "en"),
+      StreamLangDoc(2, ts(2), piiDoc, "en"),
+      StreamLangDoc(3, ts(3), dupText, "en"),
+      StreamLangDoc(4, ts(12), contaminated, "en"),
+      StreamLangDoc(5, ts(13), shortDoc, "en"),
+      StreamLangDoc(6, ts(14), longClean, "de"),
+      // sentinel: advances the watermark past both windows; its own
+      // window stays open and must NOT be emitted
+      StreamLangDoc(99, ts(300), "watermark sentinel words", "en"))
+    val seen = Seq(dupText).toDF("text")
+      .select(md5Prefix48(col("text")).as("h"))
+    val bench = Seq(benchText).toDF("text")
+      .select(explode(textShingles(col("text"), 8)).as("gram"))
+
+    val input = MemoryStream[StreamLangDoc](spark)
+    val q = EventStreams.curationFunnelStream(input.toDF(), seen, bench,
+        window = "10 minutes", delay = "2 minutes")
+      .writeStream.format("memory").queryName("c20_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    input.addData(docs.slice(3, 6): _*)
+    q.processAllAvailable()
+    // the sentinel advances the watermark; one more empty-ish trigger
+    // lets the finalized windows flush
+    input.addData(docs.last)
+    q.processAllAvailable()
+    input.addData(StreamLangDoc(100, ts(400), "second sentinel words", "en"))
+    q.processAllAvailable(); q.stop()
+    // the second sentinel legitimately closes the first sentinel's own
+    // window too — the pin compares the two planted windows
+    val got = spark.table("c20_sink")
+      .filter(col("win_start") < lit(java.sql.Timestamp.from(ts(20))))
+      .collect().map(_.toSeq).toSet
+
+    // batch replay: the SAME operator on a static frame (watermark is a
+    // no-op in batch), restricted to the two closed windows
+    val want = EventStreams.curationFunnelStream(docs.toDF(), seen, bench,
+        window = "10 minutes", delay = "2 minutes")
+      .filter(col("win_start") < lit(java.sql.Timestamp.from(ts(20))))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got.size == 10, "two closed windows x five gates")
+    // spot pins: the pii plant and the seen-hash dup land in window 0,
+    // the bench 8-gram overlap in window 1
+    def flagged(win: Int, gate: String): Long = got.collectFirst {
+      case Seq(w: java.sql.Timestamp, g: String, _, f: Long, _)
+        if g == gate && w == java.sql.Timestamp.from(ts(win)) => f
+    }.get
+    assert(flagged(0, "pii") == 1L)
+    assert(flagged(0, "dedup_exact") == 1L)
+    assert(flagged(0, "contamination") == 0L)
+    assert(flagged(10, "contamination") == 1L)
+    // the contaminated doc is also short, so quality flags it AND the
+    // short doc
+    assert(flagged(10, "quality") == 2L)
+    assert(flagged(10, "langid") >= 1L, "the de-recorded english doc must flag")
   }
 
   test("C5 streaming dedup drops duplicate event_ids within watermark") {
