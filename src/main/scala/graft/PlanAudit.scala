@@ -17,6 +17,7 @@ object PlanAudit {
     "q08_topn"            -> "top-N as TakeOrderedAndProject — no full sort",
     "q09_join_inner"      -> "dimension joins broadcast; no shuffle of the fact side for dims",
     "q19_cte"             -> "single fact-table pass (1-row max broadcast back via ReuseExchange; no unpartitioned window, no scalar-subquery rescan)",
+    "q28_market_share"    -> "multi-join composite (round-11 shape): revenue partial-aggregates to (o_custkey, o_year) BEFORE the customer join via exact BIGINT dsum limbs — the fact side entering that join is |distinct customer-years|, not |lineitem x orders|, so the plan has no broadcast-demotion shuffle step at any scale; dims broadcast",
     "q31_dedup_minhash"   -> "LSH band equi-join; no cartesian product anywhere",
     "q33_ngram_jaccard"   -> "exact-verify primitive: candidate set BOUNDED at any corpus size (id window + capped dup-group sample); pairwise only within that budget",
     "q34_dedup_embedding" -> "cell-blocked near-dup: map-side IVF assignment, cell equi-join, no cartesian",
@@ -58,7 +59,8 @@ object PlanAudit {
     "q90_ann_ivfpq_2level" -> "two-level IVFADC: coarse assign over the cbrt(n) ONE-ROW broadcast (scan-local), fine cell + residual via the cell1-keyed fine-codebook equi-join (<= c1 rows — broadcastable here, a keyed shuffle join at 10^12, either way linear) with the argmin as a scan-local array_min; ADC only inside probed (cell1, cell2) cells via a broadcast HASH join on the composite key; TopKPairs partial top-R; <= q·R exact re-rank rows join back — no broadcast past cbrt(n) rows",
     "q91_ann_recall_ivfpq2" -> "two-level IVFADC recall audit: q35's broadcast-query-batch ground-truth shape + the q90 plan; hit join is (q_id, neighbor)-keyed",
     "q92_posting_incremental" -> "incremental posting-index update: batch shingled ONCE (scan-local explode + distinct); old df/posting state touched only through h-KEYED equi-joins on the batch's hash set (never rescanned); retired-bucket deletes are a keyed join of the crossed set against old postings; fingerprint rollup is one doc-keyed aggregation",
-    "q93_curation_report" -> "curation funnel: ONE corpus scan serves the four scan-local gates (pii regex + langid argmax + quality ratios + md5 distinct, fused into one aggregate, exploded to gate rows); simhash gate adds only its sig-key pair machinery, contamination its broadcast 8-gram probe; union of three tiny aggregates — no gate rescans another gate's work")
+    "q93_curation_report" -> "curation funnel: ONE corpus scan serves the four scan-local gates (pii kernel + langid argmax + quality ratios + md5 distinct, fused into one aggregate, exploded to gate rows); simhash gate adds only its sig-key pair machinery, contamination its broadcast 8-gram probe; union of three tiny aggregates — no gate rescans another gate's work",
+    "q94_ivfpq_encode_incremental" -> "incremental IVFADC encode: existing-part quantizer build staged once (bounded codebooks); BOTH the staged existing encode and the delta encode are ONE scan-local projection each (coarse argmin -> residual -> PQ codes over one-row broadcasts, zero exchange, zero aggregation state before the per-cell fingerprint rollup) — the delta step's cost is O(|batch|), independent of index size")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
