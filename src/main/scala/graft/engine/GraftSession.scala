@@ -384,11 +384,46 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       .start()
   }
 
-  private def lastAppliedBatch(checkpoint: String): Long = {
+  private[graft] def lastAppliedBatch(checkpoint: String): Long = {
     val marker = java.nio.file.Paths.get(checkpoint, "_graft_applied_batch")
     if (java.nio.file.Files.exists(marker))
-      java.nio.file.Files.readString(marker).trim.toLong
+      // a torn/empty marker (crash mid-write on a non-atomic filesystem)
+      // reads as "nothing recorded": the staged-delta protocol is
+      // idempotent per batch, so replaying from -1 converges rather than
+      // wedging the stream on a parse error
+      scala.util.Try(java.nio.file.Files.readString(marker).trim.toLong)
+        .getOrElse(-1L)
     else -1L
+  }
+
+  /** Marker commit point: stage to a temp file and ATOMIC_MOVE so no
+    * crash window can leave a torn marker. */
+  private[graft] def commitAppliedBatch(checkpoint: String, batchId: Long): Unit = {
+    val marker = java.nio.file.Paths.get(checkpoint, "_graft_applied_batch")
+    val tmp = marker.resolveSibling("_graft_applied_batch.tmp")
+    java.nio.file.Files.writeString(tmp, batchId.toString)
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Txn-dir janitor: dirs STRICTLY below `before` are reaped; the
+    * latest applied batch's staged deltas are deliberately KEPT as the
+    * idempotence record — if the marker is ever lost/torn (filesystem
+    * corruption; ATOMIC_MOVE excludes the mid-write window) a
+    * redelivery finds the _STAGED flag and replays as a replace instead
+    * of re-staging against the already-mutated tables (which would
+    * double-count). At most two staged dirs exist at any moment.
+    */
+  private[graft] def reapAppliedTxnDirs(checkpoint: String, before: Long): Unit = {
+    val root = java.nio.file.Paths.get(checkpoint, "_graft_txn")
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator.asScala.toList.foreach { d =>
+        val id = scala.util.Try(d.getFileName.toString.toLong).getOrElse(Long.MaxValue)
+        if (id < before) deleteDirTree(d)
+      }
+    }
   }
 
   private def deleteDirTree(p: java.nio.file.Path): Unit =
@@ -466,10 +501,10 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       autoCompact(dbP, tP)
     }
     afterPostingCommit()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(checkpoint, "_graft_applied_batch"),
-      batchId.toString)
-    deleteDirTree(txnDir)
+    commitAppliedBatch(checkpoint, batchId)
+    // keep THIS batch's staged record (torn-marker redelivery insurance);
+    // reap everything older, including orphans from earlier crashes
+    reapAppliedTxnDirs(checkpoint, batchId)
   }
 
   // ---- schemas (create_db.rs / drop_schema.rs / set_default_schema.rs) ---

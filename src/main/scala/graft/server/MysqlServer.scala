@@ -650,15 +650,15 @@ object ServerConfig {
                 s"expected an array for 'engines', got: $raw")
               // tokenize quoted strings FIRST (a comma inside quotes is
               // part of the name, not a separator), then require the
-              // residue to be pure separators — a quote that doesn't
-              // wrap a whole element can't parse silently
-              val inner = raw.substring(1, raw.length - 1)
+              // whole inner to be exactly quoted elements joined by
+              // single commas — missing ([..."a" "b"...]) or extra
+              // ([,,"a"]) separators can't parse silently
+              val inner = raw.substring(1, raw.length - 1).trim
               val tok = "\"([^\"]*)\"".r
               val names = tok.findAllMatchIn(inner).map(_.group(1)).toSeq
-              val residue =
-                tok.replaceAllIn(inner, "").replace(",", "").trim
-              require(residue.isEmpty,
-                s"malformed 'engines' array element(s) near: $residue")
+              val shape = ("""\s*"[^"]*"(\s*,\s*"[^"]*")*\s*""").r
+              require(inner.isEmpty || shape.matches(inner),
+                s"malformed 'engines' array: $raw")
               cfg = cfg.copy(engines = names)
             case ("server", "log_file") =>
               cfg = cfg.copy(logFile = Some(str(raw)))

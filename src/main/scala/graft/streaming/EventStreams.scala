@@ -561,7 +561,9 @@ object EventStreams {
         CurationGates.qualFlag(col("text")).as("fqual"),
         md5Prefix48(col("text")).as("h"),
         textShingles(col("text"), gramK).as("grams"))
-      .join(seenHashes.select(col("h")).withColumn("_seen", lit(1)),
+      .join(seenHashes.select(col("h")).distinct() // static side: dedup once so a
+        // duplicate h in the index can't multiply stream rows through the left join
+        .withColumn("_seen", lit(1)),
         Seq("h"), "left_outer")
       .crossJoin(broadcast(benchArr))
       .select(col("ts"), col("fpii"), col("flang"), col("fqual"),
@@ -613,7 +615,16 @@ object EventStreams {
     * under one quantizer, so a refresh (retrain on the grown corpus,
     * re-encode every vector) is an OPTIMIZE-style full rewrite through
     * the same upsert machinery — LiveIndexSpec pins refreshed ==
-    * from-scratch rebuild under the new quantizer. At 100 TB: the
+    * from-scratch rebuild under the new quantizer. Refresh vs ingest is
+    * single-writer BY CONTRACT; if an ingest upsert races the refresh
+    * (lands between retrain and re-encode), the pinned behavior is
+    * last-writer-wins per key: snapshot keys take the refresh encode
+    * (a racing revision is lost until re-ingested) and off-snapshot
+    * keys keep OLD-quantizer codes — the STALE-CODES WINDOW, which is
+    * exactly that set of upserts. A refresh must therefore end with a
+    * catch-up pass re-encoding rows upserted since the retrain (or
+    * quiesce ingest); LiveIndexSpec pins both the window and the
+    * catch-up convergence. At 100 TB: the
     * encode is embarrassingly parallel (two one-row broadcast frames,
     * ∛n-bounded by the two-level variant when √n outgrows the broadcast
     * frontier), the upsert cost is the C17 merge-on-read path, and the

@@ -19,9 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * alternation, greedy bounded quantifiers with backtracking,
   * non-overlapping matches resuming at each match end, and Java's
   * DEFAULT \b (word chars = ASCII [0-9A-Za-z_] plus
-  * Character.isLetterOrDigit for non-ASCII BMP chars; supplementary
-  * chars check the UTF-16 code unit — a surrogate — and are therefore
-  * non-word). Each replace pass scans the unmodified input of THAT pass
+  * Character.isLetterOrDigit of the decoded CODE POINT for non-ASCII —
+  * Java's Bound node reads codePointBefore/codePointAt, so supplementary
+  * letters count as word chars). Each replace pass scans the unmodified
+  * input of THAT pass
   * (as Matcher.replaceAll does), so the chain composes identically.
   * PiiScrubSpec pins the kernel against the regexp_count / regexp_replace
   * forms on all planted classes AND against an independent
@@ -52,10 +53,12 @@ object PiiKernel {
 
   // ---- \b replay (java.util.regex default flags) --------------------------
   /** Is the CHARACTER containing byte i a \w word char to Java's default
-    * Bound node? ASCII: [0-9A-Za-z_]. Non-ASCII BMP: isLetterOrDigit of
-    * the decoded char. Supplementary (4-byte UTF-8): Java's Bound reads
-    * one UTF-16 code unit — a surrogate — never letter-or-digit. Stray /
-    * malformed sequences decode to U+FFFD on the String path — non-word.
+    * Bound node? ASCII: [0-9A-Za-z_]. Non-ASCII: Java's Bound decodes the
+    * FULL code point (Character.codePointBefore/codePointAt — surrogate
+    * pairs included) and asks isLetterOrDigit, so a supplementary letter
+    * (e.g. U+1D400 𝐀) IS a word char — the fuzz replay caught the
+    * per-code-unit reading of this as a divergence. Stray / malformed
+    * sequences decode to U+FFFD on the String path — non-word.
     */
   private def isWordCharAt(b: Array[Byte], i: Int): Boolean = {
     val x = b(i) & 0xff
@@ -75,16 +78,23 @@ object PiiKernel {
     if (x < 0x80)
       (x >= '0' && x <= '9') || (x >= 'A' && x <= 'Z') ||
         (x >= 'a' && x <= 'z') || x == '_'
-    else if (x < 0xc2 || x > 0xef) false // stray continuation / 4-byte / invalid
+    else if (x < 0xc2 || x > 0xf4) false // stray continuation / invalid lead
     else if (x < 0xe0) { // 2-byte BMP
       if (j + 1 >= n || (b(j + 1) & 0xc0) != 0x80) false
       else Character.isLetterOrDigit(((x & 0x1f) << 6) | (b(j + 1) & 0x3f))
-    } else { // 3-byte BMP
+    } else if (x < 0xf0) { // 3-byte BMP
       if (j + 2 >= n || (b(j + 1) & 0xc0) != 0x80 || (b(j + 2) & 0xc0) != 0x80)
         false
       else
         Character.isLetterOrDigit(
           ((x & 0x0f) << 12) | ((b(j + 1) & 0x3f) << 6) | (b(j + 2) & 0x3f))
+    } else { // 4-byte supplementary: Bound decodes the full code point
+      if (j + 3 >= n || (b(j + 1) & 0xc0) != 0x80 ||
+        (b(j + 2) & 0xc0) != 0x80 || (b(j + 3) & 0xc0) != 0x80) false
+      else
+        Character.isLetterOrDigit(
+          ((x & 0x07) << 18) | ((b(j + 1) & 0x3f) << 12) |
+            ((b(j + 2) & 0x3f) << 6) | (b(j + 3) & 0x3f))
     }
   }
 

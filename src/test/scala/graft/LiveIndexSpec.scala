@@ -197,8 +197,11 @@ class LiveIndexSpec extends AnyFunSuite {
     // replay (same batch id, as stream restart does): converges exactly
     apply(b1, 1L)
     check(b0 ++ b1)
-    assert(!Files.exists(java.nio.file.Paths.get(chkDir, "_graft_txn", "1")),
-      "the txn record is cleared once the batch is fully applied")
+    assert(Files.exists(java.nio.file.Paths.get(chkDir, "_graft_txn", "1",
+      "_STAGED")),
+      "the latest applied txn record is KEPT as the idempotence record")
+    assert(!Files.exists(java.nio.file.Paths.get(chkDir, "_graft_txn", "0")),
+      "older txn records are reaped once a newer batch applies")
     // kill AFTER both commits but BEFORE the marker (the double-apply
     // window the separate-marker protocol had): replay must be a no-op
     // replace, not a double count
@@ -290,6 +293,124 @@ class LiveIndexSpec extends AnyFunSuite {
     q2.processAllAvailable(); q2.stop()
     assert(liveRows() == encRows(grown, ix2),
       "refresh must equal the new-quantizer rebuild of the grown corpus")
+  }
+
+  test("C18 marker protocol: torn marker reads as -1 (no wedge), the write is atomic, orphaned txn dirs are reaped, and a torn-marker redelivery converges") {
+    val chkDir = chk()
+    val p = java.nio.file.Paths.get(chkDir, "_graft_applied_batch")
+    // a crash mid-write (the old non-atomic window) leaves a torn/empty
+    // marker: it must read as "nothing recorded", never wedge on toLong
+    Files.writeString(p, "")
+    assert(g.lastAppliedBatch(chkDir) == -1L)
+    Files.writeString(p, "12x")
+    assert(g.lastAppliedBatch(chkDir) == -1L)
+    // the atomic commit leaves no temp residue and round-trips
+    g.commitAppliedBatch(chkDir, 3L)
+    assert(g.lastAppliedBatch(chkDir) == 3L)
+    assert(!Files.exists(p.resolveSibling("_graft_applied_batch.tmp")))
+    // the janitor reaps strictly-older txn dirs (orphans from earlier
+    // crashes) but KEEPS the latest applied one as the idempotence record
+    def mkTxn(id: Long): java.nio.file.Path = {
+      val d = java.nio.file.Paths.get(chkDir, "_graft_txn", id.toString)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("junk"), "x")
+      d
+    }
+    val (t2, t3, t7) = (mkTxn(2), mkTxn(3), mkTxn(7))
+    g.reapAppliedTxnDirs(chkDir, g.lastAppliedBatch(chkDir))
+    assert(!Files.exists(t2), "strictly-older txn dirs must be reaped")
+    assert(Files.exists(t3), "the latest applied txn record is kept")
+    assert(Files.exists(t7), "an unapplied staged dir must survive the reap")
+    deleteDirTree(java.nio.file.Paths.get(chkDir, "_graft_txn"))
+
+    // end-to-end: after a torn marker, a redelivered batch (the -1 gate
+    // lets it through) must converge by replace, not double-count
+    g.sql("create table cont_dfm (h bigint, c bigint, primary key(h))")
+    g.sql("create table cont_postingm (h bigint, doc_b bigint, " +
+      "primary key(h, doc_b))")
+    def body(d: Int) = (1 to 20).map(i => s"m${d}w$i").mkString(" ")
+    val b0 = Seq((1L, body(1)), (2L, body(2)))
+    def apply0(): Unit = g.applyContainmentBatch(
+      b0.toDF("doc_id", "text"), 0L, "live", "cont_dfm", "live",
+      "cont_postingm", chkDir, "doc_id", "text", 5, 2)
+    apply0()
+    assert(g.lastAppliedBatch(chkDir) == 0L)
+    Files.writeString(p, "") // tear it
+    apply0() // redelivery under the -1 gate
+    val want = Containment.dfIndex(b0.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(g.sql("select h, c from cont_dfm").collect().map(_.toSeq).toSet
+      == want, "redelivered batch must be a replace, not a double count")
+  }
+
+  private def deleteDirTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator.asScala.foreach(Files.delete)
+    }
+
+  test("C19 refresh racing an in-flight old-quantizer ingest: last-writer-wins, the stale-codes window is exactly the between-retrain-and-re-encode upserts, and the catch-up pass closes it") {
+    import graft.functions.GraftFunctions.quantize
+    val dim = 8; val m = 2
+    def emb(id: Long, salt: Long = 0): Seq[Float] =
+      Seq.tabulate(dim)(j => ((((id + salt) * 29 + j * 13) % 11) - 5) / 10.0f)
+    def qvOf(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("id", "embedding")
+        .select(col("id"), quantize(col("embedding")).as("qv"))
+    def encRows(corpus: Seq[(Long, Seq[Float])], i: IvfPq.Index) =
+      IvfPq.encodeWith(qvOf(corpus), i).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+        .toSet
+    g.sql("create table emb_race (vec_id bigint, ts timestamp, " +
+      "cell bigint, codes array<bigint>, primary key(vec_id))")
+    def upsert(ix: IvfPq.Index, rows: Seq[(Long, Seq[Float])], t0: Int): Unit = {
+      val in = MemoryStream[StreamVec](spark)
+      val q = g.ingestUpsert(
+        EventStreams.embeddingIndexStream(in.toDF(), ix),
+        "emb_race", chk(), orderCol = "ts")
+      in.addData(rows.zipWithIndex.map { case ((i, e), o) =>
+        StreamVec(i, ts(t0 + o), e) }: _*)
+      q.processAllAvailable(); q.stop()
+    }
+    def liveRows() = g.sql("select vec_id, cell, codes from emb_race")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .toSet
+
+    val seed = (1L to 30L).map(i => (i, emb(i)))
+    val ix1 = IvfPq.index(qvOf(seed), 30L, dim = dim, m = m, ksTarget = 4)
+    upsert(ix1, seed, 0)
+    val extra = (31L to 40L).map(i => (i, emb(i)))
+    upsert(ix1, extra, 50)
+
+    // refresh retrains on a SNAPSHOT of the corpus...
+    val snapshot = seed ++ extra
+    val ix2 = IvfPq.index(qvOf(snapshot), snapshot.size.toLong,
+      dim = dim, m = m, ksTarget = 4)
+    // ...and while it re-encodes, an ingest batch lands under the OLD
+    // quantizer: vec 5 revised, vec 77 brand new
+    val racing = Seq((5L, emb(5L, salt = 3)), (77L, emb(77L)))
+    upsert(ix1, racing, 100)
+    // the refresh re-encode commits AFTER the racer: last-writer-wins
+    upsert(ix2, snapshot, 200)
+
+    // pinned contract: keys IN the snapshot take the refresh encode (the
+    // racing revision of vec 5 is lost until re-ingested); keys NOT in
+    // the snapshot keep old-quantizer codes — the stale-codes window,
+    // incomparable under ix2, is EXACTLY the upserts that landed between
+    // retrain and re-encode
+    assert(liveRows() ==
+      encRows(snapshot, ix2) ++ encRows(Seq((77L, emb(77L))), ix1),
+      "last-writer-wins with the stale window on off-snapshot keys")
+
+    // the documented remedy: the refresh finishes with a catch-up pass
+    // re-encoding every row upserted since the retrain under the NEW
+    // quantizer — the table then equals the true-current-corpus rebuild
+    upsert(ix2, racing, 300)
+    val current = snapshot.filterNot(_._1 == 5L) ++ racing
+    assert(liveRows() == encRows(current, ix2),
+      "catch-up pass must close the stale-codes window")
   }
 
   test("C18 C15's ingest probe against the LIVE posting table finds a quote-in-host pair") {

@@ -242,14 +242,19 @@ class PiiScrubSpec extends AnyFunSuite {
       c
     }
     // alphabet tuned to the pattern family's needles, separators, word/
-    // non-word boundary chars, hex letters, and multibyte word chars
-    val alpha = "0123456789abf:.- @+_%gé世".toCharArray
+    // non-word boundary chars, hex letters, and multibyte word chars —
+    // including a 4-byte supplementary letter (𝐀 U+1D400, a surrogate
+    // pair) so the kernel's per-code-unit \b replay of Java semantics is
+    // fuzzed, not just asserted
+    val alpha = "0123456789abf:.- @+_%gé世".map(_.toString) :+ "𝐀"
     val rnd = new scala.util.Random(4111)
     val samples = (1 to 600).map { _ =>
       val len = 1 + rnd.nextInt(40)
-      new String(Array.fill(len)(alpha(rnd.nextInt(alpha.length))))
+      Array.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
     } ++ Seq("4539148803436467", "+1 23 45 67 89 01", "1.2.3.4.5.6.7.8",
-      "00:11:22:33:44:55:66:77:88", "1234 5678 9012 34567")
+      "00:11:22:33:44:55:66:77:88", "1234 5678 9012 34567",
+      "𝐀4539148803436467", "4539148803436467𝐀",
+      "𝐀192.168.1.1 1234 5678 9012 3456𝐀")
     samples.foreach { s =>
       val k = counts(s)
       val e = (refCount(s, pats.head),
