@@ -17,7 +17,7 @@ object PlanAudit {
     "q08_topn"            -> "top-N as TakeOrderedAndProject — no full sort",
     "q09_join_inner"      -> "dimension joins broadcast; no shuffle of the fact side for dims",
     "q19_cte"             -> "single fact-table pass (1-row max broadcast back via ReuseExchange; no unpartitioned window, no scalar-subquery rescan)",
-    "q28_market_share"    -> "multi-join composite (round-11 shape): revenue partial-aggregates to (o_custkey, o_year) BEFORE the customer join via exact BIGINT dsum limbs — the fact side entering that join is |distinct customer-years|, not |lineitem x orders|, so the plan has no broadcast-demotion shuffle step at any scale; dims broadcast",
+    "q28_market_share"    -> "multi-join composite (round-12 shape): revenue rolls up to l_orderkey BEFORE the orders join (lineitem's exchange carries |orders| narrow limb rows, map-side combine near-perfect on the clustered key, and the agg output's hash(l_orderkey) partitioning is reused by the join — only orders shuffles), then to (o_custkey, o_year) before the customer join (no broadcast-demotion step at any scale); exact BIGINT dsum limbs through all three levels; dims broadcast. sf100: 51.1 s / 9.1 GB vs the round-11 shape's 123.7 s / 15.6 GB (the 600M-row (custkey,year) hash-agg spilled) and the round-10 shape's 81.7 s / 20.2 GB",
     "q31_dedup_minhash"   -> "LSH band equi-join; no cartesian product anywhere",
     "q33_ngram_jaccard"   -> "exact-verify primitive: candidate set BOUNDED at any corpus size (id window + capped dup-group sample); pairwise only within that budget",
     "q34_dedup_embedding" -> "cell-blocked near-dup: map-side IVF assignment, cell equi-join, no cartesian",

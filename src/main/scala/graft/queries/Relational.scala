@@ -631,23 +631,34 @@ object Relational {
     ORDER BY rf, ls"""))
 
   // ---- A18: multi-join composite (market share by region/year) -----------------
-  // Round-11 shape: revenue partial-aggregates to (o_custkey, o_year)
-  // BEFORE the customer join, so the fact side entering that join
-  // carries |distinct customer-years| rows instead of |lineitem ⋈
-  // orders| — the r10 sf50 telemetry caught a 9x shuffle-byte step when
-  // AQE demoted customer from broadcast at scale; with the pre-rollup
-  // the demotion costs a distinct-customer-year shuffle at any scale.
-  // The dsum limb partials stay exact BIGINTs through both levels
-  // (Q.dsumHi/dsumLo/dsumMerge), so the result is bit-identical.
+  // Round-12 shape: revenue partial-aggregates to l_orderkey BEFORE the
+  // orders join, then to (o_custkey, o_year) before the customer join.
+  // The orderkey rollup is the big lever: lineitem enters its exchange
+  // at |orders| rows (~4x fewer, and only (key, hi, lo) wide) instead
+  // of shipping every line, the agg's map side reduces near-perfectly
+  // because lineitem is clustered by orderkey, and the aggregated side
+  // keeps hash(l_orderkey) partitioning so the orders join reuses it —
+  // only orders shuffles for that join. The round-11 shape aggregated
+  // (o_custkey, o_year) directly FROM the joined lines: at sf100 that
+  // is a 600M-row hash-agg over ~10M groups — it spilled (512 MB page
+  // allocation failures) and cost 123.7 s vs the r9 82 s; the orderkey
+  // rollup feeds the same agg 4x fewer rows. The (custkey, year)
+  // rollup stays: it keeps the customer join's fact side at |distinct
+  // customer-years| (the r10 sf50 broadcast-demotion lesson). Limb
+  // partials are exact BIGINTs whose addition is associative, so the
+  // THREE-level rollup is bit-identical (Q.dsumHi scaladoc).
   private val q28 = Qdef(
     "q28_market_share",
     (s, dir) => {
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      val perCustYear = t(s, dir, "lineitem")
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsumHi(rev).as("hi"), dsumLo(rev).as("lo"))
+      val perCustYear = perOrder
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(dsumHi(rev).as("hi"), dsumLo(rev).as("lo"))
+        .agg(sum(col("hi")).as("hi"), sum(col("lo")).as("lo"))
       perCustYear
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
