@@ -194,6 +194,23 @@ object GraftFunctions {
   def md5Prefix48(value: Column): Column =
     expr2col(Md5Prefix48E(exprOf(value.cast("string"))))
 
+  /** Density-independent deterministic 1-in-`stride` sample of key
+    * rows: `md5Prefix48(id) % stride == 0`. The round-11 rule was
+    * `id % stride == 0`, which silently assumes keys are DENSE — on a
+    * sparse id space (production reality: sharded/shifted/snowflake
+    * ids; measured on the key-shifted derived testdata, where ids sit
+    * at orig + replica·10⁷) the residues cluster and the "sample" can
+    * collapse to a skewed sliver or to NOTHING (round-12 find: the
+    * q94 sf10 gate caught the PQ codebook sampling ZERO rows — both
+    * engines agreed bit-for-bit at dense-id SFs and degenerated at
+    * scale). Hashing first makes the residue uniform for ANY key
+    * distribution, stays scan-local and codegen'd, and DuckDB replays
+    * it exactly: ('0x' || substring(md5(CAST(id AS VARCHAR)), 1,
+    * 12))::BIGINT % stride = 0.
+    */
+  def idSample(id: Column, stride: Long): Column =
+    md5Prefix48(id) % lit(stride) === lit(0L)
+
   /** One-pass D34 PII scan struct (emails, phones, ips, cards, red) —
     * native kernel, bit-identical to the regexp_count forms of
     * PiiScrub's five detection classes and the six-step regexp_replace

@@ -63,15 +63,17 @@ object IvfPq {
                                   pqArr: DataFrame, ks: Int,
                                   dim: Int, m: Int, subDim: Int)
 
-  /** Coarse centroids as ONE sorted-array row: uniform modulo sample
-    * (the q34 rule — never a prefix), kc_target = max(16, ⌊√n⌋) (the
+  /** Coarse centroids as ONE sorted-array row: uniform hash-mod sample
+    * (the q34 rule — never a prefix; round 12: idSample, density-
+    * independent — raw id % stride collapsed on sparse id spaces),
+    * kc_target = max(16, ⌊√n⌋) (the
     * q43 ladder), c_id order. The dense rank `cr` is the ARRAY POSITION
     * (posexplode below) — no rank window anywhere, so the corpus-scale
     * "No Partition Defined" lint stays clean without a fake partition
     * key. Bounded (≈√n entries), staged once.
     */
   private def coarseArrayRow(corpus: DataFrame, cStride: Long): DataFrame =
-    corpus.filter(col("id") % cStride === 0)
+    corpus.filter(graft.functions.GraftFunctions.idSample(col("id"), cStride))
       .select(col("id").as("c_id"), col("qv").as("c_vec"),
         quantDot(col("qv"), col("qv")).as("c_self"))
       .agg(sort_array(collect_list(struct(
@@ -119,7 +121,7 @@ object IvfPq {
   private def pqCodebook(assigned: DataFrame, pStride: Long, m: Int,
                          subDim: Int): DataFrame = {
     val w = Window.partitionBy(col("sub")).orderBy(col("c_id"))
-    assigned.filter(col("id") % pStride === 0)
+    assigned.filter(graft.functions.GraftFunctions.idSample(col("id"), pStride))
       .select(col("id").as("c_id"),
         explode(array((0 until m).map { s =>
           struct(lit(s).as("sub"),
@@ -282,10 +284,11 @@ object IvfPq {
       val coarse = coarseRowsOf(ceArr)
       val c1 = coarse.count().toInt
       val coarseArr = coarseArrOf(ceArr).localCheckpoint()
-      // fine seeds: modulo-sampled rows, labeled by the SAME coarse
-      // pass, collapsed to one sorted codebook array per coarse cell
-      // (≤ c₁ rows total — the q70 shape)
-      val fine = corpus.filter(col("id") % stride2 === 0)
+      // fine seeds: hash-mod-sampled rows (idSample — density-
+      // independent), labeled by the SAME coarse pass, collapsed to one
+      // sorted codebook array per coarse cell (≤ c₁ rows total — the
+      // q70 shape)
+      val fine = corpus.filter(graft.functions.GraftFunctions.idSample(col("id"), stride2))
         .crossJoin(broadcast(coarseArr))
         .select(col("id").as("c_id"), col("qv").as("c_vec"),
           quantDot(col("qv"), col("qv")).as("c_self"),

@@ -56,12 +56,13 @@ object Pq {
   private def d2(dotAA: Column, dotBB: Column, dotAB: Column): Column =
     dotAA + dotBB - lit(2L) * dotAB
 
-  /** Per-subspace codebook from the uniform modulo sample (the q34
-    * rule: never a prefix). Output (sub, c_id, c_sv, c_self); m·(n/stride)
-    * rows — broadcast-sized by construction.
+  /** Per-subspace codebook from the uniform hash-mod sample (the q34
+    * rule: never a prefix; round 12: idSample — density-independent).
+    * Output (sub, c_id, c_sv, c_self); m·(n/stride) rows —
+    * broadcast-sized by construction.
     */
   def codebook(corpus: DataFrame, stride: Long, m: Int, subDim: Int): DataFrame =
-    corpus.filter(col("id") % stride === 0)
+    corpus.filter(graft.functions.GraftFunctions.idSample(col("id"), stride))
       .select(col("id").as("c_id"),
         explode(array((0 until m).map { s =>
           struct(lit(s).as("sub"), sub(col("qv"), s, subDim).as("c_sv"))

@@ -25,7 +25,9 @@ object Curation {
     t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
 
-  /** Centroid seed for q57/q58: a uniform modulo sample sized by
+  /** Centroid seed for q57/q58: a uniform hash-mod sample (idSample —
+    * density-independent; raw id % stride collapsed on sparse id
+    * spaces, the round-12 q94 sf10 find) sized by
     * `Ann.centroidCountFor` (k = ⌊√n⌋, min 16). Fixed k made q58's
     * in-cluster pairwise work n²/k (the §5 sf1 rehearsal defect);
     * k ~ n/75 fixed that but made the ASSIGN pass n²/75 — the sf20
@@ -38,12 +40,13 @@ object Curation {
                      dir: String): org.apache.spark.sql.Column = {
     val n = t(s, dir, "embeddings").count()
     val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
-    col("id") % stride === 0
+    graft.functions.GraftFunctions.idSample(col("id"), stride)
   }
 
   /** Shared oracle prefix: quantized embeddings + two Lloyd rounds from
-    * the deterministic seed (the same COUNT-driven modulo sample as
-    * seedOf — GREATEST/LEAST integer arithmetic, replayed exactly),
+    * the deterministic seed (the same COUNT-driven hash-mod sample as
+    * seedOf — md5-prefix idiom + GREATEST/LEAST integer arithmetic,
+    * replayed exactly),
     * matching Cluster.kmeansAssignSeeded's arithmetic (argmax ties to
     * the lower centroid id; centroid update = ROUND over an exact
     * BIGINT sum).
@@ -61,7 +64,7 @@ object Curation {
         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
       FROM embeddings),
     c0 AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
-           WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
+           WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT GREATEST(1, COUNT(*) //
              GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM q) = 0),
     a0 AS (
       SELECT s.vec_id, q.qv, s.cluster FROM (

@@ -195,7 +195,7 @@ object Pipeline {
       val n = t(s, dir, "embeddings").count()
       val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
       graft.operators.Ann
-        .cellBlockedPairs(embs, centroidFilter = col("vec_id") % stride === 0,
+        .cellBlockedPairs(embs, centroidFilter = graft.functions.GraftFunctions.idSample(col("vec_id"), stride),
           threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
     },
@@ -204,7 +204,7 @@ object Pipeline {
         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
       FROM embeddings),
     cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
-              WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
+              WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT GREATEST(1, COUNT(*) //
                 GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM q) = 0),
     scored AS (
       SELECT q.vec_id, c.c_id,
@@ -453,7 +453,7 @@ object Pipeline {
       val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
       graft.operators.Ann
         .ivfTopK(embs, queryFilter = col("vec_id") < 10,
-          centroidFilter = col("vec_id") % stride === 0, nprobe = 4, k = 10)
+          centroidFilter = graft.functions.GraftFunctions.idSample(col("vec_id"), stride), nprobe = 4, k = 10)
         .orderBy(col("q_id"), col("rn"))
     },
     Some("""WITH q AS (
@@ -461,7 +461,7 @@ object Pipeline {
         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
       FROM embeddings),
     cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
-              WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
+              WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT GREATEST(1, COUNT(*) //
                 GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM q) = 0),
     scored AS (
       SELECT q.vec_id, c.c_id,
@@ -520,7 +520,7 @@ object Pipeline {
       val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
       val ivf = graft.operators.Ann
         .ivfTopK(embs, queryFilter = col("vec_id") < 10,
-          centroidFilter = col("vec_id") % stride === 0, nprobe = 4, k = 10)
+          centroidFilter = graft.functions.GraftFunctions.idSample(col("vec_id"), stride), nprobe = 4, k = 10)
 
       val ivfStats = truth.select(col("q_id"), col("neighbor"))
         .join(ivf.select(col("q_id"), col("neighbor"), lit(1).as("hit")),
@@ -595,7 +595,7 @@ object Pipeline {
           ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
       WHERE cos_sim >= 0.3),
     cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
-              WHERE vec_id % (SELECT GREATEST(1, COUNT(*) //
+              WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT GREATEST(1, COUNT(*) //
                 GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM q) = 0),
     scored AS (
       SELECT q.vec_id, c.c_id,
@@ -987,8 +987,8 @@ object Pipeline {
       val stride2 = math.max(1L, n / (c1 * c1))
       graft.operators.Ann
         .twoLevelBlockedPairs(embs,
-          coarseFilter = col("vec_id") % stride1 === 0,
-          fineFilter = col("vec_id") % stride2 === 0,
+          coarseFilter = graft.functions.GraftFunctions.idSample(col("vec_id"), stride1),
+          fineFilter = graft.functions.GraftFunctions.idSample(col("vec_id"), stride2),
           threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
     },
@@ -1000,7 +1000,7 @@ object Pipeline {
       SELECT GREATEST(8, MAX(c)) AS c FROM range(1, 1000001) t(c)
       WHERE c*c*c <= (SELECT COUNT(*) FROM q)),
     cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
-              WHERE vec_id % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
+              WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
                 (SELECT c FROM c1))) = 0),
     scored AS (
       SELECT q.vec_id, c.c_id,
@@ -1015,7 +1015,7 @@ object Pipeline {
           FROM scored) WHERE crn = 1) s JOIN q USING (vec_id)),
     fine AS (
       SELECT vec_id AS f_id, qv AS f_qv, cell1 FROM assign1
-      WHERE vec_id % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
+      WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
         ((SELECT c FROM c1) * (SELECT c FROM c1)))) = 0),
     scored2 AS (
       SELECT a.vec_id, f.f_id,
@@ -1062,8 +1062,8 @@ object Pipeline {
       val truth = graft.operators.Ann
         .bruteForceTopK(embs, embs.filter(col("id") < 10), k = 10)
       val tl = graft.operators.Ann.twoLevelTopK(embs,
-        coarseFilter = col("vec_id") % stride1 === 0,
-        fineFilter = col("vec_id") % stride2 === 0,
+        coarseFilter = graft.functions.GraftFunctions.idSample(col("vec_id"), stride1),
+        fineFilter = graft.functions.GraftFunctions.idSample(col("vec_id"), stride2),
         queryFilter = col("vec_id") < 10,
         nprobe1 = 4, nprobe2 = 4, k = 10)
       val perq = truth.select(col("q_id"), col("neighbor"))
@@ -1098,7 +1098,7 @@ object Pipeline {
       SELECT GREATEST(8, MAX(c)) AS c FROM range(1, 1000001) t(c)
       WHERE c*c*c <= (SELECT COUNT(*) FROM q)),
     cents AS (SELECT vec_id AS c_id, qv AS c_qv FROM q
-              WHERE vec_id % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
+              WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
                 (SELECT c FROM c1))) = 0),
     scored AS (
       SELECT q.vec_id, c.c_id,
@@ -1113,7 +1113,7 @@ object Pipeline {
           FROM scored) WHERE crn = 1) s JOIN q USING (vec_id)),
     fine AS (
       SELECT vec_id AS f_id, qv AS f_qv, cell1 FROM assign1
-      WHERE vec_id % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
+      WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) //
         ((SELECT c FROM c1) * (SELECT c FROM c1)))) = 0),
     scored2 AS (
       SELECT a.vec_id, f.f_id,
@@ -1388,7 +1388,7 @@ object Pipeline {
       SELECT s.sub, c.vec_id AS c_id,
         c.qv[s.sub*8+1 : s.sub*8+8] AS c_sv
       FROM q c CROSS JOIN range(0, 8) s(sub)
-      WHERE c.vec_id % (SELECT stride FROM st) = 0),
+      WHERE ('0x' || substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT stride FROM st) = 0),
     enc0 AS (
       SELECT v.vec_id AS id, c.sub, c.c_id,
         CAST(list_dot_product(v.qv[c.sub*8+1 : c.sub*8+8],
@@ -1527,7 +1527,7 @@ object Pipeline {
     cc AS (
       SELECT vec_id AS c_id, qv AS cqv,
         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cr
-      FROM q WHERE vec_id % (SELECT cstride FROM par) = 0),
+      FROM q WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT cstride FROM par) = 0),
     csc AS (
       SELECT v.vec_id AS id, c.cr,
         CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
@@ -1546,7 +1546,7 @@ object Pipeline {
       FROM (
         SELECT r.id AS c_id, s.sub, r.res[s.sub*8+1 : s.sub*8+8] AS c_sv
         FROM res r CROSS JOIN range(0, 8) s(sub)
-        WHERE r.id % (SELECT pstride FROM par) = 0)),
+        WHERE ('0x' || substring(md5(CAST(r.id AS VARCHAR)), 1, 12))::BIGINT % (SELECT pstride FROM par) = 0)),
     esc AS (
       SELECT e.id, b.sub, b.r,
         CAST(list_dot_product(e.res[b.sub*8+1 : b.sub*8+8],
@@ -1697,7 +1697,7 @@ object Pipeline {
     cc AS (
       SELECT vec_id AS c_id, qv AS cqv,
         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cr
-      FROM q WHERE vec_id % (SELECT stride1 FROM par) = 0),
+      FROM q WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT stride1 FROM par) = 0),
     csc AS (
       SELECT v.vec_id AS id, c.cr,
         CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
@@ -1711,7 +1711,7 @@ object Pipeline {
     fine AS (
       SELECT a.id AS f_id, v.qv AS f_qv, a.cell1
       FROM asg1 a JOIN q v ON v.vec_id = a.id
-      WHERE a.id % (SELECT stride2 FROM par) = 0),
+      WHERE ('0x' || substring(md5(CAST(a.id AS VARCHAR)), 1, 12))::BIGINT % (SELECT stride2 FROM par) = 0),
     fsc AS (
       SELECT a.id, f.f_id,
         CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
@@ -1740,7 +1740,7 @@ object Pipeline {
       FROM (
         SELECT r.id AS c_id, s.sub, r.res[s.sub*8+1 : s.sub*8+8] AS c_sv
         FROM res r CROSS JOIN range(0, 8) s(sub)
-        WHERE r.id % (SELECT pstride FROM par) = 0)),
+        WHERE ('0x' || substring(md5(CAST(r.id AS VARCHAR)), 1, 12))::BIGINT % (SELECT pstride FROM par) = 0)),
     esc AS (
       SELECT e.id, b.sub, b.r,
         CAST(list_dot_product(e.res[b.sub*8+1 : b.sub*8+8],
@@ -2486,7 +2486,7 @@ object Pipeline {
     cc AS (
       SELECT vec_id AS c_id, qv AS cqv,
         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cr
-      FROM ex WHERE vec_id % (SELECT cstride FROM par) = 0),
+      FROM ex WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % (SELECT cstride FROM par) = 0),
     csc AS (
       SELECT v.vec_id AS id, c.cr,
         CAST(list_dot_product(v.qv, v.qv) AS BIGINT)
@@ -2505,7 +2505,7 @@ object Pipeline {
       FROM (
         SELECT r.id AS c_id, s.sub, r.res[s.sub*8+1 : s.sub*8+8] AS c_sv
         FROM res r CROSS JOIN range(0, 8) s(sub)
-        WHERE r.id % 4 <> 0 AND r.id % (SELECT pstride FROM par) = 0)),
+        WHERE r.id % 4 <> 0 AND ('0x' || substring(md5(CAST(r.id AS VARCHAR)), 1, 12))::BIGINT % (SELECT pstride FROM par) = 0)),
     esc AS (
       SELECT e.id, b.sub, b.r,
         CAST(list_dot_product(e.res[b.sub*8+1 : b.sub*8+8],

@@ -65,15 +65,20 @@ class IvfPqSpec extends AnyFunSuite {
   }
 
   test("D7h a fine seed lands in its own (cell1, cell2) with residual exactly zero") {
-    // id 0 is always modulo-sampled at BOTH levels, so its fine cell
-    // must be itself (d² = 0 wins both argmins) and its residual —
-    // taken against the FINE centroid — must be exactly zero; pins the
-    // two-stage assignment and the residual-source selection in one shot
+    // take an ACTUAL fine seed (the hash-mod sample — round 12 — no
+    // longer guarantees id 0 is sampled): its fine cell must be itself
+    // (d² = 0 wins both argmins) and its residual — taken against the
+    // FINE centroid — must be exactly zero; pins the two-stage
+    // assignment and the residual-source selection in one shot
     val n = embs.count()
     val ix = IvfPq.index2(embs, n)
-    val row0 = IvfPq.assignResidual2(embs.filter(col("id") === 0L), ix)
+    val seedId = ix.fine.select(explode(col("fb")).as("e"))
+      .select(col("e.c_id").as("c_id")).orderBy(col("c_id"))
+      .limit(1).collect()(0).getLong(0)
+    val row0 = IvfPq.assignResidual2(embs.filter(col("id") === seedId), ix)
       .collect()(0)
-    assert(row0.getLong(2) == 0L, "fine seed must land in its own fine cell")
+    assert(row0.getLong(2) == seedId,
+      "fine seed must land in its own fine cell")
     assert(row0.getSeq[Long](3).forall(_ == 0L),
       "fine seed's residual must be exactly zero")
     // default budget: k rows per query, exact non-decreasing distances
@@ -88,15 +93,16 @@ class IvfPqSpec extends AnyFunSuite {
   }
 
   test("D7g a coarse centroid's residual is all zeros and its cell is itself") {
-    // centroids are corpus vectors (modulo sample); the vector AT a
-    // centroid must land in its own cell with residual exactly 0 —
-    // pins both the argmin (d²=0 beats everything) and the residual
-    // arithmetic in one shot. id 0 is always sampled (0 % s == 0).
+    // centroids are corpus vectors (hash-mod sample, round 12); the
+    // vector AT a centroid must land in its own cell with residual
+    // exactly 0 — pins both the argmin (d²=0 beats everything) and the
+    // residual arithmetic in one shot.
     val n = embs.count()
     val ix = IvfPq.index(embs, n)
-    val c0 = ix.coarse.filter(col("c_id") === 0L).collect()
-    assert(c0.length == 1, "vector 0 must be a coarse centroid")
-    val row0 = IvfPq.assignResidual(embs.filter(col("id") === 0L),
+    val c0 = ix.coarse.orderBy(col("c_id")).limit(1).collect()
+    assert(c0.length == 1, "the coarse codebook must be non-empty")
+    val seedId = c0(0).getLong(1)
+    val row0 = IvfPq.assignResidual(embs.filter(col("id") === seedId),
         ix.coarseArr, ix.kc, 64).collect()(0)
     assert(row0.getLong(1) == c0(0).getLong(0),
       "centroid vector must land in its own cell")

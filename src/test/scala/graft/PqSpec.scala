@@ -54,7 +54,10 @@ class PqSpec extends AnyFunSuite {
     val stride = math.max(1L, n / 16)
     val cb = Pq.codebook(embs, stride, m = 8, subDim = 8)
     val perSub = cb.groupBy("sub").count().collect().map(_.getLong(1)).distinct
-    assert(perSub.length == 1 && perSub(0) <= 17,
+    // hash-mod sampling (round 12): E[ks] = ksTarget with binomial
+    // spread — the budget property is that ks tracks the TARGET and
+    // never grows with n, not an exact count
+    assert(perSub.length == 1 && perSub(0) >= 8 && perSub(0) <= 28,
       s"ks must stay ~16 regardless of n: $perSub")
   }
 }
