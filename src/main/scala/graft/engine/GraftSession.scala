@@ -396,12 +396,25 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     else -1L
   }
 
-  /** Marker commit point: stage to a temp file and ATOMIC_MOVE so no
-    * crash window can leave a torn marker. */
+  /** Marker commit point: stage to a temp file, force it to stable
+    * storage, and ATOMIC_MOVE into place. The fsync closes the
+    * power-loss window where a rename survives with empty/stale
+    * content; even if the filesystem still tears the marker (no
+    * directory fsync — rename durability is fs-dependent), correctness
+    * holds: a torn marker reads as -1 and the kept staged deltas make
+    * the redelivery a replace, never a double-apply. */
   private[graft] def commitAppliedBatch(checkpoint: String, batchId: Long): Unit = {
     val marker = java.nio.file.Paths.get(checkpoint, "_graft_applied_batch")
     val tmp = marker.resolveSibling("_graft_applied_batch.tmp")
-    java.nio.file.Files.writeString(tmp, batchId.toString)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
     java.nio.file.Files.move(tmp, marker,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -419,7 +432,11 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     val root = java.nio.file.Paths.get(checkpoint, "_graft_txn")
     if (java.nio.file.Files.isDirectory(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(root).iterator.asScala.toList.foreach { d =>
+      // Files.list holds a directory fd until closed — a long-running
+      // stream calls this once per micro-batch, so rely on close, not GC
+      scala.util.Using.resource(java.nio.file.Files.list(root)) { s =>
+        s.iterator.asScala.toList
+      }.foreach { d =>
         val id = scala.util.Try(d.getFileName.toString.toLong).getOrElse(Long.MaxValue)
         if (id < before) deleteDirTree(d)
       }
@@ -429,9 +446,10 @@ class GraftSession(val spark: SparkSession, warehouse: String,
   private def deleteDirTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator.asScala.foreach(java.nio.file.Files.delete)
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.toList
+      }.foreach(java.nio.file.Files.delete)
     }
 
   /** One joint index-maintenance transaction (see
@@ -1341,6 +1359,8 @@ class GraftSession(val spark: SparkSession, warehouse: String,
 
   // ---- query path (select.rs / explain.rs; B7/B10/B12) -------------------
 
+  private val ExplainAnalyzeR =
+    "(?is)^\\s*explain\\s+analyze\\s+(?:verbose\\s+)?(.+)".r
   private val VarRef = "(?i)@@(?:(global|session)\\.)?(\\w+)".r
   private val SelectVarsR = "(?is)select\\s+(@@[\\w.]+(?:\\s*,\\s*@@[\\w.]+)*)\\s*".r
 
@@ -1368,6 +1388,19 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     * catalog — O(#tables) driver work, no data scan).
     */
   def query(stmt: String): DataFrame = stmt match {
+    case ExplainAnalyzeR(inner) =>
+      // reference explain.rs:44 (wired at core/execution.rs:1042):
+      // EXPLAIN ANALYZE <stmt> EXECUTES the statement and returns the
+      // plan annotated with runtime metrics (DataFusion's "Plan with
+      // Metrics" result shape). Spark SQL doesn't parse the ANALYZE
+      // flag, so route the child through this session's own query path,
+      // execute it distributed (rows discarded at the executors — never
+      // collected to the driver), and render the FINAL adaptive physical
+      // plan with each node's SQLMetrics values.
+      val child = query(inner.trim)
+      child.queryExecution.toRdd.foreach(_ => ())
+      frame(Seq("plan_type", "plan"), Seq(Seq("Plan with Metrics",
+        GraftSession.metricsTree(child.queryExecution.executedPlan))))
     case SelectVarsR(vars) =>
       // pure variable select keeps MySQL column naming: `@@version` etc.
       val names = vars.split(',').map(_.trim)
@@ -1564,4 +1597,25 @@ class GraftSession(val spark: SparkSession, warehouse: String,
 object GraftSession {
   /** Column-metadata key marking a frame as a graft DML/DDL FinalCount. */
   val DmlCountTag = "graft_dml_count"
+
+  /** Executed-plan tree with per-node SQLMetrics values — the EXPLAIN
+    * ANALYZE rendering. Adaptive wrappers are unwrapped to the plan
+    * that actually ran (the caller executes before rendering, so the
+    * adaptive plan is final and every metric is populated).
+    */
+  private[graft] def metricsTree(
+      p: org.apache.spark.sql.execution.SparkPlan, depth: Int = 0): String = {
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Some(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Some(s.plan)
+      case _ => None
+    }
+    val ms = p.metrics.toSeq.sortBy(_._1)
+      .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+    val line = ("  " * depth) + p.nodeName + (if (ms.isEmpty) "" else s" [$ms]")
+    val kids = inner.map(Seq(_)).getOrElse(p.children)
+    (line +: kids.map(c => metricsTree(c, depth + 1))).mkString("\n")
+  }
 }

@@ -211,6 +211,17 @@ object GraftFunctions {
   def idSample(id: Column, stride: Long): Column =
     md5Prefix48(id) % lit(stride) === lit(0L)
 
+  /** Loud-fail guard for SAMPLED codebook arrays: an idSample stride
+    * >> n (caller bug) or an empty corpus yields an EMPTY sample, and
+    * every downstream argmin/encode silently degenerates — exactly the
+    * round-12 q94 failure class, which must fail loudly instead.
+    * Wrapping the aggregated one-row codebook array keeps the check
+    * scan-local and unprunable (the consumer reads the array itself).
+    */
+  def nonEmptySample(arr: Column, what: String): Column =
+    when(size(arr) > 0, arr).otherwise(raise_error(lit(
+      s"$what: sampled codebook is EMPTY — idSample stride exceeds the corpus or the corpus is empty")))
+
   /** One-pass D34 PII scan struct (emails, phones, ips, cards, red) —
     * native kernel, bit-identical to the regexp_count forms of
     * PiiScrub's five detection classes and the six-step regexp_replace

@@ -147,8 +147,10 @@ object Ann {
     * work at all).
     */
   private[operators] def codebookOf(cents: DataFrame): DataFrame =
-    broadcast(cents.agg(sort_array(collect_list(
-      struct(col("c_id"), col("c_qv"), col("c_dot")))).as("cb")))
+    broadcast(cents.agg(graft.functions.GraftFunctions.nonEmptySample(
+      sort_array(collect_list(
+        struct(col("c_id"), col("c_qv"), col("c_dot")))),
+      "Ann.codebookOf").as("cb")))
 
   /** Corpus → (vec_id, qv, selfdot, cell): every vector labeled with its
     * nearest centroid by a map-side native argmax over the broadcast

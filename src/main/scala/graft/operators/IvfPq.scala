@@ -76,8 +76,10 @@ object IvfPq {
     corpus.filter(graft.functions.GraftFunctions.idSample(col("id"), cStride))
       .select(col("id").as("c_id"), col("qv").as("c_vec"),
         quantDot(col("qv"), col("qv")).as("c_self"))
-      .agg(sort_array(collect_list(struct(
-        col("c_id"), col("c_vec"), col("c_self")))).as("ce"))
+      .agg(graft.functions.GraftFunctions.nonEmptySample(
+        sort_array(collect_list(struct(
+          col("c_id"), col("c_vec"), col("c_self")))),
+        "IvfPq.coarseArrayRow").as("ce"))
       .localCheckpoint()
 
   /** Per-centroid rows (cr, c_id, c_vec, c_self) — rank = position in
@@ -156,6 +158,9 @@ object IvfPq {
       val pqCbR = pqCodebook(assignResidual(corpus, coarseArr, kc, dim),
         pStride, m, subDim)
       val ks = pqCbR.filter(col("sub") === 0).count().toInt
+      require(ks > 0, "IvfPq index: PQ codebook sampled 0 rows " +
+        "(idSample stride exceeds the corpus) — refusing to build a " +
+        "degenerate index")
       Index(coarse, coarseArr, kc, pqCbR, pqArrOf(pqCbR).localCheckpoint(),
         ks, dim, m, subDim)
     })
@@ -206,6 +211,9 @@ object IvfPq {
     val coarse = coarseRowsOf(ceArr)
     val kc = coarseRows.count().toInt
     val ks = pqRows.filter(col("sub") === 0).count().toInt
+    require(kc > 0 && ks > 0, "IvfPq.indexFromStored: empty stored " +
+      s"codebook table (kc=$kc ks=$ks) — a rebuilt quantizer would " +
+      "silently degenerate")
     val pqCbR = pqRows.select(col("c_id"), col("sub"), col("c_sv"),
       col("c_self"), col("r")).localCheckpoint()
     Index(coarse, coarseArrOf(ceArr).localCheckpoint(), kc, pqCbR,
@@ -303,6 +311,9 @@ object IvfPq {
       val pqCbR = pqCodebook(
         assignResidual2(corpus, ixPart), pStride, m, subDim)
       val ks = pqCbR.filter(col("sub") === 0).count().toInt
+      require(ks > 0, "IvfPq 2-level index: PQ codebook sampled 0 rows " +
+        "(idSample stride exceeds the corpus) — refusing to build a " +
+        "degenerate index")
       ixPart.copy(pqCbR = pqCbR, pqArr = pqArrOf(pqCbR).localCheckpoint(),
         ks = ks)
     })

@@ -124,8 +124,11 @@ object Pq {
       "@" + System.identityHashCode(corpus.sparkSession)
     cbMemo.computeIfAbsent((planKey, stride, m, subDim), _ => {
       val cbR = ranked(codebook(corpus, stride, m, subDim))
-      (cbR, rankedCbArr(cbR).localCheckpoint(),
-        cbR.filter(col("sub") === 0).count().toInt)
+      val ks = cbR.filter(col("sub") === 0).count().toInt
+      require(ks > 0, "Pq.stagedCodebook: codebook sampled 0 rows " +
+        "(idSample stride exceeds the corpus) — refusing to build a " +
+        "degenerate codebook")
+      (cbR, rankedCbArr(cbR).localCheckpoint(), ks)
     })
   }
 
@@ -137,6 +140,7 @@ object Pq {
   def encode(corpus: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame = {
     val cbR = ranked(cb)
     val ks = cbR.filter(col("sub") === 0).count().toInt
+    require(ks > 0, "Pq.encode: empty codebook — encoding would degenerate")
     corpus
       .crossJoin(broadcast(rankedCbArr(cbR)))
       .select(col("id"), col("cid"),

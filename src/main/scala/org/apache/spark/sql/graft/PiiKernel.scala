@@ -83,14 +83,22 @@ object PiiKernel {
       if (j + 1 >= n || (b(j + 1) & 0xc0) != 0x80) false
       else Character.isLetterOrDigit(((x & 0x1f) << 6) | (b(j + 1) & 0x3f))
     } else if (x < 0xf0) { // 3-byte BMP
+      // overlong (E0 80-9F) and CESU surrogates (ED A0-BF) decode to
+      // U+FFFD (non-word) on Java's String path — reject, don't classify
       if (j + 2 >= n || (b(j + 1) & 0xc0) != 0x80 || (b(j + 2) & 0xc0) != 0x80)
         false
+      else if (x == 0xe0 && (b(j + 1) & 0xff) < 0xa0) false
+      else if (x == 0xed && (b(j + 1) & 0xff) >= 0xa0) false
       else
         Character.isLetterOrDigit(
           ((x & 0x0f) << 12) | ((b(j + 1) & 0x3f) << 6) | (b(j + 2) & 0x3f))
     } else { // 4-byte supplementary: Bound decodes the full code point
+      // reject overlong (F0 80-8F → cp < 0x10000) and beyond-Unicode
+      // (F4 90+ → cp > 0x10FFFF): String decodes both to U+FFFD
       if (j + 3 >= n || (b(j + 1) & 0xc0) != 0x80 ||
         (b(j + 2) & 0xc0) != 0x80 || (b(j + 3) & 0xc0) != 0x80) false
+      else if (x == 0xf0 && (b(j + 1) & 0xff) < 0x90) false
+      else if (x == 0xf4 && (b(j + 1) & 0xff) >= 0x90) false
       else
         Character.isLetterOrDigit(
           ((x & 0x07) << 18) | ((b(j + 1) & 0x3f) << 12) |

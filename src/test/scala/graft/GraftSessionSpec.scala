@@ -525,6 +525,22 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(out.head.head.toString.contains("Aggregate"))
   }
 
+  test("A17 EXPLAIN ANALYZE executes and returns the plan with metrics") {
+    // reference explain.rs:44: the ANALYZE flag runs the statement and
+    // answers an executed-plan-with-metrics result set
+    g.sql("use test")
+    val out = rows("explain analyze select count(*) from user")
+    assert(out.size == 1)
+    val Seq(planType, plan) = out.head.map(_.toString)
+    assert(planType == "Plan with Metrics")
+    // the plan ran: the aggregate's numOutputRows metric is populated
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
+    assert(plan.contains("numOutputRows=1"))
+    // child statements still go through the session's MySQL rewrites
+    val v = rows("explain analyze select @@version_comment as c")
+    assert(v.head.head.toString == "Plan with Metrics")
+  }
+
   test("B23 CREATE VIEW: logical, listed, redefinable, durable across reopen") {
     g.sql("use test")
     g.sql("create table vbase (id int, name char, primary key(id))")

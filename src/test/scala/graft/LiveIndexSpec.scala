@@ -282,8 +282,12 @@ class LiveIndexSpec extends AnyFunSuite {
     // grown corpus, re-encode EVERYTHING through the same upsert
     // machinery, and the table equals a from-scratch rebuild
     val grown = seed ++ latest
+    // ksTarget=8 (stride 6, 8 sampled ids): at ksTarget=4 the stride-13
+    // hash-mod sample of these 55 ids is deterministically EMPTY — the
+    // round-13 nonEmptySample guard caught this spec silently pinning a
+    // degenerate (0-codeword) refresh quantizer against itself
     val ix2 = IvfPq.index(qvOf(grown), grown.size.toLong,
-      dim = dim, m = m, ksTarget = 4)
+      dim = dim, m = m, ksTarget = 8)
     val refresh = MemoryStream[StreamVec](spark)
     val q2 = g.ingestUpsert(
       EventStreams.embeddingIndexStream(refresh.toDF(), ix2),

@@ -433,6 +433,17 @@ class MysqlServerSpec extends AnyFunSuite {
     c.quit()
   }
 
+  test("EXPLAIN ANALYZE answers an executed-plan result set on the wire") {
+    val c = new Client
+    val rs = c.query("explain analyze select 1 + 1 as two")
+      .asInstanceOf[ResultSet]
+    assert(rs.columns == Seq("plan_type", "plan"))
+    assert(rs.rows.size == 1)
+    assert(rs.rows.head.head == Some("Plan with Metrics"))
+    assert(rs.rows.head(1).get.contains("numOutputRows=1"))
+    c.quit()
+  }
+
   test("base_sql scenario: schema DDL, table DDL, DML, and SELECT round-trip") {
     val c = new Client
     assert(c.query("create schema wiredb").isInstanceOf[Ok])
