@@ -1195,6 +1195,13 @@ object Pipeline {
   // — a keyed window, never an unpartitioned one (the q19 lesson). All
   // emitted values are exact integer arithmetic (integer DIV/MOD on a
   // BIGINT running sum), replayed identically by DuckDB.
+  // Round 13: the shard key is md5Prefix48(doc_id) % nshards, NOT raw
+  // doc_id % nshards — the idSample rule: raw modulo assumes a DENSE id
+  // space, and on sparse/shifted production ids (snowflake, sharded,
+  // the key-shifted derived testdata) the residues cluster and shards
+  // skew, serializing the per-shard windows onto a few tasks. The hash
+  // residue is uniform for ANY id distribution; DuckDB replays it via
+  // the standing md5-prefix idiom.
   private val q72 = Qdef(
     "q72_seq_packing",
     (s, dir) => {
@@ -1204,7 +1211,9 @@ object Pipeline {
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       t(s, dir, "documents")
-        .select(col("doc_id"), pmod(col("doc_id"), lit(nshards)).as("shard"),
+        .select(col("doc_id"),
+          pmod(graft.functions.GraftFunctions.md5Prefix48(col("doc_id")),
+            lit(nshards)).as("shard"),
           size(split(col("text"), " ")).cast("long").as("tokens"))
         .withColumn("cum_before",
           coalesce(sum(col("tokens")).over(w), lit(0L)))
@@ -1216,7 +1225,8 @@ object Pipeline {
     Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
     tok AS (
       SELECT doc_id,
-        doc_id % (SELECT GREATEST(16, n // 4096) FROM n) AS shard,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+          % (SELECT GREATEST(16, n // 4096) FROM n) AS shard,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
       FROM documents),
     packed AS (
