@@ -106,6 +106,23 @@ object Cluster {
     cents
   }
 
+  /** Label arbitrary rows under an EXPLICIT FROZEN codebook
+    * (c_id, c_qv) — the live-maintenance face (SURVEY.md §2.C21). One
+    * scan-local projection against the one-row broadcast codebook,
+    * every input column preserved; works identically on batch and
+    * STREAMING frames (the codebook is the static broadcast side of a
+    * stream-static join — the C19 encodeRows discipline), so live ==
+    * rebuild is structural. `qvCol` must be a quantized vector column.
+    */
+  def assignRows(rows: DataFrame, codebook: DataFrame,
+                 qvCol: String = "qv"): DataFrame =
+    rows
+      .withColumn("_selfdot", quantDot(col(qvCol), col(qvCol)).cast("double"))
+      .crossJoin(asCodebook(codebook.select(col("c_id"), col("c_qv"))))
+      .withColumn("cluster",
+        nearestCentroid(col(qvCol), col("_selfdot"), col("cb")))
+      .drop("cb", "_selfdot")
+
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame =
     kmeansAssignSeeded(corpus, col("id") < k, iters)
 
@@ -155,6 +172,27 @@ object Cluster {
     // contract).
     val labeled0 = kmeansAssignSeeded(corpus, seedFilter, iters)
     val labeled = if (stage) labeled0.localCheckpoint() else labeled0
+    survivors(labeled, threshold)
+  }
+
+  /** SemDeDup survivors from a MAINTAINED assignment table: `labels`
+    * is (id, cluster) — e.g. the C21 live cluster table — and `corpus`
+    * carries the vectors (id, qv). The qv re-attach is a keyed
+    * equi-join on id (never broadcast — both sides grow with the
+    * corpus); pairwise work stays confined to cluster blocks exactly
+    * as semDedupSeeded. Returns kept (id, cluster).
+    */
+  def semDedupLabels(labels: DataFrame, corpus: DataFrame,
+                     threshold: Double, stage: Boolean = false): DataFrame = {
+    val labeled0 = withSelfDot(corpus.select(col("id"), col("qv")))
+      .join(labels.select(col("id"), col("cluster")), Seq("id"))
+    survivors(if (stage) labeled0.localCheckpoint() else labeled0, threshold)
+  }
+
+  /** The in-cluster senior-near-duplicate drop shared by the seeded and
+    * labels faces: `labeled` is (id, qv, selfdot, cluster).
+    */
+  private def survivors(labeled: DataFrame, threshold: Double): DataFrame = {
     val dropped = labeled.as("a")
       .join(labeled.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))

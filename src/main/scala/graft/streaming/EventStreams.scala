@@ -639,6 +639,49 @@ object EventStreams {
       .select(col("vec_id"), col("ts"), col("cell"), col("codes"))
   }
 
+  // ---- C21: LIVE SemDeDup cluster-assignment maintenance ------------------
+
+  /** The streaming face of D21/q58 — the LAST static index made live
+    * (round 13; C17 minhash bands, C18 postings, C19 IVFADC codes came
+    * first): each micro-batch of vectors is labeled with its nearest
+    * cluster under a FROZEN kmeans codebook (`Cluster.kmeansCodebook`'s
+    * (c_id, c_qv) shape — ONE scan-local projection against the one-row
+    * broadcast codebook, `Cluster.assignRows`, the exact code the batch
+    * q57/q58 assignment runs, so live == rebuild is structural) and
+    * upserted into a (vec_id PK, cluster) catalog table by
+    * `ingestUpsert` — a revised vec_id replaces its cluster atomically.
+    * The maintained table IS `Cluster.semDedupLabels`' labels input:
+    * SemDeDup survivors compute from the live table without
+    * re-clustering the corpus.
+    *
+    * The codebook persists as a catalog table (it literally is its own
+    * (c_id, c_qv) frame) — a restart reads it back and labels
+    * bit-identically. CODEBOOK REFRESH is deliberately NOT an
+    * ingest-edge concern: cluster labels are only comparable under one
+    * codebook, so a refresh (retrain on the grown corpus, re-assign
+    * every vector) is an OPTIMIZE-style full rewrite through the same
+    * upsert machinery — LiveIndexSpec pins refreshed == from-scratch
+    * rebuild under the new codebook. Refresh vs ingest is single-writer
+    * BY CONTRACT (C19's exact contract): if an ingest upsert races the
+    * refresh (lands between retrain and re-assign), the behavior is
+    * last-writer-wins per key — snapshot keys take the refresh label (a
+    * racing revision is lost until re-ingested) and off-snapshot keys
+    * keep OLD-codebook labels — the STALE-LABELS WINDOW, which is
+    * exactly that set of upserts. A refresh must therefore end with a
+    * catch-up pass re-assigning rows upserted since the retrain (or
+    * quiesce ingest). At 100 TB: the assignment is embarrassingly
+    * parallel (a √n-bounded one-row broadcast codebook), the upsert
+    * cost is the C17 merge-on-read path, and the refresh is a full
+    * corpus re-assign — scheduled, not streamed.
+    */
+  def clusterAssignStream(vecs: DataFrame, codebook: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.quantize
+    graft.operators.Cluster.assignRows(
+      vecs.select(col("vec_id"), col("ts"),
+        quantize(col("embedding")).as("qv")), codebook, "qv")
+      .select(col("vec_id"), col("ts"), col("cluster"))
+  }
+
   // ---- C16: PII scrub at the ingest edge ----------------------------------
 
   /** The streaming face of D34/q89 — identifiers leave the text at the

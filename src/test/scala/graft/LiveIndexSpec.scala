@@ -299,6 +299,92 @@ class LiveIndexSpec extends AnyFunSuite {
       "refresh must equal the new-quantizer rebuild of the grown corpus")
   }
 
+  test("C21 live SemDeDup: per-batch cluster assign == frozen-codebook rebuild; survivors from the live table == batch SemDeDup; stored codebook + refresh pinned") {
+    import graft.functions.GraftFunctions.{idSample, quantize}
+    import graft.operators.Cluster
+    val dim = 8
+    def emb(id: Long, salt: Long = 0): Seq[Float] =
+      Seq.tabulate(dim)(j => ((((id + salt) * 31 + j * 17) % 13) - 6) / 10.0f)
+    def qvOf(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("id", "embedding")
+        .select(col("id"), quantize(col("embedding")).as("qv"))
+    // the frozen codebook trains on a seed corpus (kmeans-refined from a
+    // hash-mod uniform seed — stride 5 samples 11 of the 40 seed ids)
+    val seed = (1L to 40L).map(i => (i, emb(i)))
+    val cb = Cluster.kmeansCodebook(qvOf(seed),
+      idSample(col("id"), 5L), rounds = 2)
+
+    // the codebook persists as a catalog table (it IS its own frame); a
+    // restart reads back the exact frozen labeler
+    cb.createOrReplaceTempView("v_sem_cb")
+    g.sql("create table sem_cb as select * from v_sem_cb")
+    val cbStored = g.sql("select c_id, c_qv from sem_cb")
+    def labelRows(corpus: Seq[(Long, Seq[Float])],
+                  book: org.apache.spark.sql.DataFrame) =
+      Cluster.assignRows(qvOf(corpus), book)
+        .select(col("id"), col("cluster"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelRows(seed, cbStored) == labelRows(seed, cb),
+      "stored codebook must reconstruct the exact frozen labeler")
+
+    // live maintenance: vectors label at the ingest edge and upsert into
+    // the (vec_id PK, cluster) table; a revised vec_id replaces its label
+    g.sql("create table sem_cluster (vec_id bigint, ts timestamp, " +
+      "cluster bigint, primary key(vec_id))")
+    val input = MemoryStream[StreamVec](spark)
+    val q = g.ingestUpsert(
+      EventStreams.clusterAssignStream(input.toDF(), cb),
+      "sem_cluster", chk(), orderCol = "ts")
+    input.addData((41L to 50L).map(i => StreamVec(i, ts(i.toInt), emb(i))): _*)
+    q.processAllAvailable()
+    // batch 2: five new vectors land and vec 41 is REVISED mid-stream —
+    // its revision is emb(48)'s exact value, planting a guaranteed
+    // in-cluster exact duplicate for the survivor assertion below
+    input.addData((51L to 55L).map(i => StreamVec(i, ts(i.toInt), emb(i))) :+
+      StreamVec(41L, ts(99), emb(41L, salt = 7)): _*)
+    q.processAllAvailable(); q.stop()
+    val latest = (42L to 55L).map(i => (i, emb(i))) :+ (41L, emb(41L, salt = 7))
+    def liveRows() = g.sql("select vec_id, cluster from sem_cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(liveRows() == labelRows(latest, cb),
+      "live table must equal the frozen-codebook labeling of the latest corpus")
+
+    // the live table IS semDedupLabels' labels input: survivors from the
+    // maintained table equal the same-labels batch SemDeDup — no
+    // re-clustering anywhere
+    val corpusQv = qvOf(latest)
+    val liveLabels = g.sql("select vec_id as id, cluster from sem_cluster")
+    def keptOf(labels: org.apache.spark.sql.DataFrame) =
+      Cluster.semDedupLabels(labels, corpusQv, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Cluster.assignRows(corpusQv, cb)
+      .select(col("id"), col("cluster"))
+    val kept = keptOf(liveLabels)
+    assert(kept == keptOf(rebuilt),
+      "survivors from the live table must equal the frozen-codebook batch SemDeDup")
+    // the planted exact duplicate (41-revised == 48) drops its JUNIOR
+    // side: 41 survives, 48 does not
+    assert(kept.exists(_._1 == 41L) && !kept.exists(_._1 == 48L),
+      "the planted in-cluster exact duplicate must drop the higher id")
+
+    // codebook refresh = OPTIMIZE-style rewrite under a NEW codebook
+    // (labels are only comparable under one codebook): retrain on the
+    // grown corpus, re-assign EVERYTHING through the same upsert
+    // machinery, and the table equals a from-scratch rebuild
+    val grown = seed.filterNot(_._1 == 41L) ++ latest
+    val cb2 = Cluster.kmeansCodebook(qvOf(grown),
+      idSample(col("id"), 6L), rounds = 2)
+    val refresh = MemoryStream[StreamVec](spark)
+    val q2 = g.ingestUpsert(
+      EventStreams.clusterAssignStream(refresh.toDF(), cb2),
+      "sem_cluster", chk(), orderCol = "ts")
+    refresh.addData(grown.zipWithIndex.map { case ((i, e), o) =>
+      StreamVec(i, ts(200 + o), e) }: _*)
+    q2.processAllAvailable(); q2.stop()
+    assert(liveRows() == labelRows(grown, cb2),
+      "refresh must equal the new-codebook rebuild of the grown corpus")
+  }
+
   test("C18 marker protocol: torn marker reads as -1 (no wedge), the write is atomic, orphaned txn dirs are reaped, and a torn-marker redelivery converges") {
     val chkDir = chk()
     val p = java.nio.file.Paths.get(chkDir, "_graft_applied_batch")
