@@ -40,7 +40,7 @@ object PlanAudit {
     "q68_ann_recall"      -> "recall audit composes the production ANN plans (broadcast query batch, zero-exchange IVF assignment, band equi-join) + keyed audit joins; nothing corpus x corpus beyond the graded operators",
     "q70_dedup_embedding_2level" -> "two-level IVF: coarse assignment zero-exchange (cbrt(n)-row broadcast argmax); fine codebooks + pair generation are (cell1[, cell2]) equi-joins — the 10^12-corpus shape where the sqrt(n) single-level broadcast stops fitting",
     "q71_ann_recall_2level" -> "two-level ANN recall audit: composes q35's broadcast query batch with q70's coarse broadcast; fine probe and candidate generation are (cell1, cell2) equi-joins; per-query hit stats partial-aggregate map-side",
-    "q72_seq_packing" -> "sequence packing: running sum as a PER-SHARD keyed window (COUNT-driven shard count, scale-constant window state) — never an unpartitioned window; integer DIV/MOD projection after",
+    "q72_seq_packing" -> "sequence packing: running sum as a PER-SHARD keyed window (COUNT-driven shard count, scale-constant window state; shard key = md5Prefix48(doc_id) % nshards — uniform on sparse/shifted id spaces, the idSample rule) — never an unpartitioned window; integer DIV/MOD projection after",
     "q73_common_grams" -> "cross-doc common grams: df attached in place by an unordered gram-partition window (ONE gram-key shuffle; per-distinct-trigram groups are tiny and skew-free) + doc-key rollup; nothing pairwise, nothing corpus x corpus",
     "q76_bm25" -> "inverted-index retrieval: ONE corpus tokenization (staged tf table; dl/stats/df all derive from it), postings pruned to the broadcast query-term set map-side, one-row stats cross join, per-query top-k via the TopKPairs partial aggregate — never a window over all scored rows",
     "q77_fuzzy_dedup" -> "blocked edit-distance dedup: candidates from two keyed self-equi-joins (prefix/suffix x length-bucket), pair-dedup BEFORE the Levenshtein verify so the O(len^2) DP runs once per unique candidate; no cartesian",
