@@ -866,11 +866,47 @@ class Catalog(spark: SparkSession, val warehouse: String) {
           df.withColumn(Catalog.SeqCol,
             lit(seqOpt.getOrElse(nextSeqLocked(db, t))))
         else df
-      writer(out, m).mode("append").save(currentVersionDir(db, t).toString)
-      // appended files are unbucketed: a bucketed-marked version loses
-      // its layout guarantee the moment they land
-      if (m.mergeOnRead)
-        Files.deleteIfExists(bucketMarker(currentVersionDir(db, t)))
+      val cur = currentVersionDir(db, t)
+      val bkt = if (m.mergeOnRead && m.partitionCols.isEmpty) bucketCount(db, t)
+                else 0
+      if (bkt > 0 && m.pk.nonEmpty) {
+        // Bucket-ALIGNED append (round 13): the compacted layout's
+        // exchange-free pk joins used to die at the first post-OPTIMIZE
+        // append (plain files can't honor the bucket spec, so the marker
+        // had to drop). Writing the batch through the same bucketed
+        // writer — same count, same keys, bucket ids in the file names —
+        // keeps every file in the version honest to the spec, so the
+        // marker stays TRUE under sustained ingest. Spark groups a
+        // bucket's several files into one scan partition (only the
+        // sortedness shortcut needs one file per bucket; the planner
+        // adds its own Sort then), so reads stay exchange-free. Cost:
+        // one tiny per-batch hash shuffle into ≤ bkt files — exactly
+        // what the ingest would otherwise repay on every later pk join.
+        val tmpDir = Files.createTempDirectory("graft-bktapp")
+        val tmp = "graft_tmp_bktapp_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        out.write.format(m.format)
+          .bucketBy(bkt, m.pk.head, m.pk.tail: _*)
+          .sortBy(m.pk.head, m.pk.tail: _*)
+          .option("path", tmpDir.toString)
+          .mode("overwrite")
+          .saveAsTable(tmp)
+        spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+        scala.util.Using.resource(Files.list(tmpDir)) { s =>
+          s.iterator.asScala.toList
+        }.foreach { f =>
+          val name = f.getFileName.toString
+          // task-attempt UUIDs in the names make collisions impossible
+          if (!name.startsWith("_") && !name.startsWith("."))
+            Files.move(f, cur.resolve(name))
+        }
+        deleteRecursively(tmpDir)
+      } else {
+        writer(out, m).mode("append").save(cur.toString)
+        // appended files are unbucketed: a bucketed-marked version loses
+        // its layout guarantee the moment they land
+        if (m.mergeOnRead) Files.deleteIfExists(bucketMarker(cur))
+      }
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
     syncBucketRegistration(m)

@@ -432,15 +432,24 @@ class MergeOnReadSpec extends AnyFunSuite {
       !sj.contains("Exchange rangepartitioning"),
       s"bucketed pk self-join must not repartition:\n$sj")
     assert(selfJoin.collect().head.getLong(0) == 200L)
-    // an append DROPS the guarantee (new files are not bucketed): the
-    // registration must fall back to a plain table — and stay correct
+    // round 13: an append is written BUCKET-ALIGNED (same count, same
+    // keys, bucket ids in the file names), so the spec KEEPS — pk plans
+    // stay exchange-free under sustained ingest, and rows stay correct
     g.sql("insert into bk values (201, 'v201')")
+    assert(g.catalog.bucketCount("mor", "bk") > 0,
+      "bucket-aligned append must keep the version's bucket marker")
     val after = g.spark.sql("select id, count(*) c from mor.bk group by id")
       .queryExecution.executedPlan.toString
-    assert(shuffles(after),
-      "append after OPTIMIZE must demote the bucket spec (files are mixed)")
+    assert(!shuffles(after),
+      s"pk groupBy must stay exchange-free after a bucket-aligned append:\n$after")
     assert(rows(g, "select count(*) c from bk").head.head == "201")
-    // ...and the next OPTIMIZE restores it
+    assert(rows(g, "select v from bk where id = 201").head.head == "v201")
+    // an UPDATE of an appended row still masks exactly that row (the
+    // upsert machinery over the mixed compacted+appended bucket files)
+    g.sql("update bk set v = 'y' where id = 201")
+    assert(rows(g, "select v from bk where id = 201").head.head == "y")
+    assert(rows(g, "select count(*) c from bk").head.head == "201")
+    // ...and the next OPTIMIZE re-folds everything into one clean layout
     g.sql("delete from bk where id = 201")
     g.sql("optimize table bk")
     val again = g.spark.sql("select id, count(*) c from mor.bk group by id")
