@@ -41,4 +41,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // A/B probe knob: extra -D flags for targeted rehearsal runs
   // (e.g. SPARK_GRAFT_JVM_OPTS="-Dspark.rdd.compress=true")
-) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(' '))
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -23,7 +23,9 @@ object Explain {
       // AQE finalizes exchange reuse only at runtime: the initial plan
       // above can show N identical subtrees that execute once. Run the
       // query, then print the FINAL adaptive plan — the one to audit.
-      val n = df.collect().length
+      // toRdd.count(): execute distributed, rows stay at the executors —
+      // same honest-action discipline as Bench.scala (no driver collect)
+      val n = df.queryExecution.toRdd.count()
       println(s"rows=$n")
       println("== Final (post-AQE) Plan ==")
       println(df.queryExecution.executedPlan.toString)

@@ -798,13 +798,14 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       // scan keys on, so the files must come from this writer.
       val tmp = "graft_tmp_bucketed_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
-      frame.write.format(m.format)
-        .bucketBy(compactionBuckets, bucketBy.head, bucketBy.tail: _*)
-        .sortBy(bucketBy.head, bucketBy.tail: _*)
-        .option("path", next.toString)
-        .mode("overwrite")
-        .saveAsTable(tmp)
-      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+      try {
+        frame.write.format(m.format)
+          .bucketBy(compactionBuckets, bucketBy.head, bucketBy.tail: _*)
+          .sortBy(bucketBy.head, bucketBy.tail: _*)
+          .option("path", next.toString)
+          .mode("overwrite")
+          .saveAsTable(tmp)
+      } finally spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
       Files.write(bucketMarker(next),
         compactionBuckets.toString.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
@@ -828,9 +829,24 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         Files.createDirectories(target.getParent)
         Files.createLink(target, cur.resolve(name))
       }
-      // carried-over appends are NOT bucketed files: the layout
-      // guarantee does not hold for this version after all
-      if (carriedIn.nonEmpty) Files.deleteIfExists(bucketMarker(next))
+      // Carried-over appends keep the bucket layout only if they were
+      // written bucket-aligned (post-OPTIMIZE appends are): the replaced
+      // version carried the same bucket count this rewrite used AND every
+      // carried file name parses a valid bucket id under it. Anything
+      // else — plain appends, a bucket-count change mid-flight — forfeits
+      // the guarantee, so the marker drops and the spec never lies.
+      val prevBuckets =
+        if (Files.exists(bucketMarker(cur)))
+          new String(Files.readAllBytes(bucketMarker(cur))).trim.toInt
+        else 0
+      val carriedAligned = prevBuckets == compactionBuckets &&
+        carriedIn.forall { name =>
+          org.apache.spark.sql.graft.Bridge
+            .bucketIdOf(Paths.get(name).getFileName.toString)
+            .exists(id => id >= 0 && id < compactionBuckets)
+        }
+      if (carriedIn.nonEmpty && !carriedAligned)
+        Files.deleteIfExists(bucketMarker(next))
       // tombstone GC, one commit late: delete the files the PREVIOUS
       // rewrite retired, then retire the tombstones this rewrite folded
       val dels = Paths.get(deletesPath(db, t))
@@ -882,25 +898,43 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         // adds its own Sort then), so reads stay exchange-free. Cost:
         // one tiny per-batch hash shuffle into ≤ bkt files — exactly
         // what the ingest would otherwise repay on every later pk join.
-        val tmpDir = Files.createTempDirectory("graft-bktapp")
+        // Stage under the TABLE'S OWN path, never java.io.tmpdir: /tmp is
+        // routinely a different filesystem (tmpfs), where Files.move
+        // degrades to a non-atomic copy+delete and a lock-free concurrent
+        // reader can list a partially-copied parquet file (torn footer).
+        // A dot-prefixed dir beside versions/ is on the warehouse
+        // filesystem (every publish below is an atomic rename — enforced
+        // with ATOMIC_MOVE so a mount surprise fails loudly instead of
+        // tearing) and invisible to listFiles/GC, which only walk
+        // version dirs.
+        val tmpDir = Files.createDirectories(
+          tablePath(db, t).resolve(".staging").resolve(
+            "bktapp_" + java.util.UUID.randomUUID.toString.replace("-", "")))
         val tmp = "graft_tmp_bktapp_" +
           java.util.UUID.randomUUID.toString.replace("-", "")
-        out.write.format(m.format)
-          .bucketBy(bkt, m.pk.head, m.pk.tail: _*)
-          .sortBy(m.pk.head, m.pk.tail: _*)
-          .option("path", tmpDir.toString)
-          .mode("overwrite")
-          .saveAsTable(tmp)
-        spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
-        scala.util.Using.resource(Files.list(tmpDir)) { s =>
-          s.iterator.asScala.toList
-        }.foreach { f =>
-          val name = f.getFileName.toString
-          // task-attempt UUIDs in the names make collisions impossible
-          if (!name.startsWith("_") && !name.startsWith("."))
-            Files.move(f, cur.resolve(name))
+        try {
+          out.write.format(m.format)
+            .bucketBy(bkt, m.pk.head, m.pk.tail: _*)
+            .sortBy(m.pk.head, m.pk.tail: _*)
+            .option("path", tmpDir.toString)
+            .mode("overwrite")
+            .saveAsTable(tmp)
+          scala.util.Using.resource(Files.list(tmpDir)) { s =>
+            s.iterator.asScala.toList
+          }.foreach { f =>
+            val name = f.getFileName.toString
+            // task-attempt UUIDs in the names make collisions impossible
+            if (!name.startsWith("_") && !name.startsWith("."))
+              Files.move(f, cur.resolve(name),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        } finally {
+          // a throw above (or between saveAsTable and the moves) must not
+          // leak the scratch table into SHOW TABLES or the staging dir
+          // onto disk — drop + delete unconditionally
+          spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+          deleteRecursively(tmpDir)
         }
-        deleteRecursively(tmpDir)
       } else {
         writer(out, m).mode("append").save(cur.toString)
         // appended files are unbucketed: a bucketed-marked version loses

@@ -1360,7 +1360,14 @@ class GraftSession(val spark: SparkSession, warehouse: String,
   // ---- query path (select.rs / explain.rs; B7/B10/B12) -------------------
 
   private val ExplainAnalyzeR =
-    "(?is)^\\s*explain\\s+analyze\\s+(?:verbose\\s+)?(.+)".r
+    "(?is)^\\s*explain\\s+analyze\\s+(?:(formatted|verbose)\\s+)?(.+)".r
+  /** Statements EXPLAIN ANALYZE may execute: the relational query path
+    * only. A DML/DDL child would reach spark.sql directly and write
+    * OUTSIDE graft's dispatch — no seq stamping, no commit protocol, no
+    * catalog lock — so it is refused (MySQL 1235), never half-executed.
+    */
+  private val RelationalChildR =
+    "(?is)^\\s*[(]*\\s*(?:select|with|values|table|explain)\\b.*".r
   private val VarRef = "(?i)@@(?:(global|session)\\.)?(\\w+)".r
   private val SelectVarsR = "(?is)select\\s+(@@[\\w.]+(?:\\s*,\\s*@@[\\w.]+)*)\\s*".r
 
@@ -1388,7 +1395,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     * catalog — O(#tables) driver work, no data scan).
     */
   def query(stmt: String): DataFrame = stmt match {
-    case ExplainAnalyzeR(inner) =>
+    case ExplainAnalyzeR(mode, inner) =>
       // reference explain.rs:44 (wired at core/execution.rs:1042):
       // EXPLAIN ANALYZE <stmt> EXECUTES the statement and returns the
       // plan annotated with runtime metrics (DataFusion's "Plan with
@@ -1396,11 +1403,28 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       // flag, so route the child through this session's own query path,
       // execute it distributed (rows discarded at the executors — never
       // collected to the driver), and render the FINAL adaptive physical
-      // plan with each node's SQLMetrics values.
+      // plan with each node's SQLMetrics values. VERBOSE renders each
+      // metric with its unit (timing → ms, size → bytes humanized), so
+      // scan/exchange wall times are readable; FORMATTED additionally
+      // prepends Spark's formatted explain of the final adaptive plan.
+      if (!RelationalChildR.matches(inner))
+        throw new SqlError(1235, "42000",
+          "EXPLAIN ANALYZE only supports relational statements " +
+            "(SELECT/WITH/VALUES/TABLE/EXPLAIN); DML and DDL would " +
+            "execute outside the catalog's commit protocol")
       val child = query(inner.trim)
       child.queryExecution.toRdd.foreach(_ => ())
-      frame(Seq("plan_type", "plan"), Seq(Seq("Plan with Metrics",
-        GraftSession.metricsTree(child.queryExecution.executedPlan))))
+      val verbose = mode != null
+      val tree = GraftSession.metricsTree(
+        child.queryExecution.executedPlan, verbose = verbose)
+      val rows =
+        if (mode != null && mode.equalsIgnoreCase("formatted"))
+          Seq(
+            Seq("Formatted Plan", child.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)),
+            Seq("Plan with Metrics", tree))
+        else Seq(Seq("Plan with Metrics", tree))
+      frame(Seq("plan_type", "plan"), rows)
     case SelectVarsR(vars) =>
       // pure variable select keeps MySQL column naming: `@@version` etc.
       val names = vars.split(',').map(_.trim)
@@ -1604,7 +1628,8 @@ object GraftSession {
     * adaptive plan is final and every metric is populated).
     */
   private[graft] def metricsTree(
-      p: org.apache.spark.sql.execution.SparkPlan, depth: Int = 0): String = {
+      p: org.apache.spark.sql.execution.SparkPlan, depth: Int = 0,
+      verbose: Boolean = false): String = {
     val inner = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         Some(a.executedPlan)
@@ -1613,9 +1638,29 @@ object GraftSession {
       case _ => None
     }
     val ms = p.metrics.toSeq.sortBy(_._1)
-      .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+      .map { case (k, m) =>
+        if (verbose) s"$k=${renderMetric(m.metricType, m.value)}"
+        else s"$k=${m.value}"
+      }.mkString(", ")
     val line = ("  " * depth) + p.nodeName + (if (ms.isEmpty) "" else s" [$ms]")
     val kids = inner.map(Seq(_)).getOrElse(p.children)
-    (line +: kids.map(c => metricsTree(c, depth + 1))).mkString("\n")
+    (line +: kids.map(c => metricsTree(c, depth + 1, verbose))).mkString("\n")
   }
+
+  /** One SQLMetric value with its unit — how the UI reads it, not the
+    * raw accumulator: Spark stores `timing` in milliseconds, `nsTiming`
+    * in nanoseconds, `size` in bytes. This is what makes scan/exchange
+    * wall times legible in EXPLAIN ANALYZE VERBOSE/FORMATTED output.
+    */
+  private[graft] def renderMetric(metricType: String, v: Long): String =
+    metricType match {
+      case "timing" => s"$v ms"
+      case "nsTiming" => f"${v / 1e6}%.1f ms"
+      case "size" =>
+        if (v >= (1L << 30)) f"${v / 1073741824d}%.1f GiB"
+        else if (v >= (1L << 20)) f"${v / 1048576d}%.1f MiB"
+        else if (v >= (1L << 10)) f"${v / 1024d}%.1f KiB"
+        else s"$v B"
+      case _ => v.toString
+    }
 }

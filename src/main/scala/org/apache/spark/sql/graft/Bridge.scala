@@ -73,4 +73,13 @@ object Bridge {
     }
     CDataset.ofRows(spark, frozen)
   }
+
+  /** Bucket id a bucketed-writer file name encodes (Spark's own parser —
+    * the same one the bucketed scan keys on), None for plain files.
+    * Lets the commit protocol verify that files carried into a bucketed
+    * version really honor the bucket spec before keeping the marker.
+    */
+  def bucketIdOf(fileName: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils
+      .getBucketId(fileName)
 }

@@ -541,6 +541,47 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(v.head.head.toString == "Plan with Metrics")
   }
 
+  test("A17 EXPLAIN ANALYZE VERBOSE renders per-operator wall times") {
+    g.sql("use test")
+    // a scan + aggregate carries timing SQLMetrics (scan time, agg build
+    // time); VERBOSE renders them with units instead of raw accumulators
+    val out = rows("explain analyze verbose select count(*) from user")
+    assert(out.size == 1)
+    val plan = out.head(1).toString
+    assert(plan.contains(" ms"), s"no timing metric rendered in:\n$plan")
+    // sizes are humanized too (bytes suffix somewhere in the scan node)
+    assert(plan.contains("B") || plan.contains("KiB"))
+  }
+
+  test("A17 EXPLAIN ANALYZE FORMATTED prepends the formatted final plan") {
+    g.sql("use test")
+    val out = rows("explain analyze formatted select count(*) from user")
+    assert(out.map(_.head.toString) ==
+      Seq("Formatted Plan", "Plan with Metrics"))
+    val formatted = out.head(1).toString
+    // Spark's formatted explain: numbered operators + a details section
+    assert(formatted.contains("(1)"))
+    assert(out(1)(1).toString.contains(" ms") ||
+      out(1)(1).toString.contains("numOutputRows"))
+  }
+
+  test("A17 EXPLAIN ANALYZE refuses DML/DDL children (MySQL 1235)") {
+    g.sql("use test")
+    g.sql("create table ea_guard (id int, primary key(id))")
+    g.sql("insert into ea_guard values (1)")
+    // a DML child would execute OUTSIDE graft's dispatch — no commit
+    // protocol, no seq stamping — so it must be refused, not half-run
+    val e = intercept[graft.engine.SqlError](
+      g.sql("explain analyze insert into ea_guard values (2)"))
+    assert(e.code == 1235)
+    val e2 = intercept[graft.engine.SqlError](
+      g.sql("explain analyze use test"))
+    assert(e2.code == 1235)
+    // and crucially: nothing was written
+    assert(rows("select count(*) c from ea_guard").head.head == 1L)
+    g.sql("drop table ea_guard")
+  }
+
   test("B23 CREATE VIEW: logical, listed, redefinable, durable across reopen") {
     g.sql("use test")
     g.sql("create table vbase (id int, name char, primary key(id))")

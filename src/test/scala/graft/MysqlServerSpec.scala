@@ -441,6 +441,13 @@ class MysqlServerSpec extends AnyFunSuite {
     assert(rs.rows.size == 1)
     assert(rs.rows.head.head == Some("Plan with Metrics"))
     assert(rs.rows.head(1).get.contains("numOutputRows=1"))
+    // VERBOSE surfaces unit-rendered metrics (wall times in ms) — the
+    // timing-bearing row a client sees for scan/exchange costing
+    val vs = c.query("explain analyze verbose select count(*) from (" +
+      "select 1 as x union all select 2) t").asInstanceOf[ResultSet]
+    assert(vs.rows.head(1).get.contains(" ms"))
+    // a DML child is refused with a typed ERR, never half-executed
+    assert(c.query("explain analyze set @x = 1").isInstanceOf[Err])
     c.quit()
   }
 
