@@ -574,6 +574,31 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     try nextSeqLocked(db, t) finally lock.unlock()
   }
 
+  /** Current commit sequence WITHOUT allocating — the snapshot point a
+    * codebook refresh records before retraining, so "upserted since the
+    * retrain" is answerable from per-row sequences afterwards.
+    */
+  def currentSeq(db: String, t: String): Long = {
+    val lock = lockFor(db, t)
+    lock.lock()
+    try {
+      val f = seqFile(db, t)
+      if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+    } finally lock.unlock()
+  }
+
+  /** Live (tombstone-merged) rows of a merge-on-read table WITH the
+    * hidden per-row commit sequence — the stale-window probe
+    * `GraftSession.refreshIndex` runs between catch-up passes. A fresh
+    * read (new relation, new file listing) every call, deliberately
+    * bypassing the registered view (which strips the sequence).
+    */
+  def mergedWithSeq(db: String, t: String): DataFrame = {
+    val m = meta(db, t)
+    require(m.mergeOnRead, s"'$db.$t' is not a merge-on-read table")
+    mergedFrom(m, currentVersionDir(db, t))
+  }
+
   /** Commit equality-delete tombstones: `pks` must hold exactly the pk
     * columns of rows visible at `seq` allocation time. Masks take effect
     * on the next read through the view — no data file is touched

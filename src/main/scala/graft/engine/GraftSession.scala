@@ -302,19 +302,162 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           .agg(max_by(struct(m.cols.map(c => col(s"`${c.name}`")): _*),
             col("_graft_ord")).as("_r"))
           .select(m.cols.map(c => col(s"_r.`${c.name}`").as(c.name)): _*)
-        catalog.withDmlLock(db, t) {
-          catalog.freshenStale()
-          val keys = deduped.select(pkCols: _*)
-          val seq = catalog.nextSeq(db, t)
-          catalog.appendDeletes(db, t, keys, seq)
-          catalog.append(db, t,
-            deduped.sortWithinPartitions(pkCols: _*), seqOpt = Some(seq))
-          autoCompact(db, t)
-        }
+        replaceBatch(db, t, m, deduped)
         }
         ()
       }
       .start()
+  }
+
+  /** One REPLACE-by-pk commit (the ingestUpsert / REPLACE INTO write
+    * shape): tombstone the batch's keys, append the batch's rows at the
+    * SAME sequence — O(batch) writes, the appended rows survive their
+    * own tombstones (masks are strictly-older-only). `rows` must hold
+    * exactly the table's columns, one row per pk, and must be PINNED or
+    * deterministic: it is evaluated twice (keys, then data), so a frame
+    * whose input can move between the two jobs would tombstone one key
+    * set and append another. Returns the commit sequence.
+    */
+  private def replaceBatch(db: String, t: String, m: Catalog#TableMeta,
+                           rows: DataFrame): Long = {
+    val pkCols = m.pk.map(k => col(s"`$k`"))
+    catalog.withDmlLock(db, t) {
+      catalog.freshenStale()
+      val keys = rows.select(pkCols: _*)
+      val seq = catalog.nextSeq(db, t)
+      catalog.appendDeletes(db, t, keys, seq)
+      catalog.append(db, t,
+        rows.sortWithinPartitions(pkCols: _*), seqOpt = Some(seq))
+      autoCompact(db, t)
+      seq
+    }
+  }
+
+  /** C19/C21 codebook refresh as a ROUTINE (round 14 — the last
+    * contract-only piece of the live-index family made code): residual
+    * PQ codes and cluster labels are only comparable under ONE
+    * quantizer, so growing the corpus eventually demands a retrain —
+    * and a retrain demands an OPTIMIZE-style full re-encode plus a
+    * catch-up for whatever ingest landed mid-refresh. Doing that by
+    * hand gets the race wrong (the r13 verdict's point); this routine
+    * owns it:
+    *
+    *  1. snapshot both tables' commit-sequence counters — every write
+    *     after this instant is, by definition, in the refresh window;
+    *  2. `train(snapshot corpus)` builds the NEW frozen encoder (the
+    *     corpus frame's file listings are pinned, so the retrain and
+    *     the re-encode see exactly one corpus; persist the new codebook
+    *     tables inside `train` — it is the only holder);
+    *  3. full re-encode of the snapshot through the same REPLACE-by-pk
+    *     machinery the ingest stream uses, then a sweep tombstoning
+    *     PRE-REFRESH index keys the snapshot corpus lacks (a rebuild
+    *     would not contain them — this is also where corpus DELETEs
+    *     propagate to the index);
+    *  4. catch-up passes: each pass re-reads both tables' live rows
+    *     WITH their hidden per-row sequences and re-encodes every key
+    *     whose corpus or index row committed inside the previous
+    *     window (skipping this refresh's own commits) — old state is
+    *     never rescanned, each pass costs O(window). The loop ends
+    *     when a window is empty: immediately under quiesced ingest,
+    *     after a few passes when a pass outruns the ingest rate, and
+    *     after `maxPasses` otherwise — returning the residual stale
+    *     count (0 = converged; non-zero is the caller's signal to
+    *     quiesce and call again).
+    *
+    * `corpusTable` is the source of truth: a merge-on-read table, same
+    * pk as `indexTable`, carrying the encoder's input columns. The
+    * encoder maps corpus rows to index rows one-per-key — exactly the
+    * `EventStreams.embeddingIndexStream(_, ix)` / `clusterAssignStream
+    * (_, cb)` shapes the ingest edge runs, so refresh == rebuild is
+    * structural. Single-writer contract unchanged: nothing but the
+    * ingest stream and this routine may write `indexTable` during a
+    * refresh. At 100 TB the re-encode is one scan-local projection
+    * over the corpus (a scheduled OPTIMIZE-grade job, not a stream);
+    * the stale-window probes are pk+sequence column scans.
+    */
+  def refreshIndex(indexTable: String, corpusTable: String,
+                   train: DataFrame => (DataFrame => DataFrame),
+                   maxPasses: Int = 8): Long = {
+    import org.apache.spark.sql.graft.Bridge
+    val (dbI, tI) = qualify(indexTable)
+    val (dbC, tC) = qualify(corpusTable)
+    val mI = catalog.meta(dbI, tI)
+    val mC = catalog.meta(dbC, tC)
+    require(mI.mergeOnRead,
+      s"refreshIndex requires a merge-on-read index table; '$indexTable' is not")
+    require(mC.mergeOnRead,
+      s"refreshIndex requires a merge-on-read corpus table; '$corpusTable' is not")
+    require(mI.pk == mC.pk,
+      s"index pk ${mI.pk.mkString(",")} must equal corpus pk ${mC.pk.mkString(",")}")
+    val pk = mI.pk
+    val pkCols = pk.map(k => col(s"`$k`"))
+    val seqCol = col(s"`${Catalog.SeqCol}`")
+    def align(rows: DataFrame): DataFrame = rows.select(
+      mI.cols.map(c => col(s"`${c.name}`").cast(c.sparkDdl).as(c.name)): _*)
+    // the window floors: sequences at the snapshot instant
+    var idxFloor = catalog.currentSeq(dbI, tI)
+    var corpFloor = catalog.currentSeq(dbC, tC)
+    catalog.freshenStale()
+    // pin the snapshot corpus: retrain and re-encode read ONE file set.
+    // mergedWithSeq's join-shaped merge (NOT the registered view, whose
+    // NOT-EXISTS tombstone relation hides inside a subquery expression
+    // where the freeze transform cannot reach it) makes BOTH the base
+    // and dels listings pinnable plan nodes.
+    val snap = Bridge.freezeFileIndexes(
+      catalog.mergedWithSeq(dbC, tC).drop(Catalog.SeqCol))
+    val encoder = train(snap)
+    var own = Set(replaceBatch(dbI, tI, mI,
+      Bridge.freezeFileIndexes(align(encoder(snap)))))
+    // orphan sweep: pre-refresh index keys absent from the snapshot
+    // corpus — a rebuild would not contain them. Restricted to rows the
+    // refresh saw start (seq <= idxFloor) so a key racing in through
+    // BOTH tables is never swept; pinned before the dels file mutates.
+    catalog.withDmlLock(dbI, tI) {
+      val orphans = catalog.mergedWithSeq(dbI, tI)
+        .filter(seqCol <= idxFloor)
+        .select(pkCols: _*)
+        .join(snap.select(pkCols: _*), pk, "left_anti")
+        .localCheckpoint()
+      if (!orphans.isEmpty) {
+        val seq = catalog.nextSeq(dbI, tI)
+        catalog.appendDeletes(dbI, tI, orphans, seq)
+        own += seq
+      }
+    }
+    // catch-up: drain the stale window until a pass finds it empty
+    var pass = 0
+    while (true) {
+      // floors and live rows must be read atomically per table (under
+      // its DML lock): an in-flight two-step REPLACE could otherwise
+      // allocate below the new floor yet commit after our read — aged
+      // out of every future window, stale forever
+      val (nextIdx, staleIdx) = catalog.withDmlLock(dbI, tI) {
+        (catalog.currentSeq(dbI, tI),
+          catalog.mergedWithSeq(dbI, tI)
+            .filter(seqCol > idxFloor && !seqCol.isin(own.toSeq: _*))
+            .select(pkCols: _*).localCheckpoint())
+      }
+      val (nextCorp, staleCorp) = catalog.withDmlLock(dbC, tC) {
+        (catalog.currentSeq(dbC, tC),
+          catalog.mergedWithSeq(dbC, tC)
+            .filter(seqCol > corpFloor)
+            .select(pkCols: _*).localCheckpoint())
+      }
+      val stale = staleIdx.union(staleCorp).distinct().localCheckpoint()
+      val residual = stale.count()
+      if (residual == 0L) return 0L
+      if (pass >= maxPasses) return residual
+      // only corpus-backed keys are re-encodable (source of truth);
+      // an index-only stale key ages out of the window — by the sweep's
+      // logic a rebuild would not contain it either
+      val caught = Bridge.freezeFileIndexes(align(encoder(
+        catalog.mergedWithSeq(dbC, tC).drop(Catalog.SeqCol)
+          .join(stale, pk, "left_semi"))))
+      if (!caught.isEmpty) own += replaceBatch(dbI, tI, mI, caught)
+      idxFloor = nextIdx; corpFloor = nextCorp
+      pass += 1
+    }
+    0L // unreachable
   }
 
   /** LIVE maintenance of the containment dedup index (round 10 — the

@@ -503,6 +503,80 @@ class LiveIndexSpec extends AnyFunSuite {
       "catch-up pass must close the stale-codes window")
   }
 
+  test("C19/C21 refreshIndex ROUTINE: upserts injected between retrain and re-assign converge to the new-codebook rebuild; corpus deletes sweep index orphans") {
+    import graft.functions.GraftFunctions.{idSample, quantize}
+    import graft.operators.Cluster
+    val dim = 8
+    def emb(id: Long, salt: Long = 0): Seq[Float] =
+      Seq.tabulate(dim)(j => ((((id + salt) * 37 + j * 19) % 13) - 6) / 10.0f)
+    def qvOf(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("id", "embedding")
+        .select(col("id"), quantize(col("embedding")).as("qv"))
+    g.sql("create table rf_corpus (vec_id bigint, ts timestamp, " +
+      "embedding array<float>, primary key(vec_id))")
+    g.sql("create table rf_labels (vec_id bigint, ts timestamp, " +
+      "cluster bigint, primary key(vec_id))")
+    def upsertCorpus(rows: Seq[(Long, Seq[Float])], t0: Int): Unit = {
+      val in = MemoryStream[StreamVec](spark)
+      val q = g.ingestUpsert(in.toDF(), "rf_corpus", chk(), orderCol = "ts")
+      in.addData(rows.zipWithIndex.map { case ((i, e), o) =>
+        StreamVec(i, ts(t0 + o), e) }: _*)
+      q.processAllAvailable(); q.stop()
+    }
+    def upsertLabels(cb: org.apache.spark.sql.DataFrame,
+                     rows: Seq[(Long, Seq[Float])], t0: Int): Unit = {
+      val in = MemoryStream[StreamVec](spark)
+      val q = g.ingestUpsert(
+        EventStreams.clusterAssignStream(in.toDF(), cb),
+        "rf_labels", chk(), orderCol = "ts")
+      in.addData(rows.zipWithIndex.map { case ((i, e), o) =>
+        StreamVec(i, ts(t0 + o), e) }: _*)
+      q.processAllAvailable(); q.stop()
+    }
+    // deployment state: corpus + index live under the OLD codebook
+    val seed = (1L to 40L).map(i => (i, emb(i)))
+    val cb1 = Cluster.kmeansCodebook(qvOf(seed),
+      idSample(col("id"), 5L), rounds = 2)
+    upsertCorpus(seed, 0)
+    upsertLabels(cb1, seed, 0)
+    // a corpus DELETE strands an index orphan a rebuild would not have
+    g.sql("delete from rf_corpus where vec_id = 10")
+
+    // the refresh, with an ingest batch INJECTED between the retrain and
+    // the re-assign: vec 5 revised, vec 77 brand new — both land in BOTH
+    // tables under the OLD codebook (the ingest edge can't know a
+    // retrain is in flight). This is the stale-labels window the C19/C21
+    // contract describes; the routine must drain it.
+    val racing = Seq((5L, emb(5L, salt = 3)), (77L, emb(77L)))
+    var cb2Opt: Option[org.apache.spark.sql.DataFrame] = None
+    val residual = g.refreshIndex("rf_labels", "rf_corpus", train = snap => {
+      val snapQv = snap.select(col("vec_id").as("id"),
+        quantize(col("embedding")).as("qv"))
+      val cb2 = Cluster.kmeansCodebook(snapQv,
+        idSample(col("id"), 5L), rounds = 2).localCheckpoint()
+      cb2Opt = Some(cb2)
+      upsertCorpus(racing, 100)
+      upsertLabels(cb1, racing, 100)
+      rows => EventStreams.clusterAssignStream(rows, cb2)
+    })
+    assert(residual == 0L, "the catch-up passes must drain the race window")
+
+    // converged state == a from-scratch rebuild of the TRUE current
+    // corpus under the new codebook: the racing revision re-labeled, the
+    // racing insert re-labeled, the deleted key's orphan row swept
+    val cb2 = cb2Opt.get
+    val current = seed.filterNot(v => v._1 == 10L || v._1 == 5L) ++ racing
+    val rebuilt = Cluster.assignRows(qvOf(current), cb2)
+      .select(col("id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = g.sql("select vec_id, cluster from rf_labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live == rebuilt,
+      "refreshIndex must converge to the new-codebook rebuild of the true current corpus")
+    assert(!live.exists(_._1 == 10L), "the corpus-deleted key must be swept")
+    assert(live.exists(_._1 == 77L), "the racing insert must be re-labeled")
+  }
+
   test("C18 C15's ingest probe against the LIVE posting table finds a quote-in-host pair") {
     // corpus (with a long host doc) lands through the maintenance
     // stream; then the ingest-edge probe (C15) reads the live catalog
