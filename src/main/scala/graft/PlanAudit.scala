@@ -85,8 +85,9 @@ object PlanAudit {
       val df = SparkEntry.queries(name)(spark, dir)
       // materialize THE QUERY ITSELF (count() would execute a different
       // wrapped plan and leave this one's AQE unrun) so the adaptive
-      // plan settles; results are small at the audit scale
-      df.collect()
+      // plan settles; toRdd keeps rows at the executors (the Bench /
+      // Explain honest-action discipline)
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sb ++= s"\n## $name\n\n**Audit:** $property\n\n```\n$plan```\n"

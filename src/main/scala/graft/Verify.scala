@@ -42,7 +42,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + the data-dependent ones (q06b's independent
+    // HLL++ replay — computed HERE, per sfDir, and emitted as literal
+    // SQL; if the replay itself fails the static set still ships, and
+    // q06b stays a loud rows-only row rather than sinking the run)
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     // A subset run writes oracle_sql.subset.json: overwriting the full

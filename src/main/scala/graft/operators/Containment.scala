@@ -54,6 +54,17 @@ object Containment {
       .select(col("doc_id"), md5Prefix48(col("gram")).as("h"))
       .distinct()
 
+  /** The distinct (doc_id, h) shingle-hash table, exposed for callers
+    * building BOTH index faces of one corpus: stage THIS once (q92's
+    * round-13 shape called dfIndex and postingIndex back to back, each
+    * re-running the full explode + md5 + distinct shuffle of the old
+    * corpus — the staging setup cost was paid twice) and derive the
+    * faces with `dfIndexFrom`/`postingIndexFrom`.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               shingleK: Int = 5): DataFrame =
+    shingleTable(docs, idCol, textCol, shingleK)
+
   /** The df-capped posting index (h, doc_b) — the static side the
     * streaming ingest face (C15) probes: ubiquitous boilerplate
     * shingles (df > dfCap) are dropped FIRST, so any single probe hash
@@ -64,10 +75,16 @@ object Containment {
   def postingIndex(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, dfCap: Int = 32): DataFrame = {
     val shd = shingleTable(docs, idCol, textCol, shingleK)
-    val dfreq = shd.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    postingIndexFrom(shd, dfIndexFrom(shd), dfCap)
+  }
+
+  /** Posting index derived from an already-staged shingle table and its
+    * df face (one shuffle instead of re-shingling the corpus).
+    */
+  def postingIndexFrom(shd: DataFrame, dfreq: DataFrame,
+                       dfCap: Int = 32): DataFrame =
     shd.join(dfreq.filter(col("c") <= dfCap).select("h"), Seq("h"))
       .select(col("h"), col("doc_id").as("doc_b"))
-  }
 
   /** The document-frequency side of the posting index: (h, c) — one row
     * per distinct shingle hash with its corpus df. Together with
@@ -78,8 +95,11 @@ object Containment {
     */
   def dfIndex(docs: DataFrame, idCol: String, textCol: String,
               shingleK: Int = 5): DataFrame =
-    shingleTable(docs, idCol, textCol, shingleK)
-      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    dfIndexFrom(shingleTable(docs, idCol, textCol, shingleK))
+
+  /** df face from an already-staged shingle table. */
+  def dfIndexFrom(shd: DataFrame): DataFrame =
+    shd.groupBy(col("h")).agg(count(lit(1)).as("c"))
 
   /** ONE incremental maintenance step of the df-capped posting index
     * (the round-10 "make the streaming indexes live" task): given the

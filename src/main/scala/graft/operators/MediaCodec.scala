@@ -583,4 +583,117 @@ object MediaCodec {
     flushTrack()
     ContainerMeta("mkv", (durTicks * tsScaleNs / 1e6).toLong, tracks.result())
   }
+
+  // ---- MP3 frame headers: metadata WITHOUT decode (round 14) -------------
+  // An MPEG audio stream is a sequence of self-describing frames, each
+  // opening with an 11-bit sync and a 4-byte header carrying version /
+  // layer / bitrate / samplerate indices — duration and average bitrate
+  // come from WALKING the headers, no codec required (the frame DECODE
+  // stays environment-limited: the JDK ships no MP3 codec). An ID3v2 tag
+  // at the start is skipped by its declared syncsafe size. Layer III
+  // only (that is what ".mp3" means); free-format (bitrate index 0) and
+  // reserved indices stop the walk — headers must never misparse
+  // garbage into a duration.
+
+  /** (mpegVersion: 1|2|25, frames, durationMs, avgBitrateKbps,
+    * sampleRate) from a frame-header walk. VBR streams average
+    * per-frame bitrates, which is what players report.
+    */
+  case class Mp3Meta(version: Int, frames: Int, durationMs: Long,
+                     bitrateKbps: Int, sampleRate: Int)
+
+  private def id3v2Size(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      // syncsafe u28 (7 bits per byte) + the 10-byte tag header
+      10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+            ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+    else 0
+
+  private def isFrameSync(b: Array[Byte], o: Int): Boolean =
+    o + 3 < b.length && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xe0) == 0xe0
+
+  def isMp3(b: Array[Byte]): Boolean = {
+    val o = id3v2Size(b)
+    (o > 10 || isFrameSync(b, o)) && {
+      // an ID3 tag alone is not an MP3: the first frame header must
+      // parse (guards against random 0xFFEx bytes in binary payloads)
+      val m = parseMp3(b)
+      m.frames > 0
+    }
+  }
+
+  // bitrate kbps by index for Layer III: MPEG1 row, MPEG2/2.5 row
+  private val Br1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Br2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Sr1 = Array(44100, 48000, 32000)
+
+  def parseMp3(b: Array[Byte]): Mp3Meta = {
+    var o = id3v2Size(b)
+    var frames = 0
+    var samples = 0L
+    var kbpsSum = 0L
+    var sr0 = 0
+    var ver0 = 0
+    var done = false
+    while (!done && isFrameSync(b, o)) {
+      val b1 = b(o + 1) & 0xff; val b2 = b(o + 2) & 0xff
+      val verBits = (b1 >> 3) & 3   // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+      val layer = (b1 >> 1) & 3     // 1 = Layer III
+      val brIdx = (b2 >> 4) & 15
+      val srIdx = (b2 >> 2) & 3
+      val padding = (b2 >> 1) & 1
+      if (layer != 1 || verBits == 1 || brIdx == 0 || brIdx == 15 ||
+          srIdx == 3) done = true
+      else {
+        val mpeg1 = verBits == 3
+        val kbps = (if (mpeg1) Br1 else Br2)(brIdx)
+        val sr = Sr1(srIdx) / (verBits match {
+          case 3 => 1; case 2 => 2; case _ => 4
+        })
+        val spf = if (mpeg1) 1152 else 576 // samples per Layer III frame
+        val size = spf / 8 * kbps * 1000 / sr + padding
+        if (size <= 4 || o + size > b.length) done = true
+        else {
+          frames += 1; samples += spf; kbpsSum += kbps
+          sr0 = sr
+          ver0 = verBits match { case 3 => 1; case 2 => 2; case _ => 25 }
+          o += size
+        }
+      }
+    }
+    if (frames == 0) Mp3Meta(0, 0, 0L, 0, 0)
+    else Mp3Meta(ver0, frames, samples * 1000L / sr0,
+      (kbpsSum / frames).toInt, sr0)
+  }
+
+  /** A valid Layer III frame sequence with silent payloads — the spec's
+    * planting tool (the same role encodeMinimalMp4 plays for
+    * containers): `frames` frames at `kbps`/`sampleRate`, optional
+    * ID3v2 prefix.
+    */
+  def encodeSilentMp3(frames: Int, kbps: Int, sampleRate: Int,
+                      id3Bytes: Int = 0): Array[Byte] = {
+    val brIdx = Br1.indexOf(kbps)
+    val srIdx = Sr1.indexOf(sampleRate)
+    require(brIdx > 0 && srIdx >= 0, "MPEG1 Layer III table values only")
+    val size = 1152 / 8 * kbps * 1000 / sampleRate
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      val body = id3Bytes - 10
+      out.write(Array[Byte]('I', 'D', '3', 3, 0, 0,
+        ((body >> 21) & 0x7f).toByte, ((body >> 14) & 0x7f).toByte,
+        ((body >> 7) & 0x7f).toByte, (body & 0x7f).toByte))
+      out.write(new Array[Byte](body))
+    }
+    (0 until frames).foreach { _ =>
+      val f = new Array[Byte](size)
+      f(0) = 0xff.toByte
+      f(1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+      f(2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
+      out.write(f)
+    }
+    out.toByteArray
+  }
 }

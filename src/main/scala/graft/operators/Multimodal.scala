@@ -165,6 +165,11 @@ object Multimodal {
       } else if (MediaCodec.isJdkImage(bytes)) {
         val i = MediaCodec.decodeImage(bytes)
         MediaProbe(id, mt, "image", 0L, 1, i.width, i.height)
+      } else if (MediaCodec.isMp3(bytes)) {
+        // duration/bitrate from the frame-header walk — metadata without
+        // decode (the codec itself is environment-limited, D12 note)
+        val m = MediaCodec.parseMp3(bytes)
+        MediaProbe(id, mt, "mp3", m.durationMs, 1, 0, 0)
       } else MediaProbe(id, mt, "unknown", 0L, 0, 0, 0)
     } catch {
       case scala.util.control.NonFatal(_) =>

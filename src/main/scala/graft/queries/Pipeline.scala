@@ -2246,10 +2246,16 @@ object Pipeline {
       // the staged "index on disk" is shingle-scale (~90 rows/doc) —
       // DISK_ONLY residency, the q83 round-9 lesson: memory-first
       // checkpoint blocks pin the very heap the delta's aggregation
-      // maps need (measured: 16 GiB heap OOM at sf50)
-      val oldDf = Containment.dfIndex(old, "doc_id", "text")
+      // maps need (measured: 16 GiB heap OOM at sf50). Round 14: the
+      // old corpus is shingled ONCE (staged) and both index faces
+      // derive from it — the r13 shape ran the explode+md5+distinct
+      // shuffle twice (dfIndex and postingIndex each from raw docs),
+      // paying the staging setup's dominant scan double.
+      val shdOld = Containment.shingles(old, "doc_id", "text")
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val oldPost = Containment.postingIndex(old, "doc_id", "text")
+      val oldDf = Containment.dfIndexFrom(shdOld)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val oldPost = Containment.postingIndexFrom(shdOld, oldDf)
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val (_, postIns, postDel) =
         Containment.postingDelta(oldDf, oldPost, delta, "doc_id", "text")

@@ -194,10 +194,16 @@ object Relational {
       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  // ---- A4c: approximate distinct (HLL) — rows-only oracle ---------------
+  // ---- A4c: approximate distinct (HLL) — replay-oracled (round 14) ------
   // Spark's native HLL++ sketch hashes with xxhash64 and folds register
-  // banks no SQL dialect exposes, so this one is documented
-  // impossible-in-SQL; q06c is the oracle-able approximate-distinct.
+  // banks no SQL dialect exposes — impossible to replay IN SQL. The
+  // oracle is therefore data-dependent: Verify runs the same column
+  // through an independent plain-Scala HLL++ (functions/HllReplay.scala
+  // — the published algorithm, never Spark's classes) and emits the
+  // estimates as literal SQL (SparkEntry.dynamicOracleSql), so the
+  // DuckDB hash compare certifies approx_count_distinct against the
+  // paper. The static oracle stays None; q06c remains the
+  // SQL-replayable approximate-distinct twin.
   private val q06b = Qdef(
     "q06b_approx_distinct",
     (s, dir) =>

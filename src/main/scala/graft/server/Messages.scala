@@ -33,7 +33,11 @@ object Messages {
     b.write(0xff); b.write(0xf7)
     b.write(46) // charset utf8mb4_bin
     Lenc.u16(b, 0x0002) // status: autocommit
-    b.write(0x1b); b.write(0x00) // capability upper bytes (PLUGIN_AUTH)
+    // capability upper bytes: MULTI_STATEMENTS|MULTI_RESULTS|PLUGIN_AUTH
+    // (0x1b) + CLIENT_DEPRECATE_EOF (1<<24 → 0x0100 here, round 14):
+    // modern drivers negotiate it and expect result sets terminated by
+    // an OK-with-EOF-header instead of bare EOF packets
+    b.write(0x1b); b.write(0x01)
     b.write(0x15) // auth-plugin-data length
     (0 until 10).foreach(_ => b.write(0))
     b.write(Array[Byte](9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20), 0, 12)
@@ -88,6 +92,22 @@ object Messages {
     val b = buf()
     b.write(0xfe); Lenc.u16(b, 0)
     Lenc.u16(b, 0x0002 | (if (moreResults) 0x0008 else 0))
+    b.toByteArray
+  }
+
+  /** OK packet with the 0xFE (EOF) header — the result-set terminator
+    * under CLIENT_DEPRECATE_EOF (MySQL 5.7.5+): same body as ok(), the
+    * EOF header byte keeps row loops that key on 0xFE stopping. Status
+    * flags land at the same offsets as legacy EOF's (both lencs are one
+    * byte), which is why drivers can share the parse.
+    */
+  def okEof(moreResults: Boolean = false): Array[Byte] = {
+    val b = buf()
+    b.write(0xfe)
+    Lenc.int(b, 0L) // affected rows
+    Lenc.int(b, 0L) // last insert id
+    Lenc.u16(b, 0x0002 | (if (moreResults) 0x0008 else 0))
+    Lenc.u16(b, 0) // warnings
     b.toByteArray
   }
 

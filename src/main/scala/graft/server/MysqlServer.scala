@@ -135,6 +135,12 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
       val login = io.read()
       if (login == null) return
       val user = loginUser(login)
+      // the negotiated capability set is the client's response flags —
+      // CLIENT_DEPRECATE_EOF (1<<24, round 14) switches every result-set
+      // terminator from bare EOF to the OK-with-EOF-header form modern
+      // drivers expect; legacy clients that leave the bit clear keep the
+      // pre-5.7 framing. Per-connection, decided once at handshake.
+      val deprecateEof = login.length >= 4 && (leU32(login, 0) & (1L << 24)) != 0
       io.write(Messages.authSwitch())
       val authData = io.read()
       if (authData == null) return
@@ -158,7 +164,7 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
           case 0x0e => io.write(Messages.ok(0)) // COM_PING
           case 0x02 => // COM_INIT_DB
             val db = new String(packet, 1, packet.length - 1, "UTF-8").trim
-            run(io, session, s"use $db")
+            run(io, session, s"use $db", deprecateEof = deprecateEof)
             Option(conns.get(connId)).foreach(_.db = db)
           case 0x0c => // COM_PROCESS_KILL
             if (packet.length >= 5) kill(io, leU32(packet, 1).toInt)
@@ -188,9 +194,10 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
                   kill(io, idStr.toLongOption
                     .filter(_.isValidInt).map(_.toInt).getOrElse(-1), more)
                 case s if s.equalsIgnoreCase("show processlist") =>
-                  writeProcessList(io, connId, more)
+                  writeProcessList(io, connId, more, deprecateEof)
                 case _ =>
-                  aborted = !run(io, session, one, more = more)
+                  aborted = !run(io, session, one, more = more,
+                    deprecateEof = deprecateEof)
                   // lift: a malformed `use` (`use` alone — run() already
                   // answered ERR) must not throw here and tear down the
                   // whole connection; only track when a target token exists
@@ -211,7 +218,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
                   row.getString(0), fieldType(row.getString(1)),
                   nullable = true))
               }
-              io.write(Messages.eof())
+              io.write(if (deprecateEof) Messages.okEof()
+                       else Messages.eof())
             } catch { case NonFatal(e) => writeError(io, e) }
           case 0x16 => // COM_STMT_PREPARE
             val sql = new String(packet, 1, packet.length - 1, "UTF-8")
@@ -224,7 +232,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
                 io.write(Messages.columnDef("", "", s"?$i",
                   org.apache.spark.sql.types.StringType, nullable = true))
               }
-              io.write(Messages.eof())
+              // DEPRECATE_EOF: no terminator after the parameter defs
+              if (!deprecateEof) io.write(Messages.eof())
             }
           case 0x18 => // COM_STMT_SEND_LONG_DATA — no response by protocol
             if (packet.length >= 7) {
@@ -242,7 +251,7 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
                 stmtTypes.get, (id, ts) => stmtTypes(id) = ts)
               val template = stmts(stmtId)
               run(io, session, SqlText.bindPlaceholders(template, args),
-                binary = true)
+                binary = true, deprecateEof = deprecateEof)
             } catch { case NonFatal(e) => writeError(io, e) }
           case 0x19 => // COM_STMT_CLOSE — no response by protocol
             if (packet.length >= 5) {
@@ -317,7 +326,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
 
   /** SHOW PROCESSLIST from the live registry (MySQL's column set). */
   private def writeProcessList(io: PacketIO, selfId: Int,
-                               more: Boolean = false): Unit = {
+                               more: Boolean = false,
+                               deprecateEof: Boolean = false): Unit = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("Id", LongType, nullable = false),
@@ -331,7 +341,7 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     schema.fields.foreach(f =>
       io.write(Messages.columnDef("", "processlist", f.name, f.dataType,
         nullable = true)))
-    io.write(Messages.eof())
+    if (!deprecateEof) io.write(Messages.eof())
     rows.forEachRemaining { e =>
       val c = e.getValue
       io.write(Messages.textRow(org.apache.spark.sql.Row(
@@ -340,7 +350,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
         c.db, if (e.getKey == selfId) "Query" else "Sleep",
         (now - c.startedAt) / 1000, "", null)))
     }
-    io.write(Messages.eof(moreResults = more))
+    io.write(if (deprecateEof) Messages.okEof(moreResults = more)
+             else Messages.eof(moreResults = more))
   }
 
   /** Execute one statement and answer with an OK (DDL/DML FinalCount
@@ -349,14 +360,15 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     * written here; a multi-statement batch must then abort).
     */
   private def run(io: PacketIO, session: GraftSession, sql: String,
-                  binary: Boolean = false, more: Boolean = false): Boolean =
+                  binary: Boolean = false, more: Boolean = false,
+                  deprecateEof: Boolean = false): Boolean =
     try {
       val df = session.sql(sql)
       if (isFinalCount(df)) {
         val n = df.toLocalIterator()
         val affected = if (n.hasNext) n.next().getLong(0) else 0L
         io.write(Messages.ok(affected, moreResults = more))
-      } else writeResultSet(io, df, binary, more)
+      } else writeResultSet(io, df, binary, more, deprecateEof)
       true
     } catch { case NonFatal(e) => writeError(io, e); false }
 
@@ -371,18 +383,22 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
 
   private def writeResultSet(io: PacketIO, df: DataFrame,
                              binary: Boolean = false,
-                             more: Boolean = false): Unit = {
+                             more: Boolean = false,
+                             deprecateEof: Boolean = false): Unit = {
     val schema = df.schema
     io.write(Messages.columnCount(schema.length))
     schema.fields.foreach { f =>
       io.write(Messages.columnDef("", "", f.name, f.dataType, f.nullable))
     }
-    io.write(Messages.eof())
+    // DEPRECATE_EOF framing: no separator after column definitions, rows
+    // terminated by an OK with the EOF header; legacy framing otherwise
+    if (!deprecateEof) io.write(Messages.eof())
     df.toLocalIterator().forEachRemaining(row =>
       io.write(if (binary) Messages.binaryRow(row, schema)
                else Messages.textRow(row)))
-    // only the TERMINATING eof advertises more results
-    io.write(Messages.eof(moreResults = more))
+    // only the TERMINATING packet advertises more results
+    io.write(if (deprecateEof) Messages.okEof(moreResults = more)
+             else Messages.eof(moreResults = more))
   }
 
   private def writeError(io: PacketIO, e: Throwable): Unit = {

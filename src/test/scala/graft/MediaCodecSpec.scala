@@ -320,4 +320,33 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(Multimodal.probeKernel(6L, "x", Array[Byte](9, 9, 9)).container
       == "unknown")
   }
+
+  test("MP3 frame-header walk: duration/bitrate without decode, ID3v2 skipped, garbage refused") {
+    import graft.operators.{MediaCodec, Multimodal}
+    // 38 MPEG1 Layer III frames at 128 kbps / 44100 Hz ≈ 38·1152/44100 s
+    val mp3 = MediaCodec.encodeSilentMp3(38, 128, 44100)
+    val m = MediaCodec.parseMp3(mp3)
+    assert(m.version == 1 && m.frames == 38 && m.sampleRate == 44100 &&
+      m.bitrateKbps == 128)
+    assert(m.durationMs == 38L * 1152 * 1000 / 44100)
+    // an ID3v2 tag is skipped by its syncsafe size, frames unchanged
+    val tagged = MediaCodec.encodeSilentMp3(38, 128, 44100, id3Bytes = 300)
+    assert(MediaCodec.parseMp3(tagged) == m)
+    assert(MediaCodec.isMp3(tagged) && MediaCodec.isMp3(mp3))
+    // probeKernel surfaces it as an mp3 probe row with the duration
+    val pr = Multimodal.probeKernel(7L, "audio/mpeg", tagged)
+    assert(pr.container == "mp3" && pr.duration_ms == m.durationMs &&
+      pr.n_tracks == 1)
+    // VBR: mixed frame bitrates average (64+192)/2 = 128
+    val vbr = MediaCodec.encodeSilentMp3(10, 64, 44100) ++
+      MediaCodec.encodeSilentMp3(10, 192, 44100)
+    assert(MediaCodec.parseMp3(vbr).bitrateKbps == 128)
+    // a bare 0xFFEx in binary noise is NOT an mp3 (first frame must
+    // parse and fit), and an ID3 tag alone is not one either
+    assert(!MediaCodec.isMp3(Array[Byte](0xff.toByte, 0xfb.toByte, 9, 9)))
+    assert(!MediaCodec.isMp3(Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0)))
+    // truncated mid-frame: the walk stops at the last COMPLETE frame
+    val cut = MediaCodec.parseMp3(mp3.take(mp3.length - 10))
+    assert(cut.frames == 37)
+  }
 }

@@ -30,7 +30,8 @@ class MysqlServerSpec extends AnyFunSuite {
                        rows: Seq[Seq[Option[String]]]) extends Response
 
   final class Client(port: Int = server.boundPort, user: String = "root",
-                     password: String = "", mustAuth: Boolean = true) {
+                     password: String = "", mustAuth: Boolean = true,
+                     deprecateEof: Boolean = false) {
     private val socket = new Socket("127.0.0.1", port)
     private val in = new DataInputStream(socket.getInputStream)
     private val out = new BufferedOutputStream(socket.getOutputStream)
@@ -66,7 +67,10 @@ class MysqlServerSpec extends AnyFunSuite {
       */
     private def loginPacket(u: String): Array[Byte] = {
       val b = new ByteArrayOutputStream()
-      b.write(0x0d); b.write(0xa6); b.write(0x3f); b.write(0x00)
+      // 4th capability byte carries CLIENT_DEPRECATE_EOF (1<<24): the
+      // matrix tests drive the server under both negotiated framings
+      b.write(0x0d); b.write(0xa6); b.write(0x3f)
+      b.write(if (deprecateEof) 0x01 else 0x00)
       (0 until 4).foreach(_ => b.write(0))
       b.write(46)
       (0 until 23).foreach(_ => b.write(0))
@@ -166,7 +170,8 @@ class MysqlServerSpec extends AnyFunSuite {
     private def readResultSet(first: Array[Byte]): ResultSet = {
       val (nCols, _) = lencInt(first, 0)
       val columns = (0 until nCols.toInt).map(_ => colName(read()))
-      assert(isEof(read()), "EOF after column definitions")
+      // DEPRECATE_EOF: rows follow the defs directly, no separator
+      if (!deprecateEof) assert(isEof(read()), "EOF after column definitions")
       val rows = Seq.newBuilder[Seq[Option[String]]]
       var p = read()
       while (!isEof(p)) {
@@ -188,6 +193,7 @@ class MysqlServerSpec extends AnyFunSuite {
       }
       lastStatus =
         if (p.length >= 5) (p(3) & 0xff) | ((p(4) & 0xff) << 8) else 0
+      lastTermOkEof = p.length >= 7 // OK-with-EOF-header vs 5-byte EOF
       ResultSet(columns, rows.result())
     }
 
@@ -200,7 +206,7 @@ class MysqlServerSpec extends AnyFunSuite {
       val (nCols, _) = lencInt(first, 0)
       val n = nCols.toInt
       val defs = (0 until n).map(_ => colDef(read()))
-      assert(isEof(read()), "EOF after column definitions")
+      if (!deprecateEof) assert(isEof(read()), "EOF after column definitions")
       val rows = Seq.newBuilder[Seq[Option[String]]]
       var p = read()
       while (!isEof(p)) {
@@ -249,6 +255,7 @@ class MysqlServerSpec extends AnyFunSuite {
       }
       lastStatus =
         if (p.length >= 5) (p(3) & 0xff) | ((p(4) & 0xff) << 8) else 0
+      lastTermOkEof = p.length >= 7
       ResultSet(defs.map(_._1), rows.result())
     }
 
@@ -256,6 +263,11 @@ class MysqlServerSpec extends AnyFunSuite {
       * SERVER_MORE_RESULTS_EXISTS (multi-statement chaining).
       */
     var lastStatus: Int = 0
+
+    /** Whether the last result-set terminator was the OK-with-EOF-header
+      * form (CLIENT_DEPRECATE_EOF) rather than a bare 5-byte EOF.
+      */
+    var lastTermOkEof: Boolean = false
 
     private def response(binary: Boolean = false): Response = {
       val p = read()
@@ -326,7 +338,9 @@ class MysqlServerSpec extends AnyFunSuite {
       val nCols = (p(5) & 0xff) | ((p(6) & 0xff) << 8)
       val nParams = (p(7) & 0xff) | ((p(8) & 0xff) << 8)
       (0 until nParams).foreach(_ => read()) // param definitions
-      if (nParams > 0) assert(isEof(read()), "EOF after param definitions")
+      // DEPRECATE_EOF: no terminator after the parameter definitions
+      if (nParams > 0 && !deprecateEof)
+        assert(isEof(read()), "EOF after param definitions")
       assert(nCols == 0)
       (stmtId, nParams)
     }
@@ -449,6 +463,36 @@ class MysqlServerSpec extends AnyFunSuite {
     // a DML child is refused with a typed ERR, never half-executed
     assert(c.query("explain analyze set @x = 1").isInstanceOf[Err])
     c.quit()
+  }
+
+  test("CLIENT_DEPRECATE_EOF matrix: per-connection framing, text + binary + multi-statement (r14)") {
+    // modern framing: no separator after column definitions, result sets
+    // terminated by an OK with the EOF header — what connector-j-class
+    // drivers negotiate against the advertised 1<<24 capability
+    val m = new Client(deprecateEof = true)
+    val rs = m.query("select 1 as one union all select 2 order by 1")
+      .asInstanceOf[ResultSet]
+    assert(rs.columns == Seq("one"))
+    assert(rs.rows.flatMap(_.flatten) == Seq("1", "2"))
+    assert(m.lastTermOkEof, "terminator must be the OK-with-EOF-header form")
+    // binary prepared statements share the framing (incl. the missing
+    // EOF after the prepare response's parameter definitions)
+    val (sid, _) = m.prepare("select ? as v")
+    val brs = m.execute(sid, Seq((0xfd, lencBytes("7")))).asInstanceOf[ResultSet]
+    assert(brs.rows == Seq(Seq(Some("7"))) && m.lastTermOkEof)
+    // multi-statement chaining: MORE_RESULTS still rides the terminator
+    val multi = m.queryMulti("select 1 as a; select 2 as b")
+    assert(multi.size == 2 && m.lastTermOkEof)
+    // SHOW PROCESSLIST goes through the server-scope writer — same framing
+    assert(m.query("show processlist").isInstanceOf[ResultSet] &&
+      m.lastTermOkEof)
+    m.quit()
+    // a LEGACY client on the SAME server keeps pre-5.7 EOF framing: the
+    // negotiation is per connection, not global
+    val l = new Client()
+    assert(l.query("select 1 as one").isInstanceOf[ResultSet])
+    assert(!l.lastTermOkEof, "legacy client must see bare EOF terminators")
+    l.quit()
   }
 
   test("base_sql scenario: schema DDL, table DDL, DML, and SELECT round-trip") {
