@@ -4,9 +4,13 @@ package graft.operators
   * audio and 24-bit uncompressed BMP images are plain headers over raw
   * samples/pixels decoded by hand; compressed IMAGES (JPEG/PNG/GIF/TIFF)
   * decode through the JDK's own ImageIO (java.desktop, headless-safe —
-  * no external media library involved). Only compressed audio (MP3/AAC)
-  * and video (H.264) remain stubbed in `Multimodal`: the JDK ships no
-  * codec for those and this environment has no media libraries.
+  * no external media library involved). Compressed audio/video METADATA
+  * is real with no codec: MP3 and AAC-ADTS frame-header walks (duration/
+  * bitrate/channels), FLAC STREAMINFO, and the H.264 SPS bit parse
+  * (display resolution/profile/level via exp-Golomb). Only the
+  * compressed FRAME DECODE (MP3/AAC/H.264) remains stubbed in
+  * `Multimodal`: the JDK ships no codec for those and this environment
+  * has no media libraries.
   *
   * All functions are deterministic, allocation-bounded, and run
   * per-row inside executors (no driver involvement, no shared state).
@@ -695,5 +699,326 @@ object MediaCodec {
       out.write(f)
     }
     out.toByteArray
+  }
+
+  // ---- AAC ADTS frame headers (round 14) ---------------------------------
+  // ADTS (ISO/IEC 13818-7 §6.2) wraps each AAC access unit in a
+  // self-describing 7/9-byte header: 12-bit sync 0xFFF, layer 00, then
+  // profile / sampling-frequency-index / channel-config / 13-bit frame
+  // length. Same deal as MP3: duration, bitrate, channels come from
+  // WALKING headers; the AAC frame DECODE stays environment-limited.
+  // reference probe surface: src/mysql/metadata.rs has no media probe —
+  // this extends graft's D12 ffprobe-shaped superset.
+
+  case class AdtsMeta(frames: Int, durationMs: Long, bitrateKbps: Int,
+                      sampleRate: Int, channels: Int, profile: String)
+
+  private val AdtsSr = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+  private val AacProfiles = Array("Main", "LC", "SSR", "LTP")
+
+  private def isAdtsSync(b: Array[Byte], o: Int): Boolean =
+    o + 6 < b.length && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xf6) == 0xf0
+
+  def isAdts(b: Array[Byte]): Boolean =
+    isAdtsSync(b, 0) && parseAdts(b).frames > 0
+
+  def parseAdts(b: Array[Byte]): AdtsMeta = {
+    var o = 0
+    var frames = 0
+    var samples = 0L
+    var payloadBytes = 0L
+    var sr0 = 0; var ch0 = 0; var prof0 = 0
+    var done = false
+    while (!done && isAdtsSync(b, o)) {
+      val crcAbsent = (b(o + 1) & 1) == 1
+      val profile = (b(o + 2) >> 6) & 3
+      val srIdx = (b(o + 2) >> 2) & 0xf
+      val channelCfg = ((b(o + 2) & 1) << 2) | ((b(o + 3) >> 6) & 3)
+      val frameLen = ((b(o + 3) & 3) << 11) | ((b(o + 4) & 0xff) << 3) |
+        ((b(o + 5) >> 5) & 7)
+      val rdb = (b(o + 6) & 3) + 1 // raw_data_blocks_in_frame + 1
+      val hdr = if (crcAbsent) 7 else 9
+      // reserved srIdx or a frame shorter than its own header is garbage,
+      // never a duration
+      if (srIdx >= AdtsSr.length || frameLen <= hdr ||
+          o + frameLen > b.length) done = true
+      else {
+        frames += 1
+        samples += 1024L * rdb
+        payloadBytes += frameLen
+        sr0 = AdtsSr(srIdx); ch0 = channelCfg; prof0 = profile
+        o += frameLen
+      }
+    }
+    if (frames == 0) AdtsMeta(0, 0L, 0, 0, 0, "")
+    else {
+      val durMs = samples * 1000L / sr0
+      AdtsMeta(frames, durMs,
+        (payloadBytes * 8 / math.max(1L, durMs)).toInt,
+        sr0, ch0, AacProfiles(prof0))
+    }
+  }
+
+  /** Valid ADTS frame sequence with zeroed payloads — the planting tool
+    * (LC profile, CRC absent).
+    */
+  def encodeSilentAdts(frames: Int, sampleRate: Int, channels: Int,
+                       payloadPerFrame: Int = 256): Array[Byte] = {
+    val srIdx = AdtsSr.indexOf(sampleRate)
+    require(srIdx >= 0 && channels >= 1 && channels <= 7,
+      "ADTS table sample rates / channel configs only")
+    val frameLen = 7 + payloadPerFrame
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until frames).foreach { _ =>
+      val f = new Array[Byte](frameLen)
+      f(0) = 0xff.toByte
+      f(1) = 0xf1.toByte // MPEG-4, layer 00, CRC absent
+      f(2) = ((1 << 6) | (srIdx << 2) | (channels >> 2)).toByte // LC
+      f(3) = (((channels & 3) << 6) | ((frameLen >> 11) & 3)).toByte
+      f(4) = ((frameLen >> 3) & 0xff).toByte
+      f(5) = (((frameLen & 7) << 5) | 0x1f).toByte // buffer fullness hi
+      f(6) = 0xfc.toByte // fullness lo, 1 raw data block
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  // ---- FLAC STREAMINFO (round 14) ----------------------------------------
+  // A FLAC stream opens with "fLaC" and a mandatory 34-byte STREAMINFO
+  // metadata block (RFC 9639 §8.2): 20-bit sample rate, 3-bit
+  // channels-1, 5-bit bps-1, 36-bit total samples — exact duration with
+  // no frame walk at all.
+
+  case class FlacMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                      totalSamples: Long, durationMs: Long)
+
+  def isFlac(b: Array[Byte]): Boolean =
+    b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+      b(3) == 'C' && (b(4) & 0x7f) == 0 && // first block is STREAMINFO
+      (((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)) == 34
+
+  def parseFlac(b: Array[Byte]): FlacMeta = {
+    require(isFlac(b), "not a FLAC stream")
+    val o = 8 // STREAMINFO body; min/max blocksize+framesize occupy 10 bytes
+    val sr = ((b(o + 10) & 0xff) << 12) | ((b(o + 11) & 0xff) << 4) |
+      ((b(o + 12) & 0xff) >> 4)
+    val ch = ((b(o + 12) >> 1) & 7) + 1
+    val bps = (((b(o + 12) & 1) << 4) | ((b(o + 13) & 0xff) >> 4)) + 1
+    val total = ((b(o + 13) & 0xfL) << 32) | (be32(b, o + 14) & 0xffffffffL)
+    FlacMeta(sr, ch, bps, total,
+      if (sr == 0) 0L else total * 1000L / sr)
+  }
+
+  /** "fLaC" + STREAMINFO (+ empty payload) — the planting tool. */
+  def encodeFlacStreamInfo(sampleRate: Int, channels: Int,
+                           bitsPerSample: Int,
+                           totalSamples: Long): Array[Byte] = {
+    val out = new Array[Byte](42)
+    Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34)
+      .copyToArray(out) // 0x80: last-metadata-block flag + type 0
+    val o = 8
+    out(o) = 0x10; out(o + 1) = 0; out(o + 2) = 0x10; out(o + 3) = 0
+    val sr20 = sampleRate & 0xfffff
+    out(o + 10) = ((sr20 >> 12) & 0xff).toByte
+    out(o + 11) = ((sr20 >> 4) & 0xff).toByte
+    out(o + 12) = (((sr20 & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    out(o + 13) = ((((bitsPerSample - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf)).toByte
+    out(o + 14) = ((totalSamples >> 24) & 0xff).toByte
+    out(o + 15) = ((totalSamples >> 16) & 0xff).toByte
+    out(o + 16) = ((totalSamples >> 8) & 0xff).toByte
+    out(o + 17) = (totalSamples & 0xff).toByte
+    out
+  }
+
+  // ---- H.264 SPS: resolution/profile WITHOUT decode (round 14) -----------
+  // An H.264 elementary stream's sequence parameter set (NAL type 7)
+  // carries the coded picture size in macroblocks plus a crop rectangle
+  // (ITU-T H.264 §7.3.2.1.1). Parsing it is pure exp-Golomb bit reading —
+  // the real display resolution, profile, and level of a video payload
+  // with no decoder. Frame DECODE stays environment-limited.
+
+  case class H264Meta(profile: Int, level: Int, width: Int, height: Int)
+
+  /** MSB-first bit reader over an RBSP (emulation-prevention bytes
+    * already stripped).
+    */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val byte = b(pos >> 3) & 0xff
+        v = (v << 1) | ((byte >> (7 - (pos & 7))) & 1)
+        pos += 1; i += 1
+      }
+      v
+    }
+    def ue(): Int = { // Exp-Golomb: leadingZeros zeros, 1, leadingZeros bits
+      var zeros = 0
+      while (u(1) == 0 && zeros < 32) zeros += 1
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    def se(): Int = { // signed: k -> ceil(k/2) with alternating sign
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  private def stripEmulation(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(to - from)
+    var i = from
+    while (i < to) {
+      if (i + 2 < to && b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 3) {
+        out.write(0); out.write(0); i += 3 // drop the 0x03
+      } else { out.write(b(i)); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  def isAnnexB(b: Array[Byte]): Boolean =
+    b.length >= 5 && b(0) == 0 && b(1) == 0 &&
+      (b(2) == 1 || (b(2) == 0 && b(3) == 1))
+
+  /** Find and parse the first SPS NAL in an Annex-B stream; None when no
+    * start code leads to a parseable SPS (garbage never misparses into a
+    * resolution — scaling-list profiles are walked per spec, truncated
+    * streams throw inside and return None).
+    */
+  def parseH264Sps(b: Array[Byte]): Option[H264Meta] = {
+    if (!isAnnexB(b)) return None
+    var i = 0
+    while (i + 4 < b.length) {
+      val sc3 = b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1
+      val sc4 = i + 5 < b.length && b(i) == 0 && b(i + 1) == 0 &&
+        b(i + 2) == 0 && b(i + 3) == 1
+      if (sc3 || sc4) {
+        val nalStart = i + (if (sc3) 3 else 4)
+        if ((b(nalStart) & 0x1f) == 7) {
+          // NAL end = next start code or EOF
+          var j = nalStart + 1
+          var end = b.length
+          while (j + 2 < b.length && end == b.length) {
+            if (b(j) == 0 && b(j + 1) == 0 &&
+                (b(j + 2) == 1 || b(j + 2) == 0)) end = j
+            j += 1
+          }
+          return try Some(parseSpsRbsp(stripEmulation(b, nalStart + 1, end)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        i = nalStart
+      } else i += 1
+    }
+    None
+  }
+
+  private def parseSpsRbsp(rbsp: Array[Byte]): H264Meta = {
+    val r = new BitReader(rbsp)
+    val profile = r.u(8)
+    r.u(8) // constraint flags + reserved
+    val level = r.u(8)
+    r.ue() // seq_parameter_set_id
+    var chromaIdc = 1 // 4:2:0 unless the high-profile branch says else
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+          .contains(profile)) {
+      chromaIdc = r.ue()
+      if (chromaIdc == 3) r.u(1) // separate_colour_plane_flag
+      r.ue(); r.ue() // bit_depth_{luma,chroma}_minus8
+      r.u(1) // qpprime_y_zero_transform_bypass
+      if (r.u(1) == 1) { // seq_scaling_matrix_present
+        val lists = if (chromaIdc == 3) 12 else 8
+        var li = 0
+        while (li < lists) {
+          if (r.u(1) == 1) { // scaling_list_present
+            val size = if (li < 6) 16 else 64
+            var last = 8; var next = 8; var k = 0
+            while (k < size) {
+              if (next != 0) next = (last + r.se() + 256) % 256
+              if (next != 0) last = next
+              k += 1
+            }
+          }
+          li += 1
+        }
+      }
+    }
+    r.ue() // log2_max_frame_num_minus4
+    val pocType = r.ue()
+    if (pocType == 0) r.ue()
+    else if (pocType == 1) {
+      r.u(1); r.se(); r.se()
+      val n = r.ue()
+      var k = 0
+      while (k < n) { r.se(); k += 1 }
+    }
+    r.ue() // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed
+    val widthMbs = r.ue() + 1
+    val heightMapUnits = r.ue() + 1
+    val frameMbsOnly = r.u(1)
+    if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field
+    r.u(1) // direct_8x8_inference
+    var cropL = 0; var cropR = 0; var cropT = 0; var cropB = 0
+    if (r.u(1) == 1) { cropL = r.ue(); cropR = r.ue(); cropT = r.ue(); cropB = r.ue() }
+    // crop units (§7.4.2.1.1): 4:2:0 → x2; x(2-frame_mbs_only) vertically
+    val (cux, cuy) = chromaIdc match {
+      case 0 => (1, 2 - frameMbsOnly)
+      case 1 => (2, 2 * (2 - frameMbsOnly))
+      case 2 => (2, 2 - frameMbsOnly)
+      case _ => (1, 2 - frameMbsOnly)
+    }
+    H264Meta(profile, level,
+      widthMbs * 16 - cux * (cropL + cropR),
+      (2 - frameMbsOnly) * heightMapUnits * 16 - cuy * (cropT + cropB))
+  }
+
+  /** Minimal Baseline-profile SPS NAL (Annex-B) for a given display
+    * size — the planting tool. Non-multiple-of-16 sizes get the right
+    * crop rectangle, so parseH264Sps round-trips exactly.
+    */
+  def encodeH264Sps(width: Int, height: Int, profile: Int = 66,
+                    level: Int = 30): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      "4:2:0 crop units are 2 luma samples")
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+    def u(v: Int, n: Int): Unit = { var i = n - 1; while (i >= 0) { bits += ((v >> i) & 1); i -= 1 } }
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, len - 1); u(k, len)
+    }
+    val wMbs = (width + 15) / 16
+    val hMbs = (height + 15) / 16
+    // 4:2:0 frame-coded crop units (§7.4.2.1.1): SubWidthC=2,
+    // SubHeightC·(2-frame_mbs_only) = 2
+    val cropR = (wMbs * 16 - width) / 2
+    val cropB = (hMbs * 16 - height) / 2
+    u(profile, 8); u(0, 8); u(level, 8)
+    ue(0) // sps_id
+    ue(0) // log2_max_frame_num_minus4
+    ue(0) // pic_order_cnt_type 0
+    ue(0) //   log2_max_pic_order_cnt_lsb_minus4
+    ue(1) // max_num_ref_frames
+    u(0, 1) // gaps_in_frame_num
+    ue(wMbs - 1); ue(hMbs - 1)
+    u(1, 1) // frame_mbs_only
+    u(1, 1) // direct_8x8_inference
+    if (cropR > 0 || cropB > 0) { u(1, 1); ue(0); ue(cropR); ue(0); ue(cropB) }
+    else u(0, 1)
+    u(1, 1) // rbsp_stop_one_bit
+    while (bits.length % 8 != 0) bits += 0
+    val raw = bits.grouped(8)
+      .map(g => g.foldLeft(0)((a, bit) => (a << 1) | bit).toByte).toArray
+    // emulation prevention: 00 00 0x -> 00 00 03 0x inside the NAL
+    val body = new java.io.ByteArrayOutputStream()
+    var zeros = 0
+    raw.foreach { byte =>
+      if (zeros >= 2 && (byte & 0xfc) == 0) { body.write(3); zeros = 0 }
+      if (byte == 0) zeros += 1 else zeros = 0
+      body.write(byte)
+    }
+    Array[Byte](0, 0, 0, 1, 0x67) ++ body.toByteArray // NAL type 7, nri 3
   }
 }

@@ -170,6 +170,18 @@ object Multimodal {
         // decode (the codec itself is environment-limited, D12 note)
         val m = MediaCodec.parseMp3(bytes)
         MediaProbe(id, mt, "mp3", m.durationMs, 1, 0, 0)
+      } else if (MediaCodec.isAdts(bytes)) {
+        val m = MediaCodec.parseAdts(bytes)
+        MediaProbe(id, mt, "aac", m.durationMs, 1, 0, 0)
+      } else if (MediaCodec.isFlac(bytes)) {
+        val m = MediaCodec.parseFlac(bytes)
+        MediaProbe(id, mt, "flac", m.durationMs, 1, 0, 0)
+      } else if (MediaCodec.isAnnexB(bytes)) {
+        // resolution/profile from the SPS bit parse — no decoder
+        MediaCodec.parseH264Sps(bytes) match {
+          case Some(s) => MediaProbe(id, mt, "h264", 0L, 1, s.width, s.height)
+          case None    => MediaProbe(id, mt, "unknown", 0L, 0, 0, 0)
+        }
       } else MediaProbe(id, mt, "unknown", 0L, 0, 0, 0)
     } catch {
       case scala.util.control.NonFatal(_) =>

@@ -349,4 +349,65 @@ class MediaCodecSpec extends AnyFunSuite {
     val cut = MediaCodec.parseMp3(mp3.take(mp3.length - 10))
     assert(cut.frames == 37)
   }
+
+  test("AAC ADTS header walk: duration/bitrate/channels without decode") {
+    import graft.operators.{MediaCodec, Multimodal}
+    // 43 LC frames at 48000 Hz stereo: 43·1024/48000 s
+    val aac = MediaCodec.encodeSilentAdts(43, 48000, 2)
+    val m = MediaCodec.parseAdts(aac)
+    assert(m.frames == 43 && m.sampleRate == 48000 && m.channels == 2 &&
+      m.profile == "LC")
+    assert(m.durationMs == 43L * 1024 * 1000 / 48000)
+    // bitrate = bytes·8/duration (263-byte frames)
+    assert(m.bitrateKbps == aac.length * 8 / m.durationMs)
+    assert(MediaCodec.isAdts(aac))
+    val pr = Multimodal.probeKernel(8L, "audio/aac", aac)
+    assert(pr.container == "aac" && pr.duration_ms == m.durationMs)
+    // ADTS sync is 0xFFF with layer 00 — an MP3 stream (layer bits 01)
+    // must NOT probe as aac, nor vice versa
+    val mp3 = MediaCodec.encodeSilentMp3(5, 128, 44100)
+    assert(!MediaCodec.isAdts(mp3))
+    assert(!MediaCodec.isMp3(aac))
+    // truncated mid-frame stops at the last complete frame; garbage refused
+    assert(MediaCodec.parseAdts(aac.take(aac.length - 5)).frames == 42)
+    assert(!MediaCodec.isAdts(Array[Byte](0xff.toByte, 0xf1.toByte, 9, 9)))
+  }
+
+  test("FLAC STREAMINFO: exact duration from the mandatory first block") {
+    import graft.operators.{MediaCodec, Multimodal}
+    val flac = MediaCodec.encodeFlacStreamInfo(44100, 2, 16, 441000L)
+    val m = MediaCodec.parseFlac(flac)
+    assert(m.sampleRate == 44100 && m.channels == 2 &&
+      m.bitsPerSample == 16 && m.totalSamples == 441000L &&
+      m.durationMs == 10000L)
+    val pr = Multimodal.probeKernel(9L, "audio/flac", flac)
+    assert(pr.container == "flac" && pr.duration_ms == 10000L)
+    // a >32-bit sample count survives the 36-bit field
+    val big = MediaCodec.parseFlac(
+      MediaCodec.encodeFlacStreamInfo(96000, 8, 24, 0x1_2345_6789L))
+    assert(big.totalSamples == 0x1_2345_6789L && big.channels == 8)
+    assert(!MediaCodec.isFlac("fLaX-not-flac".getBytes ++ new Array[Byte](40)))
+  }
+
+  test("H.264 SPS parse: display resolution/profile via exp-Golomb, crop exact") {
+    import graft.operators.{MediaCodec, Multimodal}
+    // multiple-of-16 size: no crop rectangle
+    val sps = MediaCodec.encodeH264Sps(1280, 720)
+    assert(MediaCodec.parseH264Sps(sps)
+      .contains(MediaCodec.H264Meta(66, 30, 1280, 720)))
+    // 1920x1080: 1088 coded rows, bottom crop 8 = 2 crop units
+    val hd = MediaCodec.encodeH264Sps(1920, 1080, profile = 66, level = 40)
+    assert(MediaCodec.parseH264Sps(hd)
+      .contains(MediaCodec.H264Meta(66, 40, 1920, 1080)))
+    // probeKernel surfaces it as an h264 video row
+    val pr = Multimodal.probeKernel(10L, "video/h264", hd)
+    assert(pr.container == "h264" && pr.video_width == 1920 &&
+      pr.video_height == 1080)
+    // a start code leading to a non-SPS NAL or garbage yields None
+    assert(MediaCodec.parseH264Sps(
+      Array[Byte](0, 0, 0, 1, 0x61, 9, 9, 9, 9)).isEmpty)
+    assert(MediaCodec.parseH264Sps(
+      Array[Byte](0, 0, 1, 0x67, 0x42.toByte)).isEmpty) // truncated SPS
+    assert(!MediaCodec.isAnnexB(Array[Byte](9, 9, 9, 9, 9)))
+  }
 }
