@@ -101,6 +101,10 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   Files.createDirectories(Paths.get(warehouse))
+  // File-level data skipping (E9): scans of managed tables prune whole
+  // files against the commit protocol's _graft_stats sidecars before
+  // any task is scheduled. Idempotent per session.
+  org.apache.spark.sql.graft.Skipping.install(spark)
   // Seed the reference's initial databases (meta/initial.rs parity).
   Seq("mysql", "performance_schema").foreach(db => createSchema(db, ifNotExists = true))
   // Re-sync the (session-scoped) Spark catalog from the warehouse: a fresh
@@ -643,6 +647,63 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     rewrite(db, t, mergedFrom(m, currentVersionDir(db, t)), bucketBy = m.pk)
   }
 
+  /** OPTIMIZE ... SORT BY: rewrite the table range-clustered on `cols`
+    * (`repartitionByRange` + in-partition sort), so every output file
+    * covers a DISJOINT range and the E9 sidecar's min/max actually bite
+    * — a range predicate then prunes to O(1) files instead of all of
+    * them (the Delta OPTIMIZE ZORDER role, one-dimensional). The
+    * explicit trade vs plain OPTIMIZE: clustering serves scan pruning on
+    * `cols`, the pk-bucket layout serves exchange-free pk joins — a
+    * table gets whichever the operator chose last. Merge-on-read tables
+    * still fold their tombstones here (it is a rewrite like any other).
+    */
+  /** SORT BY rewrites target this output file size (the Delta OPTIMIZE
+    * sizing model: one file ≈ one scan split, so the range count comes
+    * from data volume, not the session's shuffle width — AQE would
+    * otherwise coalesce a small table to one file and a huge one would
+    * write under-split giants).
+    */
+  var sortTargetFileBytes: Long = 128L * 1024 * 1024
+
+  def compactSorted(db: String, t: String, cols: Seq[String]): Unit = {
+    val m = meta(db, t)
+    require(cols.nonEmpty, "SORT BY needs at least one column")
+    cols.foreach(c => require(m.cols.exists(_.name == c),
+      s"unknown SORT BY column '$c'"))
+    val cur = currentVersionDir(db, t)
+    val src =
+      if (m.mergeOnRead) mergedFrom(m, cur)
+      else readSnapshot(db, t)
+    val bytes = listFiles(cur).filter(_.endsWith(".parquet"))
+      .map(f => Files.size(cur.resolve(f))).sum
+    val parts = math.max(1L,
+      (bytes + sortTargetFileBytes - 1) / sortTargetFileBytes).toInt
+    val keys = cols.map(c => col(s"`$c`"))
+    rewrite(db, t, src.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*))
+  }
+
+  /** Backfill the current version's E9 sidecar for files it does not
+    * cover (a warehouse written before data skipping existed, or files
+    * landed by an external writer). Wired to ANALYZE TABLE — the same
+    * statement that refreshes CBO stats refreshes skipping stats.
+    */
+  def backfillStats(db: String, t: String): Long = {
+    val m = meta(db, t)
+    if (m.format != "parquet") return 0L
+    withDmlLock(db, t) {
+      val cur = currentVersionDir(db, t)
+      val covered = graft.sources.FileSkipStats.read(cur).keySet
+      val missing = listFiles(cur).filter(f =>
+        f.endsWith(".parquet") &&
+          !covered.contains(Paths.get(f).getFileName.toString))
+      graft.sources.FileSkipStats.record(
+        spark.sessionState.newHadoopConf(), cur, missing,
+        if (m.mergeOnRead) m.baseSchema else m.schema)
+      missing.size.toLong
+    }
+  }
+
   /** Bucket count for compacted merge-on-read layouts. Sized to the
     * shuffle parallelism at test scale; at 100 TB size it so one bucket
     * is one executor-core's worth (O(10^4)).
@@ -836,6 +897,13 @@ class Catalog(spark: SparkSession, val warehouse: String) {
           java.nio.charset.StandardCharsets.UTF_8))
     } else writer(frame, m).mode("overwrite").save(next.toString)
 
+    // data skipping (E9): the new version's files get fresh footer
+    // stats before the version becomes reachable
+    if (m.format == "parquet")
+      graft.sources.FileSkipStats.record(
+        spark.sessionState.newHadoopConf(), next,
+        listFiles(next).filter(_.endsWith(".parquet")), frame.schema)
+
     onRewriteBeforeCommit()
 
     lock.lock()
@@ -854,6 +922,12 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         Files.createDirectories(target.getParent)
         Files.createLink(target, cur.resolve(name))
       }
+      // their skipping stats carry over from the replaced version's
+      // sidecar (re-read from footers only if it never covered them)
+      if (m.format == "parquet")
+        graft.sources.FileSkipStats.carryOver(
+          spark.sessionState.newHadoopConf(), cur, next,
+          carriedIn.filter(_.endsWith(".parquet")), frame.schema)
       // Carried-over appends keep the bucket layout only if they were
       // written bucket-aligned (post-OPTIMIZE appends are): the replaced
       // version carried the same bucket count this rewrite used AND every
@@ -908,6 +982,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
             lit(seqOpt.getOrElse(nextSeqLocked(db, t))))
         else df
       val cur = currentVersionDir(db, t)
+      val preexisting = if (m.format == "parquet") listFiles(cur) else Set.empty[String]
       val bkt = if (m.mergeOnRead && m.partitionCols.isEmpty) bucketCount(db, t)
                 else 0
       if (bkt > 0 && m.pk.nonEmpty) {
@@ -966,6 +1041,13 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         // its layout guarantee the moment they land
         if (m.mergeOnRead) Files.deleteIfExists(bucketMarker(cur))
       }
+      // data skipping (E9): fold the batch's footer min/max into the
+      // version's sidecar — cost O(batch), never O(table)
+      if (m.format == "parquet")
+        graft.sources.FileSkipStats.record(
+          spark.sessionState.newHadoopConf(), cur,
+          (listFiles(cur) -- preexisting).filter(_.endsWith(".parquet")),
+          if (m.mergeOnRead) m.baseSchema else m.schema)
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
     syncBucketRegistration(m)

@@ -158,7 +158,27 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     else if (lower.startsWith("truncate")) dirty(truncate(stmt))
     else if (lower.startsWith("rename table")) renameTable(stmt)
     else if (lower.startsWith("optimize")) optimizeTable(stmt)
+    else if (lower.startsWith("analyze table")) analyzeTable(stmt)
     else query(stmt)
+  }
+
+  private val AnalyzeR = "(?is)analyze\\s+table\\s+([`\\w.]+).*".r
+
+  /** ANALYZE TABLE passes through to Spark (CBO/broadcast statistics)
+    * and then backfills the E9 data-skipping sidecar for any current-
+    * version files it does not cover — pre-E9 warehouses and externally
+    * landed files get file pruning from the same statement that has
+    * always refreshed stats.
+    */
+  private def analyzeTable(stmt: String): DataFrame = {
+    val out = query(stmt)
+    stmt match {
+      case AnalyzeR(name) =>
+        try { val (db, t) = qualify(clean(name)); catalog.backfillStats(db, t) }
+        catch { case scala.util.control.NonFatal(_) => () } // temp views etc.
+      case _ => ()
+    }
+    out
   }
 
   /** Mark the session write-dirty AFTER a DML statement succeeds (a
@@ -166,17 +186,27 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     */
   private def dirty(df: DataFrame): DataFrame = { txDirty = true; df }
 
-  private val OptimizeR = "(?is)optimize\\s+(?:table\\s+)?([`\\w.]+)".r
+  private val OptimizeR =
+    "(?is)optimize\\s+(?:table\\s+)?([`\\w.]+)(?:\\s+sort\\s+by\\s*\\(([^)]*)\\))?\\s*".r
 
   /** OPTIMIZE TABLE: compact a merge-on-read table — fold accumulated
     * tombstones into a fresh data version (MySQL's OPTIMIZE TABLE
-    * result-set shape: Table/Op/Msg_type/Msg_text).
+    * result-set shape: Table/Op/Msg_type/Msg_text). The SORT BY (cols)
+    * variant rewrites ANY parquet table range-clustered on the named
+    * columns instead, so the E9 data-skipping sidecar prunes range
+    * scans to O(1) files (Catalog.compactSorted scaladoc has the
+    * layout trade vs pk buckets).
     */
   private def optimizeTable(stmt: String): DataFrame = stmt match {
-    case OptimizeR(name) =>
+    case OptimizeR(name, sortCols) =>
       val (db, t) = qualify(name)
       val msg =
-        if (catalog.meta(db, t).mergeOnRead) { catalog.compact(db, t); "OK" }
+        if (sortCols != null) {
+          val cols = sortCols.split(",").map(c => clean(c.trim))
+            .filter(_.nonEmpty).toSeq
+          catalog.compactSorted(db, t, cols); "OK"
+        }
+        else if (catalog.meta(db, t).mergeOnRead) { catalog.compact(db, t); "OK" }
         else "Table does not support optimize, doing nothing"
       frame(Seq("Table", "Op", "Msg_type", "Msg_text"),
         Seq(Seq(s"$db.$t", "optimize", "status", msg)))

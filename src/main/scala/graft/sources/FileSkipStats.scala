@@ -1,0 +1,343 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File-level min/max data skipping for graft-managed tables (SURVEY
+  * §2.E9) — the lakehouse planning-time pruning layer (the design Delta
+  * calls data skipping and Iceberg keeps in manifest entries; the
+  * reference's sled engine gets the single-node analogue from key-prefix
+  * scoping, store/reader/sled.rs:1).
+  *
+  * Parquet already row-group-prunes INSIDE a task via pushed filters;
+  * what it cannot do is avoid SCHEDULING a task per file split. At
+  * 100 TB a managed table is 10⁵–10⁶ files, so a selective predicate
+  * still pays a full task wave without file-level pruning. The commit
+  * protocol therefore maintains a per-version `_graft_stats` sidecar —
+  * per data file, per leaf column: null count, value count, min, max,
+  * read straight from the parquet footers of exactly the files each
+  * commit adds (cost proportional to the batch, never the table) — and
+  * the scan path prunes whole files against it before tasks exist.
+  *
+  * The evaluator answers "MAY this file contain a matching row" — it
+  * must never prune a file that could match, and unknowns always answer
+  * yes: a file with no sidecar entry, a column with no footer stats, a
+  * predicate shape it does not model, a type it does not order. Strings
+  * compare as unsigned UTF-8 bytes (parquet's UTF8 comparator — Java
+  * String order would differ beyond the BMP and mis-prune).
+  */
+object FileSkipStats {
+
+  /** One column's footer aggregate for one file. `nullCount = -1` means
+    * unknown (some row group carried no stats); min/max of None means
+    * un-prunable on range.
+    */
+  case class ColStat(nullCount: Long, valueCount: Long,
+                     min: Option[String], max: Option[String])
+
+  val SidecarName = "_graft_stats"
+
+  // ---- footer collection --------------------------------------------------
+
+  /** Spark types the sidecar can order; everything else is skipped at
+    * collection (⇒ conservatively kept at scan).
+    */
+  private def domain(dt: DataType): Option[Char] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => Some('l')
+    case FloatType | DoubleType => Some('d')
+    case StringType => Some('s')
+    case BooleanType => Some('l')
+    case _ => None
+  }
+
+  /** Per-column stats of `relPaths` (relative to `dir`), straight from
+    * the parquet footers. Row-group stats aggregate: null counts sum,
+    * min/max fold; any group missing stats for a column degrades that
+    * column to unknown.
+    */
+  def collect(conf: Configuration, dir: Path, relPaths: Iterable[String],
+              schema: StructType): Map[String, Map[String, ColStat]] = {
+    val types: Map[String, DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+    relPaths.iterator.filter(_.endsWith(".parquet")).flatMap { rel =>
+      val p = dir.resolve(rel)
+      try {
+        val in = HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val footer =
+          scala.util.Using.resource(ParquetFileReader.open(in))(_.getFooter)
+        val acc = scala.collection.mutable.Map[String, ColStat]()
+        footer.getBlocks.asScala.foreach { block =>
+          val rows = block.getRowCount
+          block.getColumns.asScala.foreach { ch =>
+            val parts = ch.getPath.toArray
+            if (parts.length == 1) { // top-level leaves only
+              val name = parts(0)
+              types.get(name).flatMap(domain).foreach { dom =>
+                val st = ch.getStatistics
+                val prev = acc.getOrElse(name, ColStat(0L, 0L, None, None))
+                val next =
+                  if (st == null || st.isEmpty || !st.isNumNullsSet)
+                    ColStat(-1L, prev.valueCount + rows, None, None)
+                  else {
+                    val (mn, mx) =
+                      if (!st.hasNonNullValue) (prev.min, prev.max)
+                      else {
+                        val tn = ch.getPrimitiveType.getPrimitiveTypeName
+                        (fold(prev.min, st.genericGetMin.asInstanceOf[AnyRef],
+                           tn, dom, isMin = true),
+                         fold(prev.max, st.genericGetMax.asInstanceOf[AnyRef],
+                           tn, dom, isMin = false))
+                      }
+                    if (prev.nullCount < 0)
+                      ColStat(-1L, prev.valueCount + rows, None, None)
+                    else
+                      ColStat(prev.nullCount + st.getNumNulls,
+                        prev.valueCount + rows,
+                        // a block with rows but no recorded value and no
+                        // nulls for them would make min/max lie; parquet
+                        // writes stats per chunk, so values-without-stats
+                        // only happens via the isEmpty branch above
+                        mn, mx)
+                  }
+                acc(name) = next
+              }
+            }
+          }
+        }
+        Some(p.getFileName.toString -> acc.toMap)
+      } catch {
+        case scala.util.control.NonFatal(_) => None // unreadable ⇒ no entry
+      }
+    }.toMap
+  }
+
+  /** Fold one row group's min or max into the running rendering. */
+  private def fold(prev: Option[String], v: AnyRef,
+                   tn: PrimitiveTypeName, dom: Char,
+                   isMin: Boolean): Option[String] = {
+    val rendered: Option[String] = (tn, v) match {
+      case (PrimitiveTypeName.INT32, i: Integer) => Some(i.longValue.toString)
+      case (PrimitiveTypeName.INT64, l: java.lang.Long) => Some(l.toString)
+      case (PrimitiveTypeName.FLOAT, f: java.lang.Float)
+        if !f.isNaN => Some(f.doubleValue.toString)
+      case (PrimitiveTypeName.DOUBLE, d: java.lang.Double)
+        if !d.isNaN => Some(d.toString)
+      case (PrimitiveTypeName.BOOLEAN, b: java.lang.Boolean) =>
+        Some(if (b) "1" else "0")
+      case (PrimitiveTypeName.BINARY, b: Binary) if dom == 's' =>
+        Some(Base64.getEncoder.encodeToString(b.getBytes))
+      case _ => None
+    }
+    (prev, rendered) match {
+      case (_, None) | (None, _) => rendered.orElse(prev) match {
+        case r @ Some(_) if prev.isEmpty => r
+        case _ => None // mixed known/unknown across groups ⇒ unknown
+      }
+      case (Some(a), Some(b)) =>
+        val c = cmp(a, b, dom)
+        Some(if ((c <= 0) == isMin) a else b)
+    }
+  }
+
+  /** Order two renderings within a domain: 'l' integral, 'd' double,
+    * 's' unsigned UTF-8 bytes.
+    */
+  private def cmp(a: String, b: String, dom: Char): Int = dom match {
+    case 'l' => java.lang.Long.compare(a.toLong, b.toLong)
+    case 'd' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ =>
+      val x = Base64.getDecoder.decode(a); val y = Base64.getDecoder.decode(b)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+  }
+
+  // ---- sidecar IO ---------------------------------------------------------
+  // One line per (file, column):
+  //   fileName \t col \t nullCount \t valueCount \t min \t max
+  // (min/max renderings are tab-free by construction: numerics and
+  // base64). Written via a dot-temp + same-dir ATOMIC_MOVE so lock-free
+  // readers never see a torn sidecar.
+
+  def read(dir: Path): Map[String, Map[String, ColStat]] = {
+    val f = dir.resolve(SidecarName)
+    if (!Files.isRegularFile(f)) Map.empty
+    else try {
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.iterator
+        .map(_.split("\t", -1)).filter(_.length == 6)
+        .toSeq.groupBy(_(0)).map { case (file, rows) =>
+          file -> rows.map { r =>
+            r(1) -> ColStat(r(2).toLong, r(3).toLong,
+              if (r(4).isEmpty) None else Some(r(4)),
+              if (r(5).isEmpty) None else Some(r(5)))
+          }.toMap
+        }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  private def writeAll(dir: Path,
+                       all: Map[String, Map[String, ColStat]]): Unit = {
+    val lines = all.toSeq.sortBy(_._1).flatMap { case (file, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"$file\t$c\t${s.nullCount}\t${s.valueCount}\t${s.min.getOrElse("")}\t${s.max.getOrElse("")}"
+      }
+    }
+    val tmp = dir.resolve("." + SidecarName + ".tmp")
+    Files.write(tmp, lines.asJava, StandardCharsets.UTF_8)
+    Files.move(tmp, dir.resolve(SidecarName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Merge footer stats of `newRelPaths` (the files this commit adds
+    * under `dir`) into `dir`'s sidecar. Cost is O(batch footers).
+    */
+  def record(conf: Configuration, dir: Path, newRelPaths: Iterable[String],
+             schema: StructType): Unit =
+    if (newRelPaths.nonEmpty)
+      writeAll(dir, read(dir) ++ collect(conf, dir, newRelPaths, schema))
+
+  /** Carry entries for hard-linked files from the replaced version's
+    * sidecar; files it never covered are re-read from their footers
+    * (never silently left uncovered — an uncovered file is a permanent
+    * "may match").
+    */
+  def carryOver(conf: Configuration, fromDir: Path, toDir: Path,
+                relPaths: Iterable[String], schema: StructType): Unit =
+    if (relPaths.nonEmpty) {
+      val old = read(fromDir)
+      val (have, missing) = relPaths.partition(r =>
+        old.contains(Paths.get(r).getFileName.toString))
+      val copied = have.map { r =>
+        val n = Paths.get(r).getFileName.toString; n -> old(n)
+      }.toMap
+      writeAll(toDir,
+        read(toDir) ++ copied ++ collect(conf, toDir, missing, schema))
+    }
+
+  // ---- the MAY-MATCH evaluator -------------------------------------------
+
+  /** Conjunction over the scan's pushed data filters: false ⇒ the file
+    * provably contains no matching row and is skipped before any task
+    * exists.
+    */
+  def mayMatch(filters: Seq[Expression], schema: StructType,
+               stats: Map[String, ColStat]): Boolean =
+    filters.forall(f => may(f, schema, stats))
+
+  private def may(e: Expression, schema: StructType,
+                  stats: Map[String, ColStat]): Boolean = e match {
+    case And(l, r) => may(l, schema, stats) && may(r, schema, stats)
+    case Or(l, r) => may(l, schema, stats) || may(r, schema, stats)
+    case IsNull(a: AttributeReference) =>
+      stats.get(a.name).forall(s => s.nullCount != 0)
+    case IsNotNull(a: AttributeReference) =>
+      stats.get(a.name).forall(s =>
+        s.nullCount < 0 || s.nullCount < s.valueCount)
+    case Not(IsNull(a: AttributeReference)) =>
+      may(IsNotNull(a), schema, stats)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) => cmpMay(a, v, dt, schema, stats, 0)
+    case EqualTo(Literal(v, dt), a: AttributeReference) => cmpMay(a, v, dt, schema, stats, 0)
+    case EqualNullSafe(a: AttributeReference, Literal(v, dt)) =>
+      if (v == null) may(IsNull(a), schema, stats)
+      else cmpMay(a, v, dt, schema, stats, 0)
+    case EqualNullSafe(Literal(v, dt), a: AttributeReference) =>
+      if (v == null) may(IsNull(a), schema, stats)
+      else cmpMay(a, v, dt, schema, stats, 0)
+    case LessThan(a: AttributeReference, Literal(v, dt)) => cmpMay(a, v, dt, schema, stats, -2)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => cmpMay(a, v, dt, schema, stats, -1)
+    case GreaterThan(a: AttributeReference, Literal(v, dt)) => cmpMay(a, v, dt, schema, stats, 2)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => cmpMay(a, v, dt, schema, stats, 1)
+    case LessThan(Literal(v, dt), a: AttributeReference) => cmpMay(a, v, dt, schema, stats, 2)
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => cmpMay(a, v, dt, schema, stats, 1)
+    case GreaterThan(Literal(v, dt), a: AttributeReference) => cmpMay(a, v, dt, schema, stats, -2)
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => cmpMay(a, v, dt, schema, stats, -1)
+    case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, dt) => cmpMay(a, v, dt, schema, stats, 0) }
+    case InSet(a: AttributeReference, set) =>
+      val dt = a.dataType
+      set.exists(v => cmpMay(a, v, dt, schema, stats, 0))
+    case StartsWith(a: AttributeReference, Literal(v: UTF8String, StringType)) =>
+      prefixMay(a, v.getBytes, stats)
+    case _ => true // unmodeled shape — never prune on it
+  }
+
+  /** `op` encodes the predicate on column `a` vs literal `v`:
+    * 0 `=`, -2 `<`, -1 `<=`, 2 `>`, 1 `>=` (attribute on the left).
+    */
+  private def cmpMay(a: AttributeReference, v: Any, dt: DataType,
+                     schema: StructType, stats: Map[String, ColStat],
+                     op: Int): Boolean = {
+    if (v == null) return true // null comparison never pushed as-is
+    val s = stats.getOrElse(a.name, return true)
+    // a file of only nulls matches no value comparison, stats or not
+    if (s.nullCount >= 0 && s.valueCount > 0 && s.nullCount == s.valueCount)
+      return false
+    val dom = domain(a.dataType).getOrElse(return true)
+    if (domain(dt) != Some(dom)) return true // cast mismatch — keep
+    val lit = render(v, dt).getOrElse(return true)
+    val lo = s.min.map(m => cmp(lit, m, dom)) // lit vs min
+    val hi = s.max.map(m => cmp(lit, m, dom)) // lit vs max
+    op match {
+      case 0  => lo.forall(_ >= 0) && hi.forall(_ <= 0)
+      case -2 => lo.forall(_ > 0)  // some value < lit ⇔ min < lit
+      case -1 => lo.forall(_ >= 0)
+      case 2  => hi.forall(_ < 0)  // some value > lit ⇔ max > lit
+      case 1  => hi.forall(_ <= 0)
+      case _  => true
+    }
+  }
+
+  private def prefixMay(a: AttributeReference, prefix: Array[Byte],
+                        stats: Map[String, ColStat]): Boolean = {
+    val s = stats.getOrElse(a.name, return true)
+    if (s.nullCount >= 0 && s.valueCount > 0 && s.nullCount == s.valueCount)
+      return false
+    // value startsWith p ⇒ truncate(value) == p at p.length bytes: prune
+    // when p < truncate(min) or p > truncate(max)
+    def trunc(enc: String): Array[Byte] =
+      Base64.getDecoder.decode(enc).take(prefix.length)
+    def cmpBytes(x: Array[Byte], y: Array[Byte]): Int = {
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    s.min.forall(m => cmpBytes(prefix, trunc(m)) >= 0) &&
+      s.max.forall(m => cmpBytes(prefix, trunc(m)) <= 0)
+  }
+
+  /** Literal internal value → the domain rendering used by `cmp`. */
+  private def render(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (b: Byte, _) => Some(b.toLong.toString)
+    case (s: Short, _) => Some(s.toLong.toString)
+    case (i: Int, _) => Some(i.toLong.toString) // incl. Date days
+    case (l: Long, _) => Some(l.toString) // incl. Timestamp micros
+    case (f: Float, _) => if (f.isNaN) None else Some(f.toDouble.toString)
+    case (d: Double, _) => if (d.isNaN) None else Some(d.toString)
+    case (b: Boolean, _) => Some(if (b) "1" else "0")
+    case (u: UTF8String, _) =>
+      Some(Base64.getEncoder.encodeToString(u.getBytes))
+    case _ => None
+  }
+}

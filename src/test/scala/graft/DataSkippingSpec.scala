@@ -1,0 +1,258 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.GraftSession
+import graft.sources.FileSkipStats
+import graft.sources.FileSkipStats.ColStat
+
+/** File-level min/max data skipping (SURVEY §2.E9): the commit
+  * protocol's `_graft_stats` sidecars + the SkippingFileIndex wrap.
+  * Covers the evaluator's may-match algebra directly, then the full
+  * path: sidecar written on INSERT, files pruned at scan (numFiles
+  * metric), entries carried across OPTIMIZE, never a wrong row.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val g = {
+    val wh = Files.createTempDirectory("graft-skip-wh").toString
+    new GraftSession(spark, wh)
+  }
+
+  private val idAttr = AttributeReference("id", LongType)()
+  private val vAttr = AttributeReference("v", StringType)()
+  private def sEnc(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  // a file holding ids 10..20, strings "ccc".."mmm", no nulls, 50 rows
+  private val fileStats = Map(
+    "id" -> ColStat(0L, 50L, Some("10"), Some("20")),
+    "v" -> ColStat(0L, 50L, Some(sEnc("ccc")), Some(sEnc("mmm"))))
+
+  private def m(e: Expression): Boolean =
+    FileSkipStats.mayMatch(Seq(e), schema, fileStats)
+
+  test("evaluator: range algebra on integers") {
+    assert(m(EqualTo(idAttr, Literal(15L))))
+    assert(!m(EqualTo(idAttr, Literal(9L))))
+    assert(!m(EqualTo(idAttr, Literal(21L))))
+    assert(m(EqualTo(Literal(10L), idAttr)) && m(EqualTo(Literal(20L), idAttr)))
+    assert(!m(LessThan(idAttr, Literal(10L))) && m(LessThan(idAttr, Literal(11L))))
+    assert(m(LessThanOrEqual(idAttr, Literal(10L))))
+    assert(!m(GreaterThan(idAttr, Literal(20L))) && m(GreaterThan(idAttr, Literal(19L))))
+    assert(m(GreaterThanOrEqual(idAttr, Literal(20L))))
+    assert(!m(GreaterThanOrEqual(idAttr, Literal(21L))))
+    // literal-on-the-left mirrors: 21 < id is unsatisfiable here
+    assert(!m(LessThan(Literal(20L), idAttr)) && m(LessThan(Literal(19L), idAttr)))
+  }
+
+  test("evaluator: And/Or/In/IsNull and the conservative defaults") {
+    assert(!m(And(GreaterThan(idAttr, Literal(25L)), LessThan(idAttr, Literal(30L)))))
+    // per-conjunct evaluation (the standard skipping algebra): each side
+    // alone is satisfiable in [10,20], so the file is kept even though
+    // the conjunction is empty — row-level filtering handles it
+    assert(m(And(GreaterThan(idAttr, Literal(12L)), LessThan(idAttr, Literal(11L)))))
+    assert(m(Or(EqualTo(idAttr, Literal(5L)), EqualTo(idAttr, Literal(12L)))))
+    assert(!m(Or(EqualTo(idAttr, Literal(5L)), EqualTo(idAttr, Literal(25L)))))
+    assert(m(In(idAttr, Seq(Literal(1L), Literal(15L)))))
+    assert(!m(In(idAttr, Seq(Literal(1L), Literal(2L)))))
+    assert(!m(IsNull(idAttr))) // nullCount 0
+    assert(m(IsNotNull(idAttr)))
+    // a column with no stats entry never prunes
+    val other = AttributeReference("w", LongType)()
+    assert(m(EqualTo(other, Literal(999L))))
+    // an unmodeled predicate shape never prunes
+    assert(m(GreaterThan(Abs(idAttr), Literal(999L))))
+    // all-null file: value comparisons prune, IS NULL keeps
+    val allNull = Map("id" -> ColStat(50L, 50L, None, None))
+    assert(!FileSkipStats.mayMatch(Seq(EqualTo(idAttr, Literal(1L))), schema, allNull))
+    assert(FileSkipStats.mayMatch(Seq(IsNull(idAttr)), schema, allNull))
+    assert(!FileSkipStats.mayMatch(Seq(IsNotNull(idAttr)), schema, allNull))
+    // unknown null count (-1): nothing null-based prunes
+    val unknown = Map("id" -> ColStat(-1L, 50L, None, None))
+    assert(FileSkipStats.mayMatch(Seq(IsNotNull(idAttr)), schema, unknown))
+    assert(FileSkipStats.mayMatch(Seq(EqualTo(idAttr, Literal(1L))), schema, unknown))
+  }
+
+  test("evaluator: strings compare as unsigned UTF-8 bytes; StartsWith prefixes") {
+    assert(m(EqualTo(vAttr, Literal(UTF8String.fromString("ggg"), StringType))))
+    assert(!m(EqualTo(vAttr, Literal(UTF8String.fromString("zzz"), StringType))))
+    assert(!m(EqualTo(vAttr, Literal(UTF8String.fromString("aaa"), StringType))))
+    assert(m(StartsWith(vAttr, Literal(UTF8String.fromString("c"), StringType))))
+    assert(m(StartsWith(vAttr, Literal(UTF8String.fromString("mmm"), StringType))))
+    assert(!m(StartsWith(vAttr, Literal(UTF8String.fromString("n"), StringType))))
+    // beyond-BMP: U+1F600 encodes above every ASCII byte, so it sorts
+    // after "mmm" in UTF-8 order and prunes
+    assert(!m(EqualTo(vAttr, Literal(UTF8String.fromString("😀"), StringType))))
+  }
+
+  // ---- end to end through the engine -------------------------------------
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    df.collect()
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: QueryStageExec => find(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(find)
+    }
+    find(df.queryExecution.executedPlan)
+  }
+
+  private def scansFiles(df: DataFrame): Long =
+    scans(df).map(_.metrics("numFiles").value).sum
+
+  /** numFiles over only the scans rooted under `pathPart` — isolates the
+    * data-side scan from a merge view's tombstone scan.
+    */
+  private def scansFilesUnder(df: DataFrame, pathPart: String): Long =
+    scans(df).filter(_.relation.location.rootPaths
+        .exists(_.toString.contains(pathPart)))
+      .map(_.metrics("numFiles").value).sum
+
+  test("E9 INSERT maintains the sidecar; scans prune whole files by range") {
+    g.sql("create schema skipdb")
+    g.sql("use skipdb")
+    g.sql("create table t_skip (id bigint, v char)")
+    g.sql("insert into t_skip values " +
+      (1 to 50).map(i => s"($i, 'a$i')").mkString(", "))
+    val wh = g.catalog.dataPath("skipdb", "t_skip")
+    val lowFiles = FileSkipStats.read(Paths.get(wh)).size
+    g.sql("insert into t_skip values " +
+      (1000 to 1050).map(i => s"($i, 'n$i')").mkString(", "))
+    val side = Paths.get(wh).resolve(FileSkipStats.SidecarName)
+    assert(Files.isRegularFile(side), "sidecar must exist after INSERT")
+    val stats = FileSkipStats.read(Paths.get(wh))
+    val hiFiles = stats.size - lowFiles
+    assert(lowFiles >= 1 && hiFiles >= 1, "one entry per appended file")
+    assert(stats.values.forall(_.contains("id")))
+
+    val all = g.sql("select * from t_skip")
+    assert(scansFiles(all) == stats.size)
+    val hi = g.sql("select * from t_skip where id >= 1000")
+    assert(hi.count() == 51)
+    assert(scansFiles(g.sql("select * from t_skip where id >= 1000")) == hiFiles,
+      "high-range predicate must scan only the high batch's files")
+    assert(scansFiles(g.sql("select * from t_skip where id < 100")) == lowFiles)
+    // string predicate beyond every file's range scans nothing
+    val none = g.sql("select * from t_skip where v = 'zzz'")
+    assert(none.count() == 0 && scansFiles(g.sql(
+      "select * from t_skip where v = 'zzz'")) == 0)
+    // pruning never loses a matching row
+    assert(g.sql("select count(*) as c from t_skip where id = 1001")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("E9 merge-on-read + OPTIMIZE: sidecar follows the rewrite, pruning stays exact") {
+    g.sql("use skipdb")
+    g.sql("create table t_skip_pk (id bigint, v char, PRIMARY KEY(id))")
+    g.sql("insert into t_skip_pk values " +
+      (1 to 40).map(i => s"($i, 'x$i')").mkString(", "))
+    val pkDir = Paths.get(g.catalog.dataPath("skipdb", "t_skip_pk"))
+    val lowFiles = FileSkipStats.read(pkDir).size
+    g.sql("insert into t_skip_pk values " +
+      (5000 to 5040).map(i => s"($i, 'y$i')").mkString(", "))
+    val hiFiles = FileSkipStats.read(pkDir).size - lowFiles
+    // reads resolve through the merge view; the base relation still
+    // carries the sidecar-backed index
+    assert(scansFiles(g.sql("select * from t_skip_pk where id >= 5000"))
+      == hiFiles)
+    g.sql("update t_skip_pk set v = 'upd' where id = 7")
+    g.sql("optimize table t_skip_pk")
+    val cur = g.catalog.currentVersionDir("skipdb", "t_skip_pk")
+    assert(Files.isRegularFile(cur.resolve(FileSkipStats.SidecarName)),
+      "rewrite must produce a fresh sidecar in the new version")
+    val after = FileSkipStats.read(cur)
+    assert(after.nonEmpty && after.values.forall(_.contains("id")))
+    assert(g.sql("select v from t_skip_pk where id = 7")
+      .collect()(0).getString(0) == "upd")
+    assert(g.sql("select count(*) as c from t_skip_pk where id >= 5000")
+      .collect()(0).getLong(0) == 41L)
+    // post-OPTIMIZE appends keep extending the same version's sidecar
+    g.sql("insert into t_skip_pk values (9000, 'z')")
+    val grown = FileSkipStats.read(cur)
+    assert(grown.size > after.size,
+      "bucket-aligned append must add its files' stats")
+    assert(g.sql("select count(*) as c from t_skip_pk where id = 9000")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("E9 OPTIMIZE SORT BY range-clusters files so skipping prunes to O(1)") {
+    g.sql("use skipdb")
+    g.sql("create table t_sort (id bigint, v char)")
+    // residue-ordered VALUES: a local relation splits into CONTIGUOUS
+    // slices, so ordering ids round-robin makes every written file span
+    // the whole id range — min/max skipping cannot prune anything yet
+    g.sql("insert into t_sort values " +
+      (0 until 1000).sortBy(_ % 8).map(i => s"($i, 'x$i')").mkString(", "))
+    val dir = Paths.get(g.catalog.dataPath("skipdb", "t_sort"))
+    val preFiles = FileSkipStats.read(dir).size
+    val narrow = "select * from t_sort where id between 100 and 110"
+    assert(scansFiles(g.sql(narrow)) == preFiles,
+      "interleaved layout cannot prune")
+    // size the target so this tiny table still splits into several
+    // range files (production default is 128 MB ≈ one scan split)
+    g.catalog.sortTargetFileBytes = 4096L
+    val res = g.sql("optimize table t_sort sort by (id)").collect()(0)
+    assert(res.getString(3) == "OK")
+    val postFiles = FileSkipStats.read(dir).size
+    assert(postFiles >= 2, "range repartition writes multiple files")
+    assert(g.sql("select count(*) as c from t_sort").collect()(0).getLong(0)
+      == 1000L)
+    assert(scansFiles(g.sql(narrow)) <= 2,
+      "disjoint ranges + sidecar prune the narrow scan to at most a boundary straddle")
+    assert(scansFiles(g.sql("select * from t_sort where id = 505")) == 1,
+      "a point predicate lands in exactly one range file")
+    assert(g.sql(narrow).count() == 11)
+    // merge-on-read: SORT BY still folds tombstones like any rewrite
+    g.sql("create table t_sort_pk (id bigint, v char, PRIMARY KEY(id))")
+    g.sql("insert into t_sort_pk values " +
+      (0 until 400).sortBy(_ % 8).map(i => s"($i, 'v')").mkString(", "))
+    g.sql("update t_sort_pk set v = 'upd' where id = 41")
+    g.sql("optimize table t_sort_pk sort by (id)")
+    assert(g.sql("select v from t_sort_pk where id = 41")
+      .collect()(0).getString(0) == "upd")
+    assert(g.sql("select count(*) as c from t_sort_pk").collect()(0)
+      .getLong(0) == 400L)
+    // the merge view also scans the tombstone dir; assert pruning on
+    // the DATA-side scan alone
+    assert(scansFilesUnder(g.sql(
+      "select * from t_sort_pk where id = 11"), "t_sort_pk/data") == 1)
+  }
+
+  test("E9 ANALYZE TABLE backfills a missing sidecar (pre-E9 warehouse path)") {
+    g.sql("use skipdb")
+    g.sql("create table t_bf (id bigint, v char)")
+    g.sql("insert into t_bf values " +
+      (1 to 30).map(i => s"($i, 'a')").mkString(", "))
+    g.sql("insert into t_bf values " +
+      (700 to 730).map(i => s"($i, 'b')").mkString(", "))
+    val dir = Paths.get(g.catalog.dataPath("skipdb", "t_bf"))
+    val full = FileSkipStats.read(dir)
+    assert(full.nonEmpty)
+    // simulate a warehouse written before data skipping existed
+    Files.delete(dir.resolve(FileSkipStats.SidecarName))
+    assert(scansFiles(g.sql("select * from t_bf where id >= 700"))
+      == full.size, "no sidecar - no pruning")
+    g.sql("analyze table skipdb.t_bf compute statistics")
+    val back = FileSkipStats.read(dir)
+    assert(back.keySet == full.keySet, "backfill covers every file")
+    assert(scansFiles(g.sql("select * from t_bf where id >= 700"))
+      < full.size, "backfilled sidecar prunes again")
+    assert(g.sql("select count(*) as c from t_bf where id >= 700")
+      .collect()(0).getLong(0) == 31L)
+  }
+}
