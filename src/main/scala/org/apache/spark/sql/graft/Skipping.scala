@@ -23,9 +23,11 @@ import graft.sources.FileSkipStats
   * matching row survives. `SkippingRule` (installed per-session into
   * `spark.experimental.extraOptimizations` — it runs AFTER the built-in
   * batches, so partitioned relations have already been pruned to
-  * concrete listings) wraps any file-source relation whose root carries
-  * a sidecar; everything else — driver testdata, external parquet, CSV —
-  * resolves exactly as before.
+  * concrete listings) wraps any single-root file-source relation whose
+  * root carries a sidecar; everything else — driver testdata, external
+  * parquet, CSV, partition-pruned multi-root listings (directory
+  * pruning is already the coarse filter there) — resolves exactly as
+  * before.
   */
 final class SkippingFileIndex(
     inner: FileIndex,
@@ -73,17 +75,35 @@ object Skipping {
 
   private def statsFor(
       roots: Seq[Path]): Option[Map[String, Map[String, FileSkipStats.ColStat]]] = {
-    if (roots.size != 1) return None
-    val uri = roots.head.toUri
-    if (uri.getScheme != null && uri.getScheme != "file") return None
-    val side = Paths.get(uri.getPath).resolve(FileSkipStats.SidecarName)
-    if (!Files.isRegularFile(side)) return None
+    if (roots.isEmpty) return None
+    val paths = roots.map { r =>
+      val u = r.toUri
+      if (u.getScheme != null && u.getScheme != "file") return None
+      Paths.get(u.getPath)
+    }
+    // The sidecar sits at the table's data root. A non-partitioned
+    // relation roots there directly; a partition-pruned relation roots
+    // at the selected `<data>/<k=v>` subdirs — walk up (≤2 levels, for
+    // nested partition keys) to the nearest sidecar every root shares.
+    var side: java.nio.file.Path = null
+    var base = paths.head
+    var up = 0
+    while (side == null && base != null && up <= 2) {
+      val s = base.resolve(FileSkipStats.SidecarName)
+      if (Files.isRegularFile(s) && paths.forall(_.startsWith(base)))
+        side = s
+      else { base = base.getParent; up += 1 }
+    }
+    if (side == null) return None
     val key = side.toString
     val (mt, sz) = (Files.getLastModifiedTime(side).toMillis, Files.size(side))
     val hit = cache.get(key)
     if (hit != null && hit._1 == mt && hit._2 == sz) Some(hit._3)
     else {
       val parsed = FileSkipStats.read(side.getParent)
+      // version dirs come and go with every rewrite on a long-running
+      // server — bound the cache instead of tracking GC
+      if (cache.size >= 256) cache.clear()
       cache.put(key, (mt, sz, parsed))
       Some(parsed)
     }

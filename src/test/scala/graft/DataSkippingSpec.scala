@@ -233,6 +233,31 @@ class DataSkippingSpec extends AnyFunSuite {
       "select * from t_sort_pk where id = 11"), "t_sort_pk/data") == 1)
   }
 
+  test("E9 partitioned tables: directory pruning composes with file skipping") {
+    g.sql("use skipdb")
+    g.sql("create table t_part (id bigint, site varchar(10)) partition by (site)")
+    // two appends per partition with disjoint id ranges
+    g.sql("insert into t_part values " +
+      (1 to 20).map(i => s"($i, 'us')").mkString(", ") + ", " +
+      (1 to 20).map(i => s"($i, 'eu')").mkString(", "))
+    g.sql("insert into t_part values " +
+      (900 to 920).map(i => s"($i, 'us')").mkString(", ") + ", " +
+      (900 to 920).map(i => s"($i, 'eu')").mkString(", "))
+    val dir = Paths.get(g.catalog.dataPath("skipdb", "t_part"))
+    val stats = FileSkipStats.read(dir)
+    assert(stats.nonEmpty, "partitioned appends must record sidecar entries")
+    // partition filter prunes the directory, data filter prunes files
+    // inside the surviving partition (the pruned listing roots at the
+    // partition dir — statsFor walks up to the table sidecar)
+    val both = g.sql("select * from t_part where site = 'us' and id >= 900")
+    assert(both.count() == 21)
+    val usFiles = scansFiles(g.sql("select * from t_part where site = 'us'"))
+    val pruned = scansFiles(g.sql(
+      "select * from t_part where site = 'us' and id >= 900"))
+    assert(pruned < usFiles,
+      s"file skipping must engage inside the partition ($pruned vs $usFiles)")
+  }
+
   test("E9 ANALYZE TABLE backfills a missing sidecar (pre-E9 warehouse path)") {
     g.sql("use skipdb")
     g.sql("create table t_bf (id bigint, v char)")
