@@ -258,6 +258,37 @@ class DataSkippingSpec extends AnyFunSuite {
       s"file skipping must engage inside the partition ($pruned vs $usFiles)")
   }
 
+  test("E9 an append racing OPTIMIZE keeps full sidecar coverage (carry-over path)") {
+    g.sql("use skipdb")
+    g.sql("create table t_race (id bigint, v char, PRIMARY KEY(id))")
+    g.sql("insert into t_race values " +
+      (1 to 30).map(i => s"($i, 'a')").mkString(", "))
+    val cat = g.catalog
+    // inject a concurrent append between the rewrite's snapshot and its
+    // commit: its files are hard-linked into the new version at commit
+    // and must arrive WITH their sidecar entries
+    cat.onRewriteBeforeCommit =
+      () => g.sql("insert into t_race values " +
+        (8000 to 8020).map(i => s"($i, 'r')").mkString(", "))
+    try g.sql("optimize table t_race")
+    finally cat.onRewriteBeforeCommit = () => ()
+    val cur = cat.currentVersionDir("skipdb", "t_race")
+    val stats = FileSkipStats.read(cur)
+    val dataFiles = Files.list(cur).iterator()
+    var uncovered = List.empty[String]
+    while (dataFiles.hasNext) {
+      val n = dataFiles.next().getFileName.toString
+      if (n.endsWith(".parquet") && !stats.contains(n)) uncovered ::= n
+    }
+    assert(uncovered.isEmpty,
+      s"carried-over racing-append files must keep sidecar entries: $uncovered")
+    assert(g.sql("select count(*) as c from t_race").collect()(0)
+      .getLong(0) == 51L)
+    // and the carried entries actually prune
+    assert(scansFilesUnder(g.sql(
+      "select * from t_race where id >= 8000"), "t_race/data") < stats.size)
+  }
+
   test("E9 ANALYZE TABLE backfills a missing sidecar (pre-E9 warehouse path)") {
     g.sql("use skipdb")
     g.sql("create table t_bf (id bigint, v char)")
