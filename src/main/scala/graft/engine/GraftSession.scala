@@ -998,9 +998,15 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     * unrecognized is a 1149 syntax error — a column list or SET clause
     * must never silently no-op into a misload.
     */
-  private def loadData(stmt: String): DataFrame = stmt match {
-    case LoadDataR(path, modeOpt, name, tail0) =>
-      checkFileAccess(path)
+  private def loadData(stmt: String,
+                       spool: Option[java.nio.file.Path] = None): DataFrame =
+    stmt match {
+    case LoadDataR(path0, modeOpt, name, tail0) =>
+      // LOCAL INFILE content arrives from the wire client as a spool
+      // file: secure_file_priv gates SERVER filesystem access and does
+      // not apply (MySQL semantics — the client read its own file)
+      val path = spool.map(_.toString).getOrElse(path0)
+      if (spool.isEmpty) checkFileAccess(path)
       val (db, t) = qualify(name)
       val m = catalog.meta(db, t)
 
@@ -1112,6 +1118,21 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       }: _*)
       val mode = if (modeOpt == null) "strict" else modeOpt.toLowerCase
       writeRows(db, t, m, aligned, mode)
+  }
+
+  /** LOAD DATA LOCAL INFILE with the file content delivered by the wire
+    * client (the 0xFB request/stream exchange — MysqlServer drives the
+    * packets, this executes the load). The content is spooled to a
+    * server temp file so the SAME distributed CSV reader and clause
+    * parsing as server-side INFILE apply; the append is eager, so the
+    * spool is deleted before returning.
+    */
+  def loadDataLocal(stmt: String, content: Array[Byte]): DataFrame = {
+    val tmp = java.nio.file.Files.createTempFile("graft-local-infile", ".dat")
+    try {
+      java.nio.file.Files.write(tmp, content)
+      dirty(loadData(stmt, spool = Some(tmp)))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** INSERT IGNORE on a PK table: rows whose key already exists — in

@@ -62,6 +62,19 @@ object Messages {
     b.toByteArray
   }
 
+  /** LOCAL INFILE request (protocol 0xFB + filename as EOF string): the
+    * server's answer to `LOAD DATA LOCAL INFILE` asking the CLIENT to
+    * stream the named file's content as packets, terminated by an empty
+    * packet. CLIENT_LOCAL_FILES is advertised in the handshake's low
+    * capability byte.
+    */
+  def localInfileRequest(fileName: String): Array[Byte] = {
+    val b = buf()
+    b.write(0xfb)
+    b.write(fileName.getBytes("UTF-8"))
+    b.toByteArray
+  }
+
   /** `moreResults` sets SERVER_MORE_RESULTS_EXISTS (0x0008): in a
     * multi-statement COM_QUERY every result but the last carries it, so
     * the client keeps reading result sets.

@@ -195,6 +195,8 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
                     .filter(_.isValidInt).map(_.toInt).getOrElse(-1), more)
                 case s if s.equalsIgnoreCase("show processlist") =>
                   writeProcessList(io, connId, more, deprecateEof)
+                case LocalInfileR(fname) =>
+                  aborted = !runLocalInfile(io, session, one, fname, more)
                 case _ =>
                   aborted = !run(io, session, one, more = more,
                     deprecateEof = deprecateEof)
@@ -359,6 +361,34 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     * Returns false when the statement errored (the ERR packet is
     * written here; a multi-statement batch must then abort).
     */
+  private val LocalInfileR =
+    "(?is)\\s*load\\s+data\\s+local\\s+infile\\s+'([^']+)'.*".r
+
+  /** LOAD DATA LOCAL INFILE wire exchange: answer the statement with a
+    * 0xFB request carrying the filename, read the client's content
+    * packets until the empty terminator, execute the load over the
+    * received bytes, and reply OK with the affected-rows count. The
+    * content is ALWAYS drained fully before executing (or failing), so
+    * the connection stays framed even when the load errors; a client
+    * that cannot open its file sends the empty packet immediately and
+    * gets an OK for the 0-row load.
+    */
+  private def runLocalInfile(io: PacketIO, session: GraftSession,
+                             sql: String, fileName: String,
+                             more: Boolean): Boolean = {
+    io.write(Messages.localInfileRequest(fileName))
+    val content = new java.io.ByteArrayOutputStream()
+    var p = io.read()
+    while (p != null && p.nonEmpty) { content.write(p); p = io.read() }
+    try {
+      val df = session.loadDataLocal(sql, content.toByteArray)
+      val it = df.toLocalIterator()
+      val affected = if (it.hasNext) it.next().getLong(0) else 0L
+      io.write(Messages.ok(affected, moreResults = more))
+      true
+    } catch { case NonFatal(e) => writeError(io, e); false }
+  }
+
   private def run(io: PacketIO, session: GraftSession, sql: String,
                   binary: Boolean = false, more: Boolean = false,
                   deprecateEof: Boolean = false): Boolean =

@@ -309,6 +309,27 @@ class MysqlServerSpec extends AnyFunSuite {
       out.result()
     }
 
+    /** LOAD DATA LOCAL INFILE exchange: send the statement, expect the
+      * server's 0xFB filename request, stream `content` in chunked
+      * packets + the empty terminator, return (requested filename,
+      * final response).
+      */
+    def queryLocalInfile(sql: String, content: Array[Byte],
+                         chunk: Int = 1000): (String, Response) = {
+      command(0x03, sql.getBytes("UTF-8"))
+      val req = read()
+      assert((req(0) & 0xff) == 0xfb, "expected LOCAL INFILE request")
+      val fname = new String(req, 1, req.length - 1, "UTF-8")
+      var off = 0
+      while (off < content.length) {
+        val n = math.min(chunk, content.length - off)
+        write(java.util.Arrays.copyOfRange(content, off, off + n))
+        off += n
+      }
+      write(Array.emptyByteArray) // empty packet = end of file
+      (fname, response())
+    }
+
     def initDb(db: String): Response = {
       command(0x02, db.getBytes("UTF-8"))
       response()
@@ -955,5 +976,46 @@ class MysqlServerSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       graft.server.ServerConfig.parse("[server]\nengines = [\"a, b\"x]")
     }
+  }
+
+  test("LOAD DATA LOCAL INFILE: 0xFB request, client stream, OK; sandbox does not gate client files") {
+    val c = new Client
+    assert(c.query("create database if not exists lidb").isInstanceOf[Ok])
+    assert(c.query("use lidb").isInstanceOf[Ok])
+    assert(c.query("create table lt (id int, name char)").isInstanceOf[Ok])
+    // the filename in the request is the CLIENT's path, echoed verbatim;
+    // it lies far outside secure_file_priv — LOCAL content is the
+    // client's own file, the server sandbox does not apply
+    val csv = "1\talpha\n2\tbeta\n3\tgamma\n"
+    val (fname, r) = c.queryLocalInfile(
+      "load data local infile '/client/side/path.tsv' into table lt",
+      csv.getBytes("UTF-8"), chunk = 7) // several content packets
+    assert(fname == "/client/side/path.tsv")
+    assert(r == Ok(3))
+    val rs = c.query("select id, name from lt order by id")
+      .asInstanceOf[ResultSet]
+    assert(rs.rows == Seq(Seq(Some("1"), Some("alpha")),
+      Seq(Some("2"), Some("beta")), Seq(Some("3"), Some("gamma"))))
+    // a client that cannot open its file sends the empty terminator
+    // immediately: 0-row load, connection stays framed
+    val (_, r2) = c.queryLocalInfile(
+      "load data local infile 'nope.tsv' into table lt",
+      Array.emptyByteArray)
+    assert(r2 == Ok(0))
+    // ...and the SERVER-side variant of the same path is still gated
+    val e = c.query(
+      "load data infile '/client/side/path.tsv' into table lt")
+    assert(e.asInstanceOf[Err].code == 1290)
+    // clause tail (column list) flows through the same parser
+    assert(c.query("create table lt2 (id int, name char, score double)")
+      .isInstanceOf[Ok])
+    val (_, r3) = c.queryLocalInfile(
+      "load data local infile 'x' into table lt2 (id, name)",
+      "7\tzeta\n".getBytes("UTF-8"))
+    assert(r3 == Ok(1))
+    val rs2 = c.query("select id, name, score from lt2")
+      .asInstanceOf[ResultSet]
+    assert(rs2.rows == Seq(Seq(Some("7"), Some("zeta"), None)))
+    c.quit()
   }
 }
