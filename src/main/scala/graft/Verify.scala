@@ -47,7 +47,12 @@ object Verify {
     // SQL; if the replay itself fails the static set still ships, and
     // q06b stays a loud rows-only row rather than sinking the run)
     val dynamic =
-      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      // the replay scans lineitem — skip it entirely when a subset run
+      // excludes its query (the SPARK_GRAFT_ONLY knob exists to avoid
+      // whole-suite cost at rehearsal SFs)
+      if (!only.forall(_.contains("q06b_approx_distinct")))
+        Map.empty[String, String]
+      else try SparkEntry.dynamicOracleSql(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracle failed: ${e.getMessage}")
         Map.empty[String, String]

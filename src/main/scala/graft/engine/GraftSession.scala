@@ -475,8 +475,34 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       }
       val stale = staleIdx.union(staleCorp).distinct().localCheckpoint()
       val residual = stale.count()
-      if (residual == 0L) return 0L
-      if (pass >= maxPasses) return residual
+      if (residual == 0L) {
+        // Exit audit: a corpus DELETE mid-refresh leaves NO live row in
+        // any window (the live view just stops showing the key), so the
+        // window scans above cannot see it — and its tombstone file can
+        // be folded away by a racing auto-compaction before a tombstone
+        // probe would. One pk-only anti-join under BOTH DML locks (the
+        // only two-lock site; everything else locks one table) decides
+        // orphanhood exactly at this instant. Sweep tombstones mask only
+        // strictly-older sequences, so an ingest re-insert committing
+        // after the sweep is never masked.
+        val orphans = catalog.withDmlLock(dbI, tI) {
+          catalog.withDmlLock(dbC, tC) {
+            catalog.mergedWithSeq(dbI, tI).select(pkCols: _*)
+              .join(catalog.mergedWithSeq(dbC, tC).select(pkCols: _*),
+                pk, "left_anti")
+              .localCheckpoint()
+          }
+        }
+        if (orphans.isEmpty) return 0L
+        if (pass >= maxPasses) return orphans.count()
+        catalog.withDmlLock(dbI, tI) {
+          val seq = catalog.nextSeq(dbI, tI)
+          catalog.appendDeletes(dbI, tI, orphans, seq)
+          own += seq
+        }
+        // loop: the next pass re-runs the window scans AND this audit
+      }
+      else if (pass >= maxPasses) return residual
       // only corpus-backed keys are re-encodable (source of truth);
       // an index-only stale key ages out of the window — by the sweep's
       // logic a rebuild would not contain it either

@@ -165,24 +165,30 @@ object Multimodal {
       } else if (MediaCodec.isJdkImage(bytes)) {
         val i = MediaCodec.decodeImage(bytes)
         MediaProbe(id, mt, "image", 0L, 1, i.width, i.height)
-      } else if (MediaCodec.isMp3(bytes)) {
-        // duration/bitrate from the frame-header walk — metadata without
-        // decode (the codec itself is environment-limited, D12 note)
-        val m = MediaCodec.parseMp3(bytes)
-        MediaProbe(id, mt, "mp3", m.durationMs, 1, 0, 0)
-      } else if (MediaCodec.isAdts(bytes)) {
-        val m = MediaCodec.parseAdts(bytes)
-        MediaProbe(id, mt, "aac", m.durationMs, 1, 0, 0)
-      } else if (MediaCodec.isFlac(bytes)) {
-        val m = MediaCodec.parseFlac(bytes)
-        MediaProbe(id, mt, "flac", m.durationMs, 1, 0, 0)
-      } else if (MediaCodec.isAnnexB(bytes)) {
-        // resolution/profile from the SPS bit parse — no decoder
-        MediaCodec.parseH264Sps(bytes) match {
-          case Some(s) => MediaProbe(id, mt, "h264", 0L, 1, s.width, s.height)
-          case None    => MediaProbe(id, mt, "unknown", 0L, 0, 0, 0)
+      } else {
+        // frame-header walks: metadata without decode (the codecs are
+        // environment-limited, D12 note). Parse ONCE and branch on
+        // frames>0 — isMp3/isAdts would re-run the same walk
+        val mp3 = MediaCodec.parseMp3(bytes)
+        if (mp3.frames > 0)
+          MediaProbe(id, mt, "mp3", mp3.durationMs, 1, 0, 0)
+        else {
+          val adts = MediaCodec.parseAdts(bytes)
+          if (adts.frames > 0)
+            MediaProbe(id, mt, "aac", adts.durationMs, 1, 0, 0)
+          else if (MediaCodec.isFlac(bytes)) {
+            val m = MediaCodec.parseFlac(bytes)
+            MediaProbe(id, mt, "flac", m.durationMs, 1, 0, 0)
+          } else if (MediaCodec.isAnnexB(bytes)) {
+            // resolution/profile from the SPS bit parse — no decoder
+            MediaCodec.parseH264Sps(bytes) match {
+              case Some(s) =>
+                MediaProbe(id, mt, "h264", 0L, 1, s.width, s.height)
+              case None => MediaProbe(id, mt, "unknown", 0L, 0, 0, 0)
+            }
+          } else MediaProbe(id, mt, "unknown", 0L, 0, 0, 0)
         }
-      } else MediaProbe(id, mt, "unknown", 0L, 0, 0, 0)
+      }
     } catch {
       case scala.util.control.NonFatal(_) =>
         MediaProbe(id, mt, "corrupt", 0L, 0, 0, 0)

@@ -371,7 +371,9 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     * content is ALWAYS drained fully before executing (or failing), so
     * the connection stays framed even when the load errors; a client
     * that cannot open its file sends the empty packet immediately and
-    * gets an OK for the 0-row load.
+    * gets an OK for the 0-row load. A connection lost mid-stream (null
+    * read before the terminator) aborts WITHOUT executing — a truncated
+    * prefix must never commit.
     */
   private def runLocalInfile(io: PacketIO, session: GraftSession,
                              sql: String, fileName: String,
@@ -380,6 +382,9 @@ final class MysqlServer(spark: SparkSession, warehouse: String,
     val content = new java.io.ByteArrayOutputStream()
     var p = io.read()
     while (p != null && p.nonEmpty) { content.write(p); p = io.read() }
+    // connection lost BEFORE the empty terminator: abort — a truncated
+    // stream (torn final line included) must never commit as a load
+    if (p == null) return false
     try {
       val df = session.loadDataLocal(sql, content.toByteArray)
       val it = df.toLocalIterator()

@@ -68,6 +68,23 @@ object FileSkipStats {
     * min/max fold; any group missing stats for a column degrades that
     * column to unknown.
     */
+  /** Per-file, per-column accumulator with EXPLICIT bounds validity:
+    * "no bound folded yet" and "some row group's bound is unknowable"
+    * are different states — conflating them would let a later known
+    * group resurrect min/max over an earlier unknown one (a lying
+    * sidecar that prunes real rows).
+    */
+  private final class Acc {
+    var nulls: Long = 0L // -1 = unknown
+    var values: Long = 0L
+    var min: String = null
+    var max: String = null
+    var boundsValid: Boolean = true
+    def toStat: ColStat = ColStat(nulls, values,
+      if (boundsValid && min != null) Some(min) else None,
+      if (boundsValid && max != null) Some(max) else None)
+  }
+
   def collect(conf: Configuration, dir: Path, relPaths: Iterable[String],
               schema: StructType): Map[String, Map[String, ColStat]] = {
     val types: Map[String, DataType] =
@@ -79,7 +96,7 @@ object FileSkipStats {
           new org.apache.hadoop.fs.Path(p.toUri), conf)
         val footer =
           scala.util.Using.resource(ParquetFileReader.open(in))(_.getFooter)
-        val acc = scala.collection.mutable.Map[String, ColStat]()
+        val acc = scala.collection.mutable.Map[String, Acc]()
         footer.getBlocks.asScala.foreach { block =>
           val rows = block.getRowCount
           block.getColumns.asScala.foreach { ch =>
@@ -88,77 +105,67 @@ object FileSkipStats {
               val name = parts(0)
               types.get(name).flatMap(domain).foreach { dom =>
                 val st = ch.getStatistics
-                val prev = acc.getOrElse(name, ColStat(0L, 0L, None, None))
-                val next =
-                  if (st == null || st.isEmpty || !st.isNumNullsSet)
-                    ColStat(-1L, prev.valueCount + rows, None, None)
-                  else {
-                    val (mn, mx) =
-                      if (!st.hasNonNullValue) (prev.min, prev.max)
-                      else {
-                        val tn = ch.getPrimitiveType.getPrimitiveTypeName
-                        (fold(prev.min, st.genericGetMin.asInstanceOf[AnyRef],
-                           tn, dom, isMin = true),
-                         fold(prev.max, st.genericGetMax.asInstanceOf[AnyRef],
-                           tn, dom, isMin = false))
-                      }
-                    if (prev.nullCount < 0)
-                      ColStat(-1L, prev.valueCount + rows, None, None)
-                    else
-                      ColStat(prev.nullCount + st.getNumNulls,
-                        prev.valueCount + rows,
-                        // a block with rows but no recorded value and no
-                        // nulls for them would make min/max lie; parquet
-                        // writes stats per chunk, so values-without-stats
-                        // only happens via the isEmpty branch above
-                        mn, mx)
+                val a = acc.getOrElseUpdate(name, new Acc)
+                a.values += rows
+                if (st == null || st.isEmpty || !st.isNumNullsSet) {
+                  a.nulls = -1L; a.boundsValid = false
+                } else {
+                  if (a.nulls >= 0) a.nulls += st.getNumNulls
+                  // an all-null group (hasNonNullValue false) contributes
+                  // no bound, which is exact, not unknown
+                  if (st.hasNonNullValue) {
+                    val tn = ch.getPrimitiveType.getPrimitiveTypeName
+                    (renderStat(st.genericGetMin.asInstanceOf[AnyRef], tn, dom),
+                     renderStat(st.genericGetMax.asInstanceOf[AnyRef], tn, dom))
+                    match {
+                      case (Some(mn), Some(mx)) =>
+                        if (a.min == null || cmp(mn, a.min, dom) < 0) a.min = mn
+                        if (a.max == null || cmp(mx, a.max, dom) > 0) a.max = mx
+                      case _ => a.boundsValid = false // e.g. legacy NaN bound
+                    }
                   }
-                acc(name) = next
+                }
               }
             }
           }
         }
-        Some(p.getFileName.toString -> acc.toMap)
+        Some(p.getFileName.toString -> acc.iterator
+          .map { case (k, a) => k -> a.toStat }.toMap)
       } catch {
         case scala.util.control.NonFatal(_) => None // unreadable ⇒ no entry
       }
     }.toMap
   }
 
-  /** Fold one row group's min or max into the running rendering. */
-  private def fold(prev: Option[String], v: AnyRef,
-                   tn: PrimitiveTypeName, dom: Char,
-                   isMin: Boolean): Option[String] = {
-    val rendered: Option[String] = (tn, v) match {
-      case (PrimitiveTypeName.INT32, i: Integer) => Some(i.longValue.toString)
-      case (PrimitiveTypeName.INT64, l: java.lang.Long) => Some(l.toString)
-      case (PrimitiveTypeName.FLOAT, f: java.lang.Float)
-        if !f.isNaN => Some(f.doubleValue.toString)
-      case (PrimitiveTypeName.DOUBLE, d: java.lang.Double)
-        if !d.isNaN => Some(d.toString)
-      case (PrimitiveTypeName.BOOLEAN, b: java.lang.Boolean) =>
-        Some(if (b) "1" else "0")
-      case (PrimitiveTypeName.BINARY, b: Binary) if dom == 's' =>
-        Some(Base64.getEncoder.encodeToString(b.getBytes))
-      case _ => None
-    }
-    (prev, rendered) match {
-      case (_, None) | (None, _) => rendered.orElse(prev) match {
-        case r @ Some(_) if prev.isEmpty => r
-        case _ => None // mixed known/unknown across groups ⇒ unknown
-      }
-      case (Some(a), Some(b)) =>
-        val c = cmp(a, b, dom)
-        Some(if ((c <= 0) == isMin) a else b)
-    }
+  /** One row group's recorded min or max → the domain rendering.
+    * ±0.0 normalizes to 0.0 (Spark SQL compares them equal; a -0.0
+    * bound must not order differently from 0.0). NaN bounds (legacy
+    * writers) are unrenderable → the caller invalidates the column.
+    */
+  private def renderStat(v: AnyRef, tn: PrimitiveTypeName,
+                         dom: Char): Option[String] = (tn, v) match {
+    case (PrimitiveTypeName.INT32, i: Integer) => Some(i.longValue.toString)
+    case (PrimitiveTypeName.INT64, l: java.lang.Long) => Some(l.toString)
+    case (PrimitiveTypeName.FLOAT, f: java.lang.Float)
+      if !f.isNaN => Some(zeroNorm(f.doubleValue).toString)
+    case (PrimitiveTypeName.DOUBLE, d: java.lang.Double)
+      if !d.isNaN => Some(zeroNorm(d.doubleValue).toString)
+    case (PrimitiveTypeName.BOOLEAN, b: java.lang.Boolean) =>
+      Some(if (b) "1" else "0")
+    case (PrimitiveTypeName.BINARY, b: Binary) if dom == 's' =>
+      Some(Base64.getEncoder.encodeToString(b.getBytes))
+    case _ => None
   }
+
+  private def zeroNorm(d: Double): Double = if (d == 0.0) 0.0 else d
 
   /** Order two renderings within a domain: 'l' integral, 'd' double,
     * 's' unsigned UTF-8 bytes.
     */
   private def cmp(a: String, b: String, dom: Char): Int = dom match {
     case 'l' => java.lang.Long.compare(a.toLong, b.toLong)
-    case 'd' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case 'd' => // ±0.0 compare equal (Spark SQL semantics)
+      java.lang.Double.compare(zeroNorm(a.toDouble), zeroNorm(b.toDouble))
     case _ =>
       val x = Base64.getDecoder.decode(a); val y = Base64.getDecoder.decode(b)
       var i = 0
@@ -333,8 +340,10 @@ object FileSkipStats {
     case (s: Short, _) => Some(s.toLong.toString)
     case (i: Int, _) => Some(i.toLong.toString) // incl. Date days
     case (l: Long, _) => Some(l.toString) // incl. Timestamp micros
-    case (f: Float, _) => if (f.isNaN) None else Some(f.toDouble.toString)
-    case (d: Double, _) => if (d.isNaN) None else Some(d.toString)
+    case (f: Float, _) =>
+      if (f.isNaN) None else Some(zeroNorm(f.toDouble).toString)
+    case (d: Double, _) =>
+      if (d.isNaN) None else Some(zeroNorm(d).toString)
     case (b: Boolean, _) => Some(if (b) "1" else "0")
     case (u: UTF8String, _) =>
       Some(Base64.getEncoder.encodeToString(u.getBytes))

@@ -99,6 +99,23 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(!m(EqualTo(vAttr, Literal(UTF8String.fromString("😀"), StringType))))
   }
 
+  test("evaluator: ±0.0 compare equal (Spark SQL semantics, legacy sidecars included)") {
+    val d = AttributeReference("d", DoubleType)()
+    val schemaD = StructType(Seq(StructField("d", DoubleType)))
+    // a file whose recorded max is -0.0 (legacy sidecar rendering) holds
+    // rows equal to 0.0 — pruning d = 0.0 would drop them
+    val negZeroMax = Map("d" -> ColStat(0L, 10L, Some("-5.0"), Some("-0.0")))
+    assert(FileSkipStats.mayMatch(Seq(EqualTo(d, Literal(0.0))), schemaD,
+      negZeroMax))
+    // symmetric: min +0.0, predicate d <= -0.0 still matches
+    val posZeroMin = Map("d" -> ColStat(0L, 10L, Some("0.0"), Some("7.0")))
+    assert(FileSkipStats.mayMatch(Seq(LessThanOrEqual(d, Literal(-0.0))),
+      schemaD, posZeroMin))
+    // a genuinely out-of-range probe still prunes
+    assert(!FileSkipStats.mayMatch(Seq(EqualTo(d, Literal(1.0))), schemaD,
+      negZeroMax))
+  }
+
   // ---- end to end through the engine -------------------------------------
 
   private def scans(df: DataFrame): Seq[FileSourceScanExec] = {

@@ -577,6 +577,66 @@ class LiveIndexSpec extends AnyFunSuite {
     assert(live.exists(_._1 == 77L), "the racing insert must be re-labeled")
   }
 
+  test("C19/C21 refreshIndex: a corpus DELETE landing MID-refresh is swept by the exit audit") {
+    import graft.functions.GraftFunctions.{idSample, quantize}
+    import graft.operators.Cluster
+    val dim = 8
+    def emb(id: Long): Seq[Float] =
+      Seq.tabulate(dim)(j => (((id * 37 + j * 19) % 13) - 6) / 10.0f)
+    def qvOf(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("id", "embedding")
+        .select(col("id"), quantize(col("embedding")).as("qv"))
+    g.sql("create table rf2_corpus (vec_id bigint, ts timestamp, " +
+      "embedding array<float>, primary key(vec_id))")
+    g.sql("create table rf2_labels (vec_id bigint, ts timestamp, " +
+      "cluster bigint, primary key(vec_id))")
+    val seed = (1L to 30L).map(i => (i, emb(i)))
+    val cb1 = Cluster.kmeansCodebook(qvOf(seed),
+      idSample(col("id"), 5L), rounds = 2)
+    locally {
+      val in = MemoryStream[StreamVec](spark)
+      val q = g.ingestUpsert(in.toDF(), "rf2_corpus", chk(), orderCol = "ts")
+      in.addData(seed.zipWithIndex.map { case ((i, e), o) =>
+        StreamVec(i, ts(o), e) }: _*)
+      q.processAllAvailable(); q.stop()
+    }
+    locally {
+      val in = MemoryStream[StreamVec](spark)
+      val q = g.ingestUpsert(
+        EventStreams.clusterAssignStream(in.toDF(), cb1),
+        "rf2_labels", chk(), orderCol = "ts")
+      in.addData(seed.zipWithIndex.map { case ((i, e), o) =>
+        StreamVec(i, ts(o), e) }: _*)
+      q.processAllAvailable(); q.stop()
+    }
+    // the delete fires INSIDE the refresh, after the snapshot pinned:
+    // the snapshot still contains key 7 (the re-encode re-adds it), the
+    // live-row window scans never see a deleted key, and its tombstone
+    // could even be folded by a racing compaction — only the exit
+    // audit's anti-join can catch it
+    var cb2Opt: Option[org.apache.spark.sql.DataFrame] = None
+    val residual = g.refreshIndex("rf2_labels", "rf2_corpus", train = snap => {
+      val snapQv = snap.select(col("vec_id").as("id"),
+        quantize(col("embedding")).as("qv"))
+      val cb2 = Cluster.kmeansCodebook(snapQv,
+        idSample(col("id"), 5L), rounds = 2).localCheckpoint()
+      cb2Opt = Some(cb2)
+      g.sql("delete from rf2_corpus where vec_id = 7")
+      rows => EventStreams.clusterAssignStream(rows, cb2)
+    })
+    assert(residual == 0L)
+    val current = seed.filterNot(_._1 == 7L)
+    val rebuilt = Cluster.assignRows(qvOf(current), cb2Opt.get)
+      .select(col("id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = g.sql("select vec_id, cluster from rf2_labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!live.exists(_._1 == 7L),
+      "the mid-refresh-deleted key must not survive in the index")
+    assert(live == rebuilt,
+      "converged state must equal the rebuild of the post-delete corpus")
+  }
+
   test("C18 C15's ingest probe against the LIVE posting table finds a quote-in-host pair") {
     // corpus (with a long host doc) lands through the maintenance
     // stream; then the ingest-edge probe (C15) reads the live catalog

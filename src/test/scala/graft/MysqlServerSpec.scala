@@ -802,9 +802,15 @@ class MysqlServerSpec extends AnyFunSuite {
     assert(c1.query(s"kill ${c2.connId}") == Ok(0))
     // the killed connection is gone: its next read hits a closed socket
     intercept[Exception] { c2.query("select 1 as one") }
-    // the killer is untouched and the registry no longer lists the victim
-    val after = c1.query("show processlist").asInstanceOf[ResultSet]
-    assert(!after.rows.map(_.head.get.toLong).contains(c2.connId.toLong))
+    // the killer is untouched and the registry no longer lists the
+    // victim — registry removal happens when the victim's connection
+    // loop exits, which is asynchronous to the kill: poll briefly
+    def victimListed(): Boolean =
+      c1.query("show processlist").asInstanceOf[ResultSet]
+        .rows.map(_.head.get.toLong).contains(c2.connId.toLong)
+    var waited = 0
+    while (victimListed() && waited < 5000) { Thread.sleep(50); waited += 50 }
+    assert(!victimListed(), "killed connection must leave the registry")
     val e = c1.query("kill 999999")
     assert(e.isInstanceOf[Err] &&
       e.asInstanceOf[Err].message.contains("Unknown thread id"))
