@@ -5,7 +5,7 @@ import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, filter, lit, shiftleft, shiftright, size}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 object Catalog {
@@ -16,6 +16,8 @@ object Catalog {
     * row versions (same sequence) and any later re-INSERT survive.
     */
   val SeqCol = "_graft_seq"
+  /** Transient clustering key for ZORDER rewrites (never written). */
+  val ZCol = "_graft_z"
 
   /** JVM-GLOBAL write locks, keyed by (normalized warehouse, table).
     * Every connection gets its own Catalog instance over the shared
@@ -674,13 +676,63 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val src =
       if (m.mergeOnRead) mergedFrom(m, cur)
       else readSnapshot(db, t)
+    val keys = cols.map(c => col(s"`$c`"))
+    rewrite(db, t, src.repartitionByRange(targetParts(cur), keys: _*)
+      .sortWithinPartitions(keys: _*))
+  }
+
+  private def targetParts(cur: Path): Int = {
     val bytes = listFiles(cur).filter(_.endsWith(".parquet"))
       .map(f => Files.size(cur.resolve(f))).sum
-    val parts = math.max(1L,
+    math.max(1L,
       (bytes + sortTargetFileBytes - 1) / sortTargetFileBytes).toInt
-    val keys = cols.map(c => col(s"`$c`"))
-    rewrite(db, t, src.repartitionByRange(parts, keys: _*)
-      .sortWithinPartitions(keys: _*))
+  }
+
+  /** OPTIMIZE ... ZORDER BY: multi-dimensional clustering. A
+    * lexicographic SORT BY gives the E9 sidecar tight bounds only on
+    * the LEADING column — a predicate on the second column still scans
+    * every file. Z-ordering interleaves per-column QUANTILE bucket ids
+    * (256 buckets per column via approxQuantile — rank-based, so skew
+    * cannot collapse the curve; nulls land in bucket 0, constant
+    * columns degrade to a no-op dimension) bit by bit into one space-
+    * filling key, so every output file covers a bounded RECTANGLE in
+    * every z-dimension and min/max skipping prunes predicates on ANY
+    * of them (~F^((k-1)/k) of F files for a point probe on one of k
+    * columns). Pure column arithmetic end to end — quantile probe,
+    * HOF bucket assignment, shift/or interleave — no UDF, no driver
+    * rows beyond the 255-cut boundary arrays.
+    */
+  def compactZOrdered(db: String, t: String, cols: Seq[String]): Unit = {
+    val m = meta(db, t)
+    require(cols.size >= 2 && cols.size <= 4,
+      "ZORDER BY takes 2-4 columns (1 column is plain SORT BY)")
+    cols.foreach(c => require(m.cols.exists(_.name == c),
+      s"unknown ZORDER BY column '$c'"))
+    val cur = currentVersionDir(db, t)
+    val src =
+      if (m.mergeOnRead) mergedFrom(m, cur)
+      else readSnapshot(db, t)
+    val probs = (1 to 255).map(_ / 256.0).toArray
+    val asDouble = src.select(cols.map(c =>
+      col(s"`$c`").cast("double").as(c)): _*)
+    val bounds: Map[String, Array[Double]] = cols.map { c =>
+      c -> asDouble.stat.approxQuantile(c, probs, 0.01)
+    }.toMap
+    val k = cols.size
+    // bucket id = #boundaries <= value (0..255); bit j of column i
+    // lands at z-bit j*k + i
+    val z = cols.zipWithIndex.map { case (c, i) =>
+      val v = col(s"`$c`").cast("double")
+      val b = size(filter(lit(bounds(c)), bd => v >= bd)).cast("long")
+      (0 until 8).map { j =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * k + i)
+      }.reduce((a, x) => a.bitwiseOR(x))
+    }.reduce((a, x) => a.bitwiseOR(x))
+    val withZ = src.withColumn(Catalog.ZCol, z)
+    rewrite(db, t, withZ
+      .repartitionByRange(targetParts(cur), col(Catalog.ZCol))
+      .sortWithinPartitions(col(Catalog.ZCol))
+      .drop(Catalog.ZCol))
   }
 
   /** Backfill the current version's E9 sidecar for files it does not

@@ -187,24 +187,29 @@ class GraftSession(val spark: SparkSession, warehouse: String,
   private def dirty(df: DataFrame): DataFrame = { txDirty = true; df }
 
   private val OptimizeR =
-    "(?is)optimize\\s+(?:table\\s+)?([`\\w.]+)(?:\\s+sort\\s+by\\s*\\(([^)]*)\\))?\\s*".r
+    "(?is)optimize\\s+(?:table\\s+)?([`\\w.]+)(?:\\s+(sort|zorder)\\s+by\\s*\\(([^)]*)\\))?\\s*".r
 
   /** OPTIMIZE TABLE: compact a merge-on-read table — fold accumulated
     * tombstones into a fresh data version (MySQL's OPTIMIZE TABLE
     * result-set shape: Table/Op/Msg_type/Msg_text). The SORT BY (cols)
     * variant rewrites ANY parquet table range-clustered on the named
-    * columns instead, so the E9 data-skipping sidecar prunes range
-    * scans to O(1) files (Catalog.compactSorted scaladoc has the
-    * layout trade vs pk buckets).
+    * columns, so the E9 data-skipping sidecar prunes range scans on the
+    * leading column to O(1) files; ZORDER BY (cols) clusters on the
+    * space-filling interleave so EVERY listed column prunes
+    * (Catalog.compactSorted/compactZOrdered scaladoc has the layout
+    * trades vs pk buckets).
     */
   private def optimizeTable(stmt: String): DataFrame = stmt match {
-    case OptimizeR(name, sortCols) =>
+    case OptimizeR(name, kind, sortCols) =>
       val (db, t) = qualify(name)
       val msg =
-        if (sortCols != null) {
+        if (kind != null) {
           val cols = sortCols.split(",").map(c => clean(c.trim))
             .filter(_.nonEmpty).toSeq
-          catalog.compactSorted(db, t, cols); "OK"
+          if (kind.equalsIgnoreCase("zorder"))
+            catalog.compactZOrdered(db, t, cols)
+          else catalog.compactSorted(db, t, cols)
+          "OK"
         }
         else if (catalog.meta(db, t).mergeOnRead) { catalog.compact(db, t); "OK" }
         else "Table does not support optimize, doing nothing"

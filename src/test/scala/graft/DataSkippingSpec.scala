@@ -303,6 +303,47 @@ class DataSkippingSpec extends AnyFunSuite {
       "select * from t_sort_pk where id = 11"), "t_sort_pk/data") == 1)
   }
 
+  test("E9 OPTIMIZE ZORDER BY: every z-dimension prunes; lexicographic SORT BY only the first") {
+    g.sql("use skipdb")
+    g.sql("create table t_z (x bigint, y bigint)")
+    // x uniform over [0,1024); y = 197x mod 1024 — a y-band maps to
+    // x-scattered residues, so an x-sorted layout spreads any y-range
+    // across every file. Round-robin insert order (residue sort) keeps
+    // the PRE-optimize files full-range too.
+    val zrows = (0 until 4096).map(i => (i % 1024, (i * 197) % 1024))
+    g.sql("insert into t_z values " +
+      zrows.sortBy(_._1 % 8).map { case (x, y) => s"($x, $y)" }
+        .mkString(", "))
+    g.catalog.sortTargetFileBytes = 512L // two-long rows compress hard
+    val dir = Paths.get(g.catalog.dataPath("skipdb", "t_z"))
+    val xProbe = "select * from t_z where x between 100 and 150"
+    val yProbe = "select * from t_z where y between 100 and 150"
+    val xTruth = g.sql(xProbe).count()
+    val yTruth = g.sql(yProbe).count()
+
+    // lexicographic baseline: x prunes hard, y cannot prune at all
+    g.sql("optimize table t_z sort by (x, y)")
+    val filesLex = FileSkipStats.read(dir).size
+    assert(filesLex >= 8, s"need several files for the contrast, got $filesLex")
+    val xLex = scansFiles(g.sql(xProbe))
+    val yLex = scansFiles(g.sql(yProbe))
+    assert(xLex <= filesLex / 2, "leading column prunes under SORT BY")
+    assert(yLex == filesLex, "trailing column cannot prune under SORT BY")
+
+    // z-order: BOTH dimensions prune, results unchanged
+    g.sql("optimize table t_z zorder by (x, y)")
+    val filesZ = FileSkipStats.read(dir).size
+    val xZ = scansFiles(g.sql(xProbe))
+    val yZ = scansFiles(g.sql(yProbe))
+    assert(xZ < filesZ, s"x must prune under ZORDER ($xZ of $filesZ)")
+    assert(yZ < filesZ, s"y must prune under ZORDER ($yZ of $filesZ)")
+    assert(yZ < yLex, "ZORDER must beat lexicographic on the trailing column")
+    assert(g.sql(xProbe).count() == xTruth)
+    assert(g.sql(yProbe).count() == yTruth)
+    assert(g.sql("select count(*) as c from t_z").collect()(0).getLong(0)
+      == 4096L)
+  }
+
   test("E9 partitioned tables: directory pruning composes with file skipping") {
     g.sql("use skipdb")
     g.sql("create table t_part (id bigint, site varchar(10)) partition by (site)")
