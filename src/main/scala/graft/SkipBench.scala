@@ -59,10 +59,36 @@ object SkipBench {
     Files.delete(side) // no sidecar -> every file scheduled
     val noSkip = best()
     Files.write(side, saved)
+
+    // layout contrast: an orderkey probe under the date-sorted layout
+    // (trailing dimension - cannot prune) vs ZORDER BY (date, okey)
+    // (both dimensions prune). Window = a ~2% okey band mid-domain.
+    val mm = g.sql(
+      "select min(l_orderkey) as lo, max(l_orderkey) as hi from li")
+      .collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val a = lo + (hi - lo) * 40 / 100
+    val b = a + (hi - lo) * 2 / 100
+    val okeyQ = s"select count(*) as c from li where l_orderkey between $a and $b"
+    def prunedBy(sql: String): Long = {
+      val before = org.apache.spark.sql.graft.Skipping.filesPruned.get()
+      g.sql(sql).collect()
+      org.apache.spark.sql.graft.Skipping.filesPruned.get() - before
+    }
+    val sortDate = prunedBy(q)
+    val sortOkey = prunedBy(okeyQ)
+    g.sql("optimize table li zorder by (l_shipdate, l_orderkey)")
+    val zTotal = sources.FileSkipStats.read(dir).size
+    val zDate = prunedBy(q)
+    val zOkey = prunedBy(okeyQ)
+
     println(s"""{"metric":"skipbench","sf":"$sfDir","files":$total,""" +
       s""""files_pruned_per_run":$pruned,"rows_matched":$matched,""" +
       s""""wall_with_skip_s":${f"$withSkip%.3f"},""" +
-      s""""wall_no_skip_s":${f"$noSkip%.3f"}}""")
+      s""""wall_no_skip_s":${f"$noSkip%.3f"},""" +
+      s""""sortby_pruned":{"date":$sortDate,"okey":$sortOkey},""" +
+      s""""zorder_files":$zTotal,""" +
+      s""""zorder_pruned":{"date":$zDate,"okey":$zOkey}}""")
     spark.stop()
   }
 }

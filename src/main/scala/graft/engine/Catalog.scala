@@ -712,9 +712,23 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val src =
       if (m.mergeOnRead) mergedFrom(m, cur)
       else readSnapshot(db, t)
+    // orderable domains only; date/timestamp go through their epoch
+    // integers (CAST(date AS DOUBLE) is not a thing)
+    def asD(c: String): Column = {
+      import org.apache.spark.sql.types._
+      m.schema(c).dataType match {
+        case DateType => org.apache.spark.sql.functions.unix_date(
+          col(s"`$c`")).cast("double")
+        case TimestampType | TimestampNTZType =>
+          org.apache.spark.sql.functions.unix_micros(
+            col(s"`$c`").cast("timestamp")).cast("double")
+        case _: NumericType | BooleanType => col(s"`$c`").cast("double")
+        case other => throw new SqlError(1235, "42000",
+          s"ZORDER BY supports numeric/date/timestamp columns; '$c' is $other")
+      }
+    }
     val probs = (1 to 255).map(_ / 256.0).toArray
-    val asDouble = src.select(cols.map(c =>
-      col(s"`$c`").cast("double").as(c)): _*)
+    val asDouble = src.select(cols.map(c => asD(c).as(c)): _*)
     val bounds: Map[String, Array[Double]] = cols.map { c =>
       c -> asDouble.stat.approxQuantile(c, probs, 0.01)
     }.toMap
@@ -722,7 +736,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     // bucket id = #boundaries <= value (0..255); bit j of column i
     // lands at z-bit j*k + i
     val z = cols.zipWithIndex.map { case (c, i) =>
-      val v = col(s"`$c`").cast("double")
+      val v = asD(c)
       val b = size(filter(lit(bounds(c)), bd => v >= bd)).cast("long")
       (0 until 8).map { j =>
         shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * k + i)
