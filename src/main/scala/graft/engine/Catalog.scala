@@ -1121,9 +1121,35 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     bumpCommit(db, t)
   }
 
-  private def refreshRegistered(db: String, t: String, m: TableMeta): Unit =
+  private def refreshRegistered(db: String, t: String, m: TableMeta): Unit = {
     if (m.mergeOnRead) refreshMergeOnRead(db, t)
     else spark.catalog.refreshTable(s"`$db`.`$t`")
+    refreshCatalogStats(db, t, m)
+  }
+
+  /** Post-commit catalog statistics: every commit leaves the registered
+    * relation (the base table for merge-on-read) carrying fresh
+    * rowCount + sizeInBytes, read straight from the version's parquet
+    * footers/file sizes — no Spark job, O(files) like the SHOW TABLE
+    * STATUS path. With CBO on (`spark.sql.cbo.enabled`) join reorder
+    * and broadcast estimation then see managed-table cardinalities
+    * without anyone remembering to ANALYZE; with CBO off this is inert
+    * (file-size `sizeInBytes` drives broadcasts either way).
+    */
+  private def refreshCatalogStats(db: String, t: String, m: TableMeta): Unit =
+    if (m.format == "parquet") try {
+      val cur = currentVersionDir(db, t)
+      val bytes = listFiles(cur).filter(_.endsWith(".parquet"))
+        .map(f => Files.size(cur.resolve(f))).sum
+      val rows = footerRowCount(cur)
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+        if (m.mergeOnRead) baseName(m.table) else m.table, Some(db))
+      val sc = spark.sessionState.catalog
+      if (sc.tableExists(ident))
+        sc.alterTableStats(ident, Some(
+          org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+            BigInt(bytes), Some(BigInt(rows)))))
+    } catch { case scala.util.control.NonFatal(_) => () } // stats are advisory
 
   private def writer(df: DataFrame, m: TableMeta) = {
     val w = df.write.format(m.format)

@@ -400,6 +400,34 @@ class DataSkippingSpec extends AnyFunSuite {
       "select * from t_race where id >= 8000"), "t_race/data") < stats.size)
   }
 
+  test("post-commit catalog stats: every DML leaves fresh rowCount/sizeInBytes") {
+    g.sql("use skipdb")
+    g.sql("create table t_stats (id bigint, v char)")
+    def stats(name: String) = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name, Some("skipdb"))).stats
+    g.sql("insert into t_stats values " +
+      (1 to 25).map(i => s"($i, 'a')").mkString(", "))
+    val s1 = stats("t_stats")
+    assert(s1.exists(_.rowCount.contains(BigInt(25))),
+      s"insert must refresh rowCount, got $s1")
+    assert(s1.exists(_.sizeInBytes > 0))
+    g.sql("insert into t_stats values (26, 'b')")
+    assert(stats("t_stats").exists(_.rowCount.contains(BigInt(26))))
+    // merge-on-read: the BASE relation (what plans scan) carries stats;
+    // UPDATE appends a row version, OPTIMIZE folds back down
+    g.sql("create table t_stats_pk (id bigint, v char, PRIMARY KEY(id))")
+    g.sql("insert into t_stats_pk values " +
+      (1 to 10).map(i => s"($i, 'x')").mkString(", "))
+    assert(stats("t_stats_pk__graft_base")
+      .exists(_.rowCount.contains(BigInt(10))))
+    g.sql("update t_stats_pk set v = 'y' where id = 3")
+    assert(stats("t_stats_pk__graft_base")
+      .exists(_.rowCount.contains(BigInt(11))), "update appends a version")
+    g.sql("optimize table t_stats_pk")
+    assert(stats("t_stats_pk__graft_base")
+      .exists(_.rowCount.contains(BigInt(10))), "optimize folds tombstones")
+  }
+
   test("E9 ANALYZE TABLE backfills a missing sidecar (pre-E9 warehouse path)") {
     g.sql("use skipdb")
     g.sql("create table t_bf (id bigint, v char)")
