@@ -244,6 +244,14 @@ class Catalog(spark: SparkSession, val warehouse: String) {
 
   def createTable(m: TableMeta, ifNotExists: Boolean = false): Unit = {
     require(schemaExists(m.db), s"Unknown database '${m.db}'")
+    // `_graft_*` names are internal machinery (_graft_seq hidden MoR
+    // sequence, _graft_z transient ZORDER key): a user column with one
+    // of these names would be silently overwritten by the staging
+    // withColumn and dropped on write. Reject at the door.
+    m.cols.find(_.name.toLowerCase.startsWith("_graft_")).foreach { c =>
+      sys.error(s"Column name '${c.name}' is reserved " +
+        "(names beginning with _graft_ are internal)")
+    }
     if (viewExists(m.db, m.table))
       sys.error(s"Table '${m.table}' already exists")
     if (tableExists(m.db, m.table)) {
@@ -762,10 +770,12 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       val covered = graft.sources.FileSkipStats.read(cur).keySet
       val missing = listFiles(cur).filter(f =>
         f.endsWith(".parquet") &&
-          !covered.contains(Paths.get(f).getFileName.toString))
+          !covered.contains(graft.sources.FileSkipStats.relKey(f)))
+      // externally landed files may come from NaN-excluding writers —
+      // collect with the untrusted (float-max-dropping) handling
       graft.sources.FileSkipStats.record(
         spark.sessionState.newHadoopConf(), cur, missing,
-        if (m.mergeOnRead) m.baseSchema else m.schema)
+        if (m.mergeOnRead) m.baseSchema else m.schema, trusted = false)
       missing.size.toLong
     }
   }

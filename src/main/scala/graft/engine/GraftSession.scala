@@ -895,6 +895,9 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     case AddColR(name, cname, ctype) =>
       val (db, t) = qualify(name)
       val m = catalog.meta(db, t)
+      if (clean(cname).toLowerCase.startsWith("_graft_"))
+        sys.error(s"Column name '${clean(cname)}' is reserved " +
+          "(names beginning with _graft_ are internal)")
       val ddl = sparkDdl(ctype)
       val df = catalog.read(db, t).withColumn(clean(cname), lit(null).cast(ddl))
       catalog.rewrite(db, t, df)

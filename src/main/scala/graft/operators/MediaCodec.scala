@@ -858,7 +858,17 @@ object MediaCodec {
     }
     def ue(): Int = { // Exp-Golomb: leadingZeros zeros, 1, leadingZeros bits
       var zeros = 0
-      while (u(1) == 0 && zeros < 32) zeros += 1
+      while (u(1) == 0) {
+        zeros += 1
+        // ≥31 leading zeros cannot encode a non-negative Int ue(v):
+        // (1 << 31) - 1 + u(31) wraps (the old cap computed (1 << 32) - 1
+        // = 0 and returned garbage bits as a value). Malformed ⇒ throw;
+        // parseH264Sps's NonFatal handler yields None (the "garbage
+        // never misparses" contract). zeros = 30 is the largest run with
+        // no overflow anywhere: (2^30 - 1) + (2^30 - 1) < 2^31.
+        if (zeros > 30)
+          throw new IllegalArgumentException("exp-golomb run overflow")
+      }
       (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
     }
     def se(): Int = { // signed: k -> ceil(k/2) with alternating sign

@@ -49,6 +49,21 @@ object FileSkipStats {
 
   val SidecarName = "_graft_stats"
 
+  /** Sidecar entries are keyed by the file's path RELATIVE to the
+    * sidecar's directory (partition subdirs included), normalized to
+    * forward slashes. Bare file names are NOT unique across partition
+    * directories: Spark's dynamic-partition writer reuses the same
+    * part-NNNNN-<uuid> name in every partition dir one task writes, so
+    * name-keyed entries collide and a scan would evaluate a file
+    * against another partition's min/max — silent wrong pruning.
+    * (Partition values are path-escaped by Spark, so keys stay
+    * tab-free and the TSV sidecar format holds.)
+    */
+  def relKey(rel: String): String = {
+    val n = rel.replace('\\', '/')
+    if (n.startsWith("./")) n.substring(2) else n
+  }
+
   // ---- footer collection --------------------------------------------------
 
   /** Spark types the sidecar can order; everything else is skipped at
@@ -85,8 +100,18 @@ object FileSkipStats {
       if (boundsValid && max != null) Some(max) else None)
   }
 
+  /** `trusted = false` marks files NOT written by graft's own parquet-mr
+    * path (ANALYZE TABLE backfill of externally landed files, rewrite
+    * carry-over of files the old sidecar never covered). NaN-excluding
+    * writers (Arrow C++, parquet-rs) omit NaN from footer bounds while
+    * Spark orders NaN ABOVE every double, so a recorded max may sit
+    * below real (NaN) rows and `col > lit` would wrongly prune. For
+    * such files float/double MAX bounds are dropped (min stays — NaN
+    * can never undercut a lower bound).
+    */
   def collect(conf: Configuration, dir: Path, relPaths: Iterable[String],
-              schema: StructType): Map[String, Map[String, ColStat]] = {
+              schema: StructType,
+              trusted: Boolean = true): Map[String, Map[String, ColStat]] = {
     val types: Map[String, DataType] =
       schema.fields.map(f => f.name -> f.dataType).toMap
     relPaths.iterator.filter(_.endsWith(".parquet")).flatMap { rel =>
@@ -129,8 +154,13 @@ object FileSkipStats {
             }
           }
         }
-        Some(p.getFileName.toString -> acc.iterator
-          .map { case (k, a) => k -> a.toStat }.toMap)
+        Some(relKey(rel) -> acc.iterator.map { case (k, a) =>
+          val st = a.toStat
+          // untrusted writer + floating column ⇒ max is unsafe (NaN)
+          k -> (if (!trusted && types.get(k).flatMap(domain).contains('d'))
+                  st.copy(max = None)
+                else st)
+        }.toMap)
       } catch {
         case scala.util.control.NonFatal(_) => None // unreadable ⇒ no entry
       }
@@ -217,26 +247,26 @@ object FileSkipStats {
     * under `dir`) into `dir`'s sidecar. Cost is O(batch footers).
     */
   def record(conf: Configuration, dir: Path, newRelPaths: Iterable[String],
-             schema: StructType): Unit =
+             schema: StructType, trusted: Boolean = true): Unit =
     if (newRelPaths.nonEmpty)
-      writeAll(dir, read(dir) ++ collect(conf, dir, newRelPaths, schema))
+      writeAll(dir,
+        read(dir) ++ collect(conf, dir, newRelPaths, schema, trusted))
 
   /** Carry entries for hard-linked files from the replaced version's
     * sidecar; files it never covered are re-read from their footers
     * (never silently left uncovered — an uncovered file is a permanent
-    * "may match").
+    * "may match"). Uncovered-at-carry files were not written by graft's
+    * own record()-covered paths, so their footers get the untrusted
+    * (NaN-safe) float handling.
     */
   def carryOver(conf: Configuration, fromDir: Path, toDir: Path,
                 relPaths: Iterable[String], schema: StructType): Unit =
     if (relPaths.nonEmpty) {
       val old = read(fromDir)
-      val (have, missing) = relPaths.partition(r =>
-        old.contains(Paths.get(r).getFileName.toString))
-      val copied = have.map { r =>
-        val n = Paths.get(r).getFileName.toString; n -> old(n)
-      }.toMap
-      writeAll(toDir,
-        read(toDir) ++ copied ++ collect(conf, toDir, missing, schema))
+      val (have, missing) = relPaths.partition(r => old.contains(relKey(r)))
+      val copied = have.map { r => relKey(r) -> old(relKey(r)) }.toMap
+      writeAll(toDir, read(toDir) ++ copied ++
+        collect(conf, toDir, missing, schema, trusted = false))
     }
 
   // ---- the MAY-MATCH evaluator -------------------------------------------

@@ -32,10 +32,27 @@ import graft.sources.FileSkipStats
 final class SkippingFileIndex(
     inner: FileIndex,
     dataSchema: StructType,
+    sidecarDir: java.nio.file.Path,
     stats: Map[String, Map[String, FileSkipStats.ColStat]])
   extends FileIndex {
 
   override def rootPaths: Seq[Path] = inner.rootPaths
+
+  /** Sidecar entries are keyed by path RELATIVE to the sidecar's dir
+    * (partition subdirs included) — bare file names collide across
+    * partition directories (Spark's dynamic-partition writer reuses
+    * part-NNNNN-<uuid> per task across every partition dir it writes),
+    * and a collision evaluates a file against another partition's
+    * min/max: silent data loss. A file outside the sidecar dir (cannot
+    * happen for roots statsFor accepted, but stay safe) is never pruned.
+    */
+  private def keyOf(p: Path): Option[String] = {
+    val u = p.toUri
+    if (u.getScheme != null && u.getScheme != "file") return None
+    val fp = java.nio.file.Paths.get(u.getPath)
+    if (!fp.startsWith(sidecarDir)) None
+    else Some(FileSkipStats.relKey(sidecarDir.relativize(fp).toString))
+  }
 
   override def listFiles(
       partitionFilters: Seq[Expression],
@@ -44,7 +61,7 @@ final class SkippingFileIndex(
     if (dataFilters.isEmpty || stats.isEmpty) dirs
     else dirs.map { pd =>
       val kept = pd.files.filter { f =>
-        stats.get(f.getPath.getName) match {
+        keyOf(f.getPath).flatMap(stats.get) match {
           case Some(cs) => FileSkipStats.mayMatch(dataFilters, dataSchema, cs)
           case None => true // uncovered file — never prune
         }
@@ -73,8 +90,8 @@ object Skipping {
     new java.util.concurrent.ConcurrentHashMap[String,
       (Long, Long, Map[String, Map[String, FileSkipStats.ColStat]])]()
 
-  private def statsFor(
-      roots: Seq[Path]): Option[Map[String, Map[String, FileSkipStats.ColStat]]] = {
+  private def statsFor(roots: Seq[Path]): Option[
+      (java.nio.file.Path, Map[String, Map[String, FileSkipStats.ColStat]])] = {
     if (roots.isEmpty) return None
     val paths = roots.map { r =>
       val u = r.toUri
@@ -98,14 +115,14 @@ object Skipping {
     val key = side.toString
     val (mt, sz) = (Files.getLastModifiedTime(side).toMillis, Files.size(side))
     val hit = cache.get(key)
-    if (hit != null && hit._1 == mt && hit._2 == sz) Some(hit._3)
+    if (hit != null && hit._1 == mt && hit._2 == sz) Some((base, hit._3))
     else {
       val parsed = FileSkipStats.read(side.getParent)
       // version dirs come and go with every rewrite on a long-running
       // server — bound the cache instead of tracking GC
       if (cache.size >= 256) cache.clear()
       cache.put(key, (mt, sz, parsed))
-      Some(parsed)
+      Some((base, parsed))
     }
   }
 
@@ -115,9 +132,9 @@ object Skipping {
         case fsr: HadoopFsRelation
           if !fsr.location.isInstanceOf[SkippingFileIndex] =>
           statsFor(fsr.location.rootPaths) match {
-            case Some(st) if st.nonEmpty =>
+            case Some((base, st)) if st.nonEmpty =>
               lr.copy(relation = fsr.copy(location =
-                new SkippingFileIndex(fsr.location, fsr.dataSchema, st))(
+                new SkippingFileIndex(fsr.location, fsr.dataSchema, base, st))(
                 fsr.sparkSession))
             case _ => lr
           }

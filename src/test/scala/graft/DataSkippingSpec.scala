@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.SparkPlan
@@ -369,6 +371,47 @@ class DataSkippingSpec extends AnyFunSuite {
       s"file skipping must engage inside the partition ($pruned vs $usFiles)")
   }
 
+  test("E9 partitioned tables: sidecar keys are partition-relative paths, never bare names") {
+    g.sql("use skipdb")
+    g.sql("create table t_pcol (id bigint, site varchar(10)) partition by (site)")
+    // ONE interleaved insert: the dynamic-partition writer reuses the
+    // same part-NNNNN-<uuid> file name in every partition dir a task
+    // writes, so bare-name sidecar keys collide across partitions.
+    // DISJOINT id ranges per partition make a collision observable:
+    // with name-keyed stats, 'site = us AND id <= 20' evaluated us
+    // files against eu's [500,520] bounds and returned 0 rows (silent
+    // data loss). Keys must be dir-relative paths.
+    g.sql("insert into t_pcol values " +
+      (1 to 20).map(i => s"($i, 'us')").mkString(", ") + ", " +
+      (500 to 520).map(i => s"($i, 'eu')").mkString(", "))
+    val dir = Paths.get(g.catalog.dataPath("skipdb", "t_pcol"))
+    val stats = FileSkipStats.read(dir)
+    assert(stats.nonEmpty)
+    assert(stats.keySet.forall(_.contains("site=")),
+      s"sidecar keys must include the partition subdir, got ${stats.keySet}")
+    // every key is unique by construction of a Map — verify no entry was
+    // LOST to a collision: each partition dir's parquet files are covered
+    for (p <- Seq("us", "eu")) {
+      val pdir = dir.resolve(s"site=$p")
+      val files = Files.list(pdir).iterator()
+      while (files.hasNext) {
+        val n = files.next().getFileName.toString
+        if (n.endsWith(".parquet"))
+          assert(stats.contains(s"site=$p/$n"),
+            s"missing sidecar entry for site=$p/$n")
+      }
+    }
+    // the advice's exact probe: every us row must survive
+    assert(g.sql("select * from t_pcol where site = 'us' and id <= 20")
+      .count() == 20)
+    assert(g.sql("select * from t_pcol where site = 'eu' and id >= 500")
+      .count() == 21)
+    // and cross-partition bounds must not leak: us files prune for a
+    // eu-range probe, so the scan under site=us reads zero files
+    assert(g.sql("select * from t_pcol where site = 'us' and id >= 500")
+      .count() == 0)
+  }
+
   test("E9 an append racing OPTIMIZE keeps full sidecar coverage (carry-over path)") {
     g.sql("use skipdb")
     g.sql("create table t_race (id bigint, v char, PRIMARY KEY(id))")
@@ -398,6 +441,52 @@ class DataSkippingSpec extends AnyFunSuite {
     // and the carried entries actually prune
     assert(scansFilesUnder(g.sql(
       "select * from t_race where id >= 8000"), "t_race/data") < stats.size)
+  }
+
+  test("untrusted (backfill/external) float bounds drop max, keep min") {
+    // NaN-excluding writers (Arrow C++, parquet-rs) omit NaN from footer
+    // bounds while Spark orders NaN above every double: a trusted max
+    // could prune 'd > lit' files whose only matching rows are NaN. The
+    // untrusted collection path must therefore drop double MAX (upper
+    // bounds are the unsafe side) and keep MIN (NaN never undercuts it).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-untrusted")
+    Seq((1L, 1.5), (2L, 7.5)).toDF("id", "d")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val rel = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    val schemaD = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType)))
+    val conf = spark.sessionState.newHadoopConf()
+    val trusted = FileSkipStats.collect(conf, dir, rel, schemaD)
+    val untrusted = FileSkipStats.collect(conf, dir, rel, schemaD,
+      trusted = false)
+    val tStat = trusted(rel.head)("d")
+    val uStat = untrusted(rel.head)("d")
+    assert(tStat.min.isDefined && tStat.max.isDefined)
+    assert(uStat.min == tStat.min, "untrusted keeps the (safe) lower bound")
+    assert(uStat.max.isEmpty, "untrusted must drop the double upper bound")
+    // integral columns are NaN-free: bounds survive untrusted collection
+    assert(untrusted(rel.head)("id").max.isDefined)
+    // consequence: d > 100 cannot prune the untrusted file, d < 0 still can
+    val dAttr = AttributeReference("d", DoubleType)()
+    assert(FileSkipStats.mayMatch(Seq(GreaterThan(dAttr, Literal(100.0))),
+      schemaD, untrusted(rel.head)))
+    assert(!FileSkipStats.mayMatch(Seq(LessThan(dAttr, Literal(0.0))),
+      schemaD, untrusted(rel.head)))
+  }
+
+  test("reserved _graft_* column names are rejected at CREATE and ALTER ADD") {
+    g.sql("use skipdb")
+    for (bad <- Seq("_graft_z", "_graft_seq", "_GRAFT_anything")) {
+      val e = intercept[Exception](
+        g.sql(s"create table t_reserved (id bigint, `$bad` double)"))
+      assert(e.getMessage.toLowerCase.contains("reserved"), e.getMessage)
+    }
+    g.sql("create table t_reserved_ok (id bigint)")
+    val e = intercept[Exception](
+      g.sql("alter table t_reserved_ok add column _graft_z double"))
+    assert(e.getMessage.toLowerCase.contains("reserved"), e.getMessage)
   }
 
   test("post-commit catalog stats: every DML leaves fresh rowCount/sizeInBytes") {

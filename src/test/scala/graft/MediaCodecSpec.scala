@@ -409,5 +409,12 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.parseH264Sps(
       Array[Byte](0, 0, 1, 0x67, 0x42.toByte)).isEmpty) // truncated SPS
     assert(!MediaCodec.isAnnexB(Array[Byte](9, 9, 9, 9, 9)))
+    // exp-Golomb run overflow: an SPS body of all-zero bits reads >30
+    // leading zeros on the first ue() — it must yield None, never a
+    // bogus resolution from the (1 << 32) - 1 = 0 Int wrap the old cap
+    // computed (the "garbage never misparses" contract)
+    val allZeros = Array[Byte](0, 0, 0, 1, 0x67, 0x42, 0, 30) ++
+      Array.fill[Byte](16)(0)
+    assert(MediaCodec.parseH264Sps(allZeros).isEmpty)
   }
 }
