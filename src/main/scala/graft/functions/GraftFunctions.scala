@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, Md5Prefix48E, MinHashBandsE, MinHashSigE, PiiScanE, RegexTokenCountE, NearestCellsE, NearestCentroidE, PqCodesE, RollingFingerprint, SimHash64, TextGramStatsE, TextShinglesE, TopKPairs}
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarityF, DotLong, DotProductF, HyperplaneSigE, Md5Prefix48E, MinHashBandsE, MinHashSigE, PiiScanE, RegexTokenCountE, NearestCellsE, NearestCentroidE, PqCodesE, RollingFingerprint, SimHash64, TextGramStatsE, TextShinglesE, TopKPairs, WindowMd5sE}
 
 /** Column-API surface of graft's text/vector function library
   * (SURVEY.md §2.D/E4). Everything here is either a native codegen
@@ -66,6 +66,15 @@ object GraftFunctions {
     */
   def textGramStats(text: Column, k: Int): Column =
     expr2col(TextGramStatsE(exprOf(text), k))
+
+  /** All overlapping L-token window md5 fingerprints (raw 16-byte
+    * digests, window-position order — pair with posexplode). Native
+    * one-pass kernel, value-identical to transform(sequence(0, n-L),
+    * i -> unhex(md5(concat_ws(' ', slice(tokens, i+1, L))))) with no
+    * per-window slice/concat/hex allocation (NativeExprSpec pins it).
+    */
+  def windowMd5s(text: Column, windowTokens: Int): Column =
+    expr2col(WindowMd5sE(exprOf(text), windowTokens))
 
   /** Count of `[a-z]+|[0-9]+|[^a-z0-9 ]` matches — native linear scan,
     * value-identical to size(regexp_extract_all(text, ...)) without the

@@ -369,5 +369,44 @@ object Curation {
       CAST(hs[CAST((nq + 1) // 2 AS INT)] + hs[CAST((nq + 2) // 2 AS INT)] AS DOUBLE) / (2 * max_truth) AS p50_recall
     FROM agg"""))
 
-  val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61, q67, q69)
+  // ---- D38: ExactSubstr substring dedup (Lee et al. 2022) ----------------
+  // The public-standard dedup pass: remove every maximal token span of
+  // length >= L that occurs verbatim >= 2 times corpus-wide. The
+  // reference implementation's suffix array does not distribute; the
+  // engine re-expresses it as OVERLAPPING L-token window fingerprints
+  // (one corpus-linear explode, ONE keyed frequency aggregation, one
+  // fingerprint join back on the df>=2 side, per-doc LAG span merge) —
+  // the overlapping counterpart of q59's disjoint chunks, recovering
+  // exact span extents instead of chunk-quantized ones. L=15 is the
+  // scaled analogue of the paper's 50 tokens for this corpus's ~55-token
+  // documents (same ~L/avg_len ratio). Everything is integer-exact, so
+  // DuckDB replays the full pipeline including the span merge.
+  private val q95 = Qdef(
+    "q95_exactsubstr",
+    (s, dir) =>
+      graft.operators.ExactSubstr
+        .stats(t(s, dir, "documents"), "doc_id", "text", minTokens = 15)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ch AS (SELECT doc_id, CAST(len(toks) - 15 + 1 AS BIGINT) AS n_windows,
+      unnest(range(len(toks) - 15 + 1)) AS pos,
+      unnest([md5(array_to_string(toks[i+1 : i+15], ' ')) for i in range(len(toks) - 15 + 1)]) AS w
+      FROM tk WHERE len(toks) >= 15),
+    dup AS (SELECT w FROM ch GROUP BY w HAVING COUNT(*) >= 2),
+    dd AS (SELECT ch.doc_id, ch.n_windows, ch.pos FROM ch JOIN dup USING (w)),
+    g AS (SELECT doc_id, n_windows, pos,
+       CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 15 THEN 1 ELSE 0 END AS newspan
+     FROM dd),
+    s AS (SELECT doc_id, n_windows, pos,
+       SUM(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM g),
+    sp AS (SELECT doc_id, MIN(n_windows) AS n_windows, span_id, COUNT(*) AS ndw,
+       MIN(pos) AS st, MAX(pos) + 15 AS en FROM s GROUP BY doc_id, span_id)
+    SELECT doc_id, MIN(n_windows) AS n_windows, CAST(SUM(ndw) AS BIGINT) AS n_dup,
+      CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(en - st) AS BIGINT) AS dup_tokens,
+      CAST(MAX(en - st) AS BIGINT) AS max_span
+    FROM sp GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61, q67, q69, q95)
 }

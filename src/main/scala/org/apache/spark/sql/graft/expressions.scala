@@ -200,6 +200,42 @@ object ExprKernels {
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
+  /** All overlapping L-token window md5 fingerprints of a text in one
+    * pass (SURVEY.md §2.D38 ExactSubstr) — the raw 16 digest bytes per
+    * window, in window-position order (posexplode pairs each with its
+    * position). A window of L consecutive single-space tokens IS the
+    * original byte span from token t's start to token t+L-1's end (the
+    * textShingles zero-copy argument), so each digest updates directly
+    * over the text's byte array: bit-identical to
+    * unhex(md5(cast(concat_ws(' ', slice(split(text, ' '), t+1, L)) as
+    * binary))) with none of the per-window slice/concat/hex allocations.
+    * Empty array when the text has fewer than L tokens.
+    */
+  def windowMd5s(text: UTF8String, L: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val starts = new java.util.ArrayList[Int]
+    starts.add(0)
+    var i = 0
+    while (i < n) { if (bytes(i) == ' '.toByte) starts.add(i + 1); i += 1 }
+    val tokens = starts.size
+    if (tokens < L)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val md = md5TL.get()
+    val out = new Array[Any](tokens - L + 1)
+    var t = 0
+    while (t <= tokens - L) {
+      val from = starts.get(t)
+      val until = if (t + L == tokens) n else starts.get(t + L) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      out(t) = md.digest()
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** MinHash LSH band keys straight from the shingle set: signature (as
     * `minhashSig`) then, per band b, the xxhash64 fold of (b, sig-slice)
     * — bit-identical to xxhash64(lit(b), slice(sig, b*rows+1, rows)),
@@ -540,6 +576,27 @@ case class RegexTokenCountE(child: Expression)
     defineCodeGen(ctx, ev, s => s"org.apache.spark.sql.graft.ExprKernels.regexTokenCount($s)")
 
   override protected def withNewChildInternal(newChild: Expression): RegexTokenCountE =
+    copy(child = newChild)
+}
+
+/** Text → all overlapping L-token window md5 fingerprints, raw 16-byte
+  * digests in position order (SURVEY.md §2.D38 ExactSubstr hot path).
+  */
+case class WindowMd5sE(child: Expression, windowTokens: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "window_md5s"
+
+  override protected def nullSafeEval(text: Any): Any =
+    ExprKernels.windowMd5s(text.asInstanceOf[UTF8String], windowTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.ExprKernels.windowMd5s($s, $windowTokens)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowMd5sE =
     copy(child = newChild)
 }
 

@@ -45,6 +45,32 @@ class NativeExprSpec extends AnyFunSuite {
     assert(ediffs == 0)
   }
 
+  test("windowMd5s (native) == transform(sequence, unhex(md5(concat_ws(slice)))) incl. order") {
+    def ref(k: Int) = {
+      val toks = tokens(col("text"))
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - lit(k)),
+          i => unhex(md5(concat_ws(" ", slice(toks, i + 1, lit(k)))
+            .cast("binary")))))
+        .otherwise(array().cast("array<binary>"))
+    }
+    val docs = Tables.t(spark, sfDir, "documents").limit(200)
+    for (k <- Seq(5, 15)) {
+      val diffs = docs
+        .select(windowMd5s(col("text"), k).as("native"), ref(k).as("r"))
+        .filter(col("native") =!= col("r")).count()
+      assert(diffs == 0, s"k=$k window fingerprint mismatch")
+    }
+    // edge cases: consecutive/leading/trailing spaces, exact-k, sub-k
+    val edge = spark.createDataFrame(Seq(
+      Tuple1("a  b c"), Tuple1(" x y"), Tuple1("p q "), Tuple1("one two"),
+      Tuple1(""), Tuple1("a a a"), Tuple1("a b"))).toDF("text")
+    val ediffs = edge
+      .select(windowMd5s(col("text"), 3).as("native"), ref(3).as("r"))
+      .filter(col("native") =!= col("r")).count()
+    assert(ediffs == 0)
+  }
+
   test("textGramStats (native) == composed size/array_distinct/sorted-run fold") {
     def composed(k: Int) = {
       val toks = tokens(col("text"))
