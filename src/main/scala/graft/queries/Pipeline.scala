@@ -1619,8 +1619,11 @@ object Pipeline {
       val embs = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
       val n = t(s, dir, "embeddings").count()
+      // the AUTO face: single-level below IvfPq.twoLevelThreshold (the
+      // oracle's sf0.01 replay runs that face), two-level at scale —
+      // the r15 threshold-switched production default
       graft.operators.IvfPq
-        .ivfPqTopK(embs, embs.filter(col("id") < 10), n,
+        .ivfPqAutoTopK(embs, embs.filter(col("id") < 10), n,
           dim = 64, m = 8, ksTarget = 16, nprobe = 4, k = 10, rerank = 50)
         .orderBy(col("q_id"), col("rn"))
     },
@@ -1645,7 +1648,7 @@ object Pipeline {
       val queries = embs.filter(col("id") < 10)
       val truth = graft.operators.Pq.bruteForceL2TopK(embs, queries, k = 10)
       val ipq = graft.operators.IvfPq
-        .ivfPqTopK(embs, queries, n,
+        .ivfPqAutoTopK(embs, queries, n,
           dim = 64, m = 8, ksTarget = 16, nprobe = 4, k = 10, rerank = 50)
       truth.select(col("q_id"), col("neighbor"))
         .join(ipq.select(col("q_id"), col("neighbor"), lit(1).as("hit")),

@@ -121,4 +121,23 @@ class IvfPqSpec extends AnyFunSuite {
     assert(audit.getLong(0) == 50L)
     assert(audit.getLong(1) >= 0L && audit.getLong(1) <= audit.getLong(0))
   }
+
+  test("the auto face routes by corpus size: single-level below the threshold, two-level above") {
+    val n = embs.count()
+    val queries = embs.filter(col("id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    // sf0.001's corpus is far below the default threshold: auto == single
+    assert(n < IvfPq.twoLevelThreshold)
+    assert(rows(IvfPq.ivfPqAutoTopK(embs, queries, n, k = 5)) ==
+      rows(IvfPq.ivfPqTopK(embs, queries, n, k = 5)))
+    // force the two-level face and pin it bit-identical to ivfPq2TopK
+    val saved = IvfPq.twoLevelThreshold
+    try {
+      IvfPq.twoLevelThreshold = 1L
+      assert(rows(IvfPq.ivfPqAutoTopK(embs, queries, n, k = 5)) ==
+        rows(IvfPq.ivfPq2TopK(embs, queries, n, k = 5)))
+    } finally IvfPq.twoLevelThreshold = saved
+  }
 }
