@@ -77,6 +77,26 @@ object SkipBench {
     }
     val sortDate = prunedBy(q)
     val sortOkey = prunedBy(okeyQ)
+
+    // bloom contrast (round 15): an EXACT point probe on the unclustered
+    // okey. Min/max keeps every file (each file's okey range spans the
+    // probe — the r14 artifact's okey:0 row), the `_graft_bloom` sidecar
+    // prunes. TPC-H orderkeys are sparse, so an in-range ABSENT value
+    // exists near any point; verify absence honestly, then probe one
+    // absent and one present value.
+    val taken = g.sql("select distinct l_orderkey as k from li " +
+        s"where l_orderkey between ${a + 1} and ${a + 200}")
+      .collect().map(_.getLong(0)).toSet
+    val absentK = ((a + 1) to (a + 200)).find(v => !taken.contains(v))
+      .getOrElse(a + 1)
+    val presentK = g.sql(
+      s"select min(l_orderkey) as k from li where l_orderkey >= $a")
+      .collect()(0).getLong(0)
+    val bloomAbsent = prunedBy(
+      s"select count(*) as c from li where l_orderkey = $absentK")
+    val bloomPresent = prunedBy(
+      s"select count(*) as c from li where l_orderkey = $presentK")
+
     g.sql("optimize table li zorder by (l_shipdate, l_orderkey)")
     val zTotal = sources.FileSkipStats.read(dir).size
     val zDate = prunedBy(q)
@@ -87,6 +107,7 @@ object SkipBench {
       s""""wall_with_skip_s":${f"$withSkip%.3f"},""" +
       s""""wall_no_skip_s":${f"$noSkip%.3f"},""" +
       s""""sortby_pruned":{"date":$sortDate,"okey":$sortOkey},""" +
+      s""""bloom_point_pruned":{"absent":$bloomAbsent,"present":$bloomPresent},""" +
       s""""zorder_files":$zTotal,""" +
       s""""zorder_pruned":{"date":$zDate,"okey":$zOkey}}""")
     spark.stop()

@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file bloom filters for point-predicate data skipping (SURVEY
+  * §2.E9 extension, round 15) — the standard lakehouse answer to the
+  * probe min/max cannot serve: a high-cardinality equality lookup on an
+  * UNCLUSTERED column. Min/max bounds prune nothing there (every file's
+  * range covers the probe — the r14 SKIPBENCH artifact measured the okey
+  * probe pruning 0/25 files under SORT BY(date)); a per-file bloom
+  * answers "is this exact value possibly in this file" at any layout.
+  *
+  * Design:
+  *   - sidecar `_graft_bloom` beside `_graft_stats`, one line per
+  *     (file, column): relPath \t col \t base64(sketch). Same dot-temp +
+  *     ATOMIC_MOVE discipline, same dir-relative path keys.
+  *   - built by ONE distributed aggregation per commit batch (Spark's
+  *     own BloomFilterAggregate over xxhash64(col), grouped by
+  *     input_file_name — the runtime-filter machinery reused as a
+  *     persistent index; no driver-side value collection, cost
+  *     O(batch), never O(table)).
+  *   - integral/string/date/timestamp columns only; float/double stay
+  *     min/max-only (NaN/±0.0 hashing has no safe exact story), internal
+  *     `_graft_*` columns excluded.
+  *   - sized at ~10 bits/value from the file's footer value count
+  *     (~1% FPR), clamped to [8 KiB, 8 MiB] of bits; files under
+  *     `minRows` are skipped — min/max already covers tiny files and the
+  *     per-commit job would tax every small VALUES insert for nothing.
+  *     (ANALYZE TABLE backfill passes minRows = 1: an explicit stats
+  *     request covers everything.)
+  *   - STRICTLY may-match at scan: a missing entry, a type-mismatched
+  *     literal, or an unmodeled predicate never prunes; a bloom "no" is
+  *     exact (no false negatives), a "maybe" falls through to row-level
+  *     filtering. The query literal is hashed with the SAME xxhash64
+  *     (seed 42) the build side used.
+  *
+  * At cluster scale the sidecar shards with the commit log (a 10⁶-file
+  * table wants per-partition bloom manifests); the 100 TB design point
+  * is the same as E9's: prune before tasks exist.
+  */
+object BloomSidecar {
+
+  val SidecarName = "_graft_bloom"
+
+  /** Columns eligible for bloom entries under `schema`. */
+  def eligible(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter { f =>
+      !f.name.startsWith("_graft_") && (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType | StringType => true
+        case _ => false
+      })
+    }
+
+  // ---- sidecar IO ---------------------------------------------------------
+
+  def read(dir: Path): Map[String, Map[String, BloomFilter]] = {
+    val f = dir.resolve(SidecarName)
+    if (!Files.isRegularFile(f)) Map.empty
+    else try {
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.iterator
+        .map(_.split("\t", -1)).filter(_.length == 3)
+        .toSeq.groupBy(_(0)).map { case (file, rows) =>
+          file -> rows.flatMap { r =>
+            try Some(r(1) -> BloomFilter.readFrom(
+              new ByteArrayInputStream(Base64.getDecoder.decode(r(2)))))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }.toMap
+        }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Raw (undeserialized) entries — for carry-over without the decode
+    * cost.
+    */
+  private def readRaw(dir: Path): Map[(String, String), String] = {
+    val f = dir.resolve(SidecarName)
+    if (!Files.isRegularFile(f)) Map.empty
+    else try {
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.iterator
+        .map(_.split("\t", -1)).filter(_.length == 3)
+        .map(r => (r(0), r(1)) -> r(2)).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  private def writeRaw(dir: Path,
+                       all: Map[(String, String), String]): Unit = {
+    val lines = all.toSeq.sortBy(_._1).map { case ((file, c), b64) =>
+      s"$file\t$c\t$b64"
+    }
+    val tmp = dir.resolve("." + SidecarName + ".tmp")
+    Files.write(tmp, lines.asJava, StandardCharsets.UTF_8)
+    Files.move(tmp, dir.resolve(SidecarName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- distributed build --------------------------------------------------
+
+  /** Spark's internal runtime-filter aggregate as a Column: the sketch
+    * of xxhash64(col) values, serialized (spark.util.sketch V1 format,
+    * readable by BloomFilter.readFrom).
+    */
+  private def bloomAgg(c: String, items: Long, bits: Long) =
+    Bridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(col(s"`$c`"))), 42),
+      Literal(items), Literal(bits)).toAggregateExpression())
+
+  /** Build and merge bloom entries for `relPaths` (files this commit
+    * added under `dir`; the just-written `_graft_stats` sidecar supplies
+    * their value counts). One Spark job for the whole batch; files with
+    * fewer than `minRows` values are skipped.
+    */
+  def record(spark: SparkSession, dir: Path, relPaths: Iterable[String],
+             schema: StructType, minRows: Long): Unit = {
+    val cols = eligible(schema)
+    if (cols.isEmpty) return
+    val stats = FileSkipStats.read(dir)
+    def rowsOf(rel: String): Long =
+      stats.get(FileSkipStats.relKey(rel)).flatMap(_.values.headOption)
+        .map(_.valueCount).getOrElse(0L)
+    val wanted = relPaths.filter(r =>
+      r.endsWith(".parquet") && rowsOf(r) >= minRows).toSeq
+    if (wanted.isEmpty) return
+    val maxRows = wanted.map(rowsOf).max
+    // one sketch size for the batch job (per-file sizing would need a
+    // job per file): ~10 bits/value of the LARGEST file, clamped
+    val bits = math.min(math.max(maxRows * 10L, 65536L), 67108864L)
+    val paths = wanted.map(r => dir.resolve(r).toUri.toString)
+    val aggs = cols.map(f => bloomAgg(f.name, maxRows, bits).as(f.name))
+    val rows = spark.read.schema(schema).parquet(paths: _*)
+      .groupBy(input_file_name().as("_graft_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per batch file — bounded by the commit batch
+    val base = dir.toUri.getPath
+    val entries = rows.iterator.flatMap { row =>
+      val uri = java.net.URI.create(row.getString(0))
+      val full = uri.getPath
+      if (full == null || !full.startsWith(base)) Iterator.empty
+      else {
+        val rel = FileSkipStats.relKey(
+          dir.relativize(java.nio.file.Paths.get(full)).toString)
+        cols.indices.iterator.flatMap { i =>
+          Option(row.get(i + 1)).map { b =>
+            (rel, cols(i).name) ->
+              Base64.getEncoder.encodeToString(b.asInstanceOf[Array[Byte]])
+          }
+        }
+      }
+    }.toMap
+    if (entries.nonEmpty) writeRaw(dir, readRaw(dir) ++ entries)
+  }
+
+  /** Carry bloom entries for hard-linked files from the replaced
+    * version's sidecar. Files it never covered simply stay uncovered
+    * (bloom absent = never prune — sound; the min/max sidecar still
+    * covers them via its own carry-over re-read).
+    */
+  def carryOver(fromDir: Path, toDir: Path,
+                relPaths: Iterable[String]): Unit = {
+    val old = readRaw(fromDir)
+    if (old.isEmpty) return
+    val keys = relPaths.map(FileSkipStats.relKey).toSet
+    val copied = old.filter { case ((f, _), _) => keys.contains(f) }
+    if (copied.nonEmpty) writeRaw(toDir, readRaw(toDir) ++ copied)
+  }
+
+  // ---- the MAY-MATCH side -------------------------------------------------
+
+  /** Hash a pushed literal exactly as the build side hashed column
+    * values: xxhash64 seed 42 over the Spark-internal value. None when
+    * the literal's type cannot match the build-side hashing (⇒ keep).
+    */
+  def hashLiteral(v: Any, dt: DataType): Option[Long] = {
+    if (v == null) return None
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | StringType =>
+        Some(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(v, dt, 42L))
+      case _ => None
+    }
+  }
+
+  /** May the file (with bloom `bf` for the column) contain `v`? */
+  def mayContain(bf: BloomFilter, v: Any, dt: DataType,
+                 colType: DataType): Boolean =
+    if (dt != colType) true // cast mismatch — hashing differs, keep
+    else hashLiteral(v, dt) match {
+      case Some(h) => bf.mightContainLong(h)
+      case None => true
+    }
+}

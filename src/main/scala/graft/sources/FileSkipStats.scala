@@ -273,31 +273,40 @@ object FileSkipStats {
 
   /** Conjunction over the scan's pushed data filters: false ⇒ the file
     * provably contains no matching row and is skipped before any task
-    * exists.
+    * exists. `blooms` (per-column bloom sketches from the `_graft_bloom`
+    * sidecar, when the file has them) tightens equality/IN verdicts that
+    * min/max cannot decide — a high-cardinality point probe on an
+    * unclustered column; absent entries never prune.
     */
   def mayMatch(filters: Seq[Expression], schema: StructType,
-               stats: Map[String, ColStat]): Boolean =
-    filters.forall(f => may(f, schema, stats))
+               stats: Map[String, ColStat],
+               blooms: Map[String, org.apache.spark.util.sketch.BloomFilter]
+                 = Map.empty): Boolean =
+    filters.forall(f => may(f, schema, stats, blooms))
 
   private def may(e: Expression, schema: StructType,
-                  stats: Map[String, ColStat]): Boolean = e match {
-    case And(l, r) => may(l, schema, stats) && may(r, schema, stats)
-    case Or(l, r) => may(l, schema, stats) || may(r, schema, stats)
+                  stats: Map[String, ColStat],
+                  blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+      : Boolean = e match {
+    case And(l, r) =>
+      may(l, schema, stats, blooms) && may(r, schema, stats, blooms)
+    case Or(l, r) =>
+      may(l, schema, stats, blooms) || may(r, schema, stats, blooms)
     case IsNull(a: AttributeReference) =>
       stats.get(a.name).forall(s => s.nullCount != 0)
     case IsNotNull(a: AttributeReference) =>
       stats.get(a.name).forall(s =>
         s.nullCount < 0 || s.nullCount < s.valueCount)
     case Not(IsNull(a: AttributeReference)) =>
-      may(IsNotNull(a), schema, stats)
-    case EqualTo(a: AttributeReference, Literal(v, dt)) => cmpMay(a, v, dt, schema, stats, 0)
-    case EqualTo(Literal(v, dt), a: AttributeReference) => cmpMay(a, v, dt, schema, stats, 0)
+      may(IsNotNull(a), schema, stats, blooms)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) => eqMay(a, v, dt, schema, stats, blooms)
+    case EqualTo(Literal(v, dt), a: AttributeReference) => eqMay(a, v, dt, schema, stats, blooms)
     case EqualNullSafe(a: AttributeReference, Literal(v, dt)) =>
-      if (v == null) may(IsNull(a), schema, stats)
-      else cmpMay(a, v, dt, schema, stats, 0)
+      if (v == null) may(IsNull(a), schema, stats, blooms)
+      else eqMay(a, v, dt, schema, stats, blooms)
     case EqualNullSafe(Literal(v, dt), a: AttributeReference) =>
-      if (v == null) may(IsNull(a), schema, stats)
-      else cmpMay(a, v, dt, schema, stats, 0)
+      if (v == null) may(IsNull(a), schema, stats, blooms)
+      else eqMay(a, v, dt, schema, stats, blooms)
     case LessThan(a: AttributeReference, Literal(v, dt)) => cmpMay(a, v, dt, schema, stats, -2)
     case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => cmpMay(a, v, dt, schema, stats, -1)
     case GreaterThan(a: AttributeReference, Literal(v, dt)) => cmpMay(a, v, dt, schema, stats, 2)
@@ -307,14 +316,26 @@ object FileSkipStats {
     case GreaterThan(Literal(v, dt), a: AttributeReference) => cmpMay(a, v, dt, schema, stats, -2)
     case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => cmpMay(a, v, dt, schema, stats, -1)
     case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
-      list.exists { case Literal(v, dt) => cmpMay(a, v, dt, schema, stats, 0) }
+      list.exists { case Literal(v, dt) => eqMay(a, v, dt, schema, stats, blooms) }
     case InSet(a: AttributeReference, set) =>
       val dt = a.dataType
-      set.exists(v => cmpMay(a, v, dt, schema, stats, 0))
+      set.exists(v => eqMay(a, v, dt, schema, stats, blooms))
     case StartsWith(a: AttributeReference, Literal(v: UTF8String, StringType)) =>
       prefixMay(a, v.getBytes, stats)
     case _ => true // unmodeled shape — never prune on it
   }
+
+  /** Equality verdict: the min/max range answer ANDed with the bloom
+    * answer when the file carries a sketch for the column. Either side
+    * saying "provably absent" prunes; both are strictly may-match.
+    */
+  private def eqMay(a: AttributeReference, v: Any, dt: DataType,
+                    schema: StructType, stats: Map[String, ColStat],
+                    blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+      : Boolean =
+    cmpMay(a, v, dt, schema, stats, 0) && (v == null || blooms.get(a.name)
+      .forall(bf => graft.sources.BloomSidecar
+        .mayContain(bf, v, dt, a.dataType)))
 
   /** `op` encodes the predicate on column `a` vs literal `v`:
     * 0 `=`, -2 `<`, -1 `<=`, 2 `>`, 1 `>=` (attribute on the left).

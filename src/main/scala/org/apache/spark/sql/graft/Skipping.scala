@@ -33,7 +33,9 @@ final class SkippingFileIndex(
     inner: FileIndex,
     dataSchema: StructType,
     sidecarDir: java.nio.file.Path,
-    stats: Map[String, Map[String, FileSkipStats.ColStat]])
+    stats: Map[String, Map[String, FileSkipStats.ColStat]],
+    blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+      = Map.empty)
   extends FileIndex {
 
   override def rootPaths: Seq[Path] = inner.rootPaths
@@ -54,20 +56,35 @@ final class SkippingFileIndex(
     else Some(FileSkipStats.relKey(sidecarDir.relativize(fp).toString))
   }
 
+  /** Files pruned by the most recent listFiles on THIS index instance —
+    * the per-scan number EXPLAIN ANALYZE surfaces (the rule wraps one
+    * index per planned relation, so the instance maps 1:1 to the scan
+    * node rendering it).
+    */
+  @volatile var lastPruned: Long = 0L
+
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val dirs = inner.listFiles(partitionFilters, dataFilters)
     if (dataFilters.isEmpty || stats.isEmpty) dirs
-    else dirs.map { pd =>
-      val kept = pd.files.filter { f =>
-        keyOf(f.getPath).flatMap(stats.get) match {
-          case Some(cs) => FileSkipStats.mayMatch(dataFilters, dataSchema, cs)
-          case None => true // uncovered file — never prune
+    else {
+      var pruned = 0L
+      val out = dirs.map { pd =>
+        val kept = pd.files.filter { f =>
+          val key = keyOf(f.getPath)
+          key.flatMap(stats.get) match {
+            case Some(cs) => FileSkipStats.mayMatch(dataFilters, dataSchema, cs,
+              key.flatMap(blooms.get).getOrElse(Map.empty))
+            case None => true // uncovered file — never prune
+          }
         }
+        pruned += pd.files.size - kept.size
+        if (kept.size == pd.files.size) pd else pd.copy(files = kept)
       }
-      Skipping.filesPruned.addAndGet(pd.files.size - kept.size)
-      if (kept.size == pd.files.size) pd else pd.copy(files = kept)
+      lastPruned = pruned
+      Skipping.filesPruned.addAndGet(pruned)
+      out
     }
   }
 
@@ -84,14 +101,19 @@ object Skipping {
     */
   val filesPruned = new AtomicLong(0L)
 
-  // sidecar cache: path -> (mtime, size, parsed). Commits rewrite the
-  // sidecar atomically, so (mtime, size) is a sufficient fingerprint.
+  type Blooms = Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+
+  // sidecar cache: path -> (minmax mtime/size, bloom mtime/size, parsed
+  // min/max, parsed blooms). Commits rewrite both sidecars atomically,
+  // so (mtime, size) per file is a sufficient fingerprint.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Long, Long, Map[String, Map[String, FileSkipStats.ColStat]])]()
+      (Long, Long, Long, Long,
+       Map[String, Map[String, FileSkipStats.ColStat]], Blooms)]()
 
   private def statsFor(roots: Seq[Path]): Option[
-      (java.nio.file.Path, Map[String, Map[String, FileSkipStats.ColStat]])] = {
+      (java.nio.file.Path, Map[String, Map[String, FileSkipStats.ColStat]],
+       Blooms)] = {
     if (roots.isEmpty) return None
     val paths = roots.map { r =>
       val u = r.toUri
@@ -114,15 +136,22 @@ object Skipping {
     if (side == null) return None
     val key = side.toString
     val (mt, sz) = (Files.getLastModifiedTime(side).toMillis, Files.size(side))
+    val bside = base.resolve(graft.sources.BloomSidecar.SidecarName)
+    val (bmt, bsz) =
+      if (Files.isRegularFile(bside))
+        (Files.getLastModifiedTime(bside).toMillis, Files.size(bside))
+      else (-1L, -1L)
     val hit = cache.get(key)
-    if (hit != null && hit._1 == mt && hit._2 == sz) Some((base, hit._3))
+    if (hit != null && hit._1 == mt && hit._2 == sz &&
+        hit._3 == bmt && hit._4 == bsz) Some((base, hit._5, hit._6))
     else {
       val parsed = FileSkipStats.read(side.getParent)
+      val parsedBlooms = graft.sources.BloomSidecar.read(base)
       // version dirs come and go with every rewrite on a long-running
       // server — bound the cache instead of tracking GC
       if (cache.size >= 256) cache.clear()
-      cache.put(key, (mt, sz, parsed))
-      Some((base, parsed))
+      cache.put(key, (mt, sz, bmt, bsz, parsed, parsedBlooms))
+      Some((base, parsed, parsedBlooms))
     }
   }
 
@@ -132,10 +161,10 @@ object Skipping {
         case fsr: HadoopFsRelation
           if !fsr.location.isInstanceOf[SkippingFileIndex] =>
           statsFor(fsr.location.rootPaths) match {
-            case Some((base, st)) if st.nonEmpty =>
+            case Some((base, st, bl)) if st.nonEmpty =>
               lr.copy(relation = fsr.copy(location =
-                new SkippingFileIndex(fsr.location, fsr.dataSchema, base, st))(
-                fsr.sparkSession))
+                new SkippingFileIndex(fsr.location, fsr.dataSchema, base, st,
+                  bl))(fsr.sparkSession))
             case _ => lr
           }
         case _ => lr
