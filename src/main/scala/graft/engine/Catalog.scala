@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, filter, lit, shiftleft, shiftright, size}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 
 object Catalog {
   /** Hidden per-row commit-sequence column of merge-on-read tables: data
@@ -376,6 +376,58 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       spark.read.schema(m.schema).format(m.format).load(real.toString)
     else
       mergedFrom(m, real).select(m.cols.map(c => col(s"`${c.name}`")): _*)
+  }
+
+  /** How many REPLACED versions rewrite GC retains behind the current
+    * one. 1 = the standing one-commit grace (in-flight `readSnapshot`
+    * frames stay readable); raising it turns the commit log into
+    * user-addressable history for `SELECT … FROM t VERSION AS OF n`.
+    * Session-settable via SET graft_retain_versions.
+    */
+  var retainVersions: Int = 1
+
+  /** Time travel: the table's data as of rewrite generation `v`
+    * (SURVEY §2.B17 made user-addressable, round 15). A version is a
+    * REWRITE generation: appends land inside the current generation
+    * (the commit model — ingest does not bump versions), so v's
+    * contents are "the table as the v→v+1 rewrite snapshotted it".
+    * Old versions read with the CURRENT logical schema (a column added
+    * since reads null, a dropped one is ignored — parquet
+    * schema-on-read). Merge-on-read tables are refused: their rewrites
+    * FOLD tombstones and retire the tombstone files one commit later,
+    * so a past generation's delete-set is not reconstructable.
+    */
+  def readVersion(db: String, t: String, v: Int): DataFrame = {
+    val m = meta(db, t)
+    if (m.mergeOnRead)
+      throw new SqlError(1235, "42000",
+        "VERSION AS OF supports copy-on-write tables only; merge-on-read " +
+          "rewrites fold tombstones, so past generations are not " +
+          "reconstructable once their tombstone files retire")
+    val cur = versionNumber(currentVersionDir(db, t))
+    val dir = tablePath(db, t).resolve("versions").resolve(s"v$v")
+    if (v > cur || !Files.isDirectory(dir))
+      throw new SqlError(1146, "42S02",
+        if (v > cur) s"Unknown version $v of '$db.$t' (current is v$cur)"
+        else s"Version $v of '$db.$t' was reaped by retention GC " +
+          s"(current is v$cur, retention keeps $retainVersions replaced " +
+          "version(s); raise graft_retain_versions BEFORE the commits " +
+          "you want addressable)")
+    spark.read.schema(m.schema).format(m.format).load(dir.toString)
+  }
+
+  /** Commit history of a table: (version, action) in commit order — the
+    * `_graft_log`, exposed for SHOW COMMITS discoverability.
+    */
+  def commitLog(db: String, t: String): Seq[(Int, String)] = {
+    require(tableExists(db, t), s"Unknown table '$db.$t'")
+    val f = tablePath(db, t).resolve("_graft_log")
+    if (!Files.isRegularFile(f)) Seq.empty
+    else Files.readAllLines(f).asScala.iterator
+      .map(_.split("\t", -1)).collect {
+        case Array(v, action) if v.startsWith("v") =>
+          (v.drop(1).toInt, action)
+      }.toSeq
   }
 
   /** Base rows under `dataDir` with the table's tombstones applied: a
@@ -773,9 +825,18 @@ class Catalog(spark: SparkSession, val warehouse: String) {
           !covered.contains(graft.sources.FileSkipStats.relKey(f)))
       // externally landed files may come from NaN-excluding writers —
       // collect with the untrusted (float-max-dropping) handling
+      val physSchema = if (m.mergeOnRead) m.baseSchema else m.schema
       graft.sources.FileSkipStats.record(
-        spark.sessionState.newHadoopConf(), cur, missing,
-        if (m.mergeOnRead) m.baseSchema else m.schema, trusted = false)
+        spark.sessionState.newHadoopConf(), cur, missing, physSchema,
+        trusted = false)
+      // an explicit ANALYZE covers every uncovered file with blooms,
+      // minRows gate included (the user asked for stats)
+      val bloomCovered = graft.sources.BloomSidecar.read(cur).keySet
+      val bloomMissing = listFiles(cur).filter(f =>
+        f.endsWith(".parquet") &&
+          !bloomCovered.contains(graft.sources.FileSkipStats.relKey(f)))
+      graft.sources.BloomSidecar.record(
+        spark, cur, bloomMissing, dataOnly(physSchema, m), minRows = 1L)
       missing.size.toLong
     }
   }
@@ -785,6 +846,21 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     * is one executor-core's worth (O(10^4)).
     */
   var compactionBuckets: Int = 32
+
+  /** Smallest per-file row count that earns a `_graft_bloom` entry at
+    * commit time (ANALYZE TABLE ignores it): min/max already covers tiny
+    * files, and the per-commit bloom job must not tax every small VALUES
+    * insert.
+    */
+  var bloomMinRows: Long = 1024L
+
+  /** Schema restricted to columns physically present in data files:
+    * partition values live in directory names and would bloom as
+    * all-null garbage.
+    */
+  private def dataOnly(schema: StructType, m: TableMeta): StructType =
+    if (m.partitionCols.isEmpty) schema
+    else StructType(schema.filterNot(f => m.partitionCols.contains(f.name)))
 
   /** A version dir whose files were written by the bucketed writer
     * carries this marker (with the bucket count). The marker is removed
@@ -974,11 +1050,15 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     } else writer(frame, m).mode("overwrite").save(next.toString)
 
     // data skipping (E9): the new version's files get fresh footer
-    // stats before the version becomes reachable
-    if (m.format == "parquet")
+    // stats (and point-predicate blooms) before the version becomes
+    // reachable
+    if (m.format == "parquet") {
+      val fresh = listFiles(next).filter(_.endsWith(".parquet"))
       graft.sources.FileSkipStats.record(
-        spark.sessionState.newHadoopConf(), next,
-        listFiles(next).filter(_.endsWith(".parquet")), frame.schema)
+        spark.sessionState.newHadoopConf(), next, fresh, frame.schema)
+      graft.sources.BloomSidecar.record(
+        spark, next, fresh, dataOnly(frame.schema, m), bloomMinRows)
+    }
 
     onRewriteBeforeCommit()
 
@@ -999,11 +1079,16 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         Files.createLink(target, cur.resolve(name))
       }
       // their skipping stats carry over from the replaced version's
-      // sidecar (re-read from footers only if it never covered them)
-      if (m.format == "parquet")
+      // sidecar (re-read from footers only if it never covered them);
+      // bloom entries copy over too (never rebuilt here — absent is
+      // sound, and the commit critical section must stay job-free)
+      if (m.format == "parquet") {
+        val carriedParquet = carriedIn.filter(_.endsWith(".parquet"))
         graft.sources.FileSkipStats.carryOver(
           spark.sessionState.newHadoopConf(), cur, next,
-          carriedIn.filter(_.endsWith(".parquet")), frame.schema)
+          carriedParquet, frame.schema)
+        graft.sources.BloomSidecar.carryOver(cur, next, carriedParquet)
+      }
       // Carried-over appends keep the bucket layout only if they were
       // written bucket-aligned (post-OPTIMIZE appends are): the replaced
       // version carried the same bucket count this rewrite used AND every
@@ -1029,10 +1114,12 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       Files.write(retiredFile(db, t), retiredNow.toSeq.sorted.asJava)
       swapPointer(db, t, s"versions/v$nextV")
       logCommit(db, t, nextV, "rewrite")
-      // grace GC: keep the just-replaced version for in-flight snapshot
-      // readers; everything older is unreachable
+      // retention GC: keep the last `retainVersions` replaced versions —
+      // the floor (1) is the grace in-flight snapshot readers need;
+      // anything deeper is user history for VERSION AS OF
+      val keepFrom = versionNumber(cur) - (math.max(1, retainVersions) - 1)
       Files.list(versions).iterator.asScala
-        .filter(d => Files.isDirectory(d) && versionNumber(d) < versionNumber(cur))
+        .filter(d => Files.isDirectory(d) && versionNumber(d) < keepFrom)
         .toSeq.foreach(deleteRecursively)
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
@@ -1119,11 +1206,19 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       }
       // data skipping (E9): fold the batch's footer min/max into the
       // version's sidecar — cost O(batch), never O(table)
-      if (m.format == "parquet")
+      if (m.format == "parquet") {
+        val batch =
+          (listFiles(cur) -- preexisting).filter(_.endsWith(".parquet"))
+        val physSchema = if (m.mergeOnRead) m.baseSchema else m.schema
         graft.sources.FileSkipStats.record(
-          spark.sessionState.newHadoopConf(), cur,
-          (listFiles(cur) -- preexisting).filter(_.endsWith(".parquet")),
-          if (m.mergeOnRead) m.baseSchema else m.schema)
+          spark.sessionState.newHadoopConf(), cur, batch, physSchema)
+        // point-predicate blooms for the batch's big files (one job,
+        // O(batch)); tiny VALUES inserts stay bloom-free by minRows.
+        // Partition columns live in directory names, not file bytes —
+        // never bloomed (their predicates are partition filters anyway)
+        graft.sources.BloomSidecar.record(
+          spark, cur, batch, dataOnly(physSchema, m), bloomMinRows)
+      }
     } finally lock.unlock()
     if (m.partitionCols.nonEmpty) repairPartitions(db, t)
     syncBucketRegistration(m)
@@ -1158,8 +1253,100 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       if (sc.tableExists(ident))
         sc.alterTableStats(ident, Some(
           org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
-            BigInt(bytes), Some(BigInt(rows)))))
+            BigInt(bytes), Some(BigInt(rows)),
+            cboColStats(cur, m, rows))))
     } catch { case scala.util.control.NonFatal(_) => () } // stats are advisory
+
+  /** Per-column CBO stats folded from the E9 skipping sidecar — ZERO new
+    * I/O (the footer min/max/null-counts are already collected per
+    * commit): min of file mins, max of file maxes, summed null counts,
+    * registered as Spark catalog column stats so a CBO-enabled session
+    * (`spark.sql.cbo.enabled`) estimates filter selectivity on managed
+    * tables and unlocks broadcast/join-order choices plain sizeInBytes
+    * misses. Only domains whose sidecar rendering converts losslessly to
+    * the catalog's external string form participate (integral,
+    * float/double, date — strings/timestamps are skipped rather than
+    * risk a format mismatch silently corrupting estimates); a file with
+    * unknown bounds or nulls degrades that column to "no stat", never a
+    * wrong one. A single-column PRIMARY KEY is unique by construction:
+    * distinctCount = rowCount, the join-cardinality anchor.
+    */
+  private def cboEligible(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType => true
+      case _ => false
+    }
+
+  /** ANALYZE-time ndv per (db, table): FilterEstimation refuses to act
+    * on a range predicate without a distinct count, so min/max alone
+    * never move an estimate. Refreshed by `refreshNdv`, preserved across
+    * per-commit stat refreshes, stale until the next ANALYZE — the
+    * standard contract.
+    */
+  private val ndvs =
+    scala.collection.concurrent.TrieMap[(String, String), Map[String, BigInt]]()
+
+  /** One distributed approx_count_distinct pass over the CBO-eligible
+    * columns (wired to ANALYZE TABLE — an explicit stats request, so the
+    * table-scan cost is asked for), merged into the registered column
+    * stats alongside the sidecar-fed min/max/nullCount.
+    */
+  def refreshNdv(db: String, t: String): Unit = {
+    val m = meta(db, t)
+    if (m.format != "parquet") return
+    val cols = m.schema.fields.toSeq.filter(f => cboEligible(f.dataType))
+    if (cols.isEmpty) return
+    val aggs = cols.map(f =>
+      org.apache.spark.sql.functions
+        .approx_count_distinct(col(s"`${f.name}`")).as(f.name))
+    val row = read(db, t).agg(aggs.head, aggs.tail: _*).collect()(0)
+    ndvs((db, t)) = cols.indices
+      .map(i => cols(i).name -> BigInt(row.getLong(i))).toMap
+    refreshCatalogStats(db, t, m)
+  }
+
+  private def cboColStats(cur: Path, m: TableMeta, rows: Long)
+      : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
+    import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+    val side = graft.sources.FileSkipStats.read(cur)
+    if (side.isEmpty) return Map.empty
+    m.schema.fields.toSeq.flatMap { f =>
+      val dt = f.dataType
+      val isD = dt == FloatType || dt == DoubleType
+      val ok = cboEligible(dt)
+      val perFile = side.valuesIterator.map(_.get(f.name)).toSeq
+      if (!ok || perFile.isEmpty || perFile.exists(_.isEmpty)) None
+      else {
+        val stats = perFile.flatten
+        val nulls =
+          if (stats.exists(_.nullCount < 0)) None
+          else Some(BigInt(stats.map(_.nullCount).sum))
+        def allNull(s: graft.sources.FileSkipStats.ColStat) =
+          s.nullCount >= 0 && s.valueCount > 0 && s.nullCount == s.valueCount
+        val bounded = stats.filterNot(allNull)
+        val ord = Ordering.fromLessThan[String]((a, b) =>
+          if (isD) a.toDouble < b.toDouble else a.toLong < b.toLong)
+        val (mn, mx) =
+          if (bounded.isEmpty ||
+              bounded.exists(s => s.min.isEmpty || s.max.isEmpty))
+            (None, None)
+          else (Some(bounded.map(_.min.get).min(ord)),
+                Some(bounded.map(_.max.get).max(ord)))
+        def ext(v: String): String = dt match {
+          case DateType => java.time.LocalDate.ofEpochDay(v.toLong).toString
+          case _ => v
+        }
+        if (mn.isEmpty && nulls.isEmpty) None
+        else Some(f.name -> CatalogColumnStat(
+          distinctCount =
+            if (m.pk == Seq(f.name)) Some(BigInt(rows))
+            else ndvs.get((m.db, m.table)).flatMap(_.get(f.name)),
+          min = mn.map(ext), max = mx.map(ext), nullCount = nulls,
+          avgLen = None, maxLen = None))
+      }
+    }.toMap
+  }
 
   private def writer(df: DataFrame, m: TableMeta) = {
     val w = df.write.format(m.format)

@@ -171,10 +171,19 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     * always refreshed stats.
     */
   private def analyzeTable(stmt: String): DataFrame = {
-    val out = query(stmt)
+    // MySQL's bare `ANALYZE TABLE t` — Spark's parser wants the COMPUTE
+    // STATISTICS clause; supply it for the bare (reference-syntax) form
+    val sparkStmt =
+      if (stmt.toLowerCase.contains("compute")) stmt
+      else stmt.trim.stripSuffix(";") + " COMPUTE STATISTICS"
+    val out = query(sparkStmt)
     stmt match {
       case AnalyzeR(name) =>
-        try { val (db, t) = qualify(clean(name)); catalog.backfillStats(db, t) }
+        try {
+          val (db, t) = qualify(clean(name))
+          catalog.backfillStats(db, t)
+          catalog.refreshNdv(db, t) // arms CBO range estimation (ndv)
+        }
         catch { case scala.util.control.NonFatal(_) => () } // temp views etc.
       case _ => ()
     }
@@ -492,10 +501,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         // after the sweep is never masked.
         val orphans = catalog.withDmlLock(dbI, tI) {
           catalog.withDmlLock(dbC, tC) {
-            catalog.mergedWithSeq(dbI, tI).select(pkCols: _*)
-              .join(catalog.mergedWithSeq(dbC, tC).select(pkCols: _*),
-                pk, "left_anti")
-              .localCheckpoint()
+            orphanKeysLocked(dbI, tI, dbC, tC, pk)
           }
         }
         if (orphans.isEmpty) return 0L
@@ -519,6 +525,143 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       pass += 1
     }
     0L // unreachable
+  }
+
+  /** Index keys a rebuild would not contain — live index pks absent
+    * from the live corpus — pinned as a localCheckpoint. MUST be called
+    * with BOTH tables' DML locks held (the shared exit-audit primitive:
+    * orphanhood is only meaningful read at one instant; a corpus DELETE
+    * leaves no live row for any seq-window scan to see, so this
+    * anti-join is the one place deletes propagate to an index).
+    */
+  private def orphanKeysLocked(dbI: String, tI: String, dbC: String,
+                               tC: String, pk: Seq[String]): DataFrame = {
+    val pkCols = pk.map(k => col(s"`$k`"))
+    catalog.mergedWithSeq(dbI, tI).select(pkCols: _*)
+      .join(catalog.mergedWithSeq(dbC, tC).select(pkCols: _*),
+        pk, "left_anti")
+      .localCheckpoint()
+  }
+
+  /** Stale-index audit for pk-aligned live indexes (C17's MinHash band
+    * table, C19's encoded table, C21's cluster table — any index whose
+    * pk equals the corpus pk, round 15): corpus DELETEs never flow
+    * through the maintenance streams (they only see new documents), so
+    * a deleted doc's index row lives forever — the exact bug class the
+    * r14 refreshIndex race test caught, without requiring a full
+    * codebook refresh to fix. This routine audits and sweeps in ONE
+    * two-lock critical section: orphan computation and the sweep
+    * tombstones commit atomically with respect to every other writer
+    * (ingest's REPLACE takes the same index DML lock), so the
+    * audit-then-sweep interleaving hazard cannot occur. Sweep masks are
+    * strictly-older-only, so a re-insert committing after the audit is
+    * never masked. Returns the number of orphans swept (live == rebuild
+    * on the pk set afterward, by construction). Cost: one pk anti-join;
+    * ingest blocks for its duration — an OPTIMIZE-grade maintenance
+    * call, not a per-batch step.
+    */
+  def auditIndexOrphans(indexTable: String, corpusTable: String): Long = {
+    val (dbI, tI) = qualify(indexTable)
+    val (dbC, tC) = qualify(corpusTable)
+    val mI = catalog.meta(dbI, tI)
+    val mC = catalog.meta(dbC, tC)
+    require(mI.mergeOnRead && mC.mergeOnRead,
+      "auditIndexOrphans requires merge-on-read index and corpus tables")
+    require(mI.pk == mC.pk,
+      s"index pk ${mI.pk.mkString(",")} must equal corpus pk ${mC.pk.mkString(",")}")
+    catalog.withDmlLock(dbI, tI) {
+      catalog.withDmlLock(dbC, tC) {
+        val orphans = orphanKeysLocked(dbI, tI, dbC, tC, mI.pk)
+        val n = orphans.count()
+        if (n > 0)
+          catalog.appendDeletes(dbI, tI, orphans, catalog.nextSeq(dbI, tI))
+        n
+      }
+    }
+  }
+
+  /** Stale-index audit for the containment index pair (C18, round 15):
+    * verify live == rebuild and repair. The df/posting tables are keyed
+    * by shingle hash, not by doc pk, so a corpus DELETE is not a key
+    * sweep: the dead doc's postings must retire, every shingle it
+    * carried needs its df DECREMENTED, and a bucket the doc had pushed
+    * past the dfCap may drop back under — its other docs' postings must
+    * REAPPEAR. The only state that answers all three is a reference
+    * rebuild from the live corpus (O(corpus) — the same cost class as
+    * the C19 refreshIndex re-encode; an OPTIMIZE-grade routine), then a
+    * keyed diff applied through the same REPLACE/tombstone machinery
+    * the maintenance stream uses.
+    *
+    * SINGLE-WRITER CONTRACT (as maintainContainmentIndex): the caller
+    * owns both index tables for the duration — pause the maintenance
+    * stream around the audit. Returns (dfRepairs, postingRepairs) =
+    * rows retired+replaced per table; (0, 0) means the live index
+    * already equalled the rebuild.
+    */
+  def auditContainmentIndex(dfTable: String, postingTable: String,
+                            corpusTable: String, idCol: String = "doc_id",
+                            textCol: String = "text", shingleK: Int = 5,
+                            dfCap: Int = 32): (Long, Long) = {
+    import org.apache.spark.sql.graft.Bridge
+    val (dbD, tD) = qualify(dfTable)
+    val (dbP, tP) = qualify(postingTable)
+    val (dbC, tC) = qualify(corpusTable)
+    val mD = catalog.meta(dbD, tD)
+    val mP = catalog.meta(dbP, tP)
+    require(mD.mergeOnRead && mP.mergeOnRead,
+      "auditContainmentIndex requires merge-on-read df and posting tables")
+    // reference rebuild from the PINNED live corpus (retire/repair
+    // decisions must all read one file set)
+    val snap = Bridge.freezeFileIndexes(
+      catalog.mergedWithSeq(dbC, tC).drop(Catalog.SeqCol))
+    val shd = graft.operators.Containment
+      .shingles(snap, idCol, textCol, shingleK)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val dfRef = graft.operators.Containment.dfIndexFrom(shd)
+      .localCheckpoint()
+    val postRef = graft.operators.Containment
+      .postingIndexFrom(shd, dfRef, dfCap).localCheckpoint()
+    // df table: retire hashes the rebuild lacks, REPLACE disagreeing
+    // counts (covers both the decrement and the missing-hash case)
+    val liveDf = catalog.read(dbD, tD)
+    val dfExtra = liveDf.select(col("h"))
+      .join(dfRef.select(col("h")), Seq("h"), "left_anti").localCheckpoint()
+    val dfWrong = dfRef.as("r")
+      .join(liveDf.as("l"), Seq("h"), "left")
+      .filter(col("l.c").isNull || col("l.c") =!= col("r.c"))
+      .select(col("h"), col("r.c").as("c")).localCheckpoint()
+    var dfRepairs = 0L
+    catalog.withDmlLock(dbD, tD) {
+      if (!dfExtra.isEmpty) {
+        catalog.appendDeletes(dbD, tD, dfExtra, catalog.nextSeq(dbD, tD))
+        dfRepairs += dfExtra.count()
+      }
+      if (!dfWrong.isEmpty)
+        dfRepairs += { replaceBatch(dbD, tD, mD, dfWrong); dfWrong.count() }
+    }
+    // posting table: retire rows the rebuild lacks (dead docs, buckets
+    // past the cap), insert rows it has that the live table lacks
+    // (buckets a delete brought back under the cap)
+    val livePost = catalog.read(dbP, tP)
+    val pKeys = Seq("h", "doc_b")
+    val postExtra = livePost.select(col("h"), col("doc_b"))
+      .join(postRef, pKeys, "left_anti").localCheckpoint()
+    val postMissing = postRef
+      .join(livePost.select(col("h"), col("doc_b")), pKeys, "left_anti")
+      .localCheckpoint()
+    var postRepairs = 0L
+    catalog.withDmlLock(dbP, tP) {
+      if (!postExtra.isEmpty) {
+        catalog.appendDeletes(dbP, tP, postExtra, catalog.nextSeq(dbP, tP))
+        postRepairs += postExtra.count()
+      }
+      if (!postMissing.isEmpty)
+        postRepairs += {
+          replaceBatch(dbP, tP, mP, postMissing); postMissing.count()
+        }
+    }
+    (dfRepairs, postRepairs)
   }
 
   /** LIVE maintenance of the containment dedup index (round 10 — the
@@ -1424,6 +1567,16 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       if (n == "secure_file_priv")
         throw new SqlError(1238, "HY000",
           "Variable 'secure_file_priv' is a read only variable")
+      // retention knob for VERSION AS OF time travel: applied to the
+      // catalog immediately (rewrite GC reads it at commit time)
+      if (n == "graft_retain_versions") {
+        val v = unquote(value.trim).toIntOption.getOrElse(
+          throw new SqlError(1232, "42000",
+            "Incorrect argument type to variable 'graft_retain_versions'"))
+        if (v < 1) throw new SqlError(1231, "42000",
+          "graft_retain_versions must be >= 1 (the in-flight snapshot grace)")
+        catalog.retainVersions = v
+      }
       variables.set(n, unquote(value.trim), global = global)
       count(0)
   }
@@ -1489,6 +1642,24 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         m.cols.map(c => Seq(c.name, c.mysqlType.toLowerCase,
           if (m.pk.contains(c.name)) "NO" else "YES",
           if (m.pk.contains(c.name)) "PRI" else "", "NULL", "")))
+    } else if (lower.startsWith("show commits")) {
+      // commit-log discoverability for VERSION AS OF: one row per commit
+      // with whether that generation is still retained (addressable)
+      val nameR = "(?is)show\\s+commits\\s+(?:for|from)\\s+([`\\w.]+).*".r
+      val n = stmt match {
+        case nameR(x) => x
+        case _ => throw new SqlError(1064, "42000",
+          "SHOW COMMITS requires a table: SHOW COMMITS FOR <table>")
+      }
+      val (db, t) = qualify(n)
+      val versionsDir = java.nio.file.Paths.get(
+        catalog.dataPath(db, t)).getParent.resolve("versions")
+      frame(Seq("version", "action", "retained"),
+        catalog.commitLog(db, t).map { case (v, action) =>
+          Seq(s"v$v", action,
+            if (java.nio.file.Files.isDirectory(versionsDir.resolve(s"v$v")))
+              "YES" else "reaped")
+        })
     } else if (lower.startsWith("show create view")) {
       val n = clean(stmt.substring("show create view".length).trim)
       val (db, v) = qualify(n)
@@ -1662,6 +1833,21 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         StructType(names.map(n => StructField(n, StringType))))
     case _ =>
       var q = stmt
+      // time travel (B17 made user-addressable): `FROM t VERSION AS OF n`
+      // resolves the retained rewrite generation through a temp view —
+      // Spark SQL has no syntax slot for it, so the reference-style
+      // pre-rewrite used for information_schema applies. Resolution
+      // errors (unknown/reaped version, merge-on-read) surface here,
+      // before any execution.
+      if (q.toLowerCase.contains("version as of")) {
+        q = GraftSession.VersionAsOfR.replaceAllIn(q, mm => {
+          val (db, t) = qualify(mm.group(1))
+          val v = mm.group(2).toInt
+          val view = s"graft_tt_${db}_${t}_v$v"
+          catalog.readVersion(db, t, v).createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(s"`$view`")
+        })
+      }
       if (q.toLowerCase.contains("information_schema.")) {
         registerInformationSchema()
         q = q.replaceAll(
@@ -1850,6 +2036,10 @@ object GraftSession {
   /** Column-metadata key marking a frame as a graft DML/DDL FinalCount. */
   val DmlCountTag = "graft_dml_count"
 
+  /** `<table> VERSION AS OF <n>` — the time-travel table reference. */
+  private[engine] val VersionAsOfR =
+    "(?i)([`\\w.]+)\\s+version\\s+as\\s+of\\s+(\\d+)".r
+
   /** Executed-plan tree with per-node SQLMetrics values — the EXPLAIN
     * ANALYZE rendering. Adaptive wrappers are unwrapped to the plan
     * that actually ran (the caller executes before rendering, so the
@@ -1865,11 +2055,24 @@ object GraftSession {
         Some(s.plan)
       case _ => None
     }
-    val ms = p.metrics.toSeq.sortBy(_._1)
+    // E9 visibility: a scan planned through a SkippingFileIndex reports
+    // how many files the sidecars pruned before tasks existed — numFiles
+    // alone only shows the post-prune count, which reads as "small
+    // table" rather than "skipping worked"
+    val extra = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location match {
+          case s: org.apache.spark.sql.graft.SkippingFileIndex =>
+            Seq(s"filesPrunedBySkipping=${s.lastPruned}")
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    val ms = (p.metrics.toSeq.sortBy(_._1)
       .map { case (k, m) =>
         if (verbose) s"$k=${renderMetric(m.metricType, m.value)}"
         else s"$k=${m.value}"
-      }.mkString(", ")
+      } ++ extra).mkString(", ")
     val line = ("  " * depth) + p.nodeName + (if (ms.isEmpty) "" else s" [$ms]")
     val kids = inner.map(Seq(_)).getOrElse(p.children)
     (line +: kids.map(c => metricsTree(c, depth + 1, verbose))).mkString("\n")

@@ -209,4 +209,52 @@ class CommitLogSpec extends AnyFunSuite {
       Paths.get(wh, "sess", "kv", "_graft_log")).asScala
     assert(log.head == "v1\tcreate" && log.count(_.endsWith("rewrite")) == 2)
   }
+
+  test("time travel: VERSION AS OF reads retained generations; GC interplay errors cleanly") {
+    val wh = Files.createTempDirectory("graft-tt-wh").toString
+    val g = new GraftSession(spark, wh)
+    g.sql("create schema tt"); g.sql("use tt")
+    g.sql("set graft_retain_versions = 3")
+    g.sql("create table h (id int, v varchar(20))")
+    g.sql("insert into h values (1,'a'), (2,'b')")          // lands in v1
+    g.sql("update h set v = 'B' where id = 2")              // rewrite -> v2
+    g.sql("delete from h where id = 1")                     // rewrite -> v3
+    // v1 = pre-update rows, v2 = post-update, current = post-delete
+    def vals(q: String) = g.sql(q).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    assert(vals("select id, v from h version as of 1") ==
+      Seq((1, "a"), (2, "b")))
+    assert(vals("select id, v from h version as of 2") ==
+      Seq((1, "a"), (2, "B")))
+    assert(vals("select id, v from h") == Seq((2, "B")))
+    // time travel composes with ordinary SQL (join past vs present)
+    assert(g.sql("select count(*) as c from h version as of 1 o " +
+      "left anti join h n on o.id = n.id").collect()(0).getLong(0) == 1L)
+    // a future version errors cleanly
+    val eFut = intercept[Exception](
+      g.sql("select * from h version as of 9").collect())
+    assert(eFut.getMessage.contains("Unknown version"), eFut.getMessage)
+    // retention interplay: shrink retention, one more rewrite reaps v1/v2
+    g.sql("set graft_retain_versions = 1")
+    g.sql("update h set v = 'C' where id = 2")               // -> v4, GC
+    val eReap = intercept[Exception](
+      g.sql("select * from h version as of 1").collect())
+    assert(eReap.getMessage.contains("reaped"), eReap.getMessage)
+    assert(vals("select id, v from h") == Seq((2, "C")))
+    // SHOW COMMITS discoverability: every commit listed, reaped marked
+    val commits = g.sql("show commits for h").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(commits.head == ("v1", "create", "reaped"), commits.toString)
+    assert(commits.count(_._2 == "rewrite") == 3)
+    assert(commits.last._3 == "YES")
+    // merge-on-read tables refuse with the documented reason
+    g.sql("create table hpk (id int, v varchar(20), PRIMARY KEY(id))")
+    g.sql("insert into hpk values (1,'a')")
+    val eMor = intercept[Exception](
+      g.sql("select * from hpk version as of 1").collect())
+    assert(eMor.getMessage.contains("copy-on-write"), eMor.getMessage)
+    // retention floor: 0 is rejected (in-flight snapshot grace)
+    val eZero = intercept[Exception](g.sql("set graft_retain_versions = 0"))
+    assert(eZero.getMessage.contains(">= 1"), eZero.getMessage)
+  }
 }

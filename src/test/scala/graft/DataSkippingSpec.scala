@@ -173,6 +173,15 @@ class DataSkippingSpec extends AnyFunSuite {
 
   // ---- end to end through the engine -------------------------------------
 
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
     df.collect()
     def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
@@ -346,6 +355,124 @@ class DataSkippingSpec extends AnyFunSuite {
       == 4096L)
   }
 
+  test("E9 bloom evaluator: exact-absent prunes, type mismatch and absent entries keep") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import graft.sources.BloomSidecar
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putLong(XxHash64Function.hash(5L, LongType, 42L))
+    bf.putLong(XxHash64Function.hash(
+      UTF8String.fromString("abc"), StringType, 42L))
+    assert(BloomSidecar.mayContain(bf, 5L, LongType, LongType))
+    assert(!BloomSidecar.mayContain(bf, 6L, LongType, LongType))
+    assert(BloomSidecar.mayContain(bf,
+      UTF8String.fromString("abc"), StringType, StringType))
+    assert(!BloomSidecar.mayContain(bf,
+      UTF8String.fromString("abd"), StringType, StringType))
+    // a literal whose type differs from the column's hashes differently
+    // on the build side — must keep
+    assert(BloomSidecar.mayContain(bf, 6, IntegerType, LongType))
+    // float/double never bloom (NaN/±0.0 hashing) — keep
+    assert(BloomSidecar.mayContain(bf, 6.0, DoubleType, DoubleType))
+    // combined evaluator: bloom tightens equality past in-range min/max
+    val blooms = Map("id" -> bf)
+    val inRange = Map("id" -> ColStat(0L, 50L, Some("1"), Some("20")))
+    assert(FileSkipStats.mayMatch(Seq(EqualTo(idAttr, Literal(5L))),
+      schema, inRange, blooms))
+    assert(!FileSkipStats.mayMatch(Seq(EqualTo(idAttr, Literal(6L))),
+      schema, inRange, blooms), "bloom must prune an absent in-range value")
+    assert(FileSkipStats.mayMatch(
+      Seq(In(idAttr, Seq(Literal(6L), Literal(5L)))), schema, inRange, blooms))
+    assert(!FileSkipStats.mayMatch(
+      Seq(In(idAttr, Seq(Literal(6L), Literal(7L)))), schema, inRange, blooms))
+    // range predicates never consult the bloom
+    assert(FileSkipStats.mayMatch(Seq(GreaterThan(idAttr, Literal(6L))),
+      schema, inRange, blooms))
+    // a column without a bloom entry falls back to min/max alone
+    assert(FileSkipStats.mayMatch(Seq(EqualTo(idAttr, Literal(6L))),
+      schema, inRange, Map.empty))
+  }
+
+  test("E9 bloom sidecar: point probes prune on an unclustered high-card column") {
+    import graft.sources.BloomSidecar
+    g.sql("create schema if not exists skipdb")
+    g.sql("use skipdb")
+    g.sql("create table t_bloom (d bigint, okey bigint, s varchar(20))")
+    // okey = (i*394) % 8192 hits exactly the EVEN residues (gcd 2) —
+    // every odd value is provably absent. Sorting by d clusters files on
+    // d while each file's okey values span the whole domain: min/max
+    // cannot prune an okey probe (the r14 SKIPBENCH gap), the bloom must.
+    g.catalog.bloomMinRows = 256L
+    g.catalog.sortTargetFileBytes = 8192L
+    try {
+      val n = 4096
+      def okey(i: Int): Int = (i * 394) % 8192
+      g.sql("insert into t_bloom values " + (0 until n)
+        .map(i => s"(${i / 512}, ${okey(i)}, 'k${okey(i)}')").mkString(", "))
+      g.sql("optimize table t_bloom sort by (d)")
+      val dir = Paths.get(g.catalog.dataPath("skipdb", "t_bloom"))
+      val blooms = BloomSidecar.read(dir)
+      assert(blooms.nonEmpty, "OPTIMIZE-written files must get bloom entries")
+      assert(blooms.values.forall(m => m.contains("okey") && m.contains("s")))
+      val total = FileSkipStats.read(dir).size
+      assert(total >= 4, s"need several files for the contrast, got $total")
+      // present value: found, and pruned to (almost) the files holding it
+      val hit = okey(1000)
+      assert(g.sql(s"select count(*) as c from t_bloom where okey = $hit")
+        .collect()(0).getLong(0) == 1L)
+      // absent value, in-range for every file: min/max keeps all files,
+      // the bloom prunes ALL of them (FPR at 10 bits/value is ~1%, and
+      // pruning is per-file so a single FP would still leave < total)
+      val missFiles = scansFiles(
+        g.sql("select * from t_bloom where okey = 4095"))
+      assert(missFiles < total,
+        s"bloom must prune an absent unclustered point probe ($missFiles of $total)")
+      assert(g.sql("select count(*) as c from t_bloom where okey = 4095")
+        .collect()(0).getLong(0) == 0L)
+      // string column blooms too
+      val sMiss = scansFiles(
+        g.sql("select * from t_bloom where s = 'k4095'"))
+      assert(sMiss < total)
+      assert(g.sql(s"select s from t_bloom where s = 'k$hit'")
+        .collect()(0).getString(0) == s"k$hit")
+      // IN (present, absent) keeps exactly the present value's rows
+      assert(g.sql(
+        s"select count(*) as c from t_bloom where okey in ($hit, 4095)")
+        .collect()(0).getLong(0) == 1L)
+      // carry-over: a concurrent-append-free OPTIMIZE keeps bloom
+      // coverage on its fresh files (rebuilt), and results stay exact
+      g.sql("optimize table t_bloom sort by (okey)")
+      assert(g.sql("select count(*) as c from t_bloom where okey = 4095")
+        .collect()(0).getLong(0) == 0L)
+      assert(g.sql(s"select count(*) as c from t_bloom where okey = $hit")
+        .collect()(0).getLong(0) == 1L)
+      assert(g.sql("select count(*) as c from t_bloom").collect()(0)
+        .getLong(0) == n.toLong)
+    } finally {
+      g.catalog.bloomMinRows = 1024L
+      g.catalog.sortTargetFileBytes = 128L * 1024 * 1024
+    }
+  }
+
+  test("EXPLAIN ANALYZE surfaces filesPrunedBySkipping on the scan node") {
+    g.sql("create schema if not exists skipdb")
+    g.sql("use skipdb")
+    g.sql("create table t_ea (id bigint, v char)")
+    g.sql("insert into t_ea values " +
+      (1 to 50).map(i => s"($i, 'a')").mkString(", "))
+    g.sql("insert into t_ea values " +
+      (1000 to 1050).map(i => s"($i, 'b')").mkString(", "))
+    val plan = g.sql("explain analyze select * from t_ea where id >= 1000")
+      .collect()(0).getString(1)
+    val m = "filesPrunedBySkipping=(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"scan node must report the skipping metric:\n$plan")
+    assert(m.get.group(1).toLong >= 1L,
+      s"the low batch's files must count as pruned:\n$plan")
+    // an unpruned scan reports 0, not absence
+    val full = g.sql("explain analyze select * from t_ea where id >= 0")
+      .collect()(0).getString(1)
+    assert(full.contains("filesPrunedBySkipping=0"), full)
+  }
+
   test("E9 partitioned tables: directory pruning composes with file skipping") {
     g.sql("use skipdb")
     g.sql("create table t_part (id bigint, site varchar(10)) partition by (site)")
@@ -487,6 +614,69 @@ class DataSkippingSpec extends AnyFunSuite {
     val e = intercept[Exception](
       g.sql("alter table t_reserved_ok add column _graft_z double"))
     assert(e.getMessage.toLowerCase.contains("reserved"), e.getMessage)
+  }
+
+  test("sidecar column stats feed CBO: a filtered join side broadcasts that plain sizes miss") {
+    g.sql("create schema if not exists skipdb")
+    g.sql("use skipdb")
+    g.sql("create table cbo_fact (id bigint, k bigint)")
+    g.sql("create table cbo_other (id bigint, k bigint)")
+    // md5-derived k defeats parquet's delta encoding so the files stay
+    // comfortably above the derived broadcast threshold
+    def kOf(i: Int): Long = (i * 2654435761L) % 100
+    g.sql("insert into cbo_fact values " +
+      (0 until 4000).map(i => s"($i, ${kOf(i)})").mkString(", "))
+    g.sql("insert into cbo_other values " +
+      (0 until 4000).map(i => s"(${i + 100000}, ${kOf(i + 7)})").mkString(", "))
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      "cbo_fact", Some("skipdb"))
+    val st = spark.sessionState.catalog.getTableMetadata(ident).stats.get
+    assert(st.rowCount.contains(BigInt(4000)))
+    // the sidecar's folded min/max/nullCount register as column stats
+    val cs = st.colStats("id")
+    assert(cs.min.contains("0") && cs.max.contains("3999"), cs.toString)
+    assert(cs.nullCount.contains(BigInt(0)))
+    // ANALYZE arms the estimator's ndv (FilterEstimation refuses range
+    // predicates without a distinct count); min/max/nullCount were
+    // already fresh from the commit-time sidecar fold
+    g.sql("analyze table cbo_fact")
+    assert(spark.sessionState.catalog.getTableMetadata(ident)
+      .stats.get.colStats("id").distinctCount.isDefined)
+    withConf("spark.sql.cbo.enabled" -> "true",
+             "spark.sql.cbo.planStats.enabled" -> "true") {
+      // selectivity: id < 40 over [0, 3999] estimates ~1% of the rows
+      val est = g.sql("select * from cbo_fact where id < 40")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(r => r >= BigInt(1) && r <= BigInt(400)),
+        s"range selectivity must shrink the estimate, got $est")
+    }
+    // join-strategy contrast: threshold below BOTH full table sizes but
+    // above the filtered estimate — only the CBO estimate can broadcast
+    val otherBytes = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "cbo_other", Some("skipdb"))).stats.get.sizeInBytes
+    val threshold = (st.sizeInBytes.min(otherBytes) / 2).toString
+    def joinPlan(): String = g.sql(
+      "select * from cbo_fact f join cbo_other o on f.k = o.k " +
+        "where f.id < 40").queryExecution.executedPlan.toString
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> threshold,
+             "spark.sql.adaptive.enabled" -> "false") {
+      withConf("spark.sql.cbo.enabled" -> "false") {
+        val q = g.sql("select * from cbo_fact f join cbo_other o on " +
+          "f.k = o.k where f.id < 40")
+        assert(!q.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          s"without CBO the filtered side keeps its full size estimate; " +
+            s"threshold=$threshold\n${q.queryExecution.optimizedPlan.toString}\n" +
+            q.queryExecution.optimizedPlan.collectLeaves()
+              .map(_.stats.toString).mkString("\n"))
+      }
+      withConf("spark.sql.cbo.enabled" -> "true",
+               "spark.sql.cbo.planStats.enabled" -> "true") {
+        assert(joinPlan().contains("BroadcastHashJoin"),
+          s"CBO column stats must unlock the broadcast:\n${joinPlan()}")
+      }
+    }
   }
 
   test("post-commit catalog stats: every DML leaves fresh rowCount/sizeInBytes") {

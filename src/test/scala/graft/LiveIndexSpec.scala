@@ -150,6 +150,112 @@ class LiveIndexSpec extends AnyFunSuite {
       "the crosser hash must have been counted across batches")
   }
 
+  test("C17 stale-index audit: a corpus DELETE leaves an orphaned band row; auditIndexOrphans sweeps it, later re-inserts are never masked") {
+    g.sql("create table docs_c17 (doc_id bigint, text varchar(200), " +
+      "primary key(doc_id))")
+    g.sql("create table mh_audit (doc_id bigint, ts timestamp, " +
+      "sh array<string>, bks array<bigint>, primary key(doc_id))")
+    val dA = "the quick brown fox jumps over the lazy dog again and again today"
+    val dB = "completely different content about spark streaming joins and state expiry"
+    val dC = "a third document about merge on read tables and commit sequences"
+    for ((id, t) <- Seq((1L, dA), (2L, dB), (3L, dC)))
+      g.sql(s"insert into docs_c17 values ($id, '$t')")
+    val input = MemoryStream[StreamDoc](spark)
+    val q = g.ingestUpsert(
+      EventStreams.minhashIndexStream(input.toDF()),
+      "mh_audit", chk(), orderCol = "ts")
+    input.addData(StreamDoc(1, ts(0), dA), StreamDoc(2, ts(1), dB),
+      StreamDoc(3, ts(2), dC))
+    q.processAllAvailable(); q.stop()
+
+    // the bug class: the DELETE never flows through the maintenance
+    // stream — the dead doc's bands stay live in the index
+    g.sql("delete from docs_c17 where doc_id = 2")
+    assert(g.sql("select doc_id from mh_audit where doc_id = 2").count() == 1,
+      "pre-audit: the orphan must exist (this is the bug being swept)")
+
+    assert(g.auditIndexOrphans("mh_audit", "docs_c17") == 1L)
+    assert(g.sql("select doc_id from mh_audit where doc_id = 2").isEmpty)
+    // live == rebuild on the remaining corpus (bands, not just keys)
+    val latest = Seq((1L, dA), (3L, dC)).toDF("doc_id", "text")
+    val wantBands = Dedup.minhashIndex(latest, "doc_id", "text")._2
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val liveBands = Dedup.minhashIndexFromLive(
+      g.sql("select doc_id, sh, bks from mh_audit"))._2
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(liveBands == wantBands)
+    // a clean state audits to zero
+    assert(g.auditIndexOrphans("mh_audit", "docs_c17") == 0L)
+    // a re-insert AFTER the sweep is never masked (strictly-older masks)
+    g.sql(s"insert into docs_c17 values (2, '$dB')")
+    val input2 = MemoryStream[StreamDoc](spark)
+    val q2 = g.ingestUpsert(
+      EventStreams.minhashIndexStream(input2.toDF()),
+      "mh_audit", chk(), orderCol = "ts")
+    input2.addData(StreamDoc(2, ts(20), dB))
+    q2.processAllAvailable(); q2.stop()
+    assert(g.sql("select doc_id from mh_audit where doc_id = 2").count() == 1,
+      "re-ingested row must survive the earlier sweep tombstone")
+    assert(g.auditIndexOrphans("mh_audit", "docs_c17") == 0L)
+  }
+
+  test("C18 stale-index audit: a corpus DELETE decrements dfs and resurrects capped buckets; auditContainmentIndex repairs to the rebuild") {
+    g.sql("create table docs_c18 (doc_id bigint, text varchar(400), " +
+      "primary key(doc_id))")
+    g.sql("create table cont_df_a (h bigint, c bigint, primary key(h))")
+    g.sql("create table cont_posting_a (h bigint, doc_b bigint, " +
+      "primary key(h, doc_b))")
+    // dfCap = 2; the crosser phrase is in docs 1,2,3 (df 3 > cap: its
+    // bucket retired live). DELETING doc 3 drops its df to 2 — the
+    // bucket must come BACK with doc 1 and 2's postings, doc 3's rows
+    // must leave every bucket, and every shingle doc 3 carried must
+    // decrement. Only a rebuild-diff answers all three.
+    val crosser = "alpha beta gamma delta epsilon"
+    def body(d: Int) = (1 to 20).map(i => s"a${d}w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$crosser ${body(1)}"), (2L, s"$crosser ${body(2)}"),
+      (3L, s"$crosser ${body(3)}"), (4L, s"${body(4)}"))
+    corpus.foreach { case (id, t) =>
+      g.sql(s"insert into docs_c18 values ($id, '$t')") }
+    val input = MemoryStream[StreamDoc](spark)
+    val q = g.maintainContainmentIndex(input.toDF(), "cont_df_a",
+      "cont_posting_a", chk(), dfCap = 2)
+    input.addData(corpus.map { case (id, t) =>
+      StreamDoc(id, ts(id.toInt), t) }: _*)
+    q.processAllAvailable(); q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    // sanity: live == rebuild before the delete
+    val full = corpus.toDF("doc_id", "text")
+    assert(rows(g.sql("select h, c from cont_df_a")) ==
+      rows(Containment.dfIndex(full, "doc_id", "text")))
+
+    g.sql("delete from docs_c18 where doc_id = 3")
+    // pre-audit: the index still reflects the full corpus (the bug)
+    assert(rows(g.sql("select h, c from cont_df_a")) ==
+      rows(Containment.dfIndex(full, "doc_id", "text")))
+
+    val (dfFixed, postFixed) =
+      g.auditContainmentIndex("cont_df_a", "cont_posting_a", "docs_c18",
+        dfCap = 2)
+    assert(dfFixed > 0 && postFixed > 0, s"($dfFixed, $postFixed)")
+    val remaining = corpus.filter(_._1 != 3L).toDF("doc_id", "text")
+    assert(rows(g.sql("select h, c from cont_df_a")) ==
+      rows(Containment.dfIndex(remaining, "doc_id", "text")))
+    assert(rows(g.sql("select h, doc_b from cont_posting_a")) ==
+      rows(Containment.postingIndex(remaining, "doc_id", "text", dfCap = 2)))
+    // the resurrection really happened: the crosser bucket is live again
+    // with docs 1 and 2
+    val crosserRows = g.sql("select p.doc_b from cont_posting_a p " +
+      "join cont_df_a d on d.h = p.h where d.c = 2 " +
+      "and p.doc_b in (1, 2)").count()
+    assert(crosserRows >= 2, "capped bucket must resurrect after the delete")
+    // converged: a second audit is a no-op
+    assert(g.auditContainmentIndex("cont_df_a", "cont_posting_a",
+      "docs_c18", dfCap = 2) == ((0L, 0L)))
+  }
+
   test("C18 joint commit: a crash BETWEEN the two table commits (and one before the marker) converges to incremental == rebuild on replay") {
     g.sql("create table cont_dfx (h bigint, c bigint, primary key(h))")
     g.sql("create table cont_postingx (h bigint, doc_b bigint, " +

@@ -229,18 +229,19 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rows(g2, "select v from dp") == Seq(Seq("20")))
   }
 
-  test("regression: a user column named _graft_seq falls back to copy-on-write") {
-    val (g, wh) = freshSession()
-    g.sql("create table sq (id int, _graft_seq bigint, primary key(id))")
-    g.sql("insert into sq values (1, 100), (2, 200)")
-    g.sql("update sq set _graft_seq = 101 where id = 1")
-    assert(rows(g, "select id, _graft_seq from sq order by id")
-      == Seq(Seq("1", "101"), Seq("2", "200")))
-    g.sql("delete from sq where id = 2")
-    assert(rows(g, "select id from sq") == Seq(Seq("1")))
-    // copy-on-write: the DML rewrote, no tombstones
-    assert(logLines(wh, "sq").count(_.endsWith("rewrite")) == 2)
-    assert(tombstoneFiles(wh, "sq").isEmpty)
+  test("regression: a user column named _graft_seq is rejected at CREATE (reserved)") {
+    // Round-15 tightening: this table used to be ACCEPTED and silently
+    // demoted to copy-on-write (the hidden-seq collision made
+    // merge-on-read impossible). The ADVICE audit showed the same
+    // reserved-name class lets OPTIMIZE ZORDER's transient _graft_z
+    // column silently destroy user data, so all _graft_* names are now
+    // refused at the door — the CoW fallback for this name is
+    // unreachable by construction.
+    val (g, _) = freshSession()
+    val e = intercept[Exception](
+      g.sql("create table sq (id int, _graft_seq bigint, primary key(id))"))
+    assert(e.getMessage.toLowerCase.contains("reserved"), e.getMessage)
+    assert(g.sql("show tables").collect().forall(_.getString(0) != "sq"))
   }
 
   test("a hammering reader never sees a pk twice during UPDATE waves") {
