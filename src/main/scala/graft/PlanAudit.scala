@@ -60,7 +60,8 @@ object PlanAudit {
     "q91_ann_recall_ivfpq2" -> "two-level IVFADC recall audit: q35's broadcast-query-batch ground-truth shape + the q90 plan; hit join is (q_id, neighbor)-keyed",
     "q92_posting_incremental" -> "incremental posting-index update: batch shingled ONCE (scan-local explode + distinct); old df/posting state touched only through h-KEYED equi-joins on the batch's hash set (never rescanned); retired-bucket deletes are a keyed join of the crossed set against old postings; fingerprint rollup is one doc-keyed aggregation",
     "q93_curation_report" -> "curation funnel: ONE corpus scan serves the four scan-local gates (pii kernel + langid argmax + quality ratios + md5 distinct, fused into one aggregate, exploded to gate rows); simhash gate adds only its sig-key pair machinery, contamination its broadcast 8-gram probe; union of three tiny aggregates — no gate rescans another gate's work",
-    "q94_ivfpq_encode_incremental" -> "incremental IVFADC encode: existing-part quantizer build staged once (bounded codebooks); BOTH the staged existing encode and the delta encode are ONE scan-local projection each (coarse argmin -> residual -> PQ codes over one-row broadcasts, zero exchange, zero aggregation state before the per-cell fingerprint rollup) — the delta step's cost is O(|batch|), independent of index size")
+    "q94_ivfpq_encode_incremental" -> "incremental IVFADC encode: existing-part quantizer build staged once (bounded codebooks); BOTH the staged existing encode and the delta encode are ONE scan-local projection each (coarse argmin -> residual -> PQ codes over one-row broadcasts, zero exchange, zero aggregation state before the per-cell fingerprint rollup) — the delta step's cost is O(|batch|), independent of index size",
+    "q95_exactsubstr" -> "ExactSubstr substring dedup: ONE corpus scan through the native window_md5s kernel (Generate — no per-window slice/concat/hex allocation), ONE keyed shuffle of the window table by 16-byte fingerprint for the count-over-window frequency, then the per-doc LAG span merge (keyed by doc) and two keyed folds — corpus-linear, nothing pairwise; the fingerprint shuffle is the only corpus-sized exchange")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
