@@ -31,6 +31,26 @@ object Catalog {
   private[engine] def lockFor(key: String): java.util.concurrent.locks.ReentrantLock =
     writeLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock)
 
+  /** JVM-GLOBAL retention depth per normalized warehouse (same sharing
+    * argument as writeLocks: every connection holds its own Catalog
+    * over the shared warehouse, and GC runs in WHICHEVER connection
+    * commits next — a per-instance setting would let connection B's
+    * default-retention rewrite reap the history connection A paid to
+    * keep). Keyed by warehouse: retention is a warehouse policy, like
+    * the SET GLOBAL variables it is set alongside.
+    */
+  private[engine] val retention =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+
+  /** JVM-GLOBAL ANALYZE-computed ndv per (warehouse, db, table): any
+    * connection's post-commit stats refresh re-registers column stats,
+    * and with per-instance ndv a refresh from another connection would
+    * silently drop distinctCount — undoing ANALYZE without any
+    * statement asking for it.
+    */
+  private[engine] val ndvStore =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, BigInt]]
+
   /** JVM-GLOBAL per-table commit counters, keyed like writeLocks. A
     * commit refreshes only the WRITING session's relation cache — every
     * other connection's SessionCatalog keeps serving its cached
@@ -272,6 +292,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     } else {
       deregister(db, t)
       deleteRecursively(tablePath(db, t))
+      Catalog.ndvStore.remove(ndvKey(db, t)) // a re-created table starts fresh
     }
   }
 
@@ -382,9 +403,15 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     * one. 1 = the standing one-commit grace (in-flight `readSnapshot`
     * frames stay readable); raising it turns the commit log into
     * user-addressable history for `SELECT … FROM t VERSION AS OF n`.
-    * Session-settable via SET graft_retain_versions.
+    * Settable via SET graft_retain_versions — WAREHOUSE-scOPED and
+    * JVM-shared (Catalog.retention): GC runs in whichever connection
+    * commits next, so a per-connection depth would let another
+    * session's default reap retained history.
     */
-  var retainVersions: Int = 1
+  def retainVersions: Int =
+    Option(Catalog.retention.get(lockRoot)).map(_.intValue).getOrElse(1)
+  def retainVersions_=(v: Int): Unit =
+    Catalog.retention.put(lockRoot, math.max(1, v))
 
   /** Time travel: the table's data as of rewrite generation `v`
     * (SURVEY §2.B17 made user-addressable, round 15). A version is a
@@ -819,10 +846,13 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     if (m.format != "parquet") return 0L
     withDmlLock(db, t) {
       val cur = currentVersionDir(db, t)
+      // one directory walk and one sidecar parse serve both layers —
+      // this all runs inside the DML lock, so redundant I/O here extends
+      // the window every writer blocks on
+      val parquetFiles = listFiles(cur).filter(_.endsWith(".parquet"))
       val covered = graft.sources.FileSkipStats.read(cur).keySet
-      val missing = listFiles(cur).filter(f =>
-        f.endsWith(".parquet") &&
-          !covered.contains(graft.sources.FileSkipStats.relKey(f)))
+      val missing = parquetFiles.filter(f =>
+        !covered.contains(graft.sources.FileSkipStats.relKey(f)))
       // externally landed files may come from NaN-excluding writers —
       // collect with the untrusted (float-max-dropping) handling
       val physSchema = if (m.mergeOnRead) m.baseSchema else m.schema
@@ -831,12 +861,13 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         trusted = false)
       // an explicit ANALYZE covers every uncovered file with blooms,
       // minRows gate included (the user asked for stats)
+      val fresh = graft.sources.FileSkipStats.read(cur)
       val bloomCovered = graft.sources.BloomSidecar.read(cur).keySet
-      val bloomMissing = listFiles(cur).filter(f =>
-        f.endsWith(".parquet") &&
-          !bloomCovered.contains(graft.sources.FileSkipStats.relKey(f)))
+      val bloomMissing = parquetFiles.filter(f =>
+        !bloomCovered.contains(graft.sources.FileSkipStats.relKey(f)))
       graft.sources.BloomSidecar.record(
-        spark, cur, bloomMissing, dataOnly(physSchema, m), minRows = 1L)
+        spark, cur, bloomMissing, dataOnly(physSchema, m), minRows = 1L,
+        statsOpt = Some(fresh))
       missing.size.toLong
     }
   }
@@ -1278,14 +1309,14 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       case _ => false
     }
 
-  /** ANALYZE-time ndv per (db, table): FilterEstimation refuses to act
-    * on a range predicate without a distinct count, so min/max alone
-    * never move an estimate. Refreshed by `refreshNdv`, preserved across
-    * per-commit stat refreshes, stale until the next ANALYZE — the
-    * standard contract.
+  /** ANALYZE-time ndv key (JVM-shared store — see Catalog.ndvStore):
+    * FilterEstimation refuses to act on a range predicate without a
+    * distinct count, so min/max alone never move an estimate. Refreshed
+    * by `refreshNdv`, preserved across per-commit stat refreshes FROM
+    * ANY connection, stale until the next ANALYZE — the standard
+    * contract.
     */
-  private val ndvs =
-    scala.collection.concurrent.TrieMap[(String, String), Map[String, BigInt]]()
+  private def ndvKey(db: String, t: String): String = s"$lockRoot|$db.$t"
 
   /** One distributed approx_count_distinct pass over the CBO-eligible
     * columns (wired to ANALYZE TABLE — an explicit stats request, so the
@@ -1301,8 +1332,8 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       org.apache.spark.sql.functions
         .approx_count_distinct(col(s"`${f.name}`")).as(f.name))
     val row = read(db, t).agg(aggs.head, aggs.tail: _*).collect()(0)
-    ndvs((db, t)) = cols.indices
-      .map(i => cols(i).name -> BigInt(row.getLong(i))).toMap
+    Catalog.ndvStore.put(ndvKey(db, t), cols.indices
+      .map(i => cols(i).name -> BigInt(row.getLong(i))).toMap)
     refreshCatalogStats(db, t, m)
   }
 
@@ -1339,9 +1370,13 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         }
         if (mn.isEmpty && nulls.isEmpty) None
         else Some(f.name -> CatalogColumnStat(
+          // "pk is unique" holds for the MERGED view; a merge-on-read
+          // BASE relation (what CBO sees) carries stale row versions,
+          // so the rowCount claim is only made for copy-on-write tables
           distinctCount =
-            if (m.pk == Seq(f.name)) Some(BigInt(rows))
-            else ndvs.get((m.db, m.table)).flatMap(_.get(f.name)),
+            if (m.pk == Seq(f.name) && !m.mergeOnRead) Some(BigInt(rows))
+            else Option(Catalog.ndvStore.get(ndvKey(m.db, m.table)))
+              .flatMap(_.get(f.name)),
           min = mn.map(ext), max = mx.map(ext), nullCount = nulls,
           avgLen = None, maxLen = None))
       }

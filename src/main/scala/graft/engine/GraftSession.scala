@@ -172,10 +172,13 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     */
   private def analyzeTable(stmt: String): DataFrame = {
     // MySQL's bare `ANALYZE TABLE t` — Spark's parser wants the COMPUTE
-    // STATISTICS clause; supply it for the bare (reference-syntax) form
+    // STATISTICS clause; supply it for the bare (reference-syntax) form.
+    // "Bare" = nothing after the table name (a substring test would
+    // misfire on a table NAMED compute_something)
+    val bare = "(?is)analyze\\s+table\\s+[`\\w.]+\\s*;?\\s*".r.matches(stmt)
     val sparkStmt =
-      if (stmt.toLowerCase.contains("compute")) stmt
-      else stmt.trim.stripSuffix(";") + " COMPUTE STATISTICS"
+      if (bare) stmt.trim.stripSuffix(";") + " COMPUTE STATISTICS"
+      else stmt
     val out = query(sparkStmt)
     stmt match {
       case AnalyzeR(name) =>
@@ -1838,15 +1841,18 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       // Spark SQL has no syntax slot for it, so the reference-style
       // pre-rewrite used for information_schema applies. Resolution
       // errors (unknown/reaped version, merge-on-read) surface here,
-      // before any execution.
+      // before any execution. The rewrite is QUOTE-AWARE: the phrase
+      // inside a string literal is data, not syntax — rewriting it would
+      // corrupt the literal (and a regex over the raw statement did).
       if (q.toLowerCase.contains("version as of")) {
-        q = GraftSession.VersionAsOfR.replaceAllIn(q, mm => {
-          val (db, t) = qualify(mm.group(1))
-          val v = mm.group(2).toInt
-          val view = s"graft_tt_${db}_${t}_v$v"
-          catalog.readVersion(db, t, v).createOrReplaceTempView(view)
-          scala.util.matching.Regex.quoteReplacement(s"`$view`")
-        })
+        q = GraftSession.mapUnquoted(q, seg =>
+          GraftSession.VersionAsOfR.replaceAllIn(seg, mm => {
+            val (db, t) = qualify(mm.group(1))
+            val v = mm.group(2).toInt
+            val view = s"graft_tt_${db}_${t}_v$v"
+            catalog.readVersion(db, t, v).createOrReplaceTempView(view)
+            scala.util.matching.Regex.quoteReplacement(s"`$view`")
+          }))
       }
       if (q.toLowerCase.contains("information_schema.")) {
         registerInformationSchema()
@@ -2039,6 +2045,34 @@ object GraftSession {
   /** `<table> VERSION AS OF <n>` — the time-travel table reference. */
   private[engine] val VersionAsOfR =
     "(?i)([`\\w.]+)\\s+version\\s+as\\s+of\\s+(\\d+)".r
+
+  /** Apply `f` to the segments of a SQL statement OUTSIDE '…' and "…"
+    * string literals (backslash escapes honored). Backtick identifiers
+    * stay inside the mapped segments — they are syntax, and the
+    * VERSION AS OF table reference may legitimately be backticked.
+    * Pre-rewrites that must never fire on data (VERSION AS OF) go
+    * through this.
+    */
+  private[engine] def mapUnquoted(s: String, f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    def flush(): Unit = { out ++= f(seg.toString); seg.clear() }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out += c
+        if (c == '\\' && i + 1 < s.length) { out += s.charAt(i + 1); i += 1 }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') {
+        flush(); quote = c; out += c; i += 1
+      } else { seg += c; i += 1 }
+    }
+    flush()
+    out.toString
+  }
 
   /** Executed-plan tree with per-node SQLMetrics values — the EXPLAIN
     * ANALYZE rendering. Adaptive wrappers are unwrapped to the plan

@@ -55,15 +55,21 @@ object BloomSidecar {
 
   val SidecarName = "_graft_bloom"
 
+  /** The ONE type whitelist both sides share: a type is bloom-able iff
+    * the build side records it AND the probe side hashes it — a drift
+    * between two copies of this list would either waste build cost or
+    * (removal direction) probe types the build no longer records.
+    */
+  private def bloomType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | StringType => true
+    case _ => false
+  }
+
   /** Columns eligible for bloom entries under `schema`. */
   def eligible(schema: StructType): Seq[StructField] =
-    schema.fields.toSeq.filter { f =>
-      !f.name.startsWith("_graft_") && (f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType | DateType |
-             TimestampType | TimestampNTZType | StringType => true
-        case _ => false
-      })
-    }
+    schema.fields.toSeq.filter(f =>
+      !f.name.startsWith("_graft_") && bloomType(f.dataType))
 
   // ---- sidecar IO ---------------------------------------------------------
 
@@ -120,14 +126,34 @@ object BloomSidecar {
 
   /** Build and merge bloom entries for `relPaths` (files this commit
     * added under `dir`; the just-written `_graft_stats` sidecar supplies
-    * their value counts). One Spark job for the whole batch; files with
-    * fewer than `minRows` values are skipped.
+    * their value counts — pass `statsOpt` when the caller already parsed
+    * it). One Spark job for the whole batch; files with fewer than
+    * `minRows` values are skipped.
+    *
+    * ADVISORY like every stats layer: any failure (an externally landed
+    * file whose physical types defy the table schema, a torn file, an
+    * executor loss) skips the blooms rather than failing a DML whose
+    * data files are ALREADY committed — a missing bloom entry is sound
+    * (never prunes), a failed INSERT after commit invites a client
+    * retry that duplicates rows. FileSkipStats has per-file try/catch
+    * for the same reason; here one batch job covers all files, so the
+    * guard wraps the whole build.
     */
   def record(spark: SparkSession, dir: Path, relPaths: Iterable[String],
-             schema: StructType, minRows: Long): Unit = {
+             schema: StructType, minRows: Long,
+             statsOpt: Option[Map[String, Map[String, FileSkipStats.ColStat]]]
+               = None): Unit =
+    try recordUnsafe(spark, dir, relPaths, schema, minRows, statsOpt)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  private def recordUnsafe(spark: SparkSession, dir: Path,
+                           relPaths: Iterable[String], schema: StructType,
+                           minRows: Long,
+                           statsOpt: Option[Map[String, Map[String, FileSkipStats.ColStat]]])
+      : Unit = {
     val cols = eligible(schema)
     if (cols.isEmpty) return
-    val stats = FileSkipStats.read(dir)
+    val stats = statsOpt.getOrElse(FileSkipStats.read(dir))
     def rowsOf(rel: String): Long =
       stats.get(FileSkipStats.relKey(rel)).flatMap(_.values.headOption)
         .map(_.valueCount).getOrElse(0L)
@@ -184,14 +210,9 @@ object BloomSidecar {
     * the literal's type cannot match the build-side hashing (⇒ keep).
     */
   def hashLiteral(v: Any, dt: DataType): Option[Long] = {
-    if (v == null) return None
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType | TimestampNTZType | StringType =>
-        Some(org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(v, dt, 42L))
-      case _ => None
-    }
+    if (v == null || !bloomType(dt)) None
+    else Some(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(v, dt, 42L))
   }
 
   /** May the file (with bloom `bf` for the column) contain `v`? */

@@ -257,4 +257,37 @@ class CommitLogSpec extends AnyFunSuite {
     val eZero = intercept[Exception](g.sql("set graft_retain_versions = 0"))
     assert(eZero.getMessage.contains(">= 1"), eZero.getMessage)
   }
+
+  test("time travel hardening: literals untouched, backticked refs work, retention is warehouse-scoped") {
+    val wh = Files.createTempDirectory("graft-tt2-wh").toString
+    val g = new GraftSession(spark, wh)
+    g.sql("create schema tt2"); g.sql("use tt2")
+    g.sql("set graft_retain_versions = 4")
+    g.sql("create table notes (id int, body varchar(60))")
+    g.sql("insert into notes values (1, 'restored version as of 5'), " +
+      "(2, 'plain row')")
+    // the phrase INSIDE a string literal is data: the pre-rewrite must
+    // not capture 'restored' as a table name nor rewrite the literal
+    assert(g.sql(
+      "select id from notes where body = 'restored version as of 5'")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    g.sql("update notes set body = 'v2 row' where id = 2")   // -> v2
+    // backticked table reference still time-travels
+    assert(g.sql("select count(*) as c from `notes` version as of 1")
+      .collect()(0).getLong(0) == 2L)
+    assert(g.sql("select count(*) as c from `tt2`.`notes` version as of 1")
+      .collect()(0).getLong(0) == 2L)
+    // and both forms compose in one statement with a literal present
+    assert(g.sql("select count(*) as c from notes version as of 1 " +
+      "where body <> 'x version as of 9'").collect()(0).getLong(0) == 2L)
+    // retention is a WAREHOUSE policy, not per-connection: a second
+    // session (default retention) committing on the same table must
+    // not reap the history this warehouse was told to keep
+    val g2 = new GraftSession(spark, wh)
+    g2.sql("use tt2")
+    g2.sql("update notes set body = 'v3 row' where id = 2")  // -> v3, GC in g2
+    assert(g.sql("select count(*) as c from notes version as of 1")
+      .collect()(0).getLong(0) == 2L,
+      "another connection's commit must honor the warehouse retention")
+  }
 }

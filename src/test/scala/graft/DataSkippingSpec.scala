@@ -679,6 +679,22 @@ class DataSkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE TABLE: bare MySQL form works for a table NAMED like the clause") {
+    g.sql("create schema if not exists skipdb")
+    g.sql("use skipdb")
+    g.sql("create table compute_jobs (id bigint)")
+    g.sql("insert into compute_jobs values (1), (2)")
+    // the bare-form detector must key on statement SHAPE, not a
+    // substring ('compute' appears in the table name here)
+    g.sql("analyze table compute_jobs")
+    val st = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "compute_jobs", Some("skipdb"))).stats
+    assert(st.exists(_.rowCount.contains(BigInt(2))), st.toString)
+    // the explicit Spark form still passes through
+    g.sql("analyze table compute_jobs compute statistics")
+  }
+
   test("post-commit catalog stats: every DML leaves fresh rowCount/sizeInBytes") {
     g.sql("use skipdb")
     g.sql("create table t_stats (id bigint, v char)")
