@@ -118,6 +118,23 @@ object ExactSubstr {
         count(lit(1)).as("n_dup_windows"))
   }
 
+  /** The corpus window-fingerprint index: every DISTINCT L-token window
+    * fingerprint present anywhere in the corpus — the static side the
+    * ingest edge (EventStreams.exactSubstrSpanStream) probes, and the
+    * C14 seen-index discipline applies: batch-rebuilt with the corpus
+    * (one explode + one distinct, both corpus-linear keyed).
+    */
+  def fingerprintIndex(docs: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int): DataFrame = {
+    val L = minTokens
+    val n = size(split(col(textCol), " "))
+    docs
+      .filter(n >= L)
+      .select(explode(graft.functions.GraftFunctions
+        .windowMd5s(col(textCol), L)).as("w"))
+      .distinct()
+  }
+
   /** The dedup pass itself: each document's text with every duplicate
     * span's tokens removed (Lee et al. cut the bytes; the token analogue
     * here), plus the kept-token count. Documents without duplicate spans

@@ -381,14 +381,10 @@ object Curation {
   // scaled analogue of the paper's 50 tokens for this corpus's ~55-token
   // documents (same ~L/avg_len ratio). Everything is integer-exact, so
   // DuckDB replays the full pipeline including the span merge.
-  private val q95 = Qdef(
-    "q95_exactsubstr",
-    (s, dir) =>
-      graft.operators.ExactSubstr
-        .stats(t(s, dir, "documents"), "doc_id", "text", minTokens = 15)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id")),
-    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** Shared DuckDB replay of the ExactSubstr pipeline up to the merged
+    * spans (q95 stats over it; q96 cuts the text with it).
+    */
+  private val exactSubstrCtes = """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     ch AS (SELECT doc_id, CAST(len(toks) - 15 + 1 AS BIGINT) AS n_windows,
       unnest(range(len(toks) - 15 + 1)) AS pos,
       unnest([md5(array_to_string(toks[i+1 : i+15], ' ')) for i in range(len(toks) - 15 + 1)]) AS w
@@ -402,11 +398,46 @@ object Curation {
     s AS (SELECT doc_id, n_windows, pos,
        SUM(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM g),
     sp AS (SELECT doc_id, MIN(n_windows) AS n_windows, span_id, COUNT(*) AS ndw,
-       MIN(pos) AS st, MAX(pos) + 15 AS en FROM s GROUP BY doc_id, span_id)
+       MIN(pos) AS st, MAX(pos) + 15 AS en FROM s GROUP BY doc_id, span_id)"""
+
+  private val q95 = Qdef(
+    "q95_exactsubstr",
+    (s, dir) =>
+      graft.operators.ExactSubstr
+        .stats(t(s, dir, "documents"), "doc_id", "text", minTokens = 15)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+    Some(exactSubstrCtes + """
     SELECT doc_id, MIN(n_windows) AS n_windows, CAST(SUM(ndw) AS BIGINT) AS n_dup,
       CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(en - st) AS BIGINT) AS dup_tokens,
       CAST(MAX(en - st) AS BIGINT) AS max_span
     FROM sp GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61, q67, q69, q95)
+  // ---- D38: the ExactSubstr CUT face --------------------------------------
+  // q95 grades the span arithmetic; this grades the dedup pass a
+  // pipeline actually applies — every document's text with its duplicate
+  // spans removed, value-checked by md5 of the reassembled text (the
+  // q59 clean_md5 discipline applied to overlapping spans). Every doc
+  // appears: span-free and sub-L docs pass through verbatim.
+  private val q96 = Qdef(
+    "q96_exactsubstr_clean",
+    (s, dir) =>
+      graft.operators.ExactSubstr
+        .clean(t(s, dir, "documents"), "doc_id", "text", minTokens = 15)
+        .select(col("doc_id"), col("kept_tokens"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id")),
+    Some(exactSubstrCtes + """,
+    tok AS (SELECT doc_id, unnest(toks) AS tkn,
+       unnest(range(len(toks))) AS j FROM tk),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(st, en)) AS j FROM sp),
+    kept AS (SELECT t.doc_id, t.tkn, t.j FROM tok t
+       LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.j
+       WHERE c.doc_id IS NULL)
+    SELECT d.doc_id, CAST(COUNT(k.j) AS BIGINT) AS kept_tokens,
+      md5(COALESCE(string_agg(k.tkn, ' ' ORDER BY k.j), '')) AS clean_md5
+    FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.doc_id ORDER BY d.doc_id"""))
+
+  val all: Seq[Qdef] = Seq(q57, q58, q59, q60, q61, q67, q69, q95, q96)
 }

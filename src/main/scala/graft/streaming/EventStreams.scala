@@ -487,6 +487,51 @@ object EventStreams {
       .filter(col("m") >= minMatch)
       .select(col("doc_id").as("doc_a"), col("ts"), col("doc_b"), col("m"))
 
+  // ---- C22: ExactSubstr duplicate spans at the ingest edge ---------------
+
+  /** The streaming face of D38/q95 — which token spans of an INCOMING
+    * document already exist verbatim in the corpus? The Lee et al.
+    * substring-dedup filter applied at ingest: each incoming doc's
+    * overlapping window fingerprints are computed IN THE ROW (the same
+    * one-pass `windowMd5s` kernel as the batch face — no aggregation
+    * state), posexploded, and equi-joined against the STATIC corpus
+    * fingerprint index (`ExactSubstr.fingerprintIndex` — the C14
+    * seen-index discipline: batch-maintained, rebuilt with the corpus).
+    * The stream-static join is stateless; the per-(doc, ts) rollup
+    * finalizes in append mode as the watermark passes (the C12/C15
+    * pattern), and the span merge runs SCAN-LOCALLY on the collected
+    * position array (sorted positions ≤ L apart merge — the exact gap
+    * algebra of the batch LAG merge, as HOFs over one row's array:
+    * coverage = L + Σ min(gap, L), spans split where gap > L). Emits
+    * (doc_id, ts, n_dup, n_spans, dup_tokens) for docs with ≥ 1
+    * corpus-duplicated window; corpus-INTERNAL duplication stays the
+    * batch face's job (q95), exactly as C14 leaves historical dedup to
+    * the seen index it probes.
+    */
+  def exactSubstrSpanStream(docs: DataFrame, fpIndex: DataFrame,
+                            minTokens: Int = 15,
+                            delay: String = "2 hours"): DataFrame = {
+    val L = minTokens
+    val ps = col("ps")
+    val gaps = zip_with(
+      slice(ps, lit(2), size(ps) - 1),
+      slice(ps, lit(1), size(ps) - 1),
+      (a, b) => a - b)
+    docs
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.functions.GraftFunctions
+          .windowMd5s(col("text"), L)).as(Seq("pos", "w")))
+      .join(fpIndex.select(col("w")), Seq("w")) // stream-static, stateless
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      .select(col("doc_id"), col("ts"),
+        size(ps).cast("long").as("n_dup"),
+        (lit(1L) + size(filter(gaps, g => g > L)).cast("long")).as("n_spans"),
+        (lit(L.toLong) + aggregate(gaps, lit(0L),
+          (acc, g) => acc + least(g, lit(L.toLong)))).as("dup_tokens"))
+  }
+
   // ---- C17: live MinHash index maintenance at the ingest edge ------------
 
   /** The index-maintenance half C9 was missing (round 10): C9 emits

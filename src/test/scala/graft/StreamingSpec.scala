@@ -571,4 +571,46 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.table("c5_sink").count() == 2)
   }
+
+  test("C22 ExactSubstr spans at the ingest edge: corpus-duplicated spans flagged with exact extents") {
+    import graft.operators.ExactSubstr
+    import SparkFixture.spark.implicits._
+    def words(p: String, n: Int): Seq[String] = (0 until n).map(i => s"$p$i")
+    val run = words("r", 20)   // a 20-token span living in the corpus
+    val run2 = words("s", 15)  // a second, separate corpus span
+    val corpus = Seq(
+      (100L, (words("c", 5) ++ run ++ words("d", 8)).mkString(" ")),
+      (101L, (run2 ++ words("e", 10)).mkString(" "))).toDF("doc_id", "text")
+    val fpIndex = ExactSubstr
+      .fingerprintIndex(corpus, "doc_id", "text", minTokens = 15)
+    val docs = Seq(
+      // shares the 20-token run -> ONE span, exactly 20 tokens covered
+      StreamDoc(1, ts(0), (words("a", 3) ++ run ++ words("b", 6)).mkString(" ")),
+      // shares BOTH corpus spans, far apart -> two spans, 35 tokens
+      StreamDoc(2, ts(1), (run ++ words("x", 16) ++ run2).mkString(" ")),
+      // fresh content, nothing in the corpus -> absent from the output
+      StreamDoc(3, ts(2), words("z", 40).mkString(" ")))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = EventStreams.exactSubstrSpanStream(input.toDF(), fpIndex)
+      .writeStream.format("memory").queryName("c22_sink")
+      .outputMode("append")
+      .option("checkpointLocation", chk()).start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    input.addData(StreamDoc(99, ts(2000),
+      "watermark advancing sentinel document with plenty of words here"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("c22_sink")
+      .select("doc_id", "n_dup", "n_spans", "dup_tokens")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: windows at positions 3..8 inside the copied run (6 windows),
+    // one span, coverage exactly the 20 copied tokens
+    assert(rows(1L) == ((6L, 1L, 20L)), rows.toString)
+    // doc 2: run at 0..5 (6 windows) + run2 at 36 (1 window), gap 36 > 15
+    // -> two spans, 20 + 15 tokens covered
+    assert(rows(2L) == ((7L, 2L, 35L)), rows.toString)
+    assert(!rows.contains(3L), "fresh content must not be flagged")
+    assert(!rows.contains(99L))
+  }
 }
