@@ -124,16 +124,14 @@ object ExactSubstr {
     * C14 seen-index discipline applies: batch-rebuilt with the corpus
     * (one explode + one distinct, both corpus-linear keyed).
     */
-  def fingerprintIndex(docs: DataFrame, idCol: String, textCol: String,
-                       minTokens: Int): DataFrame = {
-    val L = minTokens
-    val n = size(split(col(textCol), " "))
+  def fingerprintIndex(docs: DataFrame, textCol: String,
+                       minTokens: Int): DataFrame =
+    // sub-L docs need no pre-filter: windowMd5s returns an empty array
+    // below L tokens and explode drops empty arrays
     docs
-      .filter(n >= L)
       .select(explode(graft.functions.GraftFunctions
-        .windowMd5s(col(textCol), L)).as("w"))
+        .windowMd5s(col(textCol), minTokens)).as("w"))
       .distinct()
-  }
 
   /** The dedup pass itself: each document's text with every duplicate
     * span's tokens removed (Lee et al. cut the bytes; the token analogue

@@ -582,7 +582,7 @@ class StreamingSpec extends AnyFunSuite {
       (100L, (words("c", 5) ++ run ++ words("d", 8)).mkString(" ")),
       (101L, (run2 ++ words("e", 10)).mkString(" "))).toDF("doc_id", "text")
     val fpIndex = ExactSubstr
-      .fingerprintIndex(corpus, "doc_id", "text", minTokens = 15)
+      .fingerprintIndex(corpus, "text", minTokens = 15)
     val docs = Seq(
       // shares the 20-token run -> ONE span, exactly 20 tokens covered
       StreamDoc(1, ts(0), (words("a", 3) ++ run ++ words("b", 6)).mkString(" ")),
