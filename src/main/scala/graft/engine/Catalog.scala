@@ -415,22 +415,24 @@ class Catalog(spark: SparkSession, val warehouse: String) {
 
   /** Time travel: the table's data as of rewrite generation `v`
     * (SURVEY §2.B17 made user-addressable, round 15). A version is a
-    * REWRITE generation: appends land inside the current generation
-    * (the commit model — ingest does not bump versions), so v's
-    * contents are "the table as the v→v+1 rewrite snapshotted it".
-    * Old versions read with the CURRENT logical schema (a column added
-    * since reads null, a dropped one is ignored — parquet
-    * schema-on-read). Merge-on-read tables are refused: their rewrites
-    * FOLD tombstones and retire the tombstone files one commit later,
-    * so a past generation's delete-set is not reconstructable.
+    * REWRITE generation: appends and merge-on-read tombstones land
+    * inside the current generation (the commit model — ingest does not
+    * bump versions), so v's contents are "the table as the v→v+1
+    * rewrite snapshotted it". Old versions read with the CURRENT
+    * logical schema (a column added since reads null, a dropped one is
+    * ignored — parquet schema-on-read).
+    *
+    * Merge-on-read generations reconstruct EXACTLY: v's base files plus
+    * the tombstones the v→v+1 rewrite folded (recorded per version in
+    * `_folded_dels`; the retention-aware tombstone GC keeps those files
+    * alive precisely as long as v itself). Already-retired files mask
+    * nothing in v's base (the previous fold removed their rows), so the
+    * folded list alone is the complete delete-set. History written
+    * before this machinery existed (no `_folded_dels` marker) is
+    * refused with the old reason.
     */
   def readVersion(db: String, t: String, v: Int): DataFrame = {
     val m = meta(db, t)
-    if (m.mergeOnRead)
-      throw new SqlError(1235, "42000",
-        "VERSION AS OF supports copy-on-write tables only; merge-on-read " +
-          "rewrites fold tombstones, so past generations are not " +
-          "reconstructable once their tombstone files retire")
     val cur = versionNumber(currentVersionDir(db, t))
     val dir = tablePath(db, t).resolve("versions").resolve(s"v$v")
     if (v > cur || !Files.isDirectory(dir))
@@ -440,7 +442,35 @@ class Catalog(spark: SparkSession, val warehouse: String) {
           s"(current is v$cur, retention keeps $retainVersions replaced " +
           "version(s); raise graft_retain_versions BEFORE the commits " +
           "you want addressable)")
-    spark.read.schema(m.schema).format(m.format).load(dir.toString)
+    if (!m.mergeOnRead)
+      spark.read.schema(m.schema).format(m.format).load(dir.toString)
+    else if (v == cur)
+      readSnapshot(db, t) // the live merged view IS the current version
+    else {
+      val marker = tablePath(db, t).resolve("versions").resolve(s"v${v + 1}")
+        .resolve("_folded_dels")
+      if (!Files.isRegularFile(marker))
+        throw new SqlError(1235, "42000",
+          s"Version $v of '$db.$t' predates retention-aware tombstone " +
+            "GC; its folded delete-set was not recorded and cannot be " +
+            "reconstructed")
+      val names = Files.readAllLines(marker).asScala.toSeq.filter(_.nonEmpty)
+      val base = spark.read.schema(m.baseSchema).parquet(dir.toString)
+      val delsP = Paths.get(deletesPath(db, t))
+      val delFrames = names.map(n => delsP.resolve(n).toString)
+      val dels =
+        if (delFrames.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            m.delsSchema)
+        else spark.read.schema(m.delsSchema).parquet(delFrames: _*)
+      val cond: Column = m.pk.map(k => base(s"`$k`") <=> dels(s"`$k`"))
+        .reduce(_ && _) &&
+        dels(s"`${Catalog.SeqCol}`") >
+          coalesce(base(s"`${Catalog.SeqCol}`"), lit(0L))
+      base.join(dels, cond, "left_anti")
+        .select(m.cols.map(c => col(s"`${c.name}`")): _*)
+    }
   }
 
   /** Commit history of a table: (version, action) in commit order — the
@@ -644,12 +674,28 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   private def retiredFile(db: String, t: String): Path =
     tablePath(db, t).resolve("_retired_dels")
 
+  /** Retired (folded) tombstone entries with the GENERATION that folded
+    * them: line format `g\tname` (round 15 — a file folded at rewrite
+    * generation g is needed by `readVersion(v)` for every retained
+    * v < g, so GC is retention-aware). Legacy single-name lines parse
+    * as generation 0 — always eligible at the next GC, the old
+    * one-commit-grace behavior.
+    */
+  private def retiredEntries(db: String, t: String): Seq[(Int, String)] =
+    if (!Files.exists(retiredFile(db, t))) Seq.empty
+    else Files.readAllLines(retiredFile(db, t)).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        l.split('\t') match {
+          case Array(g, n) if g.nonEmpty && g.forall(_.isDigit) => (g.toInt, n)
+          case _ => (0, l)
+        }
+      }
+
   /** Tombstone files already folded into the current data version:
     * semantic no-ops kept on disk one commit for in-flight readers.
     */
   private def retiredDels(db: String, t: String): Set[String] =
-    if (!Files.exists(retiredFile(db, t))) Set.empty
-    else Files.readAllLines(retiredFile(db, t)).asScala.toSet
+    retiredEntries(db, t).map(_._2).toSet
 
   private def nextSeqLocked(db: String, t: String): Long = {
     val f = seqFile(db, t)
@@ -1080,6 +1126,15 @@ class Catalog(spark: SparkSession, val warehouse: String) {
           java.nio.charset.StandardCharsets.UTF_8))
     } else writer(frame, m).mode("overwrite").save(next.toString)
 
+    // time travel (round 15): record WHICH tombstone files this rewrite
+    // folded into the new version — `readVersion(v)` for the REPLACED
+    // version v applies exactly this list to v's base files ("the table
+    // as this rewrite's snapshot saw it"). Written before the swap like
+    // every other version-dir artifact.
+    if (m.mergeOnRead)
+      Files.write(next.resolve("_folded_dels"),
+        retiredNow.toSeq.sorted.asJava)
+
     // data skipping (E9): the new version's files get fresh footer
     // stats (and point-predicate blooms) before the version becomes
     // reachable
@@ -1138,17 +1193,29 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         }
       if (carriedIn.nonEmpty && !carriedAligned)
         Files.deleteIfExists(bucketMarker(next))
-      // tombstone GC, one commit late: delete the files the PREVIOUS
-      // rewrite retired, then retire the tombstones this rewrite folded
+      // retention-aware tombstone GC (round 15): a file folded at
+      // generation g is the delete-set piece `readVersion(v)` needs for
+      // every retained v < g, so it dies exactly when those versions
+      // do (g <= keepFrom). At retention 1 this reduces to the old
+      // one-commit grace. Retained-but-folded files are no-ops on the
+      // LIVE view (their masked rows are already gone from the folded
+      // base; masks are strictly-older-seq so re-inserts never match) —
+      // the cost of deep retention is scanning them in the merge view's
+      // broadcast side, the documented retention trade.
+      val keepFrom = versionNumber(cur) - (math.max(1, retainVersions) - 1)
       val dels = Paths.get(deletesPath(db, t))
-      retiredDels(db, t).foreach(n => Files.deleteIfExists(dels.resolve(n)))
-      Files.write(retiredFile(db, t), retiredNow.toSeq.sorted.asJava)
+      val surviving = retiredEntries(db, t).filter { case (g, n) =>
+        if (g <= keepFrom) { Files.deleteIfExists(dels.resolve(n)); false }
+        else true
+      }
+      Files.write(retiredFile(db, t),
+        (surviving ++ retiredNow.toSeq.sorted.map(n => (nextV, n)))
+          .map { case (g, n) => s"$g\t$n" }.asJava)
       swapPointer(db, t, s"versions/v$nextV")
       logCommit(db, t, nextV, "rewrite")
       // retention GC: keep the last `retainVersions` replaced versions —
       // the floor (1) is the grace in-flight snapshot readers need;
       // anything deeper is user history for VERSION AS OF
-      val keepFrom = versionNumber(cur) - (math.max(1, retainVersions) - 1)
       Files.list(versions).iterator.asScala
         .filter(d => Files.isDirectory(d) && versionNumber(d) < keepFrom)
         .toSeq.foreach(deleteRecursively)

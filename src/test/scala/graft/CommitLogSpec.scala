@@ -247,12 +247,11 @@ class CommitLogSpec extends AnyFunSuite {
     assert(commits.head == ("v1", "create", "reaped"), commits.toString)
     assert(commits.count(_._2 == "rewrite") == 3)
     assert(commits.last._3 == "YES")
-    // merge-on-read tables refuse with the documented reason
+    // merge-on-read: AS OF the current generation is the live view
     g.sql("create table hpk (id int, v varchar(20), PRIMARY KEY(id))")
     g.sql("insert into hpk values (1,'a')")
-    val eMor = intercept[Exception](
-      g.sql("select * from hpk version as of 1").collect())
-    assert(eMor.getMessage.contains("copy-on-write"), eMor.getMessage)
+    assert(g.sql("select count(*) as c from hpk version as of 1")
+      .collect()(0).getLong(0) == 1L)
     // retention floor: 0 is rejected (in-flight snapshot grace)
     val eZero = intercept[Exception](g.sql("set graft_retain_versions = 0"))
     assert(eZero.getMessage.contains(">= 1"), eZero.getMessage)
@@ -289,5 +288,53 @@ class CommitLogSpec extends AnyFunSuite {
     assert(g.sql("select count(*) as c from notes version as of 1")
       .collect()(0).getLong(0) == 2L,
       "another connection's commit must honor the warehouse retention")
+  }
+
+  test("time travel on merge-on-read: OPTIMIZE generations reconstruct exactly; tombstone GC follows retention") {
+    val wh = Files.createTempDirectory("graft-ttmor-wh").toString
+    val g = new GraftSession(spark, wh)
+    g.sql("create schema ttm"); g.sql("use ttm")
+    g.sql("set graft_retain_versions = 3")
+    g.sql("create table m (id int, v varchar(20), PRIMARY KEY(id))")
+    g.sql("insert into m values (1,'a'), (2,'b'), (3,'c')")   // v1 accrues
+    g.sql("update m set v = 'B' where id = 2")                 // tombstone, still v1
+    g.sql("delete from m where id = 3")                        // tombstone, still v1
+    g.sql("optimize table m")                                  // fold -> v2
+    g.sql("update m set v = 'BB' where id = 2")                // tombstone in v2's life
+    g.sql("optimize table m")                                  // fold -> v3
+    def vals(q: String) = g.sql(q).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    // v1 as of the v2 rewrite's snapshot = post-update, post-delete state
+    assert(vals("select id, v from m version as of 1") ==
+      Seq((1, "a"), (2, "B")),
+      vals("select id, v from m version as of 1").toString)
+    assert(vals("select id, v from m version as of 2") ==
+      Seq((1, "a"), (2, "BB")))
+    assert(vals("select id, v from m") == Seq((1, "a"), (2, "BB")))
+    // AS OF the current generation == the live merged view
+    assert(vals("select id, v from m version as of 3") ==
+      Seq((1, "a"), (2, "BB")))
+    // the retained folded tombstone files are NO-OPS on the live view
+    // (counted none by rowCount either)
+    assert(g.catalog.rowCount("ttm", "m") == 2L)
+    // retention shrink + one more rewrite reaps v1/v2 AND their folded
+    // tombstone files (no leak: the deletes dir drains to the live set)
+    val delsDir = java.nio.file.Paths.get(g.catalog.deletesPath("ttm", "m"))
+    def delFiles(): Long =
+      if (!Files.isDirectory(delsDir)) 0L
+      else Files.list(delsDir).iterator.asScala
+        .count(_.getFileName.toString.endsWith(".parquet")).toLong
+    assert(delFiles() >= 3, s"retention must keep folded tombstones, got ${delFiles()}")
+    g.sql("set graft_retain_versions = 1")
+    g.sql("update m set v = 'Z' where id = 1")
+    g.sql("optimize table m")                                  // -> v4, GC
+    val eReap = intercept[Exception](
+      g.sql("select * from m version as of 1").collect())
+    assert(eReap.getMessage.contains("reaped"), eReap.getMessage)
+    // only the NEWEST fold's files survive (their one-commit grace);
+    // every reaped generation's files are gone
+    assert(delFiles() <= 1L,
+      s"reaped generations' tombstone files must be GC'd, got ${delFiles()}")
+    assert(vals("select id, v from m") == Seq((1, "Z"), (2, "BB")))
   }
 }

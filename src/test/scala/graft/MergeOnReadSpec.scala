@@ -42,14 +42,17 @@ class MergeOnReadSpec extends AnyFunSuite {
       .filter(_.endsWith(".parquet")).toSeq
   }
 
-  /** Tombstone files still in force: on disk and not in the one-commit
-    * retirement manifest (retired files are semantic no-ops kept for
-    * in-flight readers).
+  /** Tombstone files still in force: on disk and not in the retirement
+    * manifest (retired files are semantic no-ops kept for in-flight
+    * readers and, round 15, for retained time-travel generations).
+    * Manifest lines are `generation\tname` (legacy bare names accepted).
     */
   private def activeTombstones(wh: String, t: String): Seq[String] = {
     val manifest = Paths.get(wh, "mor", t, "_retired_dels")
     val retired =
-      if (Files.exists(manifest)) Files.readAllLines(manifest).asScala.toSet
+      if (Files.exists(manifest))
+        Files.readAllLines(manifest).asScala
+          .map(l => l.split('\t').last).toSet
       else Set.empty[String]
     tombstoneFiles(wh, t).filterNot(retired.contains)
   }
