@@ -464,11 +464,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             m.delsSchema)
         else spark.read.schema(m.delsSchema).parquet(delFrames: _*)
-      val cond: Column = m.pk.map(k => base(s"`$k`") <=> dels(s"`$k`"))
-        .reduce(_ && _) &&
-        dels(s"`${Catalog.SeqCol}`") >
-          coalesce(base(s"`${Catalog.SeqCol}`"), lit(0L))
-      base.join(dels, cond, "left_anti")
+      mergedWith(m, base, dels)
         .select(m.cols.map(c => col(s"`${c.name}`")): _*)
     }
   }
@@ -494,13 +490,19 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     * (the 100 TB-safe merge-on-read shape). Keeps the hidden seq column;
     * callers project it away.
     */
-  private def mergedFrom(m: TableMeta, dataDir: Path): DataFrame = {
-    val base = spark.read.schema(m.baseSchema).parquet(dataDir.toString)
-    val dels = spark.read.schema(m.delsSchema)
-      .parquet(deletesPath(m.db, m.table))
-    // null-safe pk equality: a NULL pk component (MySQL would reject it,
-    // but INSERT column lists can produce one) must still be maskable —
-    // plain === makes its tombstone a silent no-op
+  private def mergedFrom(m: TableMeta, dataDir: Path): DataFrame =
+    mergedWith(m,
+      spark.read.schema(m.baseSchema).parquet(dataDir.toString),
+      spark.read.schema(m.delsSchema).parquet(deletesPath(m.db, m.table)))
+
+  /** The one copy of the merge anti-join semantics (mergedFrom for the
+    * live deletes dir; readVersion for a recorded folded delete-set).
+    * Null-safe pk equality: a NULL pk component (MySQL would reject it,
+    * but INSERT column lists can produce one) must still be maskable —
+    * plain === makes its tombstone a silent no-op.
+    */
+  private def mergedWith(m: TableMeta, base: DataFrame,
+                         dels: DataFrame): DataFrame = {
     val cond: Column = m.pk.map(k => base(s"`$k`") <=> dels(s"`$k`"))
       .reduce(_ && _) &&
       dels(s"`${Catalog.SeqCol}`") >
@@ -1094,9 +1096,18 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val foldedDels: Set[String] = inputs.iterator.flatMap { p =>
       if (p.startsWith(delsDir)) Some(delsDir.relativize(p).toString) else None
     }.toSet
+    // NEWLY-retired files only: the merge frame reads the WHOLE deletes
+    // dir, so foldedDels includes files a previous rewrite already
+    // retired — re-retiring them would duplicate manifest entries under
+    // a newer generation tag and list them in the new version's
+    // _folded_dels while the GC (keyed on the OLDER tag) deletes the
+    // file, crashing VERSION AS OF on a retained generation. Already-
+    // retired files mask nothing in the replaced version's base, so
+    // excluding them keeps both records exact. (Rewrites serialize on
+    // the rewrite lock, so the retired set cannot change underneath.)
     val retiredNow = delSnapshot.intersect(
       if (m.mergeOnRead && foldedDels.isEmpty && readSet.isEmpty) delSnapshot
-      else foldedDels)
+      else foldedDels) -- retiredDels(db, t)
     onRewriteAfterSnapshot()
     val frame =
       if (m.mergeOnRead && !frame0.columns.contains(Catalog.SeqCol))

@@ -336,5 +336,15 @@ class CommitLogSpec extends AnyFunSuite {
     assert(delFiles() <= 1L,
       s"reaped generations' tombstone files must be GC'd, got ${delFiles()}")
     assert(vals("select id, v from m") == Seq((1, "Z"), (2, "BB")))
+    // the RETAINED past generation must stay readable THROUGH the same
+    // GC-performing rewrite: the review-found bug re-retired
+    // already-retired files under the new generation's tag, so the GC
+    // deleted files v4's _folded_dels still referenced and this query
+    // crashed on a missing path. (Value-wise v3's end-of-generation
+    // state includes the Z update — MoR DML accrues INSIDE a
+    // generation; AS OF v is "as the v->v+1 rewrite snapshotted it".)
+    assert(vals("select id, v from m version as of 3") ==
+      Seq((1, "Z"), (2, "BB")),
+      vals("select id, v from m version as of 3").toString)
   }
 }
