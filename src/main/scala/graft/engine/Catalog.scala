@@ -87,9 +87,20 @@ object Catalog {
 class Catalog(spark: SparkSession, val warehouse: String) {
 
   case class Col(name: String, mysqlType: String, sparkDdl: String)
+
+  /** A declared UNIQUE (non-PK) constraint — the reference's level-2
+    * index (meta_util.rs TableConstraint::Unique, is_primary=false),
+    * enforced with 1062 on every write path (insert.rs:197-217). graft
+    * keeps no physical index structure for it: parquet min/max stats
+    * serve the read side; the WRITE side is a declarative duplicate
+    * check per landing batch.
+    */
+  case class UniqueKey(name: String, cols: Seq[String])
+
   case class TableMeta(db: String, table: String, cols: Seq[Col],
                        pk: Seq[String], engine: String,
-                       partitionCols: Seq[String] = Seq.empty) {
+                       partitionCols: Seq[String] = Seq.empty,
+                       uniques: Seq[UniqueKey] = Seq.empty) {
     def schema: StructType =
       StructType.fromDDL(cols.map(c => s"`${c.name}` ${c.sparkDdl}").mkString(", "))
 
@@ -301,16 +312,18 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     var engine = "parquet"; var pk = Seq.empty[String]
     var part = Seq.empty[String]
     val cols = Seq.newBuilder[Col]
+    val uniqs = Seq.newBuilder[UniqueKey]
     Files.readAllLines(tablePath(db, t).resolve("_graft_meta")).asScala.foreach {
       line => line.split('\t') match {
         case Array("engine", e)       => engine = e
         case Array("pk", ks)          => pk = ks.split(',').toSeq
         case Array("part", ks)        => part = ks.split(',').toSeq
         case Array("col", n, mt, ddl) => cols += Col(n, mt, ddl)
+        case Array("uniq", n, ks)     => uniqs += UniqueKey(n, ks.split(',').toSeq)
         case _                        =>
       }
     }
-    TableMeta(db, t, cols.result(), pk, engine, part)
+    TableMeta(db, t, cols.result(), pk, engine, part, uniqs.result())
   }
 
   /** RENAME TABLE: move the table directory and re-register under the new
@@ -1474,6 +1487,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         (if (m.pk.nonEmpty) Seq(s"pk\t${m.pk.mkString(",")}") else Nil) ++
         (if (m.partitionCols.nonEmpty)
           Seq(s"part\t${m.partitionCols.mkString(",")}") else Nil) ++
+        m.uniques.map(u => s"uniq\t${u.name}\t${u.cols.mkString(",")}") ++
         m.cols.map(c => s"col\t${c.name}\t${c.mysqlType}\t${c.sparkDdl}")
     Files.write(tablePath(m.db, m.table).resolve("_graft_meta"),
       lines.asJava)

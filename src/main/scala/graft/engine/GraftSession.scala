@@ -3,7 +3,7 @@ package graft.engine
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, col, concat, expr, filter, lit, max_by, min_by, monotonically_increasing_id, not, struct, when}
+import org.apache.spark.sql.functions.{array, array_join, coalesce, col, concat, expr, filter, lit, max, max_by, min, min_by, monotonically_increasing_id, not, struct, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** MySQL-surface SQL session: every command of the reference's
@@ -980,29 +980,75 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         .getOrElse(Seq.empty)
       var pk = Seq.empty[String]
       val cols = Seq.newBuilder[catalog.Col]
+      val uniqs = Seq.newBuilder[catalog.UniqueKey]
       splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty).foreach { d =>
         val dl = d.toLowerCase
         if (dl.startsWith("primary key")) {
           pk = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
             .split(',').map(c => clean(c.trim)).toSeq
-        } else if (dl.startsWith("key ") || dl.startsWith("index ") ||
-                   dl.startsWith("unique ") || dl.startsWith("constraint ")) {
-          // secondary indexes: parquet min-max stats make these implicit
+        } else if (dl.startsWith("unique ") || dl.startsWith("unique(")) {
+          // UNIQUE [KEY|INDEX] [name] (cols) — the reference's level-2
+          // index (meta_util.rs), enforced on write with 1062
+          uniqs += parseUniqueDecl(d.substring("unique".length))
+        } else if (dl.startsWith("constraint ")) {
+          // CONSTRAINT [name] UNIQUE (cols); FK/CHECK constraints are
+          // parsed-and-ignored (the reference catalogs only Unique)
+          val m = "(?is)constraint\\s+(?:([`\\w]+)\\s+)?unique\\b(.*)".r
+            .findFirstMatchIn(d)
+          m.foreach { mm =>
+            val u = parseUniqueDecl(mm.group(2))
+            uniqs += (if (mm.group(1) != null)
+              u.copy(name = clean(mm.group(1))) else u)
+          }
+        } else if (dl.startsWith("key ") || dl.startsWith("index ")) {
+          // plain secondary indexes: parquet min-max stats make these
+          // implicit on the read side, and they constrain nothing
         } else {
           val parts = d.split("\\s+", 2)
           val cname = clean(parts(0))
           val rest = if (parts.length > 1) parts(1) else "text"
           val mysqlType = rest.split("\\s+")(0)
           if (rest.toLowerCase.contains("primary key")) pk = pk :+ cname
+          else if ("(?i)\\bunique\\b".r.findFirstIn(rest).isDefined)
+            uniqs += catalog.UniqueKey(cname, Seq(cname))
           cols += catalog.Col(cname, mysqlType, sparkDdl(mysqlType))
         }
       }
+      // MySQL key-name disambiguation (col, col_2, …) + column validation
+      val allCols = cols.result()
+      val seenNames = scala.collection.mutable.Set[String]("PRIMARY")
+      val uniques = uniqs.result().map { u =>
+        u.cols.find(c => !allCols.exists(_.name == c)).foreach(c =>
+          sys.error(s"Key column '$c' doesn't exist in table"))
+        var n = u.name; var i = 1
+        while (seenNames.contains(n)) { i += 1; n = s"${u.name}_$i" }
+        seenNames += n
+        u.copy(name = n)
+      }
       catalog.createTable(
-        catalog.TableMeta(db, t, cols.result(), pk,
+        catalog.TableMeta(db, t, allCols, pk,
           if (engine != null) engine.toLowerCase else "parquet",
-          partitionCols = partCols),
+          partitionCols = partCols, uniques = uniques),
         ifNotExists = ine != null)
       count(1)
+  }
+
+  /** Parse the tail of a UNIQUE constraint declaration — everything after
+    * the UNIQUE keyword: `[KEY|INDEX] [name] (c1, c2, …)`. The default
+    * key name is MySQL's (the first column), disambiguated by the caller.
+    */
+  private def parseUniqueDecl(tail: String): catalog.UniqueKey = {
+    val open = tail.indexOf('(')
+    require(open >= 0 && tail.lastIndexOf(')') > open,
+      s"Malformed UNIQUE constraint near '${tail.trim.take(40)}'")
+    val ucols = splitTopLevel(tail.substring(open + 1, tail.lastIndexOf(')')), ',')
+      .map(c => clean(c.trim)).filter(_.nonEmpty)
+    require(ucols.nonEmpty, "UNIQUE constraint lists no columns")
+    val nameToks = tail.substring(0, open).trim.split("\\s+")
+      .filter(_.nonEmpty)
+      .filterNot(w => w.equalsIgnoreCase("key") || w.equalsIgnoreCase("index"))
+    val name = if (nameToks.nonEmpty) clean(nameToks.last) else ucols.head
+    catalog.UniqueKey(name, ucols)
   }
 
   // ---- CREATE VIEW / DROP VIEW (durable SQL-text views, B-surface §8) ----
@@ -1056,10 +1102,13 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       require(!m.partitionCols.contains(c),
         s"Cannot drop partition column '$c'")
       catalog.rewrite(db, t, catalog.read(db, t).drop(c))
-      // the column leaves the PRIMARY KEY too (MySQL drops it from the
-      // index); a pk emptied this way turns the table copy-on-write
+      // the column leaves the PRIMARY KEY and every UNIQUE index too
+      // (MySQL drops it from each index; an index emptied this way is
+      // dropped); a pk emptied this way turns the table copy-on-write
       catalog.replaceMeta(m.copy(cols = m.cols.filterNot(_.name == c),
-        pk = m.pk.filterNot(_ == c)))
+        pk = m.pk.filterNot(_ == c),
+        uniques = m.uniques.map(u => u.copy(cols = u.cols.filterNot(_ == c)))
+          .filter(_.cols.nonEmpty)))
       count(0)
   }
 
@@ -1127,7 +1176,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       val staged = aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val rows = staged.count()
-        if (m.pk.isEmpty || rows == 0) {
+        if ((m.pk.isEmpty && m.uniques.isEmpty) || rows == 0) {
           // no key ⇒ no conflicts possible; REPLACE/IGNORE degrade to
           // INSERT (MySQL semantics on keyless tables)
           catalog.append(db, t, staged)
@@ -1136,31 +1185,63 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         else if (mode == "ignore") insertIgnore(db, t, m, staged)
         else catalog.withDmlLock(db, t) {
           catalog.freshenStale()
-          val pkCols = m.pk.map(k => col(s"`$k`"))
-          val batchDup = staged.groupBy(pkCols: _*).count()
-            .filter(col("count") > 1).drop("count").head(1)
-          val existDup =
-            if (batchDup.nonEmpty) batchDup
-            else {
-              // small batches push their literal keys into the scan
-              // (min/max-pruned on the PK-sorted layout); big batches
-              // broadcast-semi-join so the table never shuffles
-              val existing = catalog.read(db, t)
-              val conflicts =
-                if (rows <= 256 && m.pk.lengthCompare(1) == 0) {
-                  val keys = staged.select(pkCols.head).distinct().collect().map(_.get(0))
-                  existing.filter(col(s"`${m.pk.head}`").isin(keys.toIndexedSeq: _*))
-                } else existing.join(
-                  staged.select(pkCols: _*).hint("broadcast"), m.pk, "left_semi")
-              conflicts.select(pkCols: _*).head(1)
-            }
-          for (row <- existDup.headOption)
-            throw SqlError.duplicateEntry(
-              m.pk.indices.map(row.get(_)).mkString("-"), t)
-          catalog.append(db, t, staged.sortWithinPartitions(pkCols: _*))
+          val existing = catalog.read(db, t)
+          for ((kname, kcols) <- keySets(m))
+            checkNoConflict(t, kname, kcols, staged, rows, existing)
+          val sortCols = (if (m.pk.nonEmpty) m.pk else m.uniques.head.cols)
+            .map(k => col(s"`$k`"))
+          catalog.append(db, t, staged.sortWithinPartitions(sortCols: _*))
           count(rows)
         }
       } finally staged.unpersist()
+  }
+
+  /** The table's enforced key sets, PRIMARY first — the reference's
+    * level-1/level-2 index list (meta_util.rs get_table_index_list).
+    */
+  private def keySets(m: catalog.TableMeta): Seq[(String, Seq[String])] =
+    (if (m.pk.nonEmpty) Seq("PRIMARY" -> m.pk) else Nil) ++
+      m.uniques.map(u => u.name -> u.cols)
+
+  /** Rows of a batch that participate in a key set's uniqueness check:
+    * everything for PRIMARY; for a UNIQUE (non-PK) set, rows with any
+    * NULL key column are exempt (MySQL permits any number of NULLs in a
+    * unique index).
+    */
+  private def keyedRows(df: DataFrame, kname: String,
+                        kcols: Seq[String]): DataFrame =
+    if (kname == "PRIMARY") df
+    else df.filter(kcols.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
+
+  /** The strict-INSERT duplicate probe for one key set: a within-batch
+    * duplicate or a collision with the existing table answers 1062
+    * (insert.rs:197-217). Small single-column batches push their literal
+    * keys into the scan (min/max- and bloom-pruned); big batches
+    * broadcast-semi-join so the table never shuffles.
+    */
+  private def checkNoConflict(t: String, kname: String, kcols: Seq[String],
+                              staged: DataFrame, rows: Long,
+                              existing: DataFrame): Unit = {
+    val kc = kcols.map(k => col(s"`$k`"))
+    val keyed = keyedRows(staged, kname, kcols)
+    val batchDup = keyed.groupBy(kc: _*).count()
+      .filter(col("count") > 1).drop("count").head(1)
+    val existDup =
+      if (batchDup.nonEmpty) batchDup
+      else {
+        val conflicts =
+          if (rows <= 256 && kcols.lengthCompare(1) == 0) {
+            val keys = keyed.select(kc.head).distinct().collect()
+              .map(_.get(0)).filter(_ != null)
+            if (keys.isEmpty) existing.limit(0)
+            else existing.filter(col(s"`${kcols.head}`").isin(keys.toIndexedSeq: _*))
+          } else keyedRows(existing, kname, kcols).join(
+            keyed.select(kc: _*).hint("broadcast"), kcols, "left_semi")
+        conflicts.select(kc: _*).head(1)
+      }
+    for (row <- existDup.headOption)
+      throw SqlError.duplicateEntry(
+        kcols.indices.map(row.get(_)).mkString("-"), t, kname)
   }
 
   private val LoadDataR =
@@ -1319,23 +1400,42 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     * the table or earlier in the batch (FIRST row wins, MySQL order) —
     * are silently skipped; affected-rows counts only what landed.
     */
+  /** INSERT IGNORE: conflicting rows skip instead of erroring — against
+    * the existing table and within the batch (first row per key wins,
+    * MySQL's row order), across the PRIMARY key and every UNIQUE set.
+    * Each key set resolves independently; the sequential cross-key
+    * cascade MySQL's row-at-a-time loop can produce (a row skipped on
+    * one key freeing another key's slot for a later row) is not
+    * reproducible distributed without serializing the batch — per-key
+    * keep-first matches MySQL in all non-cascading batches.
+    */
   private def insertIgnore(db: String, t: String, m: catalog.TableMeta,
                            staged: DataFrame): DataFrame =
     catalog.withDmlLock(db, t) {
       catalog.freshenStale()
-      val pkCols = m.pk.map(k => col(s"`$k`"))
-      val ordered = staged.withColumn("_graft_ord", monotonically_increasing_id())
-      val firstPerKey = ordered.groupBy(pkCols: _*)
-        .agg(min_by(struct(m.cols.map(c => col(s"`${c.name}`")): _*),
-          col("_graft_ord")).as("_r"))
-        .select(m.cols.map(c => col(s"_r.`${c.name}`").as(c.name)): _*)
-      val fresh = firstPerKey.join(
-        catalog.read(db, t).select(pkCols: _*).distinct(), m.pk, "left_anti")
+      val existing = catalog.read(db, t)
+      var kept = staged.withColumn("_graft_ord", monotonically_increasing_id())
+      for ((kname, kcols) <- keySets(m)) {
+        val kc = kcols.map(k => col(s"`$k`"))
+        // keep the FIRST batch row per key; NULL-keyed rows are exempt
+        // from a UNIQUE set (they join to nothing → coalesce passes them)
+        val firstOrd = keyedRows(kept, kname, kcols).groupBy(kc: _*)
+          .agg(min(col("_graft_ord")).as("_graft_keep"))
+        kept = kept.join(firstOrd, kcols, "left")
+          .filter(coalesce(col("_graft_ord") === col("_graft_keep"), lit(true)))
+          .drop("_graft_keep")
+          .join(keyedRows(existing, kname, kcols).select(kc: _*).distinct(),
+            kcols, "left_anti")
+      }
+      val fresh = kept.select(m.cols.map(c => col(s"`${c.name}`")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val landed = fresh.count()
-        if (landed > 0)
-          catalog.append(db, t, fresh.sortWithinPartitions(pkCols: _*))
+        if (landed > 0) {
+          val sortCols = (if (m.pk.nonEmpty) m.pk else m.uniques.head.cols)
+            .map(k => col(s"`$k`"))
+          catalog.append(db, t, fresh.sortWithinPartitions(sortCols: _*))
+        }
         count(landed)
       } finally fresh.unpersist()
     }
@@ -1360,6 +1460,12 @@ class GraftSession(val spark: SparkSession, warehouse: String,
                           staged: DataFrame, rows: Long): DataFrame =
     catalog.withDmlLock(db, t) {
       catalog.freshenStale()
+      if (m.uniques.nonEmpty) replaceMultiKey(db, t, m, staged, rows)
+      else replaceByPk(db, t, m, staged, rows)
+    }
+
+  private def replaceByPk(db: String, t: String, m: catalog.TableMeta,
+                          staged: DataFrame, rows: Long): DataFrame = {
       val pkCols = m.pk.map(k => col(s"`$k`"))
       // keep-last within the batch: VALUES plans stage single-partition,
       // so monotonically_increasing_id is the row order
@@ -1391,6 +1497,72 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         count(rows + (rows - nKeys) + nReplaced)
       } finally deduped.unpersist()
     }
+
+  /** REPLACE INTO on a table with UNIQUE (non-PK) keys: a new row
+    * displaces every existing row it collides with on ANY enforced key
+    * set (MySQL REPLACE deletes all conflicting rows across all unique
+    * indexes, then inserts). Within the batch the LAST row per key wins,
+    * resolved per key set independently — see insertIgnore's cascade
+    * caveat. NULL-keyed rows never collide on a UNIQUE set.
+    */
+  private def replaceMultiKey(db: String, t: String, m: catalog.TableMeta,
+                              staged: DataFrame, rows: Long): DataFrame = {
+    val sets = keySets(m)
+    var ordered = staged.withColumn("_graft_ord", monotonically_increasing_id())
+    for ((kname, kcols) <- sets) {
+      val kc = kcols.map(k => col(s"`$k`"))
+      val lastOrd = keyedRows(ordered, kname, kcols).groupBy(kc: _*)
+        .agg(max(col("_graft_ord")).as("_graft_keep"))
+      ordered = ordered.join(lastOrd, kcols, "left")
+        .filter(coalesce(col("_graft_ord") === col("_graft_keep"), lit(true)))
+        .drop("_graft_keep")
+    }
+    val deduped = ordered.select(m.cols.map(c => col(s"`${c.name}`")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nKeys = deduped.count()
+      val existing = catalog.read(db, t)
+      def batchKeys(kname: String, kcols: Seq[String]) =
+        keyedRows(deduped, kname, kcols)
+          .select(kcols.map(k => col(s"`$k`")): _*).distinct()
+      val sortCols = (if (m.pk.nonEmpty) m.pk else m.uniques.head.cols)
+        .map(k => col(s"`$k`"))
+      if (m.mergeOnRead) {
+        // harvest the pks of every displaced existing row (collisions on
+        // any key set), tombstone them, append the batch at one sequence
+        val victimPks = sets.map { case (kname, kcols) =>
+          keyedRows(existing, kname, kcols)
+            .join(batchKeys(kname, kcols).hint("broadcast"), kcols, "left_semi")
+            .select(m.pk.map(k => col(s"`$k`")): _*)
+        }.reduce(_ unionByName _).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nReplaced = victimPks.count()
+          val seq = catalog.nextSeq(db, t)
+          if (nReplaced > 0) catalog.appendDeletes(db, t, victimPks, seq)
+          catalog.append(db, t, deduped.sortWithinPartitions(sortCols: _*),
+            seqOpt = Some(seq))
+          autoCompact(db, t)
+          count(rows + (rows - nKeys) + nReplaced)
+        } finally victimPks.unpersist()
+      } else {
+        var remaining = existing
+        for ((kname, kcols) <- sets)
+          remaining = remaining.join(
+            batchKeys(kname, kcols).hint("broadcast"), kcols, "left_anti")
+        val nExisting = existing.count()
+        val kept = remaining
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nReplaced = nExisting - kept.count()
+          val sorted = deduped.sortWithinPartitions(sortCols: _*)
+          if (nReplaced > 0) catalog.rewrite(db, t, kept.unionByName(sorted))
+          else catalog.append(db, t, sorted)
+          count(rows + (rows - nKeys) + nReplaced)
+        } finally kept.unpersist()
+      }
+    } finally deduped.unpersist()
+  }
 
   private val UpdateHeadR = "(?is)update\\s+([`\\w.]+)\\s+set\\s+(.+)".r
   private def update(stmt: String): DataFrame = stmt match {
@@ -1424,7 +1596,20 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           df = df.withColumn(c,
             when(col(s"`$marker`"), expr(e).cast(ddl)).otherwise(col(s"`$c`")))
         }
-        catalog.rewrite(db, t, df.drop(marker))
+        val updated = df.drop(marker)
+        // an UPDATE that writes into a key column must not create a
+        // duplicate (update.rs rewrites per-index key in the reference):
+        // one keyed count over the would-be table per TOUCHED key set
+        val touched = assignments.map(_._1).toSet
+        for ((kname, kcols) <- keySets(m) if kcols.exists(touched)) {
+          val kc = kcols.map(k => col(s"`$k`"))
+          val dup = keyedRows(updated, kname, kcols).groupBy(kc: _*).count()
+            .filter(col("count") > 1).drop("count").head(1)
+          for (row <- dup.headOption)
+            throw SqlError.duplicateEntry(
+              kcols.indices.map(row.get(_)).mkString("-"), t, kname)
+        }
+        catalog.rewrite(db, t, updated)
         count(affected)
       }
   }
@@ -1471,6 +1656,29 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           val ddl = m.cols.find(_.name == c)
             .getOrElse(sys.error(s"Unknown column '$c'")).sparkDdl
           upd = upd.withColumn(c, expr(e).cast(ddl))
+        }
+        // key-column updates must not create duplicates — within the
+        // updated rows or against the UNMATCHED remainder of the table
+        // (checked before any tombstone lands, so a 1062 leaves the
+        // table untouched)
+        val touched = assignments.map(_._1).toSet
+        val checkSets = keySets(m).filter(_._2.exists(touched))
+        if (checkSets.nonEmpty) {
+          val rest = catalog.read(db, t).filter(!coalesce(cond, lit(false)))
+          for ((kname, kcols) <- checkSets) {
+            val kc = kcols.map(k => col(s"`$k`"))
+            val keyedUpd = keyedRows(upd, kname, kcols)
+            val dup = keyedUpd.groupBy(kc: _*).count()
+              .filter(col("count") > 1).drop("count")
+              .unionByName(keyedUpd
+                .join(keyedRows(rest, kname, kcols).select(kc: _*),
+                  kcols, "left_semi")
+                .select(kc: _*).limit(1))
+              .head(1)
+            for (row <- dup.headOption)
+              throw SqlError.duplicateEntry(
+                kcols.indices.map(row.get(_)).mkString("-"), t, kname)
+          }
         }
         // tombstones first, refreshed immediately: a concurrent reader
         // sees the rows briefly deleted, never duplicated (the data
@@ -1683,7 +1891,10 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       val colDefs = m.cols.map(c => s"  `${c.name}` ${c.mysqlType.toLowerCase}")
       val pkDef = if (m.pk.nonEmpty)
         Seq(s"  PRIMARY KEY (${m.pk.map(k => s"`$k`").mkString(", ")})") else Nil
-      val ddl = s"CREATE TABLE `$t` (\n" + (colDefs ++ pkDef).mkString(",\n") +
+      val uqDefs = m.uniques.map(u =>
+        s"  UNIQUE KEY `${u.name}` (${u.cols.map(c => s"`$c`").mkString(", ")})")
+      val ddl = s"CREATE TABLE `$t` (\n" +
+        (colDefs ++ pkDef ++ uqDefs).mkString(",\n") +
         s"\n) ENGINE=${m.engine.toUpperCase}"
       frame(Seq("Table", "Create Table"), Seq(Seq(t, ddl)))
     } else if (lower.startsWith("show variables") || lower.startsWith("show global variables") ||
@@ -1708,7 +1919,9 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         "Column_name", "Index_type"),
         m.pk.zipWithIndex.map { case (c, i) =>
           Seq(t, "0", "PRIMARY", (i + 1).toString, c, "BTREE")
-        })
+        } ++ m.uniques.flatMap(u => u.cols.zipWithIndex.map { case (c, i) =>
+          Seq(t, "0", u.name, (i + 1).toString, c, "BTREE")
+        }))
     }
     else if (lower.startsWith("show charset") || lower.startsWith("show character set"))
       frame(Seq("Charset", "Description", "Default collation", "Maxlen"),
@@ -1948,25 +2161,30 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       catalog.listSchemas().map(db =>
         Seq("def", db, "utf8mb4", "utf8mb4_0900_ai_ci")))
       .createOrReplaceTempView("information_schema_schemata")
-    val pkTables = for {
+    val keyedTables = for {
       db <- catalog.listSchemas(); t <- catalog.listTables(db)
-      m = catalog.meta(db, t) if m.pk.nonEmpty
+      m = catalog.meta(db, t) if m.pk.nonEmpty || m.uniques.nonEmpty
     } yield (db, t, m)
     frame(Seq("constraint_catalog", "constraint_schema", "constraint_name",
       "table_schema", "table_name", "constraint_type"),
-      pkTables.map { case (db, t, _) =>
-        Seq("def", db, "PRIMARY", db, t, "PRIMARY KEY") })
+      keyedTables.flatMap { case (db, t, m) =>
+        (if (m.pk.nonEmpty)
+          Seq(Seq("def", db, "PRIMARY", db, t, "PRIMARY KEY")) else Nil) ++
+          m.uniques.map(u => Seq("def", db, u.name, db, t, "UNIQUE"))
+      })
       .createOrReplaceTempView("information_schema_table_constraints")
     val keyCols = for {
-      (db, t, m) <- pkTables
-      (c, i) <- m.pk.zipWithIndex
-    } yield Seq("def", db, "PRIMARY", db, t, c, (i + 1).toString)
+      (db, t, m) <- keyedTables
+      (kname, kcols) <- ("PRIMARY" -> m.pk) +: m.uniques.map(u => u.name -> u.cols)
+      if kcols.nonEmpty
+      (c, i) <- kcols.zipWithIndex
+    } yield Seq("def", db, kname, db, t, c, (i + 1).toString)
     frame(Seq("constraint_catalog", "constraint_schema", "constraint_name",
       "table_schema", "table_name", "column_name", "ordinal_position"), keyCols)
       .createOrReplaceTempView("information_schema_key_column_usage")
     frame(Seq("table_schema", "table_name", "non_unique", "index_name",
       "seq_in_index", "column_name"),
-      keyCols.map(k => Seq(k(3), k(4), "0", "PRIMARY", k(6), k(5))))
+      keyCols.map(k => Seq(k(3), k(4), "0", k(2), k(6), k(5))))
       .createOrReplaceTempView("information_schema_statistics")
   }
 

@@ -10,6 +10,12 @@ final class SqlError(val code: Int, val sqlState: String, msg: String)
 
 object SqlError {
   def duplicateEntry(key: String, table: String): SqlError =
+    duplicateEntry(key, table, "PRIMARY")
+
+  /** Duplicate on a named key — PRIMARY or a declared UNIQUE index
+    * (insert.rs:208 formats `'{table}.{index_name}'` the same way).
+    */
+  def duplicateEntry(key: String, table: String, index: String): SqlError =
     new SqlError(1062, "23000",
-      s"Duplicate entry '$key' for key '$table.PRIMARY'")
+      s"Duplicate entry '$key' for key '$table.$index'")
 }

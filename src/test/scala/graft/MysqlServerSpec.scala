@@ -589,6 +589,19 @@ class MysqlServerSpec extends AnyFunSuite {
     val rs = c.query("select v from dup where id = 1").asInstanceOf[ResultSet]
     assert(rs.rows == Seq(Seq(Some("b"))))
     c.query("drop table dup")
+    // a declared UNIQUE (non-PK) key answers the same 1062 ERR packet,
+    // named after the unique index (insert.rs:208 parity)
+    c.query("create table dupu (id int primary key, email varchar(40), " +
+      "unique key uq_email (email))")
+    c.query("insert into dupu values (1,'a@x')")
+    val eu = c.query("insert into dupu values (2,'a@x')").asInstanceOf[Err]
+    assert(eu.code == 1062, s"expected MySQL 1062, got $eu")
+    assert(eu.message.contains("dupu.uq_email"), eu.message)
+    val oku = c.query("replace into dupu values (2,'a@x')")
+    assert(!oku.isInstanceOf[Err])
+    val rsu = c.query("select id from dupu").asInstanceOf[ResultSet]
+    assert(rsu.rows == Seq(Seq(Some("2"))))
+    c.query("drop table dupu")
     c.quit()
   }
 

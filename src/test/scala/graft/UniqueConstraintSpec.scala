@@ -1,0 +1,237 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{GraftSession, SqlError}
+
+/** UNIQUE (non-PK) constraint enforcement — the reference's level-2
+  * index (meta_util.rs get_table_index_list catalogs
+  * TableConstraint::Unique; insert.rs:197-217 answers 1062 on any
+  * level-1/level-2 hit). graft enforces declaratively per landing batch:
+  * no physical index, one duplicate probe per key set on every write
+  * path (INSERT / INSERT IGNORE / REPLACE / LOAD DATA / UPDATE), NULLs
+  * exempt (MySQL permits any number of NULLs in a unique index).
+  */
+class UniqueConstraintSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def freshSession(): GraftSession = {
+    val wh = Files.createTempDirectory("graft-uq-wh").toString
+    val g = new GraftSession(spark.newSession(), wh)
+    g.sql("create schema uq")
+    g.sql("use uq")
+    g
+  }
+
+  private def rows(g: GraftSession, sql: String): Seq[Seq[String]] =
+    g.sql(sql).collect().toSeq.map(r =>
+      (0 until r.length).map(i => String.valueOf(r.get(i))))
+
+  private def dup1062(body: => Any): SqlError = {
+    val e = intercept[SqlError](body)
+    assert(e.code == 1062 && e.sqlState == "23000", e.getMessage)
+    e
+  }
+
+  test("INSERT duplicate on a declared UNIQUE column answers 1062 with the key name") {
+    val g = freshSession()
+    g.sql("create table u1 (id int primary key, email text, unique key uq_email (email))")
+    g.sql("insert into u1 values (1, 'a@x'), (2, 'b@x')")
+    // collision with the table
+    val e1 = dup1062(g.sql("insert into u1 values (3, 'a@x')"))
+    assert(e1.getMessage.contains("u1.uq_email"), e1.getMessage)
+    // collision within one batch
+    val e2 = dup1062(g.sql("insert into u1 values (4, 'c@x'), (5, 'c@x')"))
+    assert(e2.getMessage.contains("u1.uq_email"))
+    // pk collisions still answer with PRIMARY
+    val e3 = dup1062(g.sql("insert into u1 values (1, 'z@x')"))
+    assert(e3.getMessage.contains("u1.PRIMARY"))
+    // nothing landed from the failed batches
+    assert(rows(g, "select count(*) from u1") == Seq(Seq("2")))
+  }
+
+  test("inline column UNIQUE and composite CONSTRAINT ... UNIQUE forms") {
+    val g = freshSession()
+    g.sql("create table u2 (id int primary key, sku text unique, a int, b int, " +
+      "constraint uq_ab unique (a, b))")
+    g.sql("insert into u2 values (1, 's1', 10, 20)")
+    val e1 = dup1062(g.sql("insert into u2 values (2, 's1', 11, 21)"))
+    assert(e1.getMessage.contains("u2.sku")) // MySQL default name = column
+    val e2 = dup1062(g.sql("insert into u2 values (2, 's2', 10, 20)"))
+    assert(e2.getMessage.contains("u2.uq_ab"))
+    // same a, different b is fine
+    g.sql("insert into u2 values (2, 's2', 10, 21)")
+    assert(rows(g, "select count(*) from u2") == Seq(Seq("2")))
+  }
+
+  test("NULLs never collide on a UNIQUE set (MySQL semantics)") {
+    val g = freshSession()
+    g.sql("create table u3 (id int primary key, email text, unique (email))")
+    g.sql("insert into u3 values (1, null), (2, null)")
+    g.sql("insert into u3 values (3, null)")
+    assert(rows(g, "select count(*) from u3") == Seq(Seq("3")))
+    // composite: ANY null column exempts the row
+    g.sql("create table u4 (id int primary key, a int, b int, unique key uq (a, b))")
+    g.sql("insert into u4 values (1, 1, null), (2, 1, null), (3, null, 2), (4, null, 2)")
+    assert(rows(g, "select count(*) from u4") == Seq(Seq("4")))
+    dup1062(g.sql("insert into u4 values (5, 7, 8), (6, 7, 8)"))
+  }
+
+  test("UNIQUE without a PRIMARY KEY is still enforced") {
+    val g = freshSession()
+    g.sql("create table u5 (name text, unique key uq_name (name))")
+    g.sql("insert into u5 values ('x'), ('y')")
+    dup1062(g.sql("insert into u5 values ('x')"))
+    assert(rows(g, "select count(*) from u5 where name = 'x'") == Seq(Seq("1")))
+  }
+
+  test("INSERT IGNORE skips unique conflicts, first batch row wins") {
+    val g = freshSession()
+    g.sql("create table u6 (id int primary key, email text, unique key uq_email (email))")
+    g.sql("insert into u6 values (1, 'a@x')")
+    // row 2 conflicts with the table on email; row 3 lands; rows 4/5
+    // collide within the batch — the first (id 4) wins
+    g.sql("insert ignore into u6 values (2, 'a@x'), (3, 'b@x'), (4, 'c@x'), (5, 'c@x')")
+    assert(rows(g, "select id, email from u6 order by id") ==
+      Seq(Seq("1", "a@x"), Seq("3", "b@x"), Seq("4", "c@x")))
+    // null-keyed rows always pass through IGNORE
+    g.sql("insert ignore into u6 values (6, null), (7, null)")
+    assert(rows(g, "select count(*) from u6") == Seq(Seq("5")))
+  }
+
+  test("REPLACE displaces the existing row on a unique-key collision (CoW and MoR)") {
+    // MoR shape: pk + unique on a pure-parquet table
+    val g = freshSession()
+    g.sql("create table u7 (id int primary key, email text, n int, unique key uq_email (email))")
+    g.sql("insert into u7 values (1, 'a@x', 10), (2, 'b@x', 20)")
+    // new pk 3 collides with pk-1's email: row 1 must be displaced
+    g.sql("replace into u7 values (3, 'a@x', 30)")
+    assert(rows(g, "select id, email, n from u7 order by id") ==
+      Seq(Seq("2", "b@x", "20"), Seq("3", "a@x", "30")))
+    // colliding on BOTH keys displaces both victims
+    g.sql("replace into u7 values (2, 'a@x', 40)")
+    assert(rows(g, "select id, email, n from u7 order by id") ==
+      Seq(Seq("2", "a@x", "40")))
+    // batch keep-last per key
+    g.sql("replace into u7 values (5, 'e@x', 1), (5, 'f@x', 2)")
+    assert(rows(g, "select email, n from u7 where id = 5") == Seq(Seq("f@x", "2")))
+
+    // CoW shape: unique key, no pk
+    g.sql("create table u8 (email text, n int, unique key uq (email))")
+    g.sql("insert into u8 values ('a@x', 1), ('b@x', 2)")
+    g.sql("replace into u8 values ('a@x', 9)")
+    assert(rows(g, "select email, n from u8 order by email") ==
+      Seq(Seq("a@x", "9"), Seq("b@x", "2")))
+  }
+
+  test("UPDATE into a unique collision answers 1062 and leaves the table untouched") {
+    val g = freshSession()
+    // copy-on-write shape (no pk)
+    g.sql("create table u9 (id int, email text, unique key uq_email (email))")
+    g.sql("insert into u9 values (1, 'a@x'), (2, 'b@x')")
+    dup1062(g.sql("update u9 set email = 'a@x' where id = 2"))
+    assert(rows(g, "select email from u9 order by email") ==
+      Seq(Seq("a@x"), Seq("b@x")))
+    // merge-on-read shape (pk + unique)
+    g.sql("create table u10 (id int primary key, email text, unique key uq_email (email))")
+    g.sql("insert into u10 values (1, 'a@x'), (2, 'b@x')")
+    dup1062(g.sql("update u10 set email = 'a@x' where id = 2"))
+    assert(rows(g, "select id, email from u10 order by id") ==
+      Seq(Seq("1", "a@x"), Seq("2", "b@x")))
+    // a non-colliding key update works, and updates NOT touching the
+    // key skip the probe entirely
+    g.sql("update u10 set email = 'c@x' where id = 2")
+    g.sql("update u10 set email = email where id = 1")
+    assert(rows(g, "select email from u10 where id = 2") == Seq(Seq("c@x")))
+  }
+
+  test("LOAD DATA honors unique keys in all three modes") {
+    val g = freshSession()
+    g.sql("create table u11 (id int primary key, email text, unique key uq_email (email))")
+    g.sql("insert into u11 values (1, 'a@x')")
+    val f = Files.createTempFile("graft-uq", ".csv")
+    Files.write(f, "9\ta@x\n3\tb@x\n".getBytes("UTF-8"))
+    dup1062(g.sql(s"load data infile '${f.toString}' into table u11"))
+    g.sql(s"load data infile '${f.toString}' ignore into table u11")
+    assert(rows(g, "select id, email from u11 order by id") ==
+      Seq(Seq("1", "a@x"), Seq("3", "b@x")))
+    g.sql(s"load data infile '${f.toString}' replace into table u11")
+    assert(rows(g, "select id, email from u11 order by id") ==
+      Seq(Seq("3", "b@x"), Seq("9", "a@x")))
+  }
+
+  test("SHOW CREATE TABLE / SHOW INDEX / information_schema surface the unique keys") {
+    val g = freshSession()
+    g.sql("create table u12 (id int primary key, a int, b int, email text, " +
+      "unique key uq_email (email), constraint uq_ab unique (a, b))")
+    val ddl = rows(g, "show create table u12").head(1)
+    assert(ddl.contains("UNIQUE KEY `uq_email` (`email`)"), ddl)
+    assert(ddl.contains("UNIQUE KEY `uq_ab` (`a`, `b`)"), ddl)
+    val idx = rows(g, "show index from u12")
+    assert(idx.exists(r => r(2) == "uq_email" && r(4) == "email" && r(1) == "0"))
+    assert(idx.exists(r => r(2) == "uq_ab" && r(4) == "b" && r(3) == "2"))
+    val tc = rows(g,
+      "select constraint_name, constraint_type from information_schema.table_constraints " +
+        "where table_name = 'u12' order by constraint_name")
+    assert(tc == Seq(Seq("PRIMARY", "PRIMARY KEY"), Seq("uq_ab", "UNIQUE"),
+      Seq("uq_email", "UNIQUE")))
+    val st = rows(g,
+      "select index_name, column_name from information_schema.statistics " +
+        "where table_name = 'u12' and index_name = 'uq_ab' order by seq_in_index")
+    assert(st == Seq(Seq("uq_ab", "a"), Seq("uq_ab", "b")))
+    // meta round-trips through a fresh catalog (persisted, not in-memory)
+    val g2 = new GraftSession(spark.newSession(), g.catalog.warehouse)
+    g2.sql("use uq")
+    val ddl2 = rows(g2, "show create table u12").head(1)
+    assert(ddl2.contains("UNIQUE KEY `uq_ab` (`a`, `b`)"))
+  }
+
+  test("default key names disambiguate; unknown unique column errors at CREATE") {
+    val g = freshSession()
+    // two unnamed single-column uniques on the same first column name
+    // cannot happen, but an unnamed composite defaults to its first column
+    g.sql("create table u13 (a int, b int, c int, unique (a), unique (a, b))")
+    val ddl = rows(g, "show create table u13").head(1)
+    assert(ddl.contains("UNIQUE KEY `a` (`a`)"), ddl)
+    assert(ddl.contains("UNIQUE KEY `a_2` (`a`, `b`)"), ddl)
+    val e = intercept[Exception](
+      g.sql("create table u14 (a int, unique key uq (nope))"))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("ALTER TABLE DROP COLUMN removes the column from unique keys") {
+    val g = freshSession()
+    g.sql("create table u15 (id int primary key, a int, b int, " +
+      "unique key uq_ab (a, b), unique key uq_b (b))")
+    g.sql("alter table u15 drop column b")
+    val ddl = rows(g, "show create table u15").head(1)
+    assert(ddl.contains("UNIQUE KEY `uq_ab` (`a`)"), ddl)
+    assert(!ddl.contains("uq_b"), ddl)
+    g.sql("insert into u15 values (1, 5)")
+    dup1062(g.sql("insert into u15 values (2, 5)"))
+  }
+
+  test("racing inserts on one unique value serialize: exactly one wins") {
+    val g = freshSession()
+    g.sql("create table u16 (id int primary key, email text, unique key uq_email (email))")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val results = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await()
+          try { g.sql(s"insert into u16 values ($i, 'race@x')"); true }
+          catch { case e: SqlError if e.code == 1062 => false }
+        }
+      })
+    }
+    start.countDown()
+    val wins = results.map(_.get(120, TimeUnit.SECONDS)).count(identity)
+    pool.shutdown()
+    assert(wins == 1, s"expected exactly one winner, got $wins")
+    assert(rows(g, "select count(*) from u16") == Seq(Seq("1")))
+  }
+}
