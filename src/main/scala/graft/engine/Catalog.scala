@@ -422,9 +422,26 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     * session's default reap retained history.
     */
   def retainVersions: Int =
-    Option(Catalog.retention.get(lockRoot)).map(_.intValue).getOrElse(1)
-  def retainVersions_=(v: Int): Unit =
-    Catalog.retention.put(lockRoot, math.max(1, v))
+    Option(Catalog.retention.get(lockRoot)).map(_.intValue).getOrElse {
+      // first touch in this JVM: load the persisted warehouse policy —
+      // a server restart must not silently revert retention to 1 and
+      // let the next rewrite's GC reap history the user explicitly kept
+      val f = Paths.get(warehouse, "_graft_retention")
+      val v =
+        if (Files.isRegularFile(f))
+          scala.util.Try(Files.readString(f).trim.toInt)
+            .getOrElse(1).max(1)
+        else 1
+      Catalog.retention.putIfAbsent(lockRoot, v)
+      Catalog.retention.get(lockRoot).intValue
+    }
+  def retainVersions_=(v: Int): Unit = {
+    val depth = math.max(1, v)
+    Catalog.retention.put(lockRoot, depth)
+    // durable: the warehouse carries its own retention policy
+    Files.writeString(Paths.get(warehouse, "_graft_retention"),
+      depth.toString)
+  }
 
   /** Time travel: the table's data as of rewrite generation `v`
     * (SURVEY §2.B17 made user-addressable, round 15). A version is a
@@ -485,15 +502,56 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   /** Commit history of a table: (version, action) in commit order — the
     * `_graft_log`, exposed for SHOW COMMITS discoverability.
     */
-  def commitLog(db: String, t: String): Seq[(Int, String)] = {
+  def commitLog(db: String, t: String): Seq[(Int, String, Option[java.time.Instant])] = {
     require(tableExists(db, t), s"Unknown table '$db.$t'")
     val f = tablePath(db, t).resolve("_graft_log")
     if (!Files.isRegularFile(f)) Seq.empty
     else Files.readAllLines(f).asScala.iterator
       .map(_.split("\t", -1)).collect {
+        // commit times landed in round 16; older logs have 2-col lines
         case Array(v, action) if v.startsWith("v") =>
-          (v.drop(1).toInt, action)
+          (v.drop(1).toInt, action, None)
+        case Array(v, action, ts) if v.startsWith("v") =>
+          (v.drop(1).toInt, action,
+            scala.util.Try(java.time.Instant.parse(ts)).toOption)
       }.toSeq
+  }
+
+  /** Timestamp → rewrite-generation resolution for `TIMESTAMP AS OF`:
+    * the version live AT `ts` is the last one committed at-or-before it
+    * (a generation spans from its commit to the next rewrite's; appends
+    * land inside the current generation, same granularity as
+    * `VERSION AS OF`). Accepts MySQL-style `yyyy-MM-dd[ HH:mm:ss[.f]]`
+    * in the session zone and full ISO-8601 with offset.
+    */
+  def versionAt(db: String, t: String, ts: String): Int = {
+    val instant = parseTsLiteral(ts).getOrElse(throw new SqlError(1525,
+      "HY000", s"Incorrect TIMESTAMP value: '$ts'"))
+    val timed = commitLog(db, t).collect { case (v, _, Some(at)) => (v, at) }
+    if (timed.isEmpty)
+      throw new SqlError(1235, "42000",
+        s"'$db.$t' has no timestamped commits (history predates commit " +
+          "times); use VERSION AS OF")
+    timed.filter(!_._2.isAfter(instant)).map(_._1).maxOption.getOrElse {
+      throw new SqlError(1146, "42S02",
+        s"'$db.$t' has no commit at or before '$ts' (first commit " +
+          s"v${timed.head._1} at ${timed.head._2}); reaped history is " +
+          "governed by graft_retain_versions")
+    }
+  }
+
+  private def parseTsLiteral(ts: String): Option[java.time.Instant] = {
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.getConfString("spark.sql.session.timeZone"))
+    val s = ts.trim
+    def attempt[A](f: => java.time.Instant): Option[java.time.Instant] =
+      scala.util.Try(f).toOption
+    attempt(java.time.OffsetDateTime.parse(s).toInstant)
+      .orElse(attempt(java.time.Instant.parse(s)))
+      .orElse(attempt(java.time.LocalDateTime
+        .parse(s.replace(' ', 'T')).atZone(zone).toInstant))
+      .orElse(attempt(java.time.LocalDate.parse(s)
+        .atStartOfDay(zone).toInstant))
   }
 
   /** Base rows under `dataDir` with the table's tombstones applied: a
@@ -668,7 +726,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
 
   private def logCommit(db: String, t: String, v: Int, action: String): Unit =
     Files.writeString(tablePath(db, t).resolve("_graft_log"),
-      s"v$v\t$action\n",
+      s"v$v\t$action\t${java.time.Instant.now()}\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
 

@@ -1865,11 +1865,12 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       val (db, t) = qualify(n)
       val versionsDir = java.nio.file.Paths.get(
         catalog.dataPath(db, t)).getParent.resolve("versions")
-      frame(Seq("version", "action", "retained"),
-        catalog.commitLog(db, t).map { case (v, action) =>
+      frame(Seq("version", "action", "retained", "committed_at"),
+        catalog.commitLog(db, t).map { case (v, action, at) =>
           Seq(s"v$v", action,
             if (java.nio.file.Files.isDirectory(versionsDir.resolve(s"v$v")))
-              "YES" else "reaped")
+              "YES" else "reaped",
+            at.map(_.toString).orNull)
         })
     } else if (lower.startsWith("show create view")) {
       val n = clean(stmt.substring("show create view".length).trim)
@@ -2050,23 +2051,52 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     case _ =>
       var q = stmt
       // time travel (B17 made user-addressable): `FROM t VERSION AS OF n`
-      // resolves the retained rewrite generation through a temp view —
-      // Spark SQL has no syntax slot for it, so the reference-style
-      // pre-rewrite used for information_schema applies. Resolution
-      // errors (unknown/reaped version, merge-on-read) surface here,
-      // before any execution. The rewrite is QUOTE-AWARE: the phrase
-      // inside a string literal is data, not syntax — rewriting it would
-      // corrupt the literal (and a regex over the raw statement did).
-      if (q.toLowerCase.contains("version as of")) {
-        q = GraftSession.mapUnquoted(q, seg =>
-          GraftSession.VersionAsOfR.replaceAllIn(seg, mm => {
-            val (db, t) = qualify(mm.group(1))
-            val v = mm.group(2).toInt
-            val view = s"graft_tt_${db}_${t}_v$v"
+      // / `FROM t TIMESTAMP AS OF '<ts>'` resolve the retained rewrite
+      // generation through a statement-scoped temp view — Spark SQL has
+      // no syntax slot for it, so the reference-style pre-rewrite used
+      // for information_schema applies. Resolution errors (unknown/
+      // reaped version, pre-manifest merge-on-read history) surface
+      // here, before any execution. Matching runs over a MASKED copy of
+      // the statement (string literals, backticked identifier bodies,
+      // and comments blanked) so the phrase inside data or a quoted name
+      // is never rewritten; each view gets a session-unique counter name
+      // and is dropped after the statement resolves.
+      val ttViews = scala.collection.mutable.Buffer[String]()
+      if (GraftSession.AsOfProbeR.findFirstIn(q).isDefined) {
+        val masked = GraftSession.maskNonSyntax(q)
+        val ms = GraftSession.TimeTravelR.findAllMatchIn(masked).toSeq
+        if (ms.nonEmpty) {
+          val out = new StringBuilder
+          var pos = 0
+          for (mm <- ms) {
+            out ++= q.substring(pos, mm.start)
+            val ident = q.substring(mm.start(1), mm.end(1))
+            val kind = mm.group(2).toLowerCase
+            val spec = q.substring(mm.start(3), mm.end(3))
+            val (db, t) = qualify(ident)
+            val v =
+              if (kind == "version") {
+                if (!spec.forall(_.isDigit)) throw new SqlError(1064,
+                  "42000", s"VERSION AS OF expects a version number, got $spec")
+                spec.toInt
+              } else {
+                if (!(spec.startsWith("'") || spec.startsWith("\"")))
+                  throw new SqlError(1064, "42000",
+                    s"TIMESTAMP AS OF expects a quoted timestamp, got $spec")
+                catalog.versionAt(db, t, unquote(spec))
+              }
+            val view =
+              s"graft_tt_${GraftSession.ttViewCounter.incrementAndGet()}"
             catalog.readVersion(db, t, v).createOrReplaceTempView(view)
-            scala.util.matching.Regex.quoteReplacement(s"`$view`")
-          }))
+            ttViews += view
+            out ++= s"`$view`"
+            pos = mm.end
+          }
+          out ++= q.substring(pos)
+          q = out.toString
+        }
       }
+      try {
       if (q.toLowerCase.contains("information_schema.")) {
         registerInformationSchema()
         q = q.replaceAll(
@@ -2130,6 +2160,12 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           } finally df.unpersist()
         case _ => spark.sql(q)
       }
+      } finally
+        // spark.sql analyzed (resolved) the plan eagerly above, so the
+        // statement's time-travel views are no longer needed; dropping
+        // them here keeps the session catalog from accumulating one
+        // view per time-travel query
+        ttViews.foreach(v => spark.catalog.dropTempView(v))
   }
 
   private def registerInformationSchema(): Unit = {
@@ -2260,36 +2296,67 @@ object GraftSession {
   /** Column-metadata key marking a frame as a graft DML/DDL FinalCount. */
   val DmlCountTag = "graft_dml_count"
 
-  /** `<table> VERSION AS OF <n>` — the time-travel table reference. */
-  private[engine] val VersionAsOfR =
-    "(?i)([`\\w.]+)\\s+version\\s+as\\s+of\\s+(\\d+)".r
+  /** Cheap pre-probe before the masking pass runs at all. */
+  private[engine] val AsOfProbeR = "(?i)(version|timestamp)\\s+as\\s+of".r
 
-  /** Apply `f` to the segments of a SQL statement OUTSIDE '…' and "…"
-    * string literals (backslash escapes honored). Backtick identifiers
-    * stay inside the mapped segments — they are syntax, and the
-    * VERSION AS OF table reference may legitimately be backticked.
-    * Pre-rewrites that must never fire on data (VERSION AS OF) go
-    * through this.
+  /** `<table> (VERSION|TIMESTAMP) AS OF <n | 'ts'>` — the time-travel
+    * table reference, matched against the MASKED statement (so group 3's
+    * quoted timestamp body appears as mask chars; callers read the real
+    * text from the original string via the match positions).
     */
-  private[engine] def mapUnquoted(s: String, f: String => String): String = {
-    val out = new StringBuilder
-    val seg = new StringBuilder
-    var quote: Char = 0
+  private[engine] val TimeTravelR =
+    ("(?i)([`\\w.]+)\\s+(version|timestamp)\\s+as\\s+of\\s+" +
+      "(\\d+|'[^']*'|\"[^\"]*\")").r
+
+  /** Statement-scoped time-travel view names: a session-wide counter
+    * makes every registration unique — no separator-ambiguity collisions
+    * between (db, table) pairs and no clash with user temp views.
+    */
+  private[engine] val ttViewCounter = new java.util.concurrent.atomic.AtomicLong
+
+  /** A same-length copy of a SQL statement with everything that is NOT
+    * syntax blanked out: the bodies of '…'/"…" string literals (backslash
+    * escapes honored) and `…` identifiers become 'x' (delimiters kept, so
+    * a backticked table reference still matches as one token), and line
+    * comments (dash-dash, hash) and block comments become spaces
+    * (comments are whitespace between tokens). Pre-rewrites that must
+    * never fire on data — VERSION/TIMESTAMP AS OF — match against this
+    * mask and splice replacements into the original by position.
+    */
+  private[engine] def maskNonSyntax(s: String): String = {
+    val b = new StringBuilder(s)
     var i = 0
-    def flush(): Unit = { out ++= f(seg.toString); seg.clear() }
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        out += c
-        if (c == '\\' && i + 1 < s.length) { out += s.charAt(i + 1); i += 1 }
-        else if (c == quote) quote = 0
-        i += 1
-      } else if (c == '\'' || c == '"') {
-        flush(); quote = c; out += c; i += 1
-      } else { seg += c; i += 1 }
+      s.charAt(i) match {
+        case q @ ('\'' | '"') =>
+          i += 1
+          while (i < s.length && s.charAt(i) != q) {
+            b.setCharAt(i, 'x')
+            if (s.charAt(i) == '\\' && i + 1 < s.length) {
+              b.setCharAt(i + 1, 'x'); i += 1
+            }
+            i += 1
+          }
+          i += 1
+        case '`' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '`') { b.setCharAt(i, 'x'); i += 1 }
+          i += 1
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          while (i < s.length && s.charAt(i) != '\n') { b.setCharAt(i, ' '); i += 1 }
+        case '#' =>
+          while (i < s.length && s.charAt(i) != '\n') { b.setCharAt(i, ' '); i += 1 }
+        case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+          b.setCharAt(i, ' '); b.setCharAt(i + 1, ' '); i += 2
+          while (i < s.length &&
+                 !(s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/')) {
+            b.setCharAt(i, ' '); i += 1
+          }
+          if (i < s.length) { b.setCharAt(i, ' '); b.setCharAt(i + 1, ' '); i += 2 }
+        case _ => i += 1
+      }
     }
-    flush()
-    out.toString
+    b.toString
   }
 
   /** Executed-plan tree with per-node SQLMetrics values — the EXPLAIN
