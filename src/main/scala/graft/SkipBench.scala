@@ -84,11 +84,19 @@ object SkipBench {
     // prunes. TPC-H orderkeys are sparse, so an in-range ABSENT value
     // exists near any point; verify absence honestly, then probe one
     // absent and one present value.
-    val taken = g.sql("select distinct l_orderkey as k from li " +
-        s"where l_orderkey between ${a + 1} and ${a + 200}")
-      .collect().map(_.getLong(0)).toSet
-    val absentK = ((a + 1) to (a + 200)).find(v => !taken.contains(v))
-      .getOrElse(a + 1)
+    // widen the search window until a genuinely absent key exists — a
+    // fallback that probes a PRESENT value would quietly corrupt the
+    // artifact's `absent` row. TPC-H keys are ~75% sparse, so the first
+    // window virtually always has one; the loop is the honesty guard.
+    val absentK = Iterator.iterate(200L)(_ * 4).map { w =>
+      val taken = g.sql("select distinct l_orderkey as k from li " +
+          s"where l_orderkey between ${a + 1} and ${a + w}")
+        .collect().map(_.getLong(0)).toSet
+      ((a + 1) to (a + w)).find(v => !taken.contains(v))
+    }.take(6).collectFirst { case Some(v) => v }
+      .getOrElse(sys.error(
+        "skipbench: no absent orderkey within 204800 of the probe base; " +
+          "refusing to mislabel a present-key probe as `absent`"))
     val presentK = g.sql(
       s"select min(l_orderkey) as k from li where l_orderkey >= $a")
       .collect()(0).getLong(0)

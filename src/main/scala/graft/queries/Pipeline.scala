@@ -1867,8 +1867,13 @@ object Pipeline {
         .ivfPq2TopK(embs, queries, n,
           dim = 64, m = 8, ksTarget = 16, nprobe1 = 4, nprobe2 = 4,
           k = 10, rerank = 50)
+      // the approximate side is k×|queries| ≈ 100 rows at ANY corpus
+      // size: pin it broadcast so AQE can't flip the truth-join strategy
+      // between runs (r15 telemetry: an 8.46× shuffle-byte swing on
+      // byte-identical inputs from exactly this replan)
       truth.select(col("q_id"), col("neighbor"))
-        .join(ipq2.select(col("q_id"), col("neighbor"), lit(1).as("hit")),
+        .join(broadcast(
+          ipq2.select(col("q_id"), col("neighbor"), lit(1).as("hit"))),
           Seq("q_id", "neighbor"), "left")
         .agg(count(lit(1)).as("n_truth"),
           sum(coalesce(col("hit"), lit(0))).as("n_hits"))

@@ -162,10 +162,21 @@ object BloomSidecar {
     if (wanted.isEmpty) return
     val maxRows = wanted.map(rowsOf).max
     // one sketch size for the batch job (per-file sizing would need a
-    // job per file): ~10 bits/value of the LARGEST file, clamped
-    val bits = math.min(math.max(maxRows * 10L, 65536L), 67108864L)
+    // job per file): ~10 bits/value of the LARGEST file, clamped.
+    // estimatedNumItems must ALSO respect the session's runtime-bloom
+    // item ceiling — BloomFilterAggregate type-checks against it, and an
+    // unclamped count from one oversized file would fail the whole
+    // batch's build inside the advisory guard (silently dropping blooms
+    // for exactly the large files point-probe skipping targets). A
+    // clamped estimate just densifies the sketch — sound, never unsound.
+    val maxItems = math.min(maxRows, spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS))
+    val bits = math.min(
+      math.max(maxRows * 10L, 65536L),
+      math.min(67108864L, spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)))
     val paths = wanted.map(r => dir.resolve(r).toUri.toString)
-    val aggs = cols.map(f => bloomAgg(f.name, maxRows, bits).as(f.name))
+    val aggs = cols.map(f => bloomAgg(f.name, maxItems, bits).as(f.name))
     val rows = spark.read.schema(schema).parquet(paths: _*)
       .groupBy(input_file_name().as("_graft_file"))
       .agg(aggs.head, aggs.tail: _*)

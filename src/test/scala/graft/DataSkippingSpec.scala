@@ -453,6 +453,38 @@ class DataSkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("E9 bloom sidecar: files larger than the runtime-bloom item ceiling still get blooms") {
+    import graft.sources.BloomSidecar
+    g.sql("create schema if not exists skipdb")
+    g.sql("use skipdb")
+    g.sql("create table t_bigbloom (okey bigint)")
+    val conf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prev = g.spark.conf.get(conf)
+    g.catalog.bloomMinRows = 64L
+    try {
+      // a per-file row count ABOVE the session ceiling: pre-clamp this
+      // failed BloomFilterAggregate's type check inside the advisory
+      // guard and silently dropped blooms for the whole batch — exactly
+      // the large files point-probe skipping exists for
+      g.spark.conf.set(conf, "500")
+      g.sql("insert into t_bigbloom values " +
+        (0 until 1200).map(i => s"(${i * 2})").mkString(", "))
+      val dir = Paths.get(g.catalog.dataPath("skipdb", "t_bigbloom"))
+      val blooms = BloomSidecar.read(dir)
+      assert(blooms.nonEmpty && blooms.values.forall(_.contains("okey")),
+        "oversized files must get (densified) blooms, not a silent drop")
+      // the densified sketch stays SOUND: the present value is found
+      assert(g.sql("select count(*) as c from t_bigbloom where okey = 40")
+        .collect()(0).getLong(0) == 1L)
+      assert(g.sql("select count(*) as c from t_bigbloom where okey = 41")
+        .collect()(0).getLong(0) == 0L)
+    } finally {
+      g.spark.conf.set(conf, prev)
+      g.catalog.bloomMinRows = 1024L
+      g.sql("drop table t_bigbloom")
+    }
+  }
+
   test("EXPLAIN ANALYZE surfaces filesPrunedBySkipping on the scan node") {
     g.sql("create schema if not exists skipdb")
     g.sql("use skipdb")
