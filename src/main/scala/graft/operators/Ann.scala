@@ -283,6 +283,11 @@ object Ann {
     val cents = embs.filter(coarseFilter)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
         col("selfdot").as("c_dot"))
+    twoLevelPartsCents(embs, cents, fineFilter)
+  }
+
+  private def twoLevelPartsCents(embs: DataFrame, cents: DataFrame,
+                                 fineFilter: Column): (DataFrame, DataFrame, DataFrame) = {
     val coarse = assignTo(embs, cents).withColumnRenamed("cell", "cell1")
     val fine = coarse.filter(fineFilter)
       .groupBy(col("cell1"))
@@ -336,6 +341,13 @@ object Ann {
     val cents = embs.filter(coarseFilter)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
         col("selfdot").as("c_dot"))
+    twoLevelProbe(embs, cents, fine, assign, queryFilter, nprobe1, nprobe2, k)
+  }
+
+  private def twoLevelProbe(embs: DataFrame, cents: DataFrame,
+                            fine: DataFrame, assign: DataFrame,
+                            queryFilter: Column, nprobe1: Int,
+                            nprobe2: Int, k: Int): DataFrame = {
     val coarseProbes = embs.filter(queryFilter).crossJoin(codebookOf(cents))
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("selfdot").as("q_dot"),
@@ -353,6 +365,83 @@ object Ann {
           cos(col("q_qv"), col("qv"), col("q_dot"), col("selfdot")).as("c")),
       k)
   }
+
+  /** twoLevelTopK with an EXPLICIT coarse codebook (c_id, c_qv) — e.g.
+    * one kmeans-refined by `Cluster.kmeansCodebook`. Fine seeds stay a
+    * corpus sample (`fineFilter` over the coarse-assigned rows). Same
+    * plan shape: broadcast ∛n coarse argmax, per-cell fine codebooks
+    * equi-joined on cell1, blocked candidates, partial top-k.
+    */
+  def twoLevelTopKWith(corpus: DataFrame, coarseCodebook: DataFrame,
+                       fineFilter: Column, queryFilter: Column,
+                       nprobe1: Int = 4, nprobe2: Int = 4,
+                       k: Int = 10): DataFrame = {
+    val embs = withSelfDot(corpus).withColumnRenamed("id", "vec_id")
+    val cents = coarseCodebook.select(col("c_id"), col("c_qv"),
+      quantDot(col("c_qv"), col("c_qv")).cast("double").as("c_dot"))
+    val (_, fine, assign) = twoLevelPartsCents(embs, cents, fineFilter)
+    twoLevelProbe(embs, cents, fine, assign, queryFilter, nprobe1, nprobe2, k)
+  }
+
+  /** The PRODUCTION plain-IVF probe face (round 16 — the
+    * `IvfPq.ivfPqAutoTopK` treatment applied to q43's path): the index
+    * shape is a corpus-size decision. Below `IvfPq.twoLevelThreshold`
+    * the single-level √n face runs (oracle-replayable; both faces are
+    * job-floor-dominated down there). At or above it the probe routes
+    * through the two-level (∛n coarse broadcast + per-cell fine
+    * codebooks) index, so no shipped ANN face pays the single-level
+    * coarse assign's O(n·√n) CPU at scale — the r15 adjudication
+    * measured that face at 2.9×/2.5× wall per 2× data (the √2·2 ≈ 2.83
+    * structural class) while the two-level rows sit at 2^{4/3} ≈ 2.52.
+    * Output shape is identical either way; q68 audits the sub-threshold
+    * face's recall, q71 the above-threshold one's.
+    */
+  def ivfAutoTopK(corpus: DataFrame, n: Long, queryFilter: Column,
+                  nprobe: Int = 4, k: Int = 10): DataFrame =
+    if (n >= IvfPq.twoLevelThreshold) {
+      val c1 = coarseCountFor(n)
+      twoLevelTopK(corpus,
+        coarseFilter = graft.functions.GraftFunctions
+          .idSample(col("vec_id"), math.max(1L, n / c1)),
+        fineFilter = graft.functions.GraftFunctions
+          .idSample(col("vec_id"), math.max(1L, n / (c1 * c1))),
+        queryFilter, nprobe1 = nprobe, nprobe2 = nprobe, k = k)
+    } else {
+      val stride = math.max(1L, n / centroidCountFor(n))
+      ivfTopK(corpus, queryFilter,
+        centroidFilter = graft.functions.GraftFunctions
+          .idSample(col("vec_id"), stride),
+        nprobe = nprobe, k = k)
+    }
+
+  /** The PRODUCTION kmeans-refined IVF probe face (q67's path, same
+    * corpus-size routing as `ivfAutoTopK`). Below the threshold: the
+    * single-level √n-seed kmeans codebook (the oracled replay face).
+    * At or above: the COARSE level is a kmeans-refined ∛n codebook —
+    * one Lloyd round over ∛n centroids is O(n·∛n) = O(n^{4/3}), the
+    * same class as the index it feeds — and fine seeds stay a corpus
+    * sample, so the refinement benefit (cell occupancy tracking true
+    * direction families) lands where it matters most: the level whose
+    * cells block the candidate work.
+    */
+  def ivfKmeansAutoTopK(corpus: DataFrame, n: Long, queryFilter: Column,
+                        rounds: Int = 1, nprobe: Int = 4,
+                        k: Int = 10): DataFrame =
+    if (n >= IvfPq.twoLevelThreshold) {
+      val c1 = coarseCountFor(n)
+      val coarseCb = Cluster.kmeansCodebook(corpus,
+        graft.functions.GraftFunctions
+          .idSample(col("id"), math.max(1L, n / c1)), rounds)
+      twoLevelTopKWith(corpus, coarseCb,
+        fineFilter = graft.functions.GraftFunctions
+          .idSample(col("vec_id"), math.max(1L, n / (c1 * c1))),
+        queryFilter, nprobe1 = nprobe, nprobe2 = nprobe, k = k)
+    } else {
+      val cb = Cluster.kmeansCodebook(corpus,
+        graft.functions.GraftFunctions.idSample(col("id"),
+          math.max(1L, n / centroidCountFor(n))), rounds)
+      ivfTopKWith(corpus, cb, queryFilter, nprobe, k)
+    }
 
   /** Cell-blocked exact near-duplicate pairs: vectors pair only within
     * their IVF cell (same deterministic assignment as ivfTopK), verified

@@ -248,11 +248,14 @@ object Curation {
     "q67_ann_ivf_kmeans",
     (s, dir) => {
       val corpus = qEmb(s, dir)
-      val cb = graft.operators.Cluster
-        .kmeansCodebook(corpus, seedOf(s, dir), rounds = 1)
+      val n = t(s, dir, "embeddings").count()
+      // round 16 auto face: below IvfPq.twoLevelThreshold this is the
+      // single-level √n-seed kmeans codebook the CTE replays; above it
+      // (sf10+ ladder) the coarse level is a kmeans-refined ∛n codebook
+      // feeding the two-level probe — O(n^{4/3}) end to end
       graft.operators.Ann
-        .ivfTopKWith(corpus, cb, queryFilter = col("vec_id") < 10,
-          nprobe = 4, k = 10)
+        .ivfKmeansAutoTopK(corpus, n, queryFilter = col("vec_id") < 10,
+          rounds = 1, nprobe = 4, k = 10)
         .orderBy(col("q_id"), col("rn"))
     },
     Some(kmeansCtes + """,

@@ -450,10 +450,14 @@ object Pipeline {
       // linearly with n, while k ~ n/const makes the assign pass
       // quadratic — the sf20 decade measured both regimes
       val n = t(s, dir, "embeddings").count()
-      val stride = math.max(1L, n / graft.operators.Ann.centroidCountFor(n))
+      // round 16: the auto face — single-level √n replay below
+      // IvfPq.twoLevelThreshold (every oracle/bench SF; the CTE below
+      // replays exactly that branch), two-level ∛n routing above it
+      // (the sf10–sf100 ladder) so the shipped face never pays the
+      // O(n·√n) coarse assign at scale
       graft.operators.Ann
-        .ivfTopK(embs, queryFilter = col("vec_id") < 10,
-          centroidFilter = graft.functions.GraftFunctions.idSample(col("vec_id"), stride), nprobe = 4, k = 10)
+        .ivfAutoTopK(embs, n, queryFilter = col("vec_id") < 10,
+          nprobe = 4, k = 10)
         .orderBy(col("q_id"), col("rn"))
     },
     Some("""WITH q AS (

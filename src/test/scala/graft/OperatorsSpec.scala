@@ -384,6 +384,62 @@ class OperatorsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("D7b auto faces route by corpus size: sub-threshold == single-level, above == two-level") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    import graft.operators.{Ann, Cluster, IvfPq}
+    val embs = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+    val n = embs.count()
+    val qF = col("vec_id") < 5
+    val prevThresh = IvfPq.twoLevelThreshold
+    try {
+      // branch 1: corpus below the threshold — auto IS the oracled
+      // single-level face, row for row
+      IvfPq.twoLevelThreshold = n + 1
+      val stride = math.max(1L, n / Ann.centroidCountFor(n))
+      val single = Ann.ivfTopK(embs, qF,
+        centroidFilter = idSample(col("vec_id"), stride), nprobe = 4, k = 10)
+      val autoLo = Ann.ivfAutoTopK(embs, n, qF, nprobe = 4, k = 10)
+      assert(autoLo.except(single).count() == 0 &&
+        single.except(autoLo).count() == 0)
+      val cb = Cluster.kmeansCodebook(embs,
+        idSample(col("id"), stride), rounds = 1)
+      val singleK = Ann.ivfTopKWith(embs, cb, qF, nprobe = 4, k = 10)
+      val autoKLo = Ann.ivfKmeansAutoTopK(embs, n, qF,
+        rounds = 1, nprobe = 4, k = 10)
+      assert(autoKLo.except(singleK).count() == 0 &&
+        singleK.except(autoKLo).count() == 0)
+      // branch 2: threshold forced below the corpus — auto IS the
+      // two-level probe (and, probing exhaustively, equals brute force)
+      IvfPq.twoLevelThreshold = 1L
+      val c1 = Ann.coarseCountFor(n)
+      val two = Ann.twoLevelTopK(embs,
+        coarseFilter = idSample(col("vec_id"), math.max(1L, n / c1)),
+        fineFilter = idSample(col("vec_id"), math.max(1L, n / (c1 * c1))),
+        qF, nprobe1 = 4, nprobe2 = 4, k = 10)
+      val autoHi = Ann.ivfAutoTopK(embs, n, qF, nprobe = 4, k = 10)
+      assert(autoHi.except(two).count() == 0 &&
+        two.except(autoHi).count() == 0)
+      // the kmeans auto face above threshold: k-bounded, self-free, and
+      // scores are the exact quantized cosine (its coarse codebook is
+      // Lloyd-refined, so there is no independent replay to equal)
+      val autoKHi = Ann.ivfKmeansAutoTopK(embs, n, qF,
+        rounds = 1, nprobe = 4, k = 10).cache()
+      try {
+        assert(autoKHi.filter(col("q_id") === col("neighbor")).count() == 0)
+        assert(autoKHi.groupBy("q_id").count()
+          .filter(col("count") > 10).count() == 0)
+        assert(autoKHi.count() > 0)
+        val qv = embs.select(col("id").as("q_id"), col("qv").as("a"))
+        val nv = embs.select(col("id").as("neighbor"), col("qv").as("b"))
+        assert(autoKHi.join(qv, "q_id").join(nv, "neighbor")
+          .filter(quantCosine(col("a"), col("b")) =!= col("cos_sim"))
+          .count() == 0)
+      } finally autoKHi.unpersist()
+    } finally IvfPq.twoLevelThreshold = prevThresh
+  }
+
   test("E5 GraftExtensions exposes native functions to spark.sql") {
     Tables.registerAll(spark, sfDir)
     val out = spark.sql(
