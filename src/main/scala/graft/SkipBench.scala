@@ -38,7 +38,7 @@ object SkipBench {
     g.catalog.sortTargetFileBytes = 16L * 1024 * 1024
     g.sql("optimize table li sort by (l_shipdate)")
     val dir = Paths.get(g.catalog.dataPath("sb", "li"))
-    val total = sources.FileSkipStats.read(dir).size
+    val total = sources.FileSkipStats.readAll(dir).size
 
     // one month out of the ~7-year shipdate domain (1995-01..2001-11)
     val q = "select sum(l_quantity) as s, count(*) as c from li " +
@@ -106,7 +106,7 @@ object SkipBench {
       s"select count(*) as c from li where l_orderkey = $presentK")
 
     g.sql("optimize table li zorder by (l_shipdate, l_orderkey)")
-    val zTotal = sources.FileSkipStats.read(dir).size
+    val zTotal = sources.FileSkipStats.readAll(dir).size
     val zDate = prunedBy(q)
     val zOkey = prunedBy(okeyQ)
 

@@ -969,7 +969,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       // this all runs inside the DML lock, so redundant I/O here extends
       // the window every writer blocks on
       val parquetFiles = listFiles(cur).filter(_.endsWith(".parquet"))
-      val covered = graft.sources.FileSkipStats.read(cur).keySet
+      val covered = graft.sources.FileSkipStats.readAll(cur).keySet
       val missing = parquetFiles.filter(f =>
         !covered.contains(graft.sources.FileSkipStats.relKey(f)))
       // externally landed files may come from NaN-excluding writers —
@@ -980,8 +980,8 @@ class Catalog(spark: SparkSession, val warehouse: String) {
         trusted = false)
       // an explicit ANALYZE covers every uncovered file with blooms,
       // minRows gate included (the user asked for stats)
-      val fresh = graft.sources.FileSkipStats.read(cur)
-      val bloomCovered = graft.sources.BloomSidecar.read(cur).keySet
+      val fresh = graft.sources.FileSkipStats.readAll(cur)
+      val bloomCovered = graft.sources.BloomSidecar.readAll(cur).keySet
       val bloomMissing = parquetFiles.filter(f =>
         !bloomCovered.contains(graft.sources.FileSkipStats.relKey(f)))
       graft.sources.BloomSidecar.record(
@@ -1489,7 +1489,7 @@ class Catalog(spark: SparkSession, val warehouse: String) {
   private def cboColStats(cur: Path, m: TableMeta, rows: Long)
       : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
     import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
-    val side = graft.sources.FileSkipStats.read(cur)
+    val side = graft.sources.FileSkipStats.readAll(cur)
     if (side.isEmpty) return Map.empty
     m.schema.fields.toSeq.flatMap { f =>
       val dt = f.dataType

@@ -153,7 +153,10 @@ object BloomSidecar {
       : Unit = {
     val cols = eligible(schema)
     if (cols.isEmpty) return
-    val stats = statsOpt.getOrElse(FileSkipStats.read(dir))
+    // readAll: on sharded (partitioned) layouts the value counts live in
+    // the per-dir shards — the root sidecar alone would zero every
+    // rowsOf() and silently skip the whole batch's blooms
+    val stats = statsOpt.getOrElse(FileSkipStats.readAll(dir))
     def rowsOf(rel: String): Long =
       stats.get(FileSkipStats.relKey(rel)).flatMap(_.values.headOption)
         .map(_.valueCount).getOrElse(0L)
@@ -197,21 +200,72 @@ object BloomSidecar {
         }
       }
     }.toMap
-    if (entries.nonEmpty) writeRaw(dir, readRaw(dir) ++ entries)
+    // shard like the min/max sidecar (round 16): nested (partition-dir)
+    // files write their own dir's `_graft_bloom` keyed by bare name, so
+    // a partition-pruned scan never parses another partition's sketches
+    if (entries.nonEmpty) entries.groupBy { case ((rel, _), _) =>
+      val cut = rel.lastIndexOf('/')
+      if (cut < 0) None else Some(rel.substring(0, cut))
+    }.foreach { case (shard, es) =>
+      val sd = shard.fold(dir)(dir.resolve(_))
+      val named = es.map { case ((rel, c), b) =>
+        (java.nio.file.Paths.get(rel).getFileName.toString, c) -> b }
+      writeRaw(sd, readRaw(sd) ++ named)
+    }
   }
 
   /** Carry bloom entries for hard-linked files from the replaced
-    * version's sidecar. Files it never covered simply stay uncovered
-    * (bloom absent = never prune — sound; the min/max sidecar still
-    * covers them via its own carry-over re-read).
+    * version's sidecars (matching shard first, legacy nested-key root
+    * second). Files neither covered simply stay uncovered (bloom absent
+    * = never prune — sound; the min/max sidecar still covers them via
+    * its own carry-over re-read).
     */
   def carryOver(fromDir: Path, toDir: Path,
-                relPaths: Iterable[String]): Unit = {
-    val old = readRaw(fromDir)
-    if (old.isEmpty) return
-    val keys = relPaths.map(FileSkipStats.relKey).toSet
-    val copied = old.filter { case ((f, _), _) => keys.contains(f) }
-    if (copied.nonEmpty) writeRaw(toDir, readRaw(toDir) ++ copied)
+                relPaths: Iterable[String]): Unit =
+    relPaths.map(FileSkipStats.relKey).groupBy { k =>
+      val cut = k.lastIndexOf('/')
+      if (cut < 0) None else Some(k.substring(0, cut))
+    }.foreach { case (shard, keys) =>
+      val oldShard = readRaw(shard.fold(fromDir)(fromDir.resolve(_)))
+        .groupBy(_._1._1)
+      val oldRoot =
+        (if (shard.isDefined) readRaw(fromDir)
+         else Map.empty[(String, String), String]).groupBy(_._1._1)
+      val copied = keys.toSeq.flatMap { k =>
+        val name = java.nio.file.Paths.get(k).getFileName.toString
+        oldShard.getOrElse(name,
+          oldRoot.getOrElse(k, Map.empty)
+            .map { case ((_, c), b) => (name, c) -> b })
+      }.toMap
+      if (copied.nonEmpty) {
+        val sd = shard.fold(toDir)(toDir.resolve(_))
+        writeRaw(sd, readRaw(sd) ++ copied)
+      }
+    }
+
+  /** The whole version's blooms — root sidecar plus every shard, shard
+    * entries re-keyed to root-relative paths. Full-version consumers
+    * only (ANALYZE backfill coverage); the scan path loads per pruned
+    * listing.
+    */
+  def readAll(dir: Path): Map[String, Map[String, BloomFilter]] = {
+    val root = read(dir)
+    if (!Files.exists(dir.resolve(FileSkipStats.ShardMarker))) return root
+    // resolve the `data` pointer symlink first: Files.walk does not
+    // descend through a symlinked start node
+    val base = try dir.toRealPath() catch {
+      case scala.util.control.NonFatal(_) => dir }
+    val shards =
+      try Files.walk(base).iterator.asScala
+        .filter(p => p.getFileName.toString == SidecarName &&
+          p.getParent != base)
+        .flatMap { s =>
+          val rel = FileSkipStats.relKey(base.relativize(s.getParent).toString)
+          read(s.getParent).map { case (n, cs) => s"$rel/$n" -> cs }
+        }.toMap
+      catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Map[String, BloomFilter]] }
+    root ++ shards
   }
 
   // ---- the MAY-MATCH side -------------------------------------------------

@@ -243,17 +243,60 @@ object FileSkipStats {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Marker a version root carries when any of its sidecar entries live
+    * in per-partition-dir SHARDS (round 16). At 10⁵–10⁶-file partitioned
+    * tables one root sidecar is itself a large planning-time read; a
+    * shard per partition dir means a partition-pruned scan reads only
+    * the pruned dirs' sidecars. The scan rule keys off this marker to
+    * wrap the relation even when the root sidecar is empty or absent.
+    */
+  val ShardMarker = "_graft_sharded"
+
+  /** Split a commit batch by the directory its files land in: files
+    * directly under the version root keep the root sidecar (classic
+    * non-partitioned layout); nested files — partition dirs — shard
+    * into their own directory's sidecar keyed by bare file name (unique
+    * within one dir; the cross-dir part-NNNNN collision that forced
+    * nested root keys cannot happen inside a single dir).
+    */
+  private def byShard(relPaths: Iterable[String])
+      : Map[Option[String], Seq[String]] =
+    relPaths.toSeq.groupBy { r =>
+      val k = relKey(r)
+      val cut = k.lastIndexOf('/')
+      if (cut < 0) None else Some(k.substring(0, cut))
+    }
+
+  private def shardDirOf(dir: Path, shard: Option[String]): Path =
+    shard.fold(dir)(dir.resolve(_))
+
+  private def markSharded(dir: Path): Unit = {
+    val m = dir.resolve(ShardMarker)
+    if (!Files.exists(m))
+      try Files.createFile(m)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
   /** Merge footer stats of `newRelPaths` (the files this commit adds
-    * under `dir`) into `dir`'s sidecar. Cost is O(batch footers).
+    * under `dir`) into the owning sidecars — the root one for files
+    * directly under `dir`, one shard per partition dir for nested files.
+    * Cost is O(batch footers) + O(touched shards).
     */
   def record(conf: Configuration, dir: Path, newRelPaths: Iterable[String],
              schema: StructType, trusted: Boolean = true): Unit =
-    if (newRelPaths.nonEmpty)
-      writeAll(dir,
-        read(dir) ++ collect(conf, dir, newRelPaths, schema, trusted))
+    byShard(newRelPaths.filter(_.endsWith(".parquet"))).foreach {
+      case (shard, paths) =>
+        val sd = shardDirOf(dir, shard)
+        val names = paths.map(p => Paths.get(relKey(p)).getFileName.toString)
+        if (names.nonEmpty) {
+          writeAll(sd, read(sd) ++ collect(conf, sd, names, schema, trusted))
+          if (shard.isDefined) markSharded(dir)
+        }
+    }
 
   /** Carry entries for hard-linked files from the replaced version's
-    * sidecar; files it never covered are re-read from their footers
+    * sidecars (matching shard first, the legacy nested-key root sidecar
+    * second); files neither covered are re-read from their footers
     * (never silently left uncovered — an uncovered file is a permanent
     * "may match"). Uncovered-at-carry files were not written by graft's
     * own record()-covered paths, so their footers get the untrusted
@@ -261,13 +304,52 @@ object FileSkipStats {
     */
   def carryOver(conf: Configuration, fromDir: Path, toDir: Path,
                 relPaths: Iterable[String], schema: StructType): Unit =
-    if (relPaths.nonEmpty) {
-      val old = read(fromDir)
-      val (have, missing) = relPaths.partition(r => old.contains(relKey(r)))
-      val copied = have.map { r => relKey(r) -> old(relKey(r)) }.toMap
-      writeAll(toDir, read(toDir) ++ copied ++
-        collect(conf, toDir, missing, schema, trusted = false))
+    byShard(relPaths.filter(_.endsWith(".parquet"))).foreach {
+      case (shard, paths) =>
+        val oldShard = read(shardDirOf(fromDir, shard))
+        val oldRoot =
+          if (shard.isDefined) read(fromDir) else Map.empty[String, Map[String, ColStat]]
+        val sd = shardDirOf(toDir, shard)
+        val entries = paths.map { r =>
+          val k = relKey(r)
+          val name = Paths.get(k).getFileName.toString
+          name -> oldShard.get(name).orElse(oldRoot.get(k))
+        }
+        val copied = entries.collect { case (n, Some(cs)) => n -> cs }.toMap
+        val missing = entries.collect { case (n, None) => n }
+        if (entries.nonEmpty) {
+          writeAll(sd, read(sd) ++ copied ++
+            collect(conf, sd, missing, schema, trusted = false))
+          if (shard.isDefined) markSharded(toDir)
+        }
     }
+
+  /** The whole version's stats — the root sidecar plus every shard,
+    * shard entries re-keyed to root-relative paths. Full-table consumers
+    * (ANALYZE backfill, CBO column stats, artifacts) read this; the scan
+    * path never does — it loads shards per pruned listing.
+    */
+  def readAll(dir: Path): Map[String, Map[String, ColStat]] = {
+    val root = read(dir)
+    if (!Files.exists(dir.resolve(ShardMarker))) return root
+    // resolve the `data` pointer symlink first: Files.walk does not
+    // descend through a symlinked start node
+    val base = try dir.toRealPath() catch {
+      case scala.util.control.NonFatal(_) => dir }
+    val shards =
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator.asScala
+          .filter(p => p.getFileName.toString == SidecarName &&
+            p.getParent != base)
+          .flatMap { s =>
+            val rel = relKey(base.relativize(s.getParent).toString)
+            read(s.getParent).map { case (n, cs) => s"$rel/$n" -> cs }
+          }.toMap
+      } catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Map[String, ColStat]] }
+    root ++ shards
+  }
 
   // ---- the MAY-MATCH evaluator -------------------------------------------
 

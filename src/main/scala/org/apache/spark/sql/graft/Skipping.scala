@@ -24,18 +24,26 @@ import graft.sources.FileSkipStats
   * `spark.experimental.extraOptimizations` — it runs AFTER the built-in
   * batches, so partitioned relations have already been pruned to
   * concrete listings) wraps any single-root file-source relation whose
-  * root carries a sidecar; everything else — driver testdata, external
-  * parquet, CSV, partition-pruned multi-root listings (directory
-  * pruning is already the coarse filter there) — resolves exactly as
-  * before.
+  * root carries a sidecar (or, round 16, the `_graft_sharded` marker);
+  * everything else — driver testdata, external parquet, CSV — resolves
+  * exactly as before.
+  *
+  * SHARDED tables (partitioned layouts, round 16): each partition dir
+  * carries its own `_graft_stats`/`_graft_bloom`, and this index loads
+  * a shard only when `listFiles` actually lists that dir — so partition
+  * pruning prunes sidecar I/O too. At a 10⁵–10⁶-file table the root
+  * sidecar would itself be a large planning-time read; per-dir shards
+  * keep the read proportional to the PRUNED listing. Legacy nested-key
+  * root entries (pre-r16 partitioned commits) stay honored as a
+  * fallback, so mixed-vintage versions read soundly.
   */
 final class SkippingFileIndex(
     inner: FileIndex,
     dataSchema: StructType,
     sidecarDir: java.nio.file.Path,
+    sharded: Boolean,
     stats: Map[String, Map[String, FileSkipStats.ColStat]],
-    blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
-      = Map.empty)
+    blooms: Skipping.Blooms = Map.empty)
   extends FileIndex {
 
   override def rootPaths: Seq[Path] = inner.rootPaths
@@ -45,8 +53,10 @@ final class SkippingFileIndex(
     * partition directories (Spark's dynamic-partition writer reuses
     * part-NNNNN-<uuid> per task across every partition dir it writes),
     * and a collision evaluates a file against another partition's
-    * min/max: silent data loss. A file outside the sidecar dir (cannot
-    * happen for roots statsFor accepted, but stay safe) is never pruned.
+    * min/max: silent data loss. Shards dodge the collision by
+    * construction (one dir, bare names unique). A file outside the
+    * sidecar dir (cannot happen for roots statsFor accepted, but stay
+    * safe) is never pruned.
     */
   private def keyOf(p: Path): Option[String] = {
     val u = p.toUri
@@ -67,16 +77,35 @@ final class SkippingFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val dirs = inner.listFiles(partitionFilters, dataFilters)
-    if (dataFilters.isEmpty || stats.isEmpty) dirs
+    if (dataFilters.isEmpty || (!sharded && stats.isEmpty)) dirs
     else {
       var pruned = 0L
       val out = dirs.map { pd =>
         val kept = pd.files.filter { f =>
-          val key = keyOf(f.getPath)
-          key.flatMap(stats.get) match {
-            case Some(cs) => FileSkipStats.mayMatch(dataFilters, dataSchema, cs,
-              key.flatMap(blooms.get).getOrElse(Map.empty))
-            case None => true // uncovered file — never prune
+          keyOf(f.getPath) match {
+            case None => true // foreign file — never prune
+            case Some(key) =>
+              val cut = key.lastIndexOf('/')
+              val (st, bl, name) =
+                if (!sharded || cut < 0) (stats, blooms, key)
+                else {
+                  // lazy per-dir shard: loaded (and cached) only for
+                  // dirs the pruned listing actually surfaced
+                  val (s, b) = Skipping.shardFor(
+                    sidecarDir.resolve(key.substring(0, cut)))
+                  (s, b, key.substring(cut + 1))
+                }
+              // legacy fallback: pre-shard partitioned commits keyed
+              // nested paths in the ROOT sidecar
+              st.get(name).orElse(if (cut >= 0) stats.get(key) else None)
+              match {
+                case Some(cs) =>
+                  FileSkipStats.mayMatch(dataFilters, dataSchema, cs,
+                    bl.get(name)
+                      .orElse(if (cut >= 0) blooms.get(key) else None)
+                      .getOrElse(Map.empty))
+                case None => true // uncovered file — never prune
+              }
           }
         }
         pruned += pd.files.size - kept.size
@@ -102,56 +131,84 @@ object Skipping {
   val filesPruned = new AtomicLong(0L)
 
   type Blooms = Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+  private type Stats = Map[String, Map[String, FileSkipStats.ColStat]]
 
-  // sidecar cache: path -> (minmax mtime/size, bloom mtime/size, parsed
-  // min/max, parsed blooms). Commits rewrite both sidecars atomically,
+  private def fingerprint(p: java.nio.file.Path): (Long, Long) =
+    if (Files.isRegularFile(p))
+      (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+    else (-1L, -1L)
+
+  // root-sidecar cache: base path -> (minmax fp, bloom fp, marker?,
+  // parsed min/max, parsed blooms). Commits rewrite sidecars atomically,
   // so (mtime, size) per file is a sufficient fingerprint.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Long, Long, Long, Long,
-       Map[String, Map[String, FileSkipStats.ColStat]], Blooms)]()
+      ((Long, Long), (Long, Long), Boolean, Stats, Blooms)]()
+
+  // per-partition-dir shard cache, same fingerprint discipline; sized
+  // for pruned listings (a full scan of a 10⁶-dir table would thrash it,
+  // which only costs re-parsing — correctness never depends on a hit)
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      ((Long, Long), (Long, Long), Stats, Blooms)]()
+
+  /** One partition dir's sidecar + blooms, cached by (mtime, size). */
+  private[graft] def shardFor(dir: java.nio.file.Path): (Stats, Blooms) = {
+    val sfp = fingerprint(dir.resolve(FileSkipStats.SidecarName))
+    val bfp = fingerprint(dir.resolve(graft.sources.BloomSidecar.SidecarName))
+    if (sfp._1 < 0 && bfp._1 < 0) return (Map.empty, Map.empty)
+    val key = dir.toString
+    val hit = shardCache.get(key)
+    if (hit != null && hit._1 == sfp && hit._2 == bfp) (hit._3, hit._4)
+    else {
+      val st = FileSkipStats.read(dir)
+      val bl = graft.sources.BloomSidecar.read(dir)
+      if (shardCache.size >= 4096) shardCache.clear()
+      shardCache.put(key, (sfp, bfp, st, bl))
+      (st, bl)
+    }
+  }
 
   private def statsFor(roots: Seq[Path]): Option[
-      (java.nio.file.Path, Map[String, Map[String, FileSkipStats.ColStat]],
-       Blooms)] = {
+      (java.nio.file.Path, Boolean, Stats, Blooms)] = {
     if (roots.isEmpty) return None
     val paths = roots.map { r =>
       val u = r.toUri
       if (u.getScheme != null && u.getScheme != "file") return None
       Paths.get(u.getPath)
     }
-    // The sidecar sits at the table's data root. A non-partitioned
-    // relation roots there directly; a partition-pruned relation roots
-    // at the selected `<data>/<k=v>` subdirs — walk up (≤2 levels, for
-    // nested partition keys) to the nearest sidecar every root shares.
-    var side: java.nio.file.Path = null
-    var base = paths.head
+    // The sidecar (or shard marker) sits at the table's data root. A
+    // non-partitioned relation roots there directly; a partition-pruned
+    // relation may root at the selected `<data>/<k=v>` subdirs — walk up
+    // (≤2 levels, for nested partition keys) to the nearest sidecar
+    // every root shares.
+    var base: java.nio.file.Path = null
+    var probe = paths.head
     var up = 0
-    while (side == null && base != null && up <= 2) {
-      val s = base.resolve(FileSkipStats.SidecarName)
-      if (Files.isRegularFile(s) && paths.forall(_.startsWith(base)))
-        side = s
-      else { base = base.getParent; up += 1 }
+    while (base == null && probe != null && up <= 2) {
+      if ((Files.isRegularFile(probe.resolve(FileSkipStats.SidecarName)) ||
+           Files.exists(probe.resolve(FileSkipStats.ShardMarker))) &&
+          paths.forall(_.startsWith(probe)))
+        base = probe
+      else { probe = probe.getParent; up += 1 }
     }
-    if (side == null) return None
-    val key = side.toString
-    val (mt, sz) = (Files.getLastModifiedTime(side).toMillis, Files.size(side))
+    if (base == null) return None
+    val side = base.resolve(FileSkipStats.SidecarName)
     val bside = base.resolve(graft.sources.BloomSidecar.SidecarName)
-    val (bmt, bsz) =
-      if (Files.isRegularFile(bside))
-        (Files.getLastModifiedTime(bside).toMillis, Files.size(bside))
-      else (-1L, -1L)
+    val sharded = Files.exists(base.resolve(FileSkipStats.ShardMarker))
+    val (sfp, bfp) = (fingerprint(side), fingerprint(bside))
+    val key = base.toString
     val hit = cache.get(key)
-    if (hit != null && hit._1 == mt && hit._2 == sz &&
-        hit._3 == bmt && hit._4 == bsz) Some((base, hit._5, hit._6))
+    if (hit != null && hit._1 == sfp && hit._2 == bfp && hit._3 == sharded)
+      Some((base, sharded, hit._4, hit._5))
     else {
-      val parsed = FileSkipStats.read(side.getParent)
+      val parsed = FileSkipStats.read(base)
       val parsedBlooms = graft.sources.BloomSidecar.read(base)
       // version dirs come and go with every rewrite on a long-running
       // server — bound the cache instead of tracking GC
       if (cache.size >= 256) cache.clear()
-      cache.put(key, (mt, sz, bmt, bsz, parsed, parsedBlooms))
-      Some((base, parsed, parsedBlooms))
+      cache.put(key, (sfp, bfp, sharded, parsed, parsedBlooms))
+      Some((base, sharded, parsed, parsedBlooms))
     }
   }
 
@@ -161,10 +218,10 @@ object Skipping {
         case fsr: HadoopFsRelation
           if !fsr.location.isInstanceOf[SkippingFileIndex] =>
           statsFor(fsr.location.rootPaths) match {
-            case Some((base, st, bl)) if st.nonEmpty =>
+            case Some((base, sharded, st, bl)) if sharded || st.nonEmpty =>
               lr.copy(relation = fsr.copy(location =
-                new SkippingFileIndex(fsr.location, fsr.dataSchema, base, st,
-                  bl))(fsr.sparkSession))
+                new SkippingFileIndex(fsr.location, fsr.dataSchema, base,
+                  sharded, st, bl))(fsr.sparkSession))
             case _ => lr
           }
         case _ => lr

@@ -516,7 +516,7 @@ class DataSkippingSpec extends AnyFunSuite {
       (900 to 920).map(i => s"($i, 'us')").mkString(", ") + ", " +
       (900 to 920).map(i => s"($i, 'eu')").mkString(", "))
     val dir = Paths.get(g.catalog.dataPath("skipdb", "t_part"))
-    val stats = FileSkipStats.read(dir)
+    val stats = FileSkipStats.readAll(dir)
     assert(stats.nonEmpty, "partitioned appends must record sidecar entries")
     // partition filter prunes the directory, data filter prunes files
     // inside the surviving partition (the pruned listing roots at the
@@ -544,7 +544,7 @@ class DataSkippingSpec extends AnyFunSuite {
       (1 to 20).map(i => s"($i, 'us')").mkString(", ") + ", " +
       (500 to 520).map(i => s"($i, 'eu')").mkString(", "))
     val dir = Paths.get(g.catalog.dataPath("skipdb", "t_pcol"))
-    val stats = FileSkipStats.read(dir)
+    val stats = FileSkipStats.readAll(dir)
     assert(stats.nonEmpty)
     assert(stats.keySet.forall(_.contains("site=")),
       s"sidecar keys must include the partition subdir, got ${stats.keySet}")
@@ -569,6 +569,114 @@ class DataSkippingSpec extends AnyFunSuite {
     // eu-range probe, so the scan under site=us reads zero files
     assert(g.sql("select * from t_pcol where site = 'us' and id >= 500")
       .count() == 0)
+  }
+
+  test("E9 sharded sidecars: one _graft_stats/_graft_bloom per partition dir; pruning unchanged") {
+    g.sql("use skipdb")
+    g.sql("create table t_shard (id bigint, okey bigint, site varchar(10)) " +
+      "partition by (site)")
+    g.catalog.bloomMinRows = 8L
+    try {
+      // two appends per partition with disjoint id ranges (file pruning
+      // must engage inside a partition) and bloom-able okey values
+      g.sql("insert into t_shard values " +
+        (1 to 20).map(i => s"($i, ${i * 2}, 'us')").mkString(", ") + ", " +
+        (1 to 20).map(i => s"($i, ${i * 2}, 'eu')").mkString(", "))
+      g.sql("insert into t_shard values " +
+        (900 to 920).map(i => s"($i, ${i * 2}, 'us')").mkString(", ") + ", " +
+        (900 to 920).map(i => s"($i, ${i * 2}, 'eu')").mkString(", "))
+      val dir = Paths.get(g.catalog.dataPath("skipdb", "t_shard"))
+      // layout: marker at the root, one sidecar (+blooms) per partition
+      // dir, NO monolithic root sidecar (all data files are nested)
+      assert(Files.exists(dir.resolve(FileSkipStats.ShardMarker)),
+        "sharded writes must drop the root marker")
+      assert(!Files.isRegularFile(dir.resolve(FileSkipStats.SidecarName)),
+        "a fully-partitioned table must not grow a root sidecar")
+      for (p <- Seq("us", "eu")) {
+        val pd = dir.resolve(s"site=$p")
+        assert(Files.isRegularFile(pd.resolve(FileSkipStats.SidecarName)),
+          s"partition dir site=$p must carry its own stats shard")
+        assert(Files.isRegularFile(
+          pd.resolve(graft.sources.BloomSidecar.SidecarName)),
+          s"partition dir site=$p must carry its own bloom shard")
+        // shard keys are bare names covering exactly the dir's files
+        val shard = FileSkipStats.read(pd)
+        val files = Files.list(pd).iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+        assert(shard.keySet == files, s"site=$p shard: ${shard.keySet}")
+      }
+      // readAll unions shards under root-relative keys (CBO/backfill path)
+      val all = FileSkipStats.readAll(dir)
+      assert(all.keySet.forall(_.contains("site=")) && all.size >= 4, all.keySet)
+      // pruning counts: unchanged from the monolithic design — partition
+      // pruning + in-partition file pruning compose
+      assert(g.sql("select * from t_shard where site = 'us' and id >= 900")
+        .count() == 21)
+      val usFiles = scansFiles(g.sql("select * from t_shard where site = 'us'"))
+      val pruned = scansFiles(g.sql(
+        "select * from t_shard where site = 'us' and id >= 900"))
+      assert(pruned < usFiles,
+        s"file skipping must engage inside the partition ($pruned vs $usFiles)")
+      // bloom shards engage on point probes of the unclustered okey
+      assert(g.sql("select count(*) as c from t_shard " +
+        "where site = 'us' and okey = 41").collect()(0).getLong(0) == 0L)
+      assert(g.sql("select count(*) as c from t_shard " +
+        "where site = 'us' and okey = 40").collect()(0).getLong(0) == 1L)
+      // rewrite path (ALTER → CoW rewrite): the new version's files are
+      // re-recorded into fresh shards and pruning still engages
+      g.sql("alter table t_shard add column extra int")
+      val cur = g.catalog.currentVersionDir("skipdb", "t_shard")
+      assert(Files.exists(cur.resolve(FileSkipStats.ShardMarker)))
+      val allNew = FileSkipStats.readAll(cur)
+      assert(allNew.nonEmpty && allNew.keySet.forall(_.contains("site=")))
+      assert(g.sql("select * from t_shard where site = 'us' and id >= 900")
+        .count() == 21)
+      val prunedNew = scansFiles(g.sql(
+        "select * from t_shard where site = 'us' and id >= 900"))
+      val usNew = scansFiles(g.sql("select * from t_shard where site = 'us'"))
+      assert(prunedNew < usNew, s"$prunedNew vs $usNew after rewrite")
+    } finally g.catalog.bloomMinRows = 1024L
+  }
+
+  test("E9 legacy nested-key root sidecars still prune and upgrade to shards on rewrite") {
+    g.sql("use skipdb")
+    g.sql("create table t_legacy (id bigint, site varchar(10)) partition by (site)")
+    g.sql("insert into t_legacy values " +
+      (1 to 20).map(i => s"($i, 'us')").mkString(", "))
+    g.sql("insert into t_legacy values " +
+      (900 to 920).map(i => s"($i, 'us')").mkString(", "))
+    val dir = Paths.get(g.catalog.dataPath("skipdb", "t_legacy"))
+    // forge the pre-r16 layout: fold every shard into a nested-key ROOT
+    // sidecar, drop the shards and the marker
+    val all = FileSkipStats.readAll(dir)
+    assert(all.nonEmpty)
+    val lines = all.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"$f\t$c\t${s.nullCount}\t${s.valueCount}\t${s.min.getOrElse("")}\t${s.max.getOrElse("")}"
+      }
+    }
+    Files.write(dir.resolve(FileSkipStats.SidecarName), lines.asJava)
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.getParent != dir &&
+        (p.getFileName.toString == FileSkipStats.SidecarName ||
+         p.getFileName.toString == graft.sources.BloomSidecar.SidecarName))
+      .toList.foreach(Files.delete)
+    Files.deleteIfExists(dir.resolve(FileSkipStats.ShardMarker))
+    // the legacy layout prunes exactly as before
+    assert(g.sql("select * from t_legacy where site = 'us' and id >= 900")
+      .count() == 21)
+    val usFiles = scansFiles(g.sql("select * from t_legacy where site = 'us'"))
+    val pruned = scansFiles(g.sql(
+      "select * from t_legacy where site = 'us' and id >= 900"))
+    assert(pruned < usFiles, s"legacy root sidecar must prune ($pruned/$usFiles)")
+    // a rewrite re-records the new version's files into SHARDS — the
+    // legacy monolith dies with its version, the upgrade is automatic
+    g.sql("alter table t_legacy add column extra int")
+    val cur = g.catalog.currentVersionDir("skipdb", "t_legacy")
+    val allNew = FileSkipStats.readAll(cur)
+    assert(allNew.nonEmpty && allNew.keySet.forall(_.contains("site=")))
+    assert(g.sql("select * from t_legacy where site = 'us' and id >= 900")
+      .count() == 21)
   }
 
   test("E9 an append racing OPTIMIZE keeps full sidecar coverage (carry-over path)") {
