@@ -3,7 +3,7 @@ package graft.engine
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, coalesce, col, concat, expr, filter, lit, max, max_by, min, min_by, monotonically_increasing_id, not, struct, when}
+import org.apache.spark.sql.functions.{array, array_join, coalesce, col, concat, explode, expr, filter, lit, max, max_by, min, min_by, monotonically_increasing_id, not, struct, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** MySQL-surface SQL session: every command of the reference's
@@ -873,6 +873,136 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     // keep THIS batch's staged record (torn-marker redelivery insurance);
     // reap everything older, including orphans from earlier crashes
     reapAppliedTxnDirs(checkpoint, batchId)
+  }
+
+  /** LIVE maintenance of the D38 ExactSubstr window-fingerprint index
+    * (round 16 — the C18 discipline applied to C22's probe side, which
+    * until now read a STATIC batch-rebuilt `fingerprintIndex`): each
+    * micro-batch of documents folds its window-fingerprint occurrence
+    * counts into a merge-on-read `(w BINARY PRIMARY KEY, c BIGINT)`
+    * table, so the span stream's corpus index grows under sustained
+    * ingest. COUNTS, not bare presence: presence alone could never be
+    * repaired after a corpus DELETE/revision; with counts the orphan
+    * audit (`auditFingerprintIndex`) reconciles exactly. The probe face
+    * is `ExactSubstr.fingerprintIndexFromLive` (SELECT w).
+    *
+    * Same WAL protocol as the containment index: the batch's absolute
+    * new counts are staged durably under the checkpoint BEFORE the
+    * table mutates, application is a REPLACE of the staged keys, and
+    * the batch-id marker makes fully-applied replays no-ops — a replay
+    * reapplies the SAME staged totals, never recomputes against the
+    * already-updated table. Single-writer contract as everywhere: this
+    * stream IS the fp table's writer.
+    */
+  def maintainFingerprintIndex(stream: DataFrame, fpTable: String,
+                               checkpoint: String, textCol: String = "text",
+                               minTokens: Int = 15)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (db, t) = qualify(fpTable)
+    require(catalog.meta(db, t).mergeOnRead,
+      s"maintainFingerprintIndex requires a merge-on-read fp table; '$fpTable' is not")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (batchId > lastAppliedBatch(checkpoint) && !batch.isEmpty)
+          applyFingerprintBatch(batch.toDF(), batchId, db, t, checkpoint,
+            textCol, minTokens)
+        ()
+      }
+      .start()
+  }
+
+  /** One fingerprint-index maintenance transaction (see
+    * maintainFingerprintIndex). Package-private with a crash hook so
+    * LiveIndexSpec can kill the protocol after staging / before the
+    * marker and pin that replay converges.
+    */
+  private[graft] def applyFingerprintBatch(
+      batch: DataFrame, batchId: Long, db: String, t: String,
+      checkpoint: String, textCol: String, minTokens: Int,
+      afterCommit: () => Unit = () => ()): Unit = {
+    val txnDir = java.nio.file.Paths.get(checkpoint, "_graft_txn",
+      batchId.toString)
+    val stagedFlag = txnDir.resolve("_STAGED")
+    val upDir = txnDir.resolve("fp_up").toString
+    if (!java.nio.file.Files.exists(stagedFlag)) {
+      // fresh batch (or crash mid-staging: the table has not mutated, so
+      // recomputing from its current state is still correct)
+      deleteDirTree(txnDir)
+      catalog.freshenStale()
+      val dc = batch
+        .select(explode(graft.functions.GraftFunctions
+          .windowMd5s(col(s"`$textCol`"), minTokens)).as("w"))
+        .groupBy(col("w"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("dc"))
+      // old counts read ONLY through a keyed join on the batch's w set —
+      // O(batch · occupancy), never O(index)
+      val live = spark.table(s"`$db`.`$t`")
+        .select(col("w"), col("c"))
+      val up = dc.join(live, Seq("w"), "left")
+        .select(col("w"),
+          (coalesce(col("c"), lit(0L)) + col("dc")).as("c"))
+      up.write.parquet(upDir)
+      java.nio.file.Files.createFile(stagedFlag)
+    }
+    val upM = spark.read.parquet(upDir)
+    // application is a REPLACE of the staged fingerprints with their
+    // staged ABSOLUTE totals — replaying lands the identical state
+    catalog.withDmlLock(db, t) {
+      catalog.freshenStale()
+      val seq = catalog.nextSeq(db, t)
+      catalog.appendDeletes(db, t, upM.select(col("w")), seq)
+      catalog.append(db, t, upM, seqOpt = Some(seq))
+      autoCompact(db, t)
+    }
+    afterCommit()
+    commitAppliedBatch(checkpoint, batchId)
+    reapAppliedTxnDirs(checkpoint, batchId)
+  }
+
+  /** Reconcile the live fingerprint index against a rebuild from the
+    * PINNED current corpus — the C17/C18 orphan-audit discipline for
+    * D38: corpus DELETEs and doc revisions strand counts the ingest
+    * edge cannot see (fingerprints are keyed by window content, not
+    * doc), so the audit retires fingerprints the rebuild lacks and
+    * REPLACEs disagreeing counts. Returns rows retired+replaced;
+    * 0 means the live index already equalled the rebuild.
+    */
+  def auditFingerprintIndex(fpTable: String, corpusTable: String,
+                            textCol: String = "text",
+                            minTokens: Int = 15): Long = {
+    import org.apache.spark.sql.graft.Bridge
+    val (db, t) = qualify(fpTable)
+    val (dbC, tC) = qualify(corpusTable)
+    val m = catalog.meta(db, t)
+    require(m.mergeOnRead,
+      "auditFingerprintIndex requires a merge-on-read fp table")
+    val snap = Bridge.freezeFileIndexes(
+      catalog.mergedWithSeq(dbC, tC).drop(Catalog.SeqCol))
+    val ref = snap
+      .select(explode(graft.functions.GraftFunctions
+        .windowMd5s(col(s"`$textCol`"), minTokens)).as("w"))
+      .groupBy(col("w"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .localCheckpoint()
+    val live = catalog.read(db, t)
+    val extra = live.select(col("w"))
+      .join(ref.select(col("w")), Seq("w"), "left_anti").localCheckpoint()
+    val wrong = ref.as("r")
+      .join(live.as("l"), Seq("w"), "left")
+      .filter(col("l.c").isNull || col("l.c") =!= col("r.c"))
+      .select(col("w"), col("r.c").as("c")).localCheckpoint()
+    var repairs = 0L
+    catalog.withDmlLock(db, t) {
+      if (!extra.isEmpty) {
+        catalog.appendDeletes(db, t, extra, catalog.nextSeq(db, t))
+        repairs += extra.count()
+      }
+      if (!wrong.isEmpty)
+        repairs += { replaceBatch(db, t, m, wrong); wrong.count() }
+    }
+    repairs
   }
 
   // ---- schemas (create_db.rs / drop_schema.rs / set_default_schema.rs) ---

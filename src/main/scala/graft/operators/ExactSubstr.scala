@@ -133,6 +133,16 @@ object ExactSubstr {
         .windowMd5s(col(textCol), minTokens)).as("w"))
       .distinct()
 
+  /** Adapt the LIVE fingerprint-count table
+    * (`GraftSession.maintainFingerprintIndex`'s `(w, c)` merge-on-read
+    * table) to the probe shape `fingerprintIndex` produces — the
+    * C17 `minhashIndexFromLive` discipline applied to D38. Every row of
+    * a consistent index has c ≥ 1; the filter is a guard against a
+    * mid-audit read, and costs nothing (scan-local).
+    */
+  def fingerprintIndexFromLive(table: DataFrame): DataFrame =
+    table.filter(col("c") >= 1).select(col("w"))
+
   /** The dedup pass itself: each document's text with every duplicate
     * span's tokens removed (Lee et al. cut the bytes; the token analogue
     * here), plus the kept-token count. Documents without duplicate spans

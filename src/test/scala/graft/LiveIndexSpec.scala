@@ -150,6 +150,79 @@ class LiveIndexSpec extends AnyFunSuite {
       "the crosser hash must have been counted across batches")
   }
 
+  test("C22 live ExactSubstr fingerprint index: counts track micro-batches, kill-replay converges, audit repairs a corpus DELETE") {
+    import graft.operators.ExactSubstr
+    val L = 5
+    g.sql("create table fp_idx (w blob, c bigint, primary key(w))")
+    val phrase = "alpha beta gamma delta epsilon"
+    def body(d: Int) = (1 to 12).map(i => s"d${d}w$i").mkString(" ")
+    val b1 = Seq(
+      StreamDoc(1, ts(0), s"$phrase ${body(1)}"),
+      StreamDoc(2, ts(1), s"$phrase ${body(2)}"))
+    val b2 = Seq(StreamDoc(3, ts(10), s"$phrase ${body(3)}"))
+    val b3 = Seq(StreamDoc(4, ts(20), s"${body(4)} $phrase"))
+    val chkDir = chk()
+
+    def rebuild(docs: Seq[StreamDoc]) =
+      docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+        .select(explode(graft.functions.GraftFunctions
+          .windowMd5s(col("text"), L)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }).toSet
+    def check(docsSoFar: Seq[StreamDoc]): Unit =
+      assert(rows(g.sql("select w, c from fp_idx")) == rows(rebuild(docsSoFar)))
+
+    val input = MemoryStream[StreamDoc](spark)
+    val q = g.maintainFingerprintIndex(input.toDF(), "fp_idx", chkDir,
+      minTokens = L)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    check(b1)
+    // the shared phrase's fingerprint counts ACROSS docs (c >= 2)
+    assert(g.sql("select count(*) as n from fp_idx where c >= 2")
+      .collect()(0).getLong(0) >= 1L)
+    input.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    check(b1 ++ b2)
+    // the probe face: live adapter == the static batch index
+    val corpus = (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    assert(rows(ExactSubstr.fingerprintIndexFromLive(
+        g.sql("select w, c from fp_idx"))) ==
+      rows(ExactSubstr.fingerprintIndex(corpus, "text", L)))
+
+    // kill AFTER the table commit but BEFORE the marker: the replay must
+    // reapply the STAGED totals (a recompute against the already-updated
+    // table would double-count the batch)
+    val b3df = b3.map(d => (d.doc_id, d.ts, d.text)).toDF("doc_id", "ts", "text")
+    val boom = intercept[RuntimeException] {
+      g.applyFingerprintBatch(b3df, 2L, "live", "fp_idx", chkDir, "text", L,
+        afterCommit = () => throw new RuntimeException("kill -9"))
+    }
+    assert(boom.getMessage == "kill -9")
+    assert(Files.exists(java.nio.file.Paths.get(chkDir, "_graft_txn", "2",
+      "_STAGED")), "the write-ahead record must survive the crash")
+    g.applyFingerprintBatch(b3df, 2L, "live", "fp_idx", chkDir, "text", L)
+    check(b1 ++ b2 ++ b3)
+
+    // orphan audit: a corpus DELETE strands counts the ingest edge
+    // cannot see; auditFingerprintIndex repairs to the rebuild
+    g.sql("create table docs_c22 (doc_id bigint, text varchar(400), " +
+      "primary key(doc_id))")
+    (b1 ++ b2 ++ b3).foreach(d => g.sql(
+      s"insert into docs_c22 values (${d.doc_id}, '${d.text}')"))
+    g.sql("delete from docs_c22 where doc_id = 2")
+    val repairs = g.auditFingerprintIndex("fp_idx", "docs_c22",
+      minTokens = L)
+    assert(repairs > 0L, "the delete must strand rows the audit repairs")
+    check((b1 ++ b2 ++ b3).filterNot(_.doc_id == 2))
+    // idempotent: a second audit finds nothing
+    assert(g.auditFingerprintIndex("fp_idx", "docs_c22", minTokens = L) == 0L)
+  }
+
   test("C17 stale-index audit: a corpus DELETE leaves an orphaned band row; auditIndexOrphans sweeps it, later re-inserts are never masked") {
     g.sql("create table docs_c17 (doc_id bigint, text varchar(200), " +
       "primary key(doc_id))")
