@@ -37,9 +37,14 @@ object Bench {
     // the heap to the per-task working set and leave the rest to the
     // page cache; don't widen shuffles past the slot count for memory
     // you can buy with heap.
+    // SPARK_GRAFT_SHUFFLE overrides the shuffle width WITHOUT changing
+    // the slot count — the one-off partition-count sweeps (the q65
+    // sf100 spill-cliff guidance) need partitions ≠ cpus while the
+    // default stays the measured-best cpus
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // Scan-split floor (round 10): the derived single-file tables are
       // row-group-splittable (make_scale writes ~64 groups) but the
       // 128 MB default split means a 40 MB table is ONE task however
