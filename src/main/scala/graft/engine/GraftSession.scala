@@ -968,6 +968,12 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     * doc), so the audit retires fingerprints the rebuild lacks and
     * REPLACEs disagreeing counts. Returns rows retired+replaced;
     * 0 means the live index already equalled the rebuild.
+    *
+    * SINGLE-WRITER CONTRACT (same as auditContainmentIndex): PAUSE the
+    * maintenance stream around the audit — the retire/repair sets are
+    * materialized from a snapshot taken before the table's DML lock, so
+    * a micro-batch committing mid-audit would be overwritten with stale
+    * rebuild counts.
     */
   def auditFingerprintIndex(fpTable: String, corpusTable: String,
                             textCol: String = "text",
@@ -1231,10 +1237,27 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       val c = clean(cname)
       require(!m.partitionCols.contains(c),
         s"Cannot drop partition column '$c'")
-      catalog.rewrite(db, t, catalog.read(db, t).drop(c))
+      val dropped = catalog.read(db, t).drop(c)
       // the column leaves the PRIMARY KEY and every UNIQUE index too
       // (MySQL drops it from each index; an index emptied this way is
-      // dropped); a pk emptied this way turns the table copy-on-write
+      // dropped) — but a NARROWED surviving index must still hold
+      // unique data, or MySQL fails the ALTER with 1062; checked
+      // against the would-be table BEFORE anything rewrites
+      val narrowedSets =
+        (if (m.pk.contains(c) && m.pk.exists(_ != c))
+          Seq("PRIMARY" -> m.pk.filterNot(_ == c)) else Nil) ++
+        m.uniques.filter(u => u.cols.contains(c) && u.cols.exists(_ != c))
+          .map(u => u.name -> u.cols.filterNot(_ == c))
+      for ((kname, kcols) <- narrowedSets) {
+        val kc = kcols.map(k => col(s"`$k`"))
+        val dup = keyedRows(dropped, kname, kcols).groupBy(kc: _*).count()
+          .filter(col("count") > 1).drop("count").head(1)
+        for (row <- dup.headOption)
+          throw SqlError.duplicateEntry(
+            kcols.indices.map(row.get(_)).mkString("-"), t, kname)
+      }
+      catalog.rewrite(db, t, dropped)
+      // a pk emptied this way turns the table copy-on-write
       catalog.replaceMeta(m.copy(cols = m.cols.filterNot(_.name == c),
         pk = m.pk.filterNot(_ == c),
         uniques = m.uniques.map(u => u.copy(cols = u.cols.filterNot(_ == c)))
@@ -1676,20 +1699,34 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           count(rows + (rows - nKeys) + nReplaced)
         } finally victimPks.unpersist()
       } else {
-        var remaining = existing
-        for ((kname, kcols) <- sets)
-          remaining = remaining.join(
-            batchKeys(kname, kcols).hint("broadcast"), kcols, "left_anti")
-        val nExisting = existing.count()
-        val kept = remaining
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val nReplaced = nExisting - kept.count()
-          val sorted = deduped.sortWithinPartitions(sortCols: _*)
-          if (nReplaced > 0) catalog.rewrite(db, t, kept.unionByName(sorted))
-          else catalog.append(db, t, sorted)
-          count(rows + (rows - nKeys) + nReplaced)
-        } finally kept.unpersist()
+        val sorted = deduped.sortWithinPartitions(sortCols: _*)
+        // cheap no-conflict probe first (one broadcast semi head(1) per
+        // key set): the common REPLACE-as-INSERT case stays O(batch)
+        // like replaceByPk — the two full-table counts below only run
+        // when a rewrite (itself O(table)) is happening anyway
+        val anyConflict = sets.exists { case (kname, kcols) =>
+          keyedRows(existing, kname, kcols)
+            .join(batchKeys(kname, kcols).hint("broadcast"), kcols,
+              "left_semi")
+            .head(1).nonEmpty
+        }
+        if (!anyConflict) {
+          catalog.append(db, t, sorted)
+          count(rows + (rows - nKeys))
+        } else {
+          var remaining = existing
+          for ((kname, kcols) <- sets)
+            remaining = remaining.join(
+              batchKeys(kname, kcols).hint("broadcast"), kcols, "left_anti")
+          val nExisting = existing.count()
+          val kept = remaining
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val nReplaced = nExisting - kept.count()
+            catalog.rewrite(db, t, kept.unionByName(sorted))
+            count(rows + (rows - nKeys) + nReplaced)
+          } finally kept.unpersist()
+        }
       }
     } finally deduped.unpersist()
   }
@@ -1711,7 +1748,12 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         clean(c.trim) -> e.trim
       }
       if (m.mergeOnRead) updateMergeOnRead(db, t, m, cond, assignments)
-      else {
+      else catalog.withDmlLock(db, t) {
+        // the DML lock (reentrant — rewrite() re-takes it) spans the
+        // key-duplicate check AND the rewrite: a concurrent INSERT's own
+        // locked check-then-append must not land a key this UPDATE is
+        // about to occupy between its check and its commit
+        catalog.freshenStale()
         // Evaluate WHERE exactly once against the ORIGINAL row (MySQL
         // semantics): a later assignment must not see the condition
         // re-resolved against columns an earlier assignment just changed.
@@ -2192,6 +2234,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       // is never rewritten; each view gets a session-unique counter name
       // and is dropped after the statement resolves.
       val ttViews = scala.collection.mutable.Buffer[String]()
+      try {
       if (GraftSession.AsOfProbeR.findFirstIn(q).isDefined) {
         val masked = GraftSession.maskNonSyntax(q)
         val ms = GraftSession.TimeTravelR.findAllMatchIn(masked).toSeq
@@ -2226,7 +2269,6 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           q = out.toString
         }
       }
-      try {
       if (q.toLowerCase.contains("information_schema.")) {
         registerInformationSchema()
         q = q.replaceAll(
@@ -2294,7 +2336,9 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         // spark.sql analyzed (resolved) the plan eagerly above, so the
         // statement's time-travel views are no longer needed; dropping
         // them here keeps the session catalog from accumulating one
-        // view per time-travel query
+        // view per time-travel query. The try also spans RESOLUTION —
+        // a statement whose second AS OF reference fails must still
+        // drop the first reference's already-registered view
         ttViews.foreach(v => spark.catalog.dropTempView(v))
   }
 

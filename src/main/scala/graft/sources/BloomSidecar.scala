@@ -202,15 +202,19 @@ object BloomSidecar {
     }.toMap
     // shard like the min/max sidecar (round 16): nested (partition-dir)
     // files write their own dir's `_graft_bloom` keyed by bare name, so
-    // a partition-pruned scan never parses another partition's sketches
+    // a partition-pruned scan never parses another partition's sketches.
+    // Shard layout (shardOf / the root marker) is SHARED with
+    // FileSkipStats — a bloom-only shard write (ANALYZE backfill on a
+    // legacy table whose min/max root sidecar already covers everything)
+    // must still flip the marker, or readAll and the scan path never see it
     if (entries.nonEmpty) entries.groupBy { case ((rel, _), _) =>
-      val cut = rel.lastIndexOf('/')
-      if (cut < 0) None else Some(rel.substring(0, cut))
+      FileSkipStats.shardOf(rel)
     }.foreach { case (shard, es) =>
-      val sd = shard.fold(dir)(dir.resolve(_))
+      val sd = FileSkipStats.shardDirOf(dir, shard)
       val named = es.map { case ((rel, c), b) =>
         (java.nio.file.Paths.get(rel).getFileName.toString, c) -> b }
       writeRaw(sd, readRaw(sd) ++ named)
+      if (shard.isDefined) FileSkipStats.markSharded(dir)
     }
   }
 
@@ -222,11 +226,10 @@ object BloomSidecar {
     */
   def carryOver(fromDir: Path, toDir: Path,
                 relPaths: Iterable[String]): Unit =
-    relPaths.map(FileSkipStats.relKey).groupBy { k =>
-      val cut = k.lastIndexOf('/')
-      if (cut < 0) None else Some(k.substring(0, cut))
-    }.foreach { case (shard, keys) =>
-      val oldShard = readRaw(shard.fold(fromDir)(fromDir.resolve(_)))
+    relPaths.map(FileSkipStats.relKey)
+      .groupBy(FileSkipStats.shardOf)
+      .foreach { case (shard, keys) =>
+      val oldShard = readRaw(FileSkipStats.shardDirOf(fromDir, shard))
         .groupBy(_._1._1)
       val oldRoot =
         (if (shard.isDefined) readRaw(fromDir)
@@ -238,8 +241,9 @@ object BloomSidecar {
             .map { case ((_, c), b) => (name, c) -> b })
       }.toMap
       if (copied.nonEmpty) {
-        val sd = shard.fold(toDir)(toDir.resolve(_))
+        val sd = FileSkipStats.shardDirOf(toDir, shard)
         writeRaw(sd, readRaw(sd) ++ copied)
+        if (shard.isDefined) FileSkipStats.markSharded(toDir)
       }
     }
 

@@ -259,18 +259,23 @@ object FileSkipStats {
     * within one dir; the cross-dir part-NNNNN collision that forced
     * nested root keys cannot happen inside a single dir).
     */
+  /** The shard a root-relative key belongs to: None = the version root
+    * itself, Some(dir) = a partition subdir. SHARED with BloomSidecar so
+    * the two sidecars can never disagree on shard layout.
+    */
+  private[sources] def shardOf(relKeyed: String): Option[String] = {
+    val cut = relKeyed.lastIndexOf('/')
+    if (cut < 0) None else Some(relKeyed.substring(0, cut))
+  }
+
   private def byShard(relPaths: Iterable[String])
       : Map[Option[String], Seq[String]] =
-    relPaths.toSeq.groupBy { r =>
-      val k = relKey(r)
-      val cut = k.lastIndexOf('/')
-      if (cut < 0) None else Some(k.substring(0, cut))
-    }
+    relPaths.toSeq.groupBy(r => shardOf(relKey(r)))
 
-  private def shardDirOf(dir: Path, shard: Option[String]): Path =
+  private[sources] def shardDirOf(dir: Path, shard: Option[String]): Path =
     shard.fold(dir)(dir.resolve(_))
 
-  private def markSharded(dir: Path): Unit = {
+  private[sources] def markSharded(dir: Path): Unit = {
     val m = dir.resolve(ShardMarker)
     if (!Files.exists(m))
       try Files.createFile(m)

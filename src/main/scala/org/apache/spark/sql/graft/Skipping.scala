@@ -80,6 +80,12 @@ final class SkippingFileIndex(
     if (dataFilters.isEmpty || (!sharded && stats.isEmpty)) dirs
     else {
       var pruned = 0L
+      // one shard resolution per DIRECTORY per listing, not per file:
+      // shardFor's (mtime,size) fingerprint is two stat calls, and at
+      // the 10⁵–10⁶-file tables this layer targets a per-file stat
+      // storm would dominate planning time
+      val shardMemo = scala.collection.mutable.HashMap[String,
+        (Map[String, Map[String, FileSkipStats.ColStat]], Skipping.Blooms)]()
       val out = dirs.map { pd =>
         val kept = pd.files.filter { f =>
           keyOf(f.getPath) match {
@@ -91,8 +97,9 @@ final class SkippingFileIndex(
                 else {
                   // lazy per-dir shard: loaded (and cached) only for
                   // dirs the pruned listing actually surfaced
-                  val (s, b) = Skipping.shardFor(
-                    sidecarDir.resolve(key.substring(0, cut)))
+                  val dirRel = key.substring(0, cut)
+                  val (s, b) = shardMemo.getOrElseUpdate(dirRel,
+                    Skipping.shardFor(sidecarDir.resolve(dirRel)))
                   (s, b, key.substring(cut + 1))
                 }
               // legacy fallback: pre-shard partitioned commits keyed

@@ -301,6 +301,15 @@ class CommitLogSpec extends AnyFunSuite {
     assert(!spark.catalog.listTables().collect()
       .exists(_.name.startsWith("graft_tt_")),
       "time-travel temp views must not accumulate in the session catalog")
+    // ...including when a LATER reference in the same statement fails to
+    // resolve AFTER an earlier one already registered its view
+    val eHalf = intercept[Exception](g.sql(
+      "select * from notes version as of 1 n1 " +
+        "join notes version as of 99 n2 on n1.id = n2.id"))
+    assert(eHalf.getMessage.contains("99"), eHalf.getMessage)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_tt_")),
+      "a failed statement must drop its already-registered tt views")
   }
 
   test("retention depth persists in the warehouse across a restart") {

@@ -669,6 +669,21 @@ class DataSkippingSpec extends AnyFunSuite {
     val pruned = scansFiles(g.sql(
       "select * from t_legacy where site = 'us' and id >= 900"))
     assert(pruned < usFiles, s"legacy root sidecar must prune ($pruned/$usFiles)")
+    // a BLOOM-ONLY shard write must flip the root marker too: on this
+    // forged legacy layout the min/max root sidecar covers every file
+    // (so FileSkipStats.record never runs) while blooms are missing —
+    // ANALYZE writes bloom shards, and without the marker neither
+    // readAll nor the scan path would ever see them (and every later
+    // ANALYZE would rebuild them forever)
+    g.catalog.bloomMinRows = 1L
+    try {
+      g.sql("analyze table t_legacy")
+      assert(Files.exists(dir.resolve(FileSkipStats.ShardMarker)),
+        "a bloom-only shard write must create the root marker")
+      val blooms = graft.sources.BloomSidecar.readAll(dir)
+      assert(blooms.nonEmpty && blooms.keySet.forall(_.contains("site=")),
+        s"bloom shards must be visible through readAll: ${blooms.keySet}")
+    } finally g.catalog.bloomMinRows = 1024L
     // a rewrite re-records the new version's files into SHARDS — the
     // legacy monolith dies with its version, the upgrade is automatic
     g.sql("alter table t_legacy add column extra int")

@@ -213,6 +213,26 @@ class UniqueConstraintSpec extends AnyFunSuite {
     dup1062(g.sql("insert into u15 values (2, 5)"))
   }
 
+  test("DROP COLUMN that narrows a unique key over duplicated data fails the ALTER with 1062") {
+    val g = freshSession()
+    g.sql("create table u17 (id int primary key, a int, b int, " +
+      "unique key uq_ab (a, b))")
+    // (1,1) and (1,2) are unique on (a,b) but collide on the narrowed (a)
+    g.sql("insert into u17 values (1, 1, 1), (2, 1, 2)")
+    val e = dup1062(g.sql("alter table u17 drop column b"))
+    assert(e.getMessage.contains("u17.uq_ab"), e.getMessage)
+    // nothing changed: column still there, constraint still enforced
+    val ddl = rows(g, "show create table u17").head(1)
+    assert(ddl.contains("UNIQUE KEY `uq_ab` (`a`, `b`)"), ddl)
+    assert(rows(g, "select count(*) from u17") == Seq(Seq("2")))
+    dup1062(g.sql("insert into u17 values (3, 1, 1)"))
+    // disambiguate the data, and the same ALTER succeeds
+    g.sql("update u17 set a = 9 where id = 2")
+    g.sql("alter table u17 drop column b")
+    assert(rows(g, "show create table u17").head(1)
+      .contains("UNIQUE KEY `uq_ab` (`a`)"))
+  }
+
   test("racing inserts on one unique value serialize: exactly one wins") {
     val g = freshSession()
     g.sql("create table u16 (id int primary key, email text, unique key uq_email (email))")
