@@ -1248,20 +1248,21 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           Seq("PRIMARY" -> m.pk.filterNot(_ == c)) else Nil) ++
         m.uniques.filter(u => u.cols.contains(c) && u.cols.exists(_ != c))
           .map(u => u.name -> u.cols.filterNot(_ == c))
-      for ((kname, kcols) <- narrowedSets) {
-        val kc = kcols.map(k => col(s"`$k`"))
-        val dup = keyedRows(dropped, kname, kcols).groupBy(kc: _*).count()
-          .filter(col("count") > 1).drop("count").head(1)
-        for (row <- dup.headOption)
-          throw SqlError.duplicateEntry(
-            kcols.indices.map(row.get(_)).mkString("-"), t, kname)
+      // the (reentrant) DML lock spans check → rewrite → meta swap: a
+      // concurrent INSERT validating against the still-wider key must
+      // not land between the narrowed-key check and the narrowed meta
+      catalog.withDmlLock(db, t) {
+        catalog.freshenStale()
+        for ((kname, kcols) <- narrowedSets;
+             row <- firstDupKey(dropped, kname, kcols))
+          throwDup(t, kname, kcols, row)
+        catalog.rewrite(db, t, dropped)
+        // a pk emptied this way turns the table copy-on-write
+        catalog.replaceMeta(m.copy(cols = m.cols.filterNot(_.name == c),
+          pk = m.pk.filterNot(_ == c),
+          uniques = m.uniques.map(u => u.copy(cols = u.cols.filterNot(_ == c)))
+            .filter(_.cols.nonEmpty)))
       }
-      catalog.rewrite(db, t, dropped)
-      // a pk emptied this way turns the table copy-on-write
-      catalog.replaceMeta(m.copy(cols = m.cols.filterNot(_.name == c),
-        pk = m.pk.filterNot(_ == c),
-        uniques = m.uniques.map(u => u.copy(cols = u.cols.filterNot(_ == c)))
-          .filter(_.cols.nonEmpty)))
       count(0)
   }
 
@@ -1366,6 +1367,26 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     if (kname == "PRIMARY") df
     else df.filter(kcols.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
 
+  /** First duplicated key tuple of `df` on one key set (NULL-keyed rows
+    * exempt for UNIQUE sets via keyedRows), or None. The ONE keyed-count
+    * probe every 1062 path shares; the aggregate alias dodges a user
+    * column literally named `count` (AMBIGUOUS_REFERENCE on the default
+    * groupBy().count() output).
+    */
+  private def firstDupKey(df: DataFrame, kname: String,
+                          kcols: Seq[String]): Option[Row] = {
+    val kc = kcols.map(k => col(s"`$k`"))
+    keyedRows(df, kname, kcols).groupBy(kc: _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_graft_cnt"))
+      .filter(col("_graft_cnt") > 1)
+      .select(kc: _*).head(1).headOption
+  }
+
+  private def throwDup(t: String, kname: String, kcols: Seq[String],
+                       row: Row): Nothing =
+    throw SqlError.duplicateEntry(
+      kcols.indices.map(row.get(_)).mkString("-"), t, kname)
+
   /** The strict-INSERT duplicate probe for one key set: a within-batch
     * duplicate or a collision with the existing table answers 1062
     * (insert.rs:197-217). Small single-column batches push their literal
@@ -1377,24 +1398,18 @@ class GraftSession(val spark: SparkSession, warehouse: String,
                               existing: DataFrame): Unit = {
     val kc = kcols.map(k => col(s"`$k`"))
     val keyed = keyedRows(staged, kname, kcols)
-    val batchDup = keyed.groupBy(kc: _*).count()
-      .filter(col("count") > 1).drop("count").head(1)
-    val existDup =
-      if (batchDup.nonEmpty) batchDup
-      else {
-        val conflicts =
-          if (rows <= 256 && kcols.lengthCompare(1) == 0) {
-            val keys = keyed.select(kc.head).distinct().collect()
-              .map(_.get(0)).filter(_ != null)
-            if (keys.isEmpty) existing.limit(0)
-            else existing.filter(col(s"`${kcols.head}`").isin(keys.toIndexedSeq: _*))
-          } else keyedRows(existing, kname, kcols).join(
-            keyed.select(kc: _*).hint("broadcast"), kcols, "left_semi")
-        conflicts.select(kc: _*).head(1)
-      }
-    for (row <- existDup.headOption)
-      throw SqlError.duplicateEntry(
-        kcols.indices.map(row.get(_)).mkString("-"), t, kname)
+    val existDup = firstDupKey(staged, kname, kcols).orElse {
+      val conflicts =
+        if (rows <= 256 && kcols.lengthCompare(1) == 0) {
+          val keys = keyed.select(kc.head).distinct().collect()
+            .map(_.get(0)).filter(_ != null)
+          if (keys.isEmpty) existing.limit(0)
+          else existing.filter(col(s"`${kcols.head}`").isin(keys.toIndexedSeq: _*))
+        } else keyedRows(existing, kname, kcols).join(
+          keyed.select(kc: _*).hint("broadcast"), kcols, "left_semi")
+      conflicts.select(kc: _*).head(1).headOption
+    }
+    for (row <- existDup) throwDup(t, kname, kcols, row)
   }
 
   private val LoadDataR =
@@ -1773,14 +1788,9 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         // duplicate (update.rs rewrites per-index key in the reference):
         // one keyed count over the would-be table per TOUCHED key set
         val touched = assignments.map(_._1).toSet
-        for ((kname, kcols) <- keySets(m) if kcols.exists(touched)) {
-          val kc = kcols.map(k => col(s"`$k`"))
-          val dup = keyedRows(updated, kname, kcols).groupBy(kc: _*).count()
-            .filter(col("count") > 1).drop("count").head(1)
-          for (row <- dup.headOption)
-            throw SqlError.duplicateEntry(
-              kcols.indices.map(row.get(_)).mkString("-"), t, kname)
-        }
+        for ((kname, kcols) <- keySets(m) if kcols.exists(touched);
+             row <- firstDupKey(updated, kname, kcols))
+          throwDup(t, kname, kcols, row)
         catalog.rewrite(db, t, updated)
         count(affected)
       }
@@ -1839,17 +1849,12 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           val rest = catalog.read(db, t).filter(!coalesce(cond, lit(false)))
           for ((kname, kcols) <- checkSets) {
             val kc = kcols.map(k => col(s"`$k`"))
-            val keyedUpd = keyedRows(upd, kname, kcols)
-            val dup = keyedUpd.groupBy(kc: _*).count()
-              .filter(col("count") > 1).drop("count")
-              .unionByName(keyedUpd
+            val dup = firstDupKey(upd, kname, kcols).orElse(
+              keyedRows(upd, kname, kcols)
                 .join(keyedRows(rest, kname, kcols).select(kc: _*),
                   kcols, "left_semi")
-                .select(kc: _*).limit(1))
-              .head(1)
-            for (row <- dup.headOption)
-              throw SqlError.duplicateEntry(
-                kcols.indices.map(row.get(_)).mkString("-"), t, kname)
+                .select(kc: _*).head(1).headOption)
+            for (row <- dup) throwDup(t, kname, kcols, row)
           }
         }
         // tombstones first, refreshed immediately: a concurrent reader

@@ -675,15 +675,14 @@ class DataSkippingSpec extends AnyFunSuite {
     // ANALYZE writes bloom shards, and without the marker neither
     // readAll nor the scan path would ever see them (and every later
     // ANALYZE would rebuild them forever)
-    g.catalog.bloomMinRows = 1L
-    try {
-      g.sql("analyze table t_legacy")
-      assert(Files.exists(dir.resolve(FileSkipStats.ShardMarker)),
-        "a bloom-only shard write must create the root marker")
-      val blooms = graft.sources.BloomSidecar.readAll(dir)
-      assert(blooms.nonEmpty && blooms.keySet.forall(_.contains("site=")),
-        s"bloom shards must be visible through readAll: ${blooms.keySet}")
-    } finally g.catalog.bloomMinRows = 1024L
+    // (ANALYZE's bloom backfill hardcodes minRows = 1 — an explicit
+    // stats request covers every file regardless of the commit-path gate)
+    g.sql("analyze table t_legacy")
+    assert(Files.exists(dir.resolve(FileSkipStats.ShardMarker)),
+      "a bloom-only shard write must create the root marker")
+    val blooms = graft.sources.BloomSidecar.readAll(dir)
+    assert(blooms.nonEmpty && blooms.keySet.forall(_.contains("site=")),
+      s"bloom shards must be visible through readAll: ${blooms.keySet}")
     // a rewrite re-records the new version's files into SHARDS — the
     // legacy monolith dies with its version, the upgrade is automatic
     g.sql("alter table t_legacy add column extra int")

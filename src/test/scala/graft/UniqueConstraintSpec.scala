@@ -233,6 +233,20 @@ class UniqueConstraintSpec extends AnyFunSuite {
       .contains("UNIQUE KEY `uq_ab` (`a`)"))
   }
 
+  test("a unique key over a column literally named 'count' probes cleanly") {
+    // groupBy().count() emits a column named `count`; with a key column
+    // of the same name the probe's filter would be AMBIGUOUS_REFERENCE —
+    // the shared firstDupKey aliases its aggregate to dodge it
+    val g = freshSession()
+    g.sql("create table u18 (id int primary key, `count` int, " +
+      "unique key uq_count (`count`))")
+    g.sql("insert into u18 values (1, 10), (2, 20)")
+    dup1062(g.sql("insert into u18 values (3, 10)"))
+    dup1062(g.sql("update u18 set `count` = 10 where id = 2"))
+    assert(rows(g, "select `count` from u18 order by id") ==
+      Seq(Seq("10"), Seq("20")))
+  }
+
   test("racing inserts on one unique value serialize: exactly one wins") {
     val g = freshSession()
     g.sql("create table u16 (id int primary key, email text, unique key uq_email (email))")
