@@ -1219,7 +1219,54 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     "(?is)alter\\s+table\\s+([`\\w.]+)\\s+add\\s+(?:column\\s+)?([`\\w]+)\\s+([\\w(),]+).*".r
   private val DropColR =
     "(?is)alter\\s+table\\s+([`\\w.]+)\\s+drop\\s+(?:column\\s+)?([`\\w]+)\\s*".r
+  private val AddUniqueR =
+    ("(?is)alter\\s+table\\s+([`\\w.]+)\\s+add\\s+" +
+      "(?:constraint\\s+(?:([`\\w]+)\\s+)?)?unique\\s+(?:key\\s+|index\\s+)?" +
+      "([`\\w]+\\s*)?\\(([^)]*)\\)\\s*").r
+  private val DropIndexR =
+    "(?is)alter\\s+table\\s+([`\\w.]+)\\s+drop\\s+(?:index|key)\\s+([`\\w]+)\\s*".r
+
   private def alterTable(stmt: String): DataFrame = stmt match {
+    // UNIQUE forms must dispatch before ADD/DROP COLUMN: `add unique key
+    // uq (a)` would otherwise parse as a column named `unique`
+    case AddUniqueR(name, cName, idxName, colList) =>
+      val (db, t) = qualify(name)
+      val m = catalog.meta(db, t)
+      val ucols = splitTopLevel(colList, ',').map(c => clean(c.trim))
+        .filter(_.nonEmpty)
+      require(ucols.nonEmpty, "UNIQUE constraint lists no columns")
+      ucols.find(c => !m.cols.exists(_.name == c)).foreach(c =>
+        sys.error(s"Key column '$c' doesn't exist in table"))
+      val base = Seq(Option(cName), Option(idxName).map(_.trim))
+        .flatten.headOption.map(clean).getOrElse(ucols.head)
+      val taken = scala.collection.mutable.Set("PRIMARY") ++= m.uniques.map(_.name)
+      var uname = base; var i = 1
+      while (taken.contains(uname)) { i += 1; uname = s"${base}_$i" }
+      // MySQL validates the EXISTING data against the new index and
+      // fails the ALTER with 1062 on a duplicate; check-then-commit
+      // under the (reentrant) DML lock like DROP COLUMN's narrowing
+      catalog.withDmlLock(db, t) {
+        catalog.freshenStale()
+        for (row <- firstDupKey(catalog.read(db, t), uname, ucols))
+          throwDup(t, uname, ucols, row)
+        catalog.replaceMeta(m.copy(
+          uniques = m.uniques :+ catalog.UniqueKey(uname, ucols)))
+      }
+      count(0)
+    case DropIndexR(name, idxName) =>
+      val (db, t) = qualify(name)
+      val m = catalog.meta(db, t)
+      val n = clean(idxName)
+      if (n.equalsIgnoreCase("PRIMARY"))
+        sys.error("Cannot DROP 'PRIMARY'; use a table rebuild to change the primary key")
+      if (!m.uniques.exists(_.name == n))
+        throw new SqlError(1091, "42000",
+          s"Can't DROP '$n'; check that column/key exists")
+      catalog.withDmlLock(db, t) {
+        catalog.replaceMeta(catalog.meta(db, t).copy(
+          uniques = m.uniques.filterNot(_.name == n)))
+      }
+      count(0)
     case AddColR(name, cname, ctype) =>
       val (db, t) = qualify(name)
       val m = catalog.meta(db, t)

@@ -233,6 +233,40 @@ class UniqueConstraintSpec extends AnyFunSuite {
       .contains("UNIQUE KEY `uq_ab` (`a`)"))
   }
 
+  test("ALTER TABLE ADD UNIQUE validates existing data; DROP INDEX removes enforcement") {
+    val g = freshSession()
+    g.sql("create table u19 (id int primary key, email text, a int, b int)")
+    g.sql("insert into u19 values (1, 'a@x', 1, 1), (2, 'b@x', 1, 2)")
+    // adding over duplicated data fails the ALTER with 1062 (MySQL)
+    g.sql("insert into u19 values (3, 'a@x', 2, 1)")
+    val e = dup1062(g.sql("alter table u19 add unique key uq_email (email)"))
+    assert(e.getMessage.contains("u19.uq_email"), e.getMessage)
+    assert(rows(g, "show create table u19").head(1).contains("UNIQUE") == false)
+    // disambiguate, add, and it enforces
+    g.sql("delete from u19 where id = 3")
+    g.sql("alter table u19 add unique key uq_email (email)")
+    assert(rows(g, "show create table u19").head(1)
+      .contains("UNIQUE KEY `uq_email` (`email`)"))
+    dup1062(g.sql("insert into u19 values (4, 'a@x', 9, 9)"))
+    // CONSTRAINT form + default naming (first column) + composite
+    g.sql("alter table u19 add constraint unique (a, b)")
+    val ddl = rows(g, "show create table u19").head(1)
+    assert(ddl.contains("UNIQUE KEY `a` (`a`, `b`)"), ddl)
+    dup1062(g.sql("insert into u19 values (5, 'e@x', 1, 2)"))
+    // the new key survives a fresh catalog (persisted meta)
+    val g2 = new GraftSession(spark.newSession(), g.catalog.warehouse)
+    g2.sql("use uq")
+    assert(rows(g2, "show create table u19").head(1)
+      .contains("UNIQUE KEY `uq_email` (`email`)"))
+    // DROP INDEX removes enforcement; unknown name answers 1091
+    g.sql("alter table u19 drop index uq_email")
+    g.sql("insert into u19 values (6, 'a@x', 7, 7)")
+    assert(rows(g, "select count(*) from u19 where email = 'a@x'")
+      == Seq(Seq("2")))
+    val e2 = intercept[SqlError](g.sql("alter table u19 drop key nope"))
+    assert(e2.code == 1091, e2.getMessage)
+  }
+
   test("a unique key over a column literally named 'count' probes cleanly") {
     // groupBy().count() emits a column named `count`; with a key column
     // of the same name the probe's filter would be AMBIGUOUS_REFERENCE —
