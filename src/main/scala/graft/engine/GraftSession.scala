@@ -1132,9 +1132,12 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           val m = "(?is)constraint\\s+(?:([`\\w]+)\\s+)?unique\\b(.*)".r
             .findFirstMatchIn(d)
           m.foreach { mm =>
-            val u = parseUniqueDecl(mm.group(2))
-            uniqs += (if (mm.group(1) != null)
-              u.copy(name = clean(mm.group(1))) else u)
+            // MySQL names the index after index_name when given; the
+            // CONSTRAINT symbol applies only without one (same rule as
+            // the ALTER ADD UNIQUE arm)
+            val (idxOpt, ucols) = parseUniqueTail(mm.group(2))
+            val n = idxOpt.orElse(Option(mm.group(1)).map(clean))
+            uniqs += catalog.UniqueKey(n.getOrElse(ucols.head), ucols)
           }
         } else if (dl.startsWith("key ") || dl.startsWith("index ")) {
           // plain secondary indexes: parquet min-max stats make these
@@ -1170,10 +1173,11 @@ class GraftSession(val spark: SparkSession, warehouse: String,
   }
 
   /** Parse the tail of a UNIQUE constraint declaration — everything after
-    * the UNIQUE keyword: `[KEY|INDEX] [name] (c1, c2, …)`. The default
-    * key name is MySQL's (the first column), disambiguated by the caller.
+    * the UNIQUE keyword: `[KEY|INDEX] [name] (c1, c2, …)`. Returns the
+    * EXPLICIT index name (None when only keywords precede the column
+    * list) and the columns; shared by CREATE TABLE and ALTER ADD UNIQUE.
     */
-  private def parseUniqueDecl(tail: String): catalog.UniqueKey = {
+  private def parseUniqueTail(tail: String): (Option[String], Seq[String]) = {
     val open = tail.indexOf('(')
     require(open >= 0 && tail.lastIndexOf(')') > open,
       s"Malformed UNIQUE constraint near '${tail.trim.take(40)}'")
@@ -1183,8 +1187,15 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     val nameToks = tail.substring(0, open).trim.split("\\s+")
       .filter(_.nonEmpty)
       .filterNot(w => w.equalsIgnoreCase("key") || w.equalsIgnoreCase("index"))
-    val name = if (nameToks.nonEmpty) clean(nameToks.last) else ucols.head
-    catalog.UniqueKey(name, ucols)
+    (nameToks.lastOption.map(clean), ucols)
+  }
+
+  /** parseUniqueTail with MySQL's default naming applied (the first
+    * column); the CREATE TABLE caller disambiguates collisions.
+    */
+  private def parseUniqueDecl(tail: String): catalog.UniqueKey = {
+    val (nameOpt, ucols) = parseUniqueTail(tail)
+    catalog.UniqueKey(nameOpt.getOrElse(ucols.head), ucols)
   }
 
   // ---- CREATE VIEW / DROP VIEW (durable SQL-text views, B-surface §8) ----
@@ -1221,32 +1232,46 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     "(?is)alter\\s+table\\s+([`\\w.]+)\\s+drop\\s+(?:column\\s+)?([`\\w]+)\\s*".r
   private val AddUniqueR =
     ("(?is)alter\\s+table\\s+([`\\w.]+)\\s+add\\s+" +
-      "(?:constraint\\s+(?:([`\\w]+)\\s+)?)?unique\\s+(?:key\\s+|index\\s+)?" +
-      "([`\\w]+\\s*)?\\(([^)]*)\\)\\s*").r
+      "(?:constraint\\s+(?:([`\\w]+)\\s+)?)?unique\\b(.*)").r
   private val DropIndexR =
     "(?is)alter\\s+table\\s+([`\\w.]+)\\s+drop\\s+(?:index|key)\\s+([`\\w]+)\\s*".r
 
   private def alterTable(stmt: String): DataFrame = stmt match {
     // UNIQUE forms must dispatch before ADD/DROP COLUMN: `add unique key
     // uq (a)` would otherwise parse as a column named `unique`
-    case AddUniqueR(name, cName, idxName, colList) =>
+    case AddUniqueR(name, cName, tail) =>
       val (db, t) = qualify(name)
-      val m = catalog.meta(db, t)
-      val ucols = splitTopLevel(colList, ',').map(c => clean(c.trim))
-        .filter(_.nonEmpty)
-      require(ucols.nonEmpty, "UNIQUE constraint lists no columns")
-      ucols.find(c => !m.cols.exists(_.name == c)).foreach(c =>
-        sys.error(s"Key column '$c' doesn't exist in table"))
-      val base = Seq(Option(cName), Option(idxName).map(_.trim))
-        .flatten.headOption.map(clean).getOrElse(ucols.head)
-      val taken = scala.collection.mutable.Set("PRIMARY") ++= m.uniques.map(_.name)
-      var uname = base; var i = 1
-      while (taken.contains(uname)) { i += 1; uname = s"${base}_$i" }
-      // MySQL validates the EXISTING data against the new index and
-      // fails the ALTER with 1062 on a duplicate; check-then-commit
-      // under the (reentrant) DML lock like DROP COLUMN's narrowing
+      // the same tail parser CREATE TABLE uses — `unique key(email)` and
+      // `unique(email)` default the name to the first column, never to
+      // the KEY/INDEX keyword
+      val (idxOpt, ucols) = parseUniqueTail(tail)
+      // MySQL names the index after index_name when given; the
+      // CONSTRAINT symbol only applies when no index name is present
+      val explicit = idxOpt.orElse(Option(cName).map(clean))
+      // meta is (re)read INSIDE the lock: two concurrent ADD UNIQUEs
+      // must not lose each other's key (pure lost-update on a
+      // meta-only mutation), and the 1062 data check must see every
+      // commit that preceded the lock
       catalog.withDmlLock(db, t) {
         catalog.freshenStale()
+        val m = catalog.meta(db, t)
+        ucols.find(c => !m.cols.exists(_.name == c)).foreach(c =>
+          sys.error(s"Key column '$c' doesn't exist in table"))
+        val taken =
+          scala.collection.mutable.Set("PRIMARY") ++= m.uniques.map(_.name)
+        val uname = explicit match {
+          case Some(n) =>
+            // an explicitly named duplicate is MySQL's 1061, not a
+            // silent rename (a re-applied migration must fail, not
+            // stack a redundant index)
+            if (taken.exists(_.equalsIgnoreCase(n)))
+              throw new SqlError(1061, "42000", s"Duplicate key name '$n'")
+            n
+          case None =>
+            var n = ucols.head; var i = 1
+            while (taken.contains(n)) { i += 1; n = s"${ucols.head}_$i" }
+            n
+        }
         for (row <- firstDupKey(catalog.read(db, t), uname, ucols))
           throwDup(t, uname, ucols, row)
         catalog.replaceMeta(m.copy(
@@ -1255,16 +1280,18 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       count(0)
     case DropIndexR(name, idxName) =>
       val (db, t) = qualify(name)
-      val m = catalog.meta(db, t)
       val n = clean(idxName)
       if (n.equalsIgnoreCase("PRIMARY"))
         sys.error("Cannot DROP 'PRIMARY'; use a table rebuild to change the primary key")
-      if (!m.uniques.exists(_.name == n))
-        throw new SqlError(1091, "42000",
-          s"Can't DROP '$n'; check that column/key exists")
       catalog.withDmlLock(db, t) {
-        catalog.replaceMeta(catalog.meta(db, t).copy(
-          uniques = m.uniques.filterNot(_.name == n)))
+        // fresh meta inside the lock — a concurrently added key must
+        // survive this drop, and MySQL index names are case-insensitive
+        val m = catalog.meta(db, t)
+        if (!m.uniques.exists(_.name.equalsIgnoreCase(n)))
+          throw new SqlError(1091, "42000",
+            s"Can't DROP '$n'; check that column/key exists")
+        catalog.replaceMeta(m.copy(
+          uniques = m.uniques.filterNot(_.name.equalsIgnoreCase(n))))
       }
       count(0)
     case AddColR(name, cname, ctype) =>
@@ -1311,6 +1338,11 @@ class GraftSession(val spark: SparkSession, warehouse: String,
             .filter(_.cols.nonEmpty)))
       }
       count(0)
+    case other =>
+      // an unsupported ALTER form is a SQL syntax error, never an
+      // internal MatchError escaping to the caller
+      throw new SqlError(1064, "42000",
+        s"Unsupported ALTER TABLE syntax near '${other.take(80)}'")
   }
 
   // ---- DML (insert.rs / update.rs / delete.rs) ---------------------------

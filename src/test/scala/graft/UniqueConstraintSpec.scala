@@ -258,13 +258,39 @@ class UniqueConstraintSpec extends AnyFunSuite {
     g2.sql("use uq")
     assert(rows(g2, "show create table u19").head(1)
       .contains("UNIQUE KEY `uq_email` (`email`)"))
-    // DROP INDEX removes enforcement; unknown name answers 1091
-    g.sql("alter table u19 drop index uq_email")
+    // a REPEATED explicitly-named ALTER fails with 1061 (a re-applied
+    // migration must not silently stack a renamed redundant index)
+    val e1061 = intercept[SqlError](
+      g.sql("alter table u19 add unique key uq_email (email)"))
+    assert(e1061.code == 1061, e1061.getMessage)
+    // DROP INDEX removes enforcement (names are case-insensitive, like
+    // MySQL identifiers); unknown name answers 1091
+    g.sql("alter table u19 drop index UQ_EMAIL")
     g.sql("insert into u19 values (6, 'a@x', 7, 7)")
     assert(rows(g, "select count(*) from u19 where email = 'a@x'")
       == Seq(Seq("2")))
     val e2 = intercept[SqlError](g.sql("alter table u19 drop key nope"))
     assert(e2.code == 1091, e2.getMessage)
+    // no-space spellings parse like CREATE's (name defaults to the
+    // column, never to the KEY keyword)
+    g.sql("create table u20 (id int primary key, e text, f text)")
+    g.sql("alter table u20 add unique key(e)")
+    g.sql("alter table u20 add unique(f)")
+    val ddl20 = rows(g, "show create table u20").head(1)
+    assert(ddl20.contains("UNIQUE KEY `e` (`e`)") &&
+      ddl20.contains("UNIQUE KEY `f` (`f`)"), ddl20)
+    // index_name wins over the CONSTRAINT symbol (MySQL naming), in
+    // both ALTER and CREATE
+    g.sql("alter table u20 add constraint csym unique key idx_ef (e, f)")
+    assert(rows(g, "show create table u20").head(1)
+      .contains("UNIQUE KEY `idx_ef` (`e`, `f`)"))
+    g.sql("create table u21 (a int, constraint csym unique key named_a (a))")
+    assert(rows(g, "show create table u21").head(1)
+      .contains("UNIQUE KEY `named_a` (`a`)"))
+    // an unsupported ALTER form answers 1064, never a MatchError
+    val e3 = intercept[SqlError](
+      g.sql("alter table u20 convert to character set utf8mb4"))
+    assert(e3.code == 1064, e3.getMessage)
   }
 
   test("a unique key over a column literally named 'count' probes cleanly") {
