@@ -882,7 +882,15 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     val src =
       if (m.mergeOnRead) mergedFrom(m, cur)
       else readSnapshot(db, t)
-    val keys = cols.map(c => col(s"`$c`"))
+    // partitioned tables range-cluster WITHIN each partition dir (round
+    // 16, the shard-aware layout): the partition columns LEAD the range
+    // keys, so an output task's rows land in one (or few) partition dirs
+    // and each dir's files stay range-disjoint and target-sized. Sort
+    // keys alone would split every global range slice across every dir —
+    // ranges × dirs small files, and the per-dir shard sidecars would
+    // carry overlapping bounds.
+    val keys = (m.partitionCols.filterNot(cols.contains) ++ cols)
+      .map(c => col(s"`$c`"))
     rewrite(db, t, src.repartitionByRange(targetParts(cur), keys: _*)
       .sortWithinPartitions(keys: _*))
   }
@@ -949,9 +957,12 @@ class Catalog(spark: SparkSession, val warehouse: String) {
       }.reduce((a, x) => a.bitwiseOR(x))
     }.reduce((a, x) => a.bitwiseOR(x))
     val withZ = src.withColumn(Catalog.ZCol, z)
+    // partition columns lead the range keys on partitioned tables —
+    // same shard-aware layout rationale as compactSorted
+    val zKeys = m.partitionCols.map(c => col(s"`$c`")) :+ col(Catalog.ZCol)
     rewrite(db, t, withZ
-      .repartitionByRange(targetParts(cur), col(Catalog.ZCol))
-      .sortWithinPartitions(col(Catalog.ZCol))
+      .repartitionByRange(targetParts(cur), zKeys: _*)
+      .sortWithinPartitions(zKeys: _*)
       .drop(Catalog.ZCol))
   }
 

@@ -1227,7 +1227,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
   }
 
   private val AddColR =
-    "(?is)alter\\s+table\\s+([`\\w.]+)\\s+add\\s+(?:column\\s+)?([`\\w]+)\\s+([\\w(),]+).*".r
+    "(?is)alter\\s+table\\s+([`\\w.]+)\\s+add\\s+(?:column\\s+)?([`\\w]+)\\s+([\\w(),]+)(.*)".r
   private val DropColR =
     "(?is)alter\\s+table\\s+([`\\w.]+)\\s+drop\\s+(?:column\\s+)?([`\\w]+)\\s*".r
   private val AddUniqueR =
@@ -1294,16 +1294,28 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           uniques = m.uniques.filterNot(_.name.equalsIgnoreCase(n))))
       }
       count(0)
-    case AddColR(name, cname, ctype) =>
+    case AddColR(name, cname, ctype, attrs) =>
       val (db, t) = qualify(name)
       val m = catalog.meta(db, t)
-      if (clean(cname).toLowerCase.startsWith("_graft_"))
-        sys.error(s"Column name '${clean(cname)}' is reserved " +
+      val c = clean(cname)
+      if (c.toLowerCase.startsWith("_graft_"))
+        sys.error(s"Column name '$c' is reserved " +
           "(names beginning with _graft_ are internal)")
       val ddl = sparkDdl(ctype)
-      val df = catalog.read(db, t).withColumn(clean(cname), lit(null).cast(ddl))
+      val df = catalog.read(db, t).withColumn(c, lit(null).cast(ddl))
+      // inline UNIQUE column attribute (MySQL creates a unique index
+      // named after the column): the new column is all-NULL, so the
+      // constraint holds vacuously at birth — cataloged, no data check
+      val uniq =
+        if ("(?i)\\bunique\\b".r.findFirstIn(attrs).isDefined) {
+          val taken = (Seq("PRIMARY") ++ m.uniques.map(_.name)).toSet
+          var n = c; var i = 1
+          while (taken.contains(n)) { i += 1; n = s"${c}_$i" }
+          Seq(catalog.UniqueKey(n, Seq(c)))
+        } else Nil
       catalog.rewrite(db, t, df)
-      catalog.replaceMeta(m.copy(cols = m.cols :+ catalog.Col(clean(cname), ctype, ddl)))
+      catalog.replaceMeta(m.copy(cols = m.cols :+ catalog.Col(c, ctype, ddl),
+        uniques = m.uniques ++ uniq))
       count(0)
     case DropColR(name, cname) =>
       val (db, t) = qualify(name)

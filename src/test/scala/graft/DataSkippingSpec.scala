@@ -638,6 +638,45 @@ class DataSkippingSpec extends AnyFunSuite {
     } finally g.catalog.bloomMinRows = 1024L
   }
 
+  test("E9 OPTIMIZE SORT BY on a partitioned table range-clusters WITHIN each partition dir") {
+    g.sql("use skipdb")
+    g.sql("create table t_psort (id bigint, v bigint, site varchar(10)) " +
+      "partition by (site)")
+    // interleaved ids per partition so the pre-OPTIMIZE layout is
+    // unclustered; small file target so each dir gets several files
+    val rows = (0 until 8000).map { i =>
+      s"(${(i * 997) % 8000}, $i, '${if (i % 2 == 0) "us" else "eu"}')" }
+    g.sql("insert into t_psort values " + rows.mkString(", "))
+    g.catalog.sortTargetFileBytes = 4096L
+    try {
+      g.sql("optimize table t_psort sort by (id)")
+      val dir = Paths.get(g.catalog.dataPath("skipdb", "t_psort"))
+      for (p <- Seq("us", "eu")) {
+        val pd = dir.resolve(s"site=$p")
+        val shard = FileSkipStats.read(pd)
+        assert(shard.size >= 3, s"site=$p needs several files, got ${shard.size}")
+        // each dir's files are range-DISJOINT on id (the shard-aware
+        // layout: partition cols lead the range keys) — overlapping
+        // bounds would mean global slices were split across dirs
+        val bounds = shard.values.toSeq
+          .map(cs => (cs("id").min.get.toLong, cs("id").max.get.toLong))
+          .sortBy(_._1)
+        bounds.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(aMax <= bMin, s"site=$p files overlap on id: $bounds")
+          case _ =>
+        }
+      }
+      // and a narrow range scan inside one partition prunes to O(1) files
+      val scanned = scansFiles(g.sql(
+        "select * from t_psort where site = 'us' and id between 100 and 140"))
+      val total = FileSkipStats.read(dir.resolve("site=us")).size
+      assert(scanned < total, s"range scan must prune ($scanned of $total)")
+      assert(g.sql("select count(*) as c from t_psort").collect()(0)
+        .getLong(0) == 8000L)
+    } finally g.catalog.sortTargetFileBytes = 128L * 1024 * 1024
+  }
+
   test("E9 legacy nested-key root sidecars still prune and upgrade to shards on rewrite") {
     g.sql("use skipdb")
     g.sql("create table t_legacy (id bigint, site varchar(10)) partition by (site)")

@@ -291,6 +291,16 @@ class UniqueConstraintSpec extends AnyFunSuite {
     val e3 = intercept[SqlError](
       g.sql("alter table u20 convert to character set utf8mb4"))
     assert(e3.code == 1064, e3.getMessage)
+    // ADD COLUMN with the inline UNIQUE attribute catalogs the index
+    // (all-NULL at birth — vacuously valid) and enforces on first data
+    g.sql("alter table u20 add column nick varchar(20) unique")
+    assert(rows(g, "show create table u20").head(1)
+      .contains("UNIQUE KEY `nick` (`nick`)"))
+    g.sql("insert into u20 values (1, 'e1', 'f1', 'n1')")
+    dup1062(g.sql("insert into u20 values (2, 'e2', 'f2', 'n1')"))
+    // ...and a plain ADD COLUMN does NOT grow an index
+    g.sql("alter table u20 add column plain varchar(20)")
+    assert(!rows(g, "show create table u20").head(1).contains("`plain`)"))
   }
 
   test("a unique key over a column literally named 'count' probes cleanly") {
