@@ -889,7 +889,10 @@ class Catalog(spark: SparkSession, val warehouse: String) {
     // keys alone would split every global range slice across every dir —
     // ranges × dirs small files, and the per-dir shard sidecars would
     // carry overlapping bounds.
-    val keys = (m.partitionCols.filterNot(cols.contains) ++ cols)
+    // partition cols ALWAYS lead, wherever the user listed them — a
+    // trailing partition col in the SORT BY list must not demote the
+    // per-dir clustering back to global slices
+    val keys = (m.partitionCols ++ cols.filterNot(m.partitionCols.contains))
       .map(c => col(s"`$c`"))
     rewrite(db, t, src.repartitionByRange(targetParts(cur), keys: _*)
       .sortWithinPartitions(keys: _*))

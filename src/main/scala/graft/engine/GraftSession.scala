@@ -1155,12 +1155,11 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       }
       // MySQL key-name disambiguation (col, col_2, …) + column validation
       val allCols = cols.result()
-      val seenNames = scala.collection.mutable.Set[String]("PRIMARY")
+      val seenNames = scala.collection.mutable.Buffer[String]()
       val uniques = uniqs.result().map { u =>
         u.cols.find(c => !allCols.exists(_.name == c)).foreach(c =>
           sys.error(s"Key column '$c' doesn't exist in table"))
-        var n = u.name; var i = 1
-        while (seenNames.contains(n)) { i += 1; n = s"${u.name}_$i" }
+        val n = uniqueIndexName(u.name, seenNames)
         seenNames += n
         u.copy(name = n)
       }
@@ -1196,6 +1195,19 @@ class GraftSession(val spark: SparkSession, warehouse: String,
   private def parseUniqueDecl(tail: String): catalog.UniqueKey = {
     val (nameOpt, ucols) = parseUniqueTail(tail)
     catalog.UniqueKey(nameOpt.getOrElse(ucols.head), ucols)
+  }
+
+  /** MySQL index auto-naming: `base`, then base_2, base_3, … skipping
+    * PRIMARY and `existing` CASE-INSENSITIVELY (index identifiers are
+    * CI — a name differing only by case would later be dropped together
+    * with its sibling by the CI DROP INDEX).
+    */
+  private def uniqueIndexName(base: String,
+                              existing: Iterable[String]): String = {
+    val taken = existing.map(_.toLowerCase).toSet + "primary"
+    var n = base; var i = 1
+    while (taken.contains(n.toLowerCase)) { i += 1; n = s"${base}_$i" }
+    n
   }
 
   // ---- CREATE VIEW / DROP VIEW (durable SQL-text views, B-surface §8) ----
@@ -1236,7 +1248,18 @@ class GraftSession(val spark: SparkSession, warehouse: String,
   private val DropIndexR =
     "(?is)alter\\s+table\\s+([`\\w.]+)\\s+drop\\s+(?:index|key)\\s+([`\\w]+)\\s*".r
 
-  private def alterTable(stmt: String): DataFrame = stmt match {
+  private def alterTable(stmt: String): DataFrame = {
+    // a top-level comma means a multi-action ALTER (splitTopLevel is
+    // quote- and paren-aware, so decimal(10,2) and quoted COMMENTs
+    // don't trip it) — refuse loudly instead of silently applying only
+    // the first action
+    if (splitTopLevel(stmt, ',').lengthCompare(1) > 0)
+      throw new SqlError(1064, "42000",
+        "Multi-action ALTER TABLE is not supported; issue one action per statement")
+    alterTableOne(stmt)
+  }
+
+  private def alterTableOne(stmt: String): DataFrame = stmt match {
     // UNIQUE forms must dispatch before ADD/DROP COLUMN: `add unique key
     // uq (a)` would otherwise parse as a column named `unique`
     case AddUniqueR(name, cName, tail) =>
@@ -1267,10 +1290,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
             if (taken.exists(_.equalsIgnoreCase(n)))
               throw new SqlError(1061, "42000", s"Duplicate key name '$n'")
             n
-          case None =>
-            var n = ucols.head; var i = 1
-            while (taken.contains(n)) { i += 1; n = s"${ucols.head}_$i" }
-            n
+          case None => uniqueIndexName(ucols.head, m.uniques.map(_.name))
         }
         for (row <- firstDupKey(catalog.read(db, t), uname, ucols))
           throwDup(t, uname, ucols, row)
@@ -1296,26 +1316,33 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       count(0)
     case AddColR(name, cname, ctype, attrs) =>
       val (db, t) = qualify(name)
-      val m = catalog.meta(db, t)
       val c = clean(cname)
       if (c.toLowerCase.startsWith("_graft_"))
         sys.error(s"Column name '$c' is reserved " +
           "(names beginning with _graft_ are internal)")
-      val ddl = sparkDdl(ctype)
-      val df = catalog.read(db, t).withColumn(c, lit(null).cast(ddl))
       // inline UNIQUE column attribute (MySQL creates a unique index
-      // named after the column): the new column is all-NULL, so the
-      // constraint holds vacuously at birth — cataloged, no data check
-      val uniq =
-        if ("(?i)\\bunique\\b".r.findFirstIn(attrs).isDefined) {
-          val taken = (Seq("PRIMARY") ++ m.uniques.map(_.name)).toSet
-          var n = c; var i = 1
-          while (taken.contains(n)) { i += 1; n = s"${c}_$i" }
-          Seq(catalog.UniqueKey(n, Seq(c)))
-        } else Nil
-      catalog.rewrite(db, t, df)
-      catalog.replaceMeta(m.copy(cols = m.cols :+ catalog.Col(c, ctype, ddl),
-        uniques = m.uniques ++ uniq))
+      // named after the column), detected over the MASKED attribute
+      // tail — a COMMENT 'unique note id' must not grow a phantom
+      // index. The new column is all-NULL, so the constraint holds
+      // vacuously at birth: cataloged, no data check.
+      val wantUnique = "(?i)\\bunique\\b".r
+        .findFirstIn(GraftSession.maskNonSyntax(attrs)).isDefined
+      val ddl = sparkDdl(ctype)
+      catalog.rewrite(db, t,
+        catalog.read(db, t).withColumn(c, lit(null).cast(ddl)))
+      // meta re-read INSIDE the lock: a concurrent ADD UNIQUE landing
+      // during the (long) rewrite above must survive this meta swap
+      catalog.withDmlLock(db, t) {
+        val fresh = catalog.meta(db, t)
+        val uniq =
+          if (wantUnique)
+            Seq(catalog.UniqueKey(
+              uniqueIndexName(c, fresh.uniques.map(_.name)), Seq(c)))
+          else Nil
+        catalog.replaceMeta(fresh.copy(
+          cols = fresh.cols :+ catalog.Col(c, ctype, ddl),
+          uniques = fresh.uniques ++ uniq))
+      }
       count(0)
     case DropColR(name, cname) =>
       val (db, t) = qualify(name)

@@ -674,6 +674,20 @@ class DataSkippingSpec extends AnyFunSuite {
       assert(scanned < total, s"range scan must prune ($scanned of $total)")
       assert(g.sql("select count(*) as c from t_psort").collect()(0)
         .getLong(0) == 8000L)
+      // a partition col listed at a NON-LEADING position must not demote
+      // the layout back to global slices: partition cols always lead
+      g.sql("optimize table t_psort sort by (id, site)")
+      val shardUs = FileSkipStats.read(
+        Paths.get(g.catalog.dataPath("skipdb", "t_psort")).resolve("site=us"))
+      val bounds2 = shardUs.values.toSeq
+        .map(cs => (cs("id").min.get.toLong, cs("id").max.get.toLong))
+        .sortBy(_._1)
+      bounds2.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"trailing partition col broke the layout: $bounds2")
+        case _ =>
+      }
+      assert(shardUs.size >= 3, s"per-dir sizing lost: ${shardUs.size} files")
     } finally g.catalog.sortTargetFileBytes = 128L * 1024 * 1024
   }
 

@@ -298,9 +298,19 @@ class UniqueConstraintSpec extends AnyFunSuite {
       .contains("UNIQUE KEY `nick` (`nick`)"))
     g.sql("insert into u20 values (1, 'e1', 'f1', 'n1')")
     dup1062(g.sql("insert into u20 values (2, 'e2', 'f2', 'n1')"))
-    // ...and a plain ADD COLUMN does NOT grow an index
+    // ...and a plain ADD COLUMN does NOT grow an index — nor does the
+    // word 'unique' inside a quoted COMMENT (masked attribute sniff)
     g.sql("alter table u20 add column plain varchar(20)")
     assert(!rows(g, "show create table u20").head(1).contains("`plain`)"))
+    g.sql("alter table u20 add column note varchar(50) comment 'unique note id'")
+    assert(!rows(g, "show create table u20").head(1).contains("`note`)"))
+    g.sql("insert into u20 values (2, 'e9', 'f9', 'n9', 'p', 'same')")
+    g.sql("insert into u20 values (3, 'e8', 'f8', 'n8', 'p', 'same')")
+    // a multi-action ALTER refuses loudly instead of silently dropping
+    // the later actions
+    val eMulti = intercept[SqlError](g.sql(
+      "alter table u20 add column c2 int, add unique key uq_c2 (c2)"))
+    assert(eMulti.code == 1064, eMulti.getMessage)
   }
 
   test("a unique key over a column literally named 'count' probes cleanly") {
