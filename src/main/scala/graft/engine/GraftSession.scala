@@ -1116,7 +1116,9 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         .getOrElse(Seq.empty)
       var pk = Seq.empty[String]
       val cols = Seq.newBuilder[catalog.Col]
-      val uniqs = Seq.newBuilder[catalog.UniqueKey]
+      // (explicit name option, columns): explicitness decides 1061 vs
+      // the _2-style auto-disambiguation below
+      val uniqs = Seq.newBuilder[(Option[String], Seq[String])]
       splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty).foreach { d =>
         val dl = d.toLowerCase
         if (dl.startsWith("primary key")) {
@@ -1125,7 +1127,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         } else if (dl.startsWith("unique ") || dl.startsWith("unique(")) {
           // UNIQUE [KEY|INDEX] [name] (cols) — the reference's level-2
           // index (meta_util.rs), enforced on write with 1062
-          uniqs += parseUniqueDecl(d.substring("unique".length))
+          uniqs += parseUniqueTail(d.substring("unique".length))
         } else if (dl.startsWith("constraint ")) {
           // CONSTRAINT [name] UNIQUE (cols); FK/CHECK constraints are
           // parsed-and-ignored (the reference catalogs only Unique)
@@ -1136,8 +1138,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
             // CONSTRAINT symbol applies only without one (same rule as
             // the ALTER ADD UNIQUE arm)
             val (idxOpt, ucols) = parseUniqueTail(mm.group(2))
-            val n = idxOpt.orElse(Option(mm.group(1)).map(clean))
-            uniqs += catalog.UniqueKey(n.getOrElse(ucols.head), ucols)
+            uniqs += ((idxOpt.orElse(Option(mm.group(1)).map(clean)), ucols))
           }
         } else if (dl.startsWith("key ") || dl.startsWith("index ")) {
           // plain secondary indexes: parquet min-max stats make these
@@ -1147,21 +1148,33 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           val cname = clean(parts(0))
           val rest = if (parts.length > 1) parts(1) else "text"
           val mysqlType = rest.split("\\s+")(0)
-          if (rest.toLowerCase.contains("primary key")) pk = pk :+ cname
-          else if ("(?i)\\bunique\\b".r.findFirstIn(rest).isDefined)
-            uniqs += catalog.UniqueKey(cname, Seq(cname))
+          // attribute sniffs over the MASKED tail: the words inside a
+          // quoted COMMENT/DEFAULT are data, not column attributes
+          val restMasked = GraftSession.maskNonSyntax(rest).toLowerCase
+          if (restMasked.contains("primary key")) pk = pk :+ cname
+          else if ("\\bunique\\b".r.findFirstIn(restMasked).isDefined)
+            uniqs += ((None, Seq(cname)))
           cols += catalog.Col(cname, mysqlType, sparkDdl(mysqlType))
         }
       }
-      // MySQL key-name disambiguation (col, col_2, …) + column validation
+      // MySQL key naming: explicit duplicates are 1061 (same as the
+      // ALTER arm — a re-applied migration must fail, not stack a
+      // renamed index); DEFAULTED names disambiguate col, col_2, …
       val allCols = cols.result()
       val seenNames = scala.collection.mutable.Buffer[String]()
-      val uniques = uniqs.result().map { u =>
-        u.cols.find(c => !allCols.exists(_.name == c)).foreach(c =>
+      val uniques = uniqs.result().map { case (explicitOpt, ucols) =>
+        ucols.find(c => !allCols.exists(_.name == c)).foreach(c =>
           sys.error(s"Key column '$c' doesn't exist in table"))
-        val n = uniqueIndexName(u.name, seenNames)
+        val n = explicitOpt match {
+          case Some(e) =>
+            if (e.equalsIgnoreCase("primary") ||
+                seenNames.exists(_.equalsIgnoreCase(e)))
+              throw new SqlError(1061, "42000", s"Duplicate key name '$e'")
+            e
+          case None => uniqueIndexName(ucols.head, seenNames)
+        }
         seenNames += n
-        u.copy(name = n)
+        catalog.UniqueKey(n, ucols)
       }
       catalog.createTable(
         catalog.TableMeta(db, t, allCols, pk,
@@ -1280,14 +1293,13 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         val m = catalog.meta(db, t)
         ucols.find(c => !m.cols.exists(_.name == c)).foreach(c =>
           sys.error(s"Key column '$c' doesn't exist in table"))
-        val taken =
-          scala.collection.mutable.Set("PRIMARY") ++= m.uniques.map(_.name)
         val uname = explicit match {
           case Some(n) =>
             // an explicitly named duplicate is MySQL's 1061, not a
             // silent rename (a re-applied migration must fail, not
             // stack a redundant index)
-            if (taken.exists(_.equalsIgnoreCase(n)))
+            if (n.equalsIgnoreCase("primary") ||
+                m.uniques.exists(_.name.equalsIgnoreCase(n)))
               throw new SqlError(1061, "42000", s"Duplicate key name '$n'")
             n
           case None => uniqueIndexName(ucols.head, m.uniques.map(_.name))
@@ -1328,6 +1340,11 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       val wantUnique = "(?i)\\bunique\\b".r
         .findFirstIn(GraftSession.maskNonSyntax(attrs)).isDefined
       val ddl = sparkDdl(ctype)
+      // an existing column name is MySQL's 1060 — Spark's withColumn
+      // would otherwise silently REPLACE the column (nulling its data)
+      // and the meta would grow a duplicate entry
+      if (catalog.meta(db, t).cols.exists(_.name == c))
+        throw new SqlError(1060, "42S21", s"Duplicate column name '$c'")
       catalog.rewrite(db, t,
         catalog.read(db, t).withColumn(c, lit(null).cast(ddl)))
       // meta re-read INSIDE the lock: a concurrent ADD UNIQUE landing
@@ -1346,26 +1363,31 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       count(0)
     case DropColR(name, cname) =>
       val (db, t) = qualify(name)
-      val m = catalog.meta(db, t)
       val c = clean(cname)
-      require(!m.partitionCols.contains(c),
-        s"Cannot drop partition column '$c'")
-      val dropped = catalog.read(db, t).drop(c)
-      // the column leaves the PRIMARY KEY and every UNIQUE index too
-      // (MySQL drops it from each index; an index emptied this way is
-      // dropped) — but a NARROWED surviving index must still hold
-      // unique data, or MySQL fails the ALTER with 1062; checked
-      // against the would-be table BEFORE anything rewrites
-      val narrowedSets =
-        (if (m.pk.contains(c) && m.pk.exists(_ != c))
-          Seq("PRIMARY" -> m.pk.filterNot(_ == c)) else Nil) ++
-        m.uniques.filter(u => u.cols.contains(c) && u.cols.exists(_ != c))
-          .map(u => u.name -> u.cols.filterNot(_ == c))
-      // the (reentrant) DML lock spans check → rewrite → meta swap: a
-      // concurrent INSERT validating against the still-wider key must
-      // not land between the narrowed-key check and the narrowed meta
+      // the (reentrant) DML lock spans meta read → check → rewrite →
+      // meta swap: a concurrent INSERT validating against the
+      // still-wider key must not land between the narrowed-key check
+      // and the narrowed meta, and a concurrent DDL's meta commit must
+      // not be clobbered by a stale pre-lock snapshot
       catalog.withDmlLock(db, t) {
         catalog.freshenStale()
+        val m = catalog.meta(db, t)
+        require(!m.partitionCols.contains(c),
+          s"Cannot drop partition column '$c'")
+        if (!m.cols.exists(_.name == c))
+          throw new SqlError(1091, "42000",
+            s"Can't DROP '$c'; check that column/key exists")
+        val dropped = catalog.read(db, t).drop(c)
+        // the column leaves the PRIMARY KEY and every UNIQUE index too
+        // (MySQL drops it from each index; an index emptied this way is
+        // dropped) — but a NARROWED surviving index must still hold
+        // unique data, or MySQL fails the ALTER with 1062; checked
+        // against the would-be table BEFORE anything rewrites
+        val narrowedSets =
+          (if (m.pk.contains(c) && m.pk.exists(_ != c))
+            Seq("PRIMARY" -> m.pk.filterNot(_ == c)) else Nil) ++
+          m.uniques.filter(u => u.cols.contains(c) && u.cols.exists(_ != c))
+            .map(u => u.name -> u.cols.filterNot(_ == c))
         for ((kname, kcols) <- narrowedSets;
              row <- firstDupKey(dropped, kname, kcols))
           throwDup(t, kname, kcols, row)

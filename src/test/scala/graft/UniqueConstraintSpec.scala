@@ -199,6 +199,31 @@ class UniqueConstraintSpec extends AnyFunSuite {
     val e = intercept[Exception](
       g.sql("create table u14 (a int, unique key uq (nope))"))
     assert(e.getMessage.contains("nope"))
+    // EXPLICIT duplicate key names in CREATE answer 1061 (same rule as
+    // the ALTER arm), never a silent _2 rename
+    val e1061 = intercept[SqlError](g.sql(
+      "create table u14b (a int, b int, unique key uq (a), unique key uq (b))"))
+    assert(e1061.code == 1061, e1061.getMessage)
+    // the word 'unique'/'primary key' inside a quoted COMMENT is data:
+    // no phantom index, no phantom pk promotion
+    g.sql("create table u14c (id int primary key, " +
+      "note varchar(60) comment 'unique note for the primary key')")
+    val ddl14c = rows(g, "show create table u14c").head(1)
+    assert(!ddl14c.contains("`note`)"), ddl14c)
+    g.sql("insert into u14c values (1, 'same'), (2, 'same')")
+    assert(rows(g, "select count(*) from u14c") == Seq(Seq("2")))
+  }
+
+  test("ALTER column-name hygiene: duplicate ADD answers 1060, unknown DROP 1091") {
+    val g = freshSession()
+    g.sql("create table u22 (id int primary key, v varchar(20))")
+    g.sql("insert into u22 values (1, 'keep')")
+    // pre-fix this silently NULLed v's data via withColumn replacement
+    val e = intercept[SqlError](g.sql("alter table u22 add column v int"))
+    assert(e.code == 1060, e.getMessage)
+    assert(rows(g, "select v from u22") == Seq(Seq("keep")))
+    val e2 = intercept[SqlError](g.sql("alter table u22 drop column nope"))
+    assert(e2.code == 1091, e2.getMessage)
   }
 
   test("ALTER TABLE DROP COLUMN removes the column from unique keys") {
