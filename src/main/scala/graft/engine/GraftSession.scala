@@ -1161,10 +1161,24 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       // ALTER arm — a re-applied migration must fail, not stack a
       // renamed index); DEFAULTED names disambiguate col, col_2, …
       val allCols = cols.result()
+      // MySQL 1060: duplicate column declarations (CI identifiers) —
+      // a two-same-name meta would misalign positional INSERTs and
+      // throw ambiguous-reference errors far from the cause
+      allCols.groupBy(_.name.toLowerCase).collectFirst {
+        case (_, cs) if cs.lengthCompare(1) > 0 => cs.head.name
+      }.foreach(n =>
+        throw new SqlError(1060, "42S21", s"Duplicate column name '$n'"))
+      // MySQL 1072 at CREATE time for unknown key columns — pk AND
+      // unique (failing on first INSERT deep in the sorted write path
+      // is the wrong place to learn the CREATE was bad)
+      pk.find(k => !allCols.exists(_.name == k)).foreach(k =>
+        throw new SqlError(1072, "42000",
+          s"Key column '$k' doesn't exist in table"))
       val seenNames = scala.collection.mutable.Buffer[String]()
       val uniques = uniqs.result().map { case (explicitOpt, ucols) =>
         ucols.find(c => !allCols.exists(_.name == c)).foreach(c =>
-          sys.error(s"Key column '$c' doesn't exist in table"))
+          throw new SqlError(1072, "42000",
+            s"Key column '$c' doesn't exist in table"))
         val n = explicitOpt match {
           case Some(e) =>
             if (e.equalsIgnoreCase("primary") ||
@@ -1200,14 +1214,6 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       .filter(_.nonEmpty)
       .filterNot(w => w.equalsIgnoreCase("key") || w.equalsIgnoreCase("index"))
     (nameToks.lastOption.map(clean), ucols)
-  }
-
-  /** parseUniqueTail with MySQL's default naming applied (the first
-    * column); the CREATE TABLE caller disambiguates collisions.
-    */
-  private def parseUniqueDecl(tail: String): catalog.UniqueKey = {
-    val (nameOpt, ucols) = parseUniqueTail(tail)
-    catalog.UniqueKey(nameOpt.getOrElse(ucols.head), ucols)
   }
 
   /** MySQL index auto-naming: `base`, then base_2, base_3, … skipping
@@ -1292,7 +1298,8 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         catalog.freshenStale()
         val m = catalog.meta(db, t)
         ucols.find(c => !m.cols.exists(_.name == c)).foreach(c =>
-          sys.error(s"Key column '$c' doesn't exist in table"))
+          throw new SqlError(1072, "42000",
+            s"Key column '$c' doesn't exist in table"))
         val uname = explicit match {
           case Some(n) =>
             // an explicitly named duplicate is MySQL's 1061, not a
@@ -1342,15 +1349,22 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       val ddl = sparkDdl(ctype)
       // an existing column name is MySQL's 1060 — Spark's withColumn
       // would otherwise silently REPLACE the column (nulling its data)
-      // and the meta would grow a duplicate entry
-      if (catalog.meta(db, t).cols.exists(_.name == c))
-        throw new SqlError(1060, "42S21", s"Duplicate column name '$c'")
+      // and the meta would grow a duplicate entry. CASE-INSENSITIVE
+      // like MySQL column identifiers (and like Spark's own default
+      // withColumn resolution, so 'V' really would clobber 'v').
+      def dup1060(m: Catalog#TableMeta): Unit =
+        if (m.cols.exists(_.name.equalsIgnoreCase(c)))
+          throw new SqlError(1060, "42S21", s"Duplicate column name '$c'")
+      dup1060(catalog.meta(db, t)) // fast fail before the O(table) rewrite
       catalog.rewrite(db, t,
         catalog.read(db, t).withColumn(c, lit(null).cast(ddl)))
       // meta re-read INSIDE the lock: a concurrent ADD UNIQUE landing
-      // during the (long) rewrite above must survive this meta swap
+      // during the (long) rewrite above must survive this meta swap —
+      // and a racing same-name ADD COLUMN must fail the re-check, not
+      // append a duplicate meta entry
       catalog.withDmlLock(db, t) {
         val fresh = catalog.meta(db, t)
+        dup1060(fresh)
         val uniq =
           if (wantUnique)
             Seq(catalog.UniqueKey(
@@ -1372,30 +1386,36 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       catalog.withDmlLock(db, t) {
         catalog.freshenStale()
         val m = catalog.meta(db, t)
-        require(!m.partitionCols.contains(c),
+        require(!m.partitionCols.exists(_.equalsIgnoreCase(c)),
           s"Cannot drop partition column '$c'")
-        if (!m.cols.exists(_.name == c))
-          throw new SqlError(1091, "42000",
-            s"Can't DROP '$c'; check that column/key exists")
-        val dropped = catalog.read(db, t).drop(c)
+        // resolve the STORED name case-insensitively (MySQL column
+        // identifiers are CI; Spark's drop() resolves CI too, so every
+        // meta filter below must use the canonical spelling)
+        val stored = m.cols.find(_.name.equalsIgnoreCase(c)).map(_.name)
+          .getOrElse(throw new SqlError(1091, "42000",
+            s"Can't DROP '$c'; check that column/key exists"))
+        if (m.cols.lengthCompare(1) == 0)
+          throw new SqlError(1090, "42000",
+            "You can't delete all columns with ALTER TABLE; use DROP TABLE instead")
+        val dropped = catalog.read(db, t).drop(stored)
         // the column leaves the PRIMARY KEY and every UNIQUE index too
         // (MySQL drops it from each index; an index emptied this way is
         // dropped) — but a NARROWED surviving index must still hold
         // unique data, or MySQL fails the ALTER with 1062; checked
         // against the would-be table BEFORE anything rewrites
         val narrowedSets =
-          (if (m.pk.contains(c) && m.pk.exists(_ != c))
-            Seq("PRIMARY" -> m.pk.filterNot(_ == c)) else Nil) ++
-          m.uniques.filter(u => u.cols.contains(c) && u.cols.exists(_ != c))
-            .map(u => u.name -> u.cols.filterNot(_ == c))
+          (if (m.pk.contains(stored) && m.pk.exists(_ != stored))
+            Seq("PRIMARY" -> m.pk.filterNot(_ == stored)) else Nil) ++
+          m.uniques.filter(u => u.cols.contains(stored) && u.cols.exists(_ != stored))
+            .map(u => u.name -> u.cols.filterNot(_ == stored))
         for ((kname, kcols) <- narrowedSets;
              row <- firstDupKey(dropped, kname, kcols))
           throwDup(t, kname, kcols, row)
         catalog.rewrite(db, t, dropped)
         // a pk emptied this way turns the table copy-on-write
-        catalog.replaceMeta(m.copy(cols = m.cols.filterNot(_.name == c),
-          pk = m.pk.filterNot(_ == c),
-          uniques = m.uniques.map(u => u.copy(cols = u.cols.filterNot(_ == c)))
+        catalog.replaceMeta(m.copy(cols = m.cols.filterNot(_.name == stored),
+          pk = m.pk.filterNot(_ == stored),
+          uniques = m.uniques.map(u => u.copy(cols = u.cols.filterNot(_ == stored)))
             .filter(_.cols.nonEmpty)))
       }
       count(0)

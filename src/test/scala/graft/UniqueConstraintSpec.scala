@@ -221,9 +221,27 @@ class UniqueConstraintSpec extends AnyFunSuite {
     // pre-fix this silently NULLed v's data via withColumn replacement
     val e = intercept[SqlError](g.sql("alter table u22 add column v int"))
     assert(e.code == 1060, e.getMessage)
+    // CASE-INSENSITIVE like MySQL identifiers (and Spark's withColumn,
+    // which really would clobber v with a column named V)
+    val eCi = intercept[SqlError](g.sql("alter table u22 add column V int"))
+    assert(eCi.code == 1060, eCi.getMessage)
     assert(rows(g, "select v from u22") == Seq(Seq("keep")))
     val e2 = intercept[SqlError](g.sql("alter table u22 drop column nope"))
     assert(e2.code == 1091, e2.getMessage)
+    // DROP resolves case-insensitively to the stored spelling
+    g.sql("alter table u22 add column extra int")
+    g.sql("alter table u22 drop column EXTRA")
+    assert(!rows(g, "show create table u22").head(1).contains("extra"))
+    // the last column cannot be dropped (MySQL 1090)
+    g.sql("create table u23 (only_col int)")
+    val e3 = intercept[SqlError](g.sql("alter table u23 drop column only_col"))
+    assert(e3.code == 1090, e3.getMessage)
+    // CREATE-side parity: duplicate column 1060, unknown pk column 1072
+    val e4 = intercept[SqlError](g.sql("create table u24 (a int, A varchar(5))"))
+    assert(e4.code == 1060, e4.getMessage)
+    val e5 = intercept[SqlError](
+      g.sql("create table u25 (a int, primary key (nope))"))
+    assert(e5.code == 1072, e5.getMessage)
   }
 
   test("ALTER TABLE DROP COLUMN removes the column from unique keys") {
