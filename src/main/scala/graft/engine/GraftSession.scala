@@ -1115,6 +1115,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         .map(_.group(1).split(',').map(c => clean(c.trim)).toSeq)
         .getOrElse(Seq.empty)
       var pk = Seq.empty[String]
+      var pkDecls = 0
       val cols = Seq.newBuilder[catalog.Col]
       // (explicit name option, columns): explicitness decides 1061 vs
       // the _2-style auto-disambiguation below
@@ -1124,6 +1125,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         if (dl.startsWith("primary key")) {
           pk = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
             .split(',').map(c => clean(c.trim)).toSeq
+          pkDecls += 1
         } else if (dl.startsWith("unique ") || dl.startsWith("unique(")) {
           // UNIQUE [KEY|INDEX] [name] (cols) — the reference's level-2
           // index (meta_util.rs), enforced on write with 1062
@@ -1151,7 +1153,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           // attribute sniffs over the MASKED tail: the words inside a
           // quoted COMMENT/DEFAULT are data, not column attributes
           val restMasked = GraftSession.maskNonSyntax(rest).toLowerCase
-          if (restMasked.contains("primary key")) pk = pk :+ cname
+          if (restMasked.contains("primary key")) { pk = pk :+ cname; pkDecls += 1 }
           else if ("\\bunique\\b".r.findFirstIn(restMasked).isDefined)
             uniqs += ((None, Seq(cname)))
           cols += catalog.Col(cname, mysqlType, sparkDdl(mysqlType))
@@ -1163,22 +1165,40 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       val allCols = cols.result()
       // MySQL 1060: duplicate column declarations (CI identifiers) —
       // a two-same-name meta would misalign positional INSERTs and
-      // throw ambiguous-reference errors far from the cause
-      allCols.groupBy(_.name.toLowerCase).collectFirst {
-        case (_, cs) if cs.lengthCompare(1) > 0 => cs.head.name
-      }.foreach(n =>
-        throw new SqlError(1060, "42S21", s"Duplicate column name '$n'"))
-      // MySQL 1072 at CREATE time for unknown key columns — pk AND
-      // unique (failing on first INSERT deep in the sorted write path
-      // is the wrong place to learn the CREATE was bad)
-      pk.find(k => !allCols.exists(_.name == k)).foreach(k =>
-        throw new SqlError(1072, "42000",
-          s"Key column '$k' doesn't exist in table"))
+      // throw ambiguous-reference errors far from the cause. MySQL
+      // names the SECOND occurrence.
+      locally {
+        val seen = scala.collection.mutable.Set[String]()
+        for (cc <- allCols)
+          if (!seen.add(cc.name.toLowerCase))
+            throw new SqlError(1060, "42S21",
+              s"Duplicate column name '${cc.name}'")
+      }
+      // MySQL 1068: at most one PRIMARY KEY declaration (inline column
+      // attributes count — composite pks must use the table-level form)
+      if (pkDecls > 1)
+        throw new SqlError(1068, "42000", "Multiple primary key defined")
+      // Key-column canonicalization (CI like every MySQL identifier):
+      // resolve each listed column to its STORED spelling — downstream
+      // meta filters and delsSchema lookups need the canonical name —
+      // answering 1072 for unknowns and 1060 for an in-key duplicate,
+      // both at CREATE time (failing on first INSERT deep in the sorted
+      // write path is the wrong place to learn the CREATE was bad)
+      def canonKey(listed: Seq[String]): Seq[String] = {
+        val stored = listed.map(k =>
+          allCols.find(_.name.equalsIgnoreCase(k)).map(_.name)
+            .getOrElse(throw new SqlError(1072, "42000",
+              s"Key column '$k' doesn't exist in table")))
+        val seen = scala.collection.mutable.Set[String]()
+        for (k <- stored)
+          if (!seen.add(k.toLowerCase))
+            throw new SqlError(1060, "42S21", s"Duplicate column name '$k'")
+        stored
+      }
+      pk = canonKey(pk)
       val seenNames = scala.collection.mutable.Buffer[String]()
-      val uniques = uniqs.result().map { case (explicitOpt, ucols) =>
-        ucols.find(c => !allCols.exists(_.name == c)).foreach(c =>
-          throw new SqlError(1072, "42000",
-            s"Key column '$c' doesn't exist in table"))
+      val uniques = uniqs.result().map { case (explicitOpt, ucols0) =>
+        val ucols = canonKey(ucols0)
         val n = explicitOpt match {
           case Some(e) =>
             if (e.equalsIgnoreCase("primary") ||
@@ -1297,9 +1317,19 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       catalog.withDmlLock(db, t) {
         catalog.freshenStale()
         val m = catalog.meta(db, t)
-        ucols.find(c => !m.cols.exists(_.name == c)).foreach(c =>
-          throw new SqlError(1072, "42000",
-            s"Key column '$c' doesn't exist in table"))
+        // resolve listed columns to their STORED spelling (CI, like
+        // every MySQL identifier); 1072 for unknowns, 1060 for an
+        // in-key duplicate — same rules as CREATE's canonKey
+        val stored = ucols.map(k =>
+          m.cols.find(_.name.equalsIgnoreCase(k)).map(_.name)
+            .getOrElse(throw new SqlError(1072, "42000",
+              s"Key column '$k' doesn't exist in table")))
+        locally {
+          val seen = scala.collection.mutable.Set[String]()
+          for (k <- stored)
+            if (!seen.add(k.toLowerCase))
+              throw new SqlError(1060, "42S21", s"Duplicate column name '$k'")
+        }
         val uname = explicit match {
           case Some(n) =>
             // an explicitly named duplicate is MySQL's 1061, not a
@@ -1309,12 +1339,12 @@ class GraftSession(val spark: SparkSession, warehouse: String,
                 m.uniques.exists(_.name.equalsIgnoreCase(n)))
               throw new SqlError(1061, "42000", s"Duplicate key name '$n'")
             n
-          case None => uniqueIndexName(ucols.head, m.uniques.map(_.name))
+          case None => uniqueIndexName(stored.head, m.uniques.map(_.name))
         }
-        for (row <- firstDupKey(catalog.read(db, t), uname, ucols))
-          throwDup(t, uname, ucols, row)
+        for (row <- firstDupKey(catalog.read(db, t), uname, stored))
+          throwDup(t, uname, stored, row)
         catalog.replaceMeta(m.copy(
-          uniques = m.uniques :+ catalog.UniqueKey(uname, ucols)))
+          uniques = m.uniques :+ catalog.UniqueKey(uname, stored)))
       }
       count(0)
     case DropIndexR(name, idxName) =>
@@ -1355,16 +1385,18 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       def dup1060(m: Catalog#TableMeta): Unit =
         if (m.cols.exists(_.name.equalsIgnoreCase(c)))
           throw new SqlError(1060, "42S21", s"Duplicate column name '$c'")
-      dup1060(catalog.meta(db, t)) // fast fail before the O(table) rewrite
-      catalog.rewrite(db, t,
-        catalog.read(db, t).withColumn(c, lit(null).cast(ddl)))
-      // meta re-read INSIDE the lock: a concurrent ADD UNIQUE landing
-      // during the (long) rewrite above must survive this meta swap —
-      // and a racing same-name ADD COLUMN must fail the re-check, not
-      // append a duplicate meta entry
+      dup1060(catalog.meta(db, t)) // fast fail before taking the lock
+      // the whole check → rewrite → meta swap runs under the (reentrant)
+      // DML lock, like DROP COLUMN: the losing racer of two same-name
+      // ADDs must fail the re-check BEFORE its withColumn-replacement
+      // rewrite nulls the winner's just-added column data, and a
+      // concurrent ADD UNIQUE landing first must survive the meta swap
       catalog.withDmlLock(db, t) {
+        catalog.freshenStale()
         val fresh = catalog.meta(db, t)
         dup1060(fresh)
+        catalog.rewrite(db, t,
+          catalog.read(db, t).withColumn(c, lit(null).cast(ddl)))
         val uniq =
           if (wantUnique)
             Seq(catalog.UniqueKey(

@@ -236,12 +236,27 @@ class UniqueConstraintSpec extends AnyFunSuite {
     g.sql("create table u23 (only_col int)")
     val e3 = intercept[SqlError](g.sql("alter table u23 drop column only_col"))
     assert(e3.code == 1090, e3.getMessage)
-    // CREATE-side parity: duplicate column 1060, unknown pk column 1072
+    // CREATE-side parity: duplicate column 1060 (naming the SECOND
+    // occurrence), unknown pk column 1072, multi-pk 1068, in-key dup 1060
     val e4 = intercept[SqlError](g.sql("create table u24 (a int, A varchar(5))"))
-    assert(e4.code == 1060, e4.getMessage)
+    assert(e4.code == 1060 && e4.getMessage.contains("'A'"), e4.getMessage)
     val e5 = intercept[SqlError](
       g.sql("create table u25 (a int, primary key (nope))"))
     assert(e5.code == 1072, e5.getMessage)
+    val e6 = intercept[SqlError](
+      g.sql("create table u26 (a int primary key, b int, primary key (b))"))
+    assert(e6.code == 1068, e6.getMessage)
+    val e7 = intercept[SqlError](
+      g.sql("create table u27 (a int, b int, unique key uq (a, a))"))
+    assert(e7.code == 1060, e7.getMessage)
+    // key columns resolve case-insensitively to the stored spelling
+    g.sql("create table u28 (a int, primary key (A), unique key uq (A))")
+    g.sql("insert into u28 values (1)")
+    dup1062(g.sql("insert into u28 values (1)"))
+    g.sql("create table u29 (em text)")
+    g.sql("alter table u29 add unique key uq_em (EM)")
+    g.sql("insert into u29 values ('x')")
+    dup1062(g.sql("insert into u29 values ('x')"))
   }
 
   test("ALTER TABLE DROP COLUMN removes the column from unique keys") {
