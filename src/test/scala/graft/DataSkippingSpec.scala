@@ -485,6 +485,47 @@ class DataSkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("E9/B2 unique-column point probes prune files (the reference's level-1 seek, re-expressed)") {
+    // the reference seeks through its unique (level-1/2) sled indexes
+    // (store/reader/reader_util.rs:333); graft's read-path answer is the
+    // sidecar stack — a point probe on a DECLARED UNIQUE column prunes
+    // whole files via min/max (clustered) or blooms (unclustered)
+    // before any task is scheduled, no physical index maintained
+    g.sql("create schema if not exists skipdb")
+    g.sql("use skipdb")
+    g.sql("create table t_useek (id bigint primary key, email_h bigint, " +
+      "unique key uq_eh (email_h))")
+    g.catalog.bloomMinRows = 64L
+    try {
+      // id-clustered batches; email_h deliberately UNCLUSTERED (the
+      // hash shape a unique email column has in practice)
+      g.sql("insert into t_useek values " +
+        (0 until 512).map(i => s"($i, ${(i * 2687) % 8192})").mkString(", "))
+      g.sql("insert into t_useek values " +
+        (512 until 1024).map(i => s"($i, ${(i * 2687) % 8192 + 8192})")
+          .mkString(", "))
+      val dir = Paths.get(g.catalog.dataPath("skipdb", "t_useek"))
+      val total = FileSkipStats.readAll(dir).size
+      assert(total >= 2)
+      // pk point seek: min/max prunes to the one covering file
+      val pkScan = scansFiles(g.sql("select * from t_useek where id = 700"))
+      assert(pkScan < total, s"pk probe must prune ($pkScan of $total)")
+      // unique-column point seek: an ABSENT value inside every file's
+      // range — only the bloom can prune, and it prunes everything
+      val taken = g.sql("select distinct email_h from t_useek")
+        .collect().map(_.getLong(0)).toSet
+      val probe = (0 until 8192).find(v => !taken.contains(v.toLong)).get
+      val uScan = scansFiles(
+        g.sql(s"select * from t_useek where email_h = $probe"))
+      assert(uScan < total,
+        s"unique-column absent probe must bloom-prune ($uScan of $total)")
+      // present value: found exactly once (the constraint's promise)
+      val one = taken.head
+      assert(g.sql(s"select count(*) as c from t_useek where email_h = $one")
+        .collect()(0).getLong(0) == 1L)
+    } finally g.catalog.bloomMinRows = 1024L
+  }
+
   test("EXPLAIN ANALYZE surfaces filesPrunedBySkipping on the scan node") {
     g.sql("create schema if not exists skipdb")
     g.sql("use skipdb")
