@@ -1131,16 +1131,24 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           // index (meta_util.rs), enforced on write with 1062
           uniqs += parseUniqueTail(d.substring("unique".length))
         } else if (dl.startsWith("constraint ")) {
-          // CONSTRAINT [name] UNIQUE (cols); FK/CHECK constraints are
+          // CONSTRAINT [name] UNIQUE (cols) / CONSTRAINT [name] PRIMARY
+          // KEY (cols); other constraint kinds (FK/CHECK) are
           // parsed-and-ignored (the reference catalogs only Unique)
-          val m = "(?is)constraint\\s+(?:([`\\w]+)\\s+)?unique\\b(.*)".r
+          val mu = "(?is)constraint\\s+(?:([`\\w]+)\\s+)?unique\\b(.*)".r
             .findFirstMatchIn(d)
-          m.foreach { mm =>
+          val mp = "(?is)constraint\\s+(?:[`\\w]+\\s+)?primary\\s+key\\b.*".r
+            .findFirstMatchIn(d)
+          mu.foreach { mm =>
             // MySQL names the index after index_name when given; the
             // CONSTRAINT symbol applies only without one (same rule as
             // the ALTER ADD UNIQUE arm)
             val (idxOpt, ucols) = parseUniqueTail(mm.group(2))
             uniqs += ((idxOpt.orElse(Option(mm.group(1)).map(clean)), ucols))
+          }
+          mp.foreach { _ =>
+            pk = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
+              .split(',').map(c => clean(c.trim)).toSeq
+            pkDecls += 1
           }
         } else if (dl.startsWith("key ") || dl.startsWith("index ")) {
           // plain secondary indexes: parquet min-max stats make these
@@ -1153,8 +1161,10 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           // attribute sniffs over the MASKED tail: the words inside a
           // quoted COMMENT/DEFAULT are data, not column attributes
           val restMasked = GraftSession.maskNonSyntax(rest).toLowerCase
+          // independent sniffs: `a int primary key unique` catalogs BOTH
+          // (MySQL keeps the pk AND a unique key named after the column)
           if (restMasked.contains("primary key")) { pk = pk :+ cname; pkDecls += 1 }
-          else if ("\\bunique\\b".r.findFirstIn(restMasked).isDefined)
+          if ("\\bunique\\b".r.findFirstIn(restMasked).isDefined)
             uniqs += ((None, Seq(cname)))
           cols += catalog.Col(cname, mysqlType, sparkDdl(mysqlType))
         }
@@ -1178,27 +1188,14 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       // attributes count — composite pks must use the table-level form)
       if (pkDecls > 1)
         throw new SqlError(1068, "42000", "Multiple primary key defined")
-      // Key-column canonicalization (CI like every MySQL identifier):
-      // resolve each listed column to its STORED spelling — downstream
-      // meta filters and delsSchema lookups need the canonical name —
-      // answering 1072 for unknowns and 1060 for an in-key duplicate,
-      // both at CREATE time (failing on first INSERT deep in the sorted
-      // write path is the wrong place to learn the CREATE was bad)
-      def canonKey(listed: Seq[String]): Seq[String] = {
-        val stored = listed.map(k =>
-          allCols.find(_.name.equalsIgnoreCase(k)).map(_.name)
-            .getOrElse(throw new SqlError(1072, "42000",
-              s"Key column '$k' doesn't exist in table")))
-        val seen = scala.collection.mutable.Set[String]()
-        for (k <- stored)
-          if (!seen.add(k.toLowerCase))
-            throw new SqlError(1060, "42S21", s"Duplicate column name '$k'")
-        stored
-      }
-      pk = canonKey(pk)
+      // Key-column canonicalization at CREATE time — failing on first
+      // INSERT deep in the sorted write path is the wrong place to
+      // learn the CREATE was bad (canonKeyCols: CI stored spellings,
+      // 1072 unknowns, 1060 in-key duplicates)
+      pk = canonKeyCols(pk, allCols)
       val seenNames = scala.collection.mutable.Buffer[String]()
       val uniques = uniqs.result().map { case (explicitOpt, ucols0) =>
-        val ucols = canonKey(ucols0)
+        val ucols = canonKeyCols(ucols0, allCols)
         val n = explicitOpt match {
           case Some(e) =>
             if (e.equalsIgnoreCase("primary") ||
@@ -1234,6 +1231,25 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       .filter(_.nonEmpty)
       .filterNot(w => w.equalsIgnoreCase("key") || w.equalsIgnoreCase("index"))
     (nameToks.lastOption.map(clean), ucols)
+  }
+
+  /** Resolve a listed key-column set to its STORED spellings
+    * (case-insensitive like every MySQL identifier — downstream meta
+    * filters and delsSchema lookups need the canonical names),
+    * answering 1072 for unknown columns and 1060 for a duplicate WITHIN
+    * the key list. Shared by CREATE TABLE and ALTER ADD UNIQUE.
+    */
+  private def canonKeyCols(listed: Seq[String],
+                           cols: Seq[Catalog#Col]): Seq[String] = {
+    val stored = listed.map(k =>
+      cols.find(_.name.equalsIgnoreCase(k)).map(_.name)
+        .getOrElse(throw new SqlError(1072, "42000",
+          s"Key column '$k' doesn't exist in table")))
+    val seen = scala.collection.mutable.Set[String]()
+    for (k <- stored)
+      if (!seen.add(k.toLowerCase))
+        throw new SqlError(1060, "42S21", s"Duplicate column name '$k'")
+    stored
   }
 
   /** MySQL index auto-naming: `base`, then base_2, base_3, … skipping
@@ -1317,19 +1333,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       catalog.withDmlLock(db, t) {
         catalog.freshenStale()
         val m = catalog.meta(db, t)
-        // resolve listed columns to their STORED spelling (CI, like
-        // every MySQL identifier); 1072 for unknowns, 1060 for an
-        // in-key duplicate — same rules as CREATE's canonKey
-        val stored = ucols.map(k =>
-          m.cols.find(_.name.equalsIgnoreCase(k)).map(_.name)
-            .getOrElse(throw new SqlError(1072, "42000",
-              s"Key column '$k' doesn't exist in table")))
-        locally {
-          val seen = scala.collection.mutable.Set[String]()
-          for (k <- stored)
-            if (!seen.add(k.toLowerCase))
-              throw new SqlError(1060, "42S21", s"Duplicate column name '$k'")
-        }
+        val stored = canonKeyCols(ucols, m.cols)
         val uname = explicit match {
           case Some(n) =>
             // an explicitly named duplicate is MySQL's 1061, not a

@@ -498,11 +498,14 @@ class DataSkippingSpec extends AnyFunSuite {
     g.catalog.bloomMinRows = 64L
     try {
       // id-clustered batches; email_h deliberately UNCLUSTERED (the
-      // hash shape a unique email column has in practice)
+      // hash shape a unique email column has in practice) and SPANNING
+      // THE SAME RANGE in both files — min/max cannot prune the point
+      // probe below, only the bloom can (the assertion pins blooms,
+      // not range luck)
       g.sql("insert into t_useek values " +
         (0 until 512).map(i => s"($i, ${(i * 2687) % 8192})").mkString(", "))
       g.sql("insert into t_useek values " +
-        (512 until 1024).map(i => s"($i, ${(i * 2687) % 8192 + 8192})")
+        (512 until 1024).map(i => s"($i, ${(i * 2687) % 8192 + 1})")
           .mkString(", "))
       val dir = Paths.get(g.catalog.dataPath("skipdb", "t_useek"))
       val total = FileSkipStats.readAll(dir).size
@@ -514,11 +517,15 @@ class DataSkippingSpec extends AnyFunSuite {
       // range — only the bloom can prune, and it prunes everything
       val taken = g.sql("select distinct email_h from t_useek")
         .collect().map(_.getLong(0)).toSet
-      val probe = (0 until 8192).find(v => !taken.contains(v.toLong)).get
-      val uScan = scansFiles(
-        g.sql(s"select * from t_useek where email_h = $probe"))
-      assert(uScan < total,
-        s"unique-column absent probe must bloom-prune ($uScan of $total)")
+      // a bloom is probabilistic (~1% FP per file at 10 bits/value):
+      // probe a few verified-absent values and require that at least
+      // one prunes EVERYTHING — min/max can never do that here
+      val probes = (0 until 8192).filter(v => !taken.contains(v.toLong)).take(3)
+      val uScans = probes.map(v => scansFiles(
+        g.sql(s"select * from t_useek where email_h = $v")))
+      assert(uScans.min == 0,
+        s"unique-column absent probes must bloom-prune every file " +
+          s"(min/max cannot help here; scans=$uScans of $total)")
       // present value: found exactly once (the constraint's promise)
       val one = taken.head
       assert(g.sql(s"select count(*) as c from t_useek where email_h = $one")

@@ -249,6 +249,19 @@ class UniqueConstraintSpec extends AnyFunSuite {
     val e7 = intercept[SqlError](
       g.sql("create table u27 (a int, b int, unique key uq (a, a))"))
     assert(e7.code == 1060, e7.getMessage)
+    // CONSTRAINT [name] PRIMARY KEY catalogs the pk (it is not a
+    // discarded constraint kind) and counts toward 1068
+    g.sql("create table u30 (a int, b int, constraint cpk primary key (a))")
+    g.sql("insert into u30 values (1, 1)")
+    dup1062(g.sql("insert into u30 values (1, 2)"))
+    val e8 = intercept[SqlError](g.sql(
+      "create table u31 (a int primary key, b int, constraint x primary key (b))"))
+    assert(e8.code == 1068, e8.getMessage)
+    // an inline column declared BOTH primary key and unique catalogs both
+    g.sql("create table u32 (a int primary key unique, b int)")
+    val ddl32 = rows(g, "show create table u32").head(1)
+    assert(ddl32.contains("PRIMARY KEY (`a`)") &&
+      ddl32.contains("UNIQUE KEY `a` (`a`)"), ddl32)
     // key columns resolve case-insensitively to the stored spelling
     g.sql("create table u28 (a int, primary key (A), unique key uq (A))")
     g.sql("insert into u28 values (1)")
