@@ -1535,16 +1535,52 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         else if (mode == "ignore") insertIgnore(db, t, m, staged)
         else catalog.withDmlLock(db, t) {
           catalog.freshenStale()
+          // re-read meta UNDER the lock: a concurrent ALTER … ADD UNIQUE
+          // that committed between statement entry and lock acquisition
+          // must be enforced by this insert (the pre-lock snapshot m
+          // cannot see it; the DDL arms already re-read inside the lock)
+          val ml = lockedMeta(db, t, m)
           val existing = catalog.read(db, t)
-          for ((kname, kcols) <- keySets(m))
+          for ((kname, kcols) <- keySets(ml))
             checkNoConflict(t, kname, kcols, staged, rows, existing)
-          val sortCols = (if (m.pk.nonEmpty) m.pk else m.uniques.head.cols)
-            .map(k => col(s"`$k`"))
-          catalog.append(db, t, staged.sortWithinPartitions(sortCols: _*))
+          val sortKeys =
+            if (ml.pk.nonEmpty) ml.pk
+            else ml.uniques.headOption.map(_.cols).getOrElse(Nil)
+          catalog.append(db, t,
+            if (sortKeys.isEmpty) staged
+            else staged.sortWithinPartitions(sortKeys.map(k => col(s"`$k`")): _*))
           count(rows)
         }
       } finally staged.unpersist()
   }
+
+  /** Broadcast the batch-key side of a duplicate/REPLACE probe only when
+    * the staged batch is wire-sized: Spark obeys an explicit broadcast
+    * hint regardless of estimated size, so `INSERT/REPLACE INTO … SELECT`
+    * from a fact-sized source would otherwise force an arbitrarily large
+    * driver-side broadcast build (the 100× driver-memory hazard). Past
+    * the threshold the hint is dropped and the probe runs as the
+    * planner's own shuffle semi/anti join — identical semantics. 10⁶
+    * keys ≈ tens of MB framed, safely inside the broadcast budget;
+    * GRAFT_DML_BROADCAST_KEYS overrides for constrained drivers.
+    */
+  private def dmlBroadcastKeyLimit: Long =
+    sys.props.get("graft.dml.broadcast.keys")
+      .orElse(sys.env.get("GRAFT_DML_BROADCAST_KEYS"))
+      .map(_.toLong).getOrElse(1000000L)
+  private def hintBatchKeys(keys: DataFrame, batchRows: Long): DataFrame =
+    if (batchRows <= dmlBroadcastKeyLimit) keys.hint("broadcast") else keys
+
+  /** Freshest meta for a table while its DML lock is held — the DML
+    * arms validate key sets against this, not the pre-lock snapshot, so
+    * an ALTER … ADD UNIQUE committing between statement entry and lock
+    * acquisition is enforced. Falls back to the snapshot if the re-read
+    * fails (a concurrent DROP surfaces at the commit instead).
+    */
+  private def lockedMeta(db: String, t: String,
+                         snapshot: catalog.TableMeta): catalog.TableMeta =
+    try catalog.meta(db, t)
+    catch { case scala.util.control.NonFatal(_) => snapshot }
 
   /** The table's enforced key sets, PRIMARY first — the reference's
     * level-1/level-2 index list (meta_util.rs get_table_index_list).
@@ -1602,7 +1638,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           if (keys.isEmpty) existing.limit(0)
           else existing.filter(col(s"`${kcols.head}`").isin(keys.toIndexedSeq: _*))
         } else keyedRows(existing, kname, kcols).join(
-          keyed.select(kc: _*).hint("broadcast"), kcols, "left_semi")
+          hintBatchKeys(keyed.select(kc: _*), rows), kcols, "left_semi")
       conflicts.select(kc: _*).head(1).headOption
     }
     for (row <- existDup) throwDup(t, kname, kcols, row)
@@ -1777,9 +1813,11 @@ class GraftSession(val spark: SparkSession, warehouse: String,
                            staged: DataFrame): DataFrame =
     catalog.withDmlLock(db, t) {
       catalog.freshenStale()
+      // key sets from the under-lock meta (see writeRows' strict arm)
+      val ml = lockedMeta(db, t, m)
       val existing = catalog.read(db, t)
       var kept = staged.withColumn("_graft_ord", monotonically_increasing_id())
-      for ((kname, kcols) <- keySets(m)) {
+      for ((kname, kcols) <- keySets(ml)) {
         val kc = kcols.map(k => col(s"`$k`"))
         // keep the FIRST batch row per key; NULL-keyed rows are exempt
         // from a UNIQUE set (they join to nothing → coalesce passes them)
@@ -1796,9 +1834,12 @@ class GraftSession(val spark: SparkSession, warehouse: String,
       try {
         val landed = fresh.count()
         if (landed > 0) {
-          val sortCols = (if (m.pk.nonEmpty) m.pk else m.uniques.head.cols)
-            .map(k => col(s"`$k`"))
-          catalog.append(db, t, fresh.sortWithinPartitions(sortCols: _*))
+          val sortKeys =
+            if (ml.pk.nonEmpty) ml.pk
+            else ml.uniques.headOption.map(_.cols).getOrElse(Nil)
+          catalog.append(db, t,
+            if (sortKeys.isEmpty) fresh
+            else fresh.sortWithinPartitions(sortKeys.map(k => col(s"`$k`")): _*))
         }
         count(landed)
       } finally fresh.unpersist()
@@ -1824,8 +1865,11 @@ class GraftSession(val spark: SparkSession, warehouse: String,
                           staged: DataFrame, rows: Long): DataFrame =
     catalog.withDmlLock(db, t) {
       catalog.freshenStale()
-      if (m.uniques.nonEmpty) replaceMultiKey(db, t, m, staged, rows)
-      else replaceByPk(db, t, m, staged, rows)
+      // dispatch + enforce on the under-lock meta (see writeRows' strict
+      // arm): a unique key added concurrently must displace collisions
+      val ml = lockedMeta(db, t, m)
+      if (ml.uniques.nonEmpty) replaceMultiKey(db, t, ml, staged, rows)
+      else replaceByPk(db, t, ml, staged, rows)
     }
 
   private def replaceByPk(db: String, t: String, m: catalog.TableMeta,
@@ -1843,7 +1887,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         val nKeys = deduped.count()
         val existing = catalog.read(db, t)
         val keys = deduped.select(pkCols: _*)
-        val nReplaced = existing.join(keys.hint("broadcast"), m.pk, "left_semi").count()
+        val nReplaced = existing.join(hintBatchKeys(keys, nKeys), m.pk, "left_semi").count()
         val sorted = deduped.sortWithinPartitions(pkCols: _*)
         if (m.mergeOnRead) {
           val seq = catalog.nextSeq(db, t)
@@ -1852,7 +1896,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           autoCompact(db, t)
         } else if (nReplaced > 0) {
           catalog.rewrite(db, t,
-            existing.join(keys.hint("broadcast"), m.pk, "left_anti")
+            existing.join(hintBatchKeys(keys, nKeys), m.pk, "left_anti")
               .unionByName(sorted))
         } else catalog.append(db, t, sorted)
         // MySQL affected-rows: every row inserts (rows) and every delete
@@ -1896,7 +1940,8 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         // any key set), tombstone them, append the batch at one sequence
         val victimPks = sets.map { case (kname, kcols) =>
           keyedRows(existing, kname, kcols)
-            .join(batchKeys(kname, kcols).hint("broadcast"), kcols, "left_semi")
+            .join(hintBatchKeys(batchKeys(kname, kcols), nKeys), kcols,
+              "left_semi")
             .select(m.pk.map(k => col(s"`$k`")): _*)
         }.reduce(_ unionByName _).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1917,7 +1962,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         // when a rewrite (itself O(table)) is happening anyway
         val anyConflict = sets.exists { case (kname, kcols) =>
           keyedRows(existing, kname, kcols)
-            .join(batchKeys(kname, kcols).hint("broadcast"), kcols,
+            .join(hintBatchKeys(batchKeys(kname, kcols), nKeys), kcols,
               "left_semi")
             .head(1).nonEmpty
         }
@@ -1928,7 +1973,8 @@ class GraftSession(val spark: SparkSession, warehouse: String,
           var remaining = existing
           for ((kname, kcols) <- sets)
             remaining = remaining.join(
-              batchKeys(kname, kcols).hint("broadcast"), kcols, "left_anti")
+              hintBatchKeys(batchKeys(kname, kcols), nKeys), kcols,
+              "left_anti")
           val nExisting = existing.count()
           val kept = remaining
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1965,6 +2011,8 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         // locked check-then-append must not land a key this UPDATE is
         // about to occupy between its check and its commit
         catalog.freshenStale()
+        // key sets from the under-lock meta (see writeRows' strict arm)
+        val ml = lockedMeta(db, t, m)
         // Evaluate WHERE exactly once against the ORIGINAL row (MySQL
         // semantics): a later assignment must not see the condition
         // re-resolved against columns an earlier assignment just changed.
@@ -1984,7 +2032,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         // duplicate (update.rs rewrites per-index key in the reference):
         // one keyed count over the would-be table per TOUCHED key set
         val touched = assignments.map(_._1).toSet
-        for ((kname, kcols) <- keySets(m) if kcols.exists(touched);
+        for ((kname, kcols) <- keySets(ml) if kcols.exists(touched);
              row <- firstDupKey(updated, kname, kcols))
           throwDup(t, kname, kcols, row)
         catalog.rewrite(db, t, updated)
@@ -2040,7 +2088,7 @@ class GraftSession(val spark: SparkSession, warehouse: String,
         // (checked before any tombstone lands, so a 1062 leaves the
         // table untouched)
         val touched = assignments.map(_._1).toSet
-        val checkSets = keySets(m).filter(_._2.exists(touched))
+        val checkSets = keySets(lockedMeta(db, t, m)).filter(_._2.exists(touched))
         if (checkSets.nonEmpty) {
           val rest = catalog.read(db, t).filter(!coalesce(cond, lit(false)))
           for ((kname, kcols) <- checkSets) {

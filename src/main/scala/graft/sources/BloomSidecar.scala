@@ -259,15 +259,21 @@ object BloomSidecar {
     // descend through a symlinked start node
     val base = try dir.toRealPath() catch {
       case scala.util.control.NonFatal(_) => dir }
+    // close the walk stream deterministically and log a swallowed
+    // failure — see FileSkipStats.readAll (same contract)
     val shards =
-      try Files.walk(base).iterator.asScala
-        .filter(p => p.getFileName.toString == SidecarName &&
-          p.getParent != base)
-        .flatMap { s =>
-          val rel = FileSkipStats.relKey(base.relativize(s.getParent).toString)
-          read(s.getParent).map { case (n, cs) => s"$rel/$n" -> cs }
-        }.toMap
-      catch { case scala.util.control.NonFatal(_) =>
+      try {
+        val walk = Files.walk(base)
+        try walk.iterator.asScala
+          .filter(p => p.getFileName.toString == SidecarName &&
+            p.getParent != base)
+          .flatMap { s =>
+            val rel = FileSkipStats.relKey(base.relativize(s.getParent).toString)
+            read(s.getParent).map { case (n, cs) => s"$rel/$n" -> cs }
+          }.toMap
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] bloom shard walk failed under $base: $e")
         Map.empty[String, Map[String, BloomFilter]] }
     root ++ shards
   }

@@ -341,17 +341,25 @@ object FileSkipStats {
     // descend through a symlinked start node
     val base = try dir.toRealPath() catch {
       case scala.util.control.NonFatal(_) => dir }
+    // close the walk stream deterministically (it holds directory
+    // handles until GC otherwise — a leak on a long-running server) and
+    // log a swallowed failure: an empty map is indistinguishable from
+    // zero shard coverage to ANALYZE/CBO consumers
     val shards =
       try {
         import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator.asScala
-          .filter(p => p.getFileName.toString == SidecarName &&
-            p.getParent != base)
-          .flatMap { s =>
-            val rel = relKey(base.relativize(s.getParent).toString)
-            read(s.getParent).map { case (n, cs) => s"$rel/$n" -> cs }
-          }.toMap
-      } catch { case scala.util.control.NonFatal(_) =>
+        val walk = Files.walk(base)
+        try {
+          walk.iterator.asScala
+            .filter(p => p.getFileName.toString == SidecarName &&
+              p.getParent != base)
+            .flatMap { s =>
+              val rel = relKey(base.relativize(s.getParent).toString)
+              read(s.getParent).map { case (n, cs) => s"$rel/$n" -> cs }
+            }.toMap
+        } finally walk.close()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] sidecar shard walk failed under $base: $e")
         Map.empty[String, Map[String, ColStat]] }
     root ++ shards
   }

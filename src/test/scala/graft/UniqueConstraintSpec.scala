@@ -419,4 +419,89 @@ class UniqueConstraintSpec extends AnyFunSuite {
     assert(wins == 1, s"expected exactly one winner, got $wins")
     assert(rows(g, "select count(*) from u16") == Seq(Seq("1")))
   }
+
+  test("batch-key broadcast hint is gated: past the key limit the probe " +
+    "falls back to an unhinted shuffle join, semantics unchanged") {
+    // A fact-sized INSERT/REPLACE … SELECT source must not be forced
+    // through a driver-side broadcast build: the hint is applied only
+    // when the staged batch is wire-sized (graft.dml.broadcast.keys /
+    // GRAFT_DML_BROADCAST_KEYS, default 1e6 keys). Forcing the limit to
+    // 0 pins the fallback plan: with auto-broadcast disabled on the
+    // session, NO probe plan may contain a BroadcastExchange — if the
+    // hint were still applied, Spark would obey it regardless of conf.
+    val sp = spark.newSession()
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val captured = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    sp.listenerManager.register(listener)
+    val wh = Files.createTempDirectory("graft-uq-wh").toString
+    val g = new GraftSession(sp, wh)
+    g.sql("create schema uqg"); g.sql("use uqg")
+    // composite unique key ⇒ the probe always takes the join branch
+    // (the ≤256-literal point-probe only serves single-column keys)
+    g.sql("create table gb (id int primary key, a int, b int, " +
+      "constraint uq_ab unique (a, b))")
+    g.sql("insert into gb values (1, 10, 20), (2, 11, 21)")
+    def drainPlans(): Seq[String] = {
+      // QueryExecutionListener delivery is async on the listener bus
+      val deadline = System.nanoTime() + 10e9.toLong
+      var out = Seq.empty[String]
+      while (out.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        out = captured.synchronized { val s = captured.toSeq; captured.clear(); s }
+          .filter(_.contains("LeftSemi"))
+      }
+      out
+    }
+    sys.props("graft.dml.broadcast.keys") = "0"
+    try {
+      captured.synchronized(captured.clear())
+      // strict INSERT: fallback probe, still 1062 on a table collision
+      dup1062(g.sql("insert into gb values (3, 10, 20)"))
+      val strictPlans = drainPlans()
+      assert(strictPlans.nonEmpty, "no probe plan captured")
+      for (p <- strictPlans)
+        assert(!p.contains("BroadcastExchange"),
+          s"fallback probe still broadcasts:\n$p")
+      // clean insert still lands through the fallback probe
+      g.sql("insert into gb values (3, 12, 22)")
+      // INSERT IGNORE: conflicts skip, fresh rows land
+      g.sql("insert ignore into gb values (4, 10, 20), (5, 13, 23)")
+      assert(rows(g, "select count(*) from gb") == Seq(Seq("4")))
+      // REPLACE displaces the unique-key collision
+      captured.synchronized(captured.clear())
+      g.sql("replace into gb values (6, 10, 20)")
+      val replacePlans = drainPlans()
+      assert(replacePlans.nonEmpty, "no REPLACE probe plan captured")
+      for (p <- replacePlans)
+        assert(!p.contains("BroadcastExchange"),
+          s"fallback REPLACE probe still broadcasts:\n$p")
+      assert(rows(g, "select id from gb where a = 10 and b = 20") ==
+        Seq(Seq("6")))
+      assert(rows(g, "select count(*) from gb") == Seq(Seq("4")))
+    } finally {
+      sys.props.remove("graft.dml.broadcast.keys")
+      sp.listenerManager.unregister(listener)
+    }
+    // and with the default (wire-sized) limit the hint IS applied: the
+    // same probe broadcasts even though session auto-broadcast is off
+    sp.listenerManager.register(listener)
+    try {
+      captured.synchronized(captured.clear())
+      dup1062(g.sql("insert into gb values (7, 12, 22)"))
+      val plans = drainPlans()
+      assert(plans.nonEmpty, "no probe plan captured")
+      assert(plans.exists(_.contains("BroadcastExchange")),
+        s"wire-sized probe lost its broadcast:\n${plans.mkString("\n---\n")}")
+    } finally sp.listenerManager.unregister(listener)
+  }
 }
