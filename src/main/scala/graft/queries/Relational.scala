@@ -155,7 +155,15 @@ object Relational {
       import org.apache.spark.sql.expressions.Window
       val wS = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // same partition AND order spec as wS with the full-partition
+      // frame: Spark groups window expressions by (partition, order)
+      // into one WindowExec, so cum and n compute in a single pass over
+      // one sort — the unordered form planned a second WindowExec (an
+      // extra buffered pass over every histogram row). Identical value:
+      // sum(cnt) over the whole partition is order-independent.
       val wAll = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       // Anchor rank DELIBERATELY in double — floor((n-1)*p) with p the
       // same double literal DuckDB's QUANTILE_CONT uses — NOT in exact
       // integer math (floor((n-1)*9/10) via BIGINTs). Both engines
