@@ -147,7 +147,15 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_telemetry.json"),
       telemetry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val contractLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Insurance against truncated stdout captures (the r16 round lost
+    // its whole round-over-round comparison to one): the contract line
+    // ALSO lands in a side file. Additive — stdout is unchanged.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      contractLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(contractLine)
     spark.stop()
   }
 }

@@ -30,11 +30,11 @@ object PlanAudit {
     "q56_contamination"   -> "benchmark grams broadcast; corpus probes without a pre-join shuffle; hits partial-aggregate map-side",
     "q57_kmeans"          -> "Lloyd assignment is scan -> project (broadcast codebook argmax); centroid update partial-aggregates to <= k x dim rows per partition",
     "q58_semdedup"        -> "pairwise cosine confined to cluster blocks (cluster equi-join over the staged assignment), never corpus^2",
-    "q59_chunk_dedup"     -> "chunk dedup: one keyed frequency aggregation + one equi-join back; nothing pairwise",
+    "q59_chunk_dedup"     -> "chunk dedup: corpus chunk frequency as a count-over-window — ONE chunk-keyed shuffle (r18; the agg+join form paid a second exchange for the frequency table past the broadcast threshold, and its SMJ sorted the chunk table by chunk anyway); nothing pairwise",
     "q60_mixing"          -> "per-source stats broadcast back over one corpus scan; md5-bucket selection is scan-local",
     "q61_vocab"           -> "vocab collapses to a one-row broadcast array; per-doc membership is scan-local array work",
     "q64_join_right"      -> "right outer keeps the fact side in place: dimension side broadcast, no fact shuffle for the join",
-    "q65_exists_fact"     -> "correlated EXISTS against the fact table planned as a semi join, no cartesian, no per-row rescan",
+    "q65_exists_fact"     -> "correlated EXISTS against the fact table planned as a semi join, no cartesian, no per-row rescan; the fact side is Bloom-pre-reduced before its exchange (r18, guide §3.2: might_contain(bloom_filter_agg scalar subquery) — the InjectRuntimeFilter construct, explicit because the bench decades sit under its 10 GB scan threshold; sf10: 61M -> 6.1M rows shuffled)",
     "q66_semi_anti_stack" -> "Q21 shape: EXISTS + NOT EXISTS against lineitem as semi + anti joins; no cartesian anywhere",
     "q67_ann_ivf_kmeans"  -> "kmeans-refined codebook IVF: zero-exchange assignment (broadcast codebook argmax), probe as cell equi-join, partial top-k",
     "q68_ann_recall"      -> "recall audit composes the production ANN plans (broadcast query batch, zero-exchange IVF assignment, band equi-join) + keyed audit joins; nothing corpus x corpus beyond the graded operators",
@@ -49,7 +49,7 @@ object PlanAudit {
     "q80_ann_pq" -> "product quantization (scan-local round-8 form): ONE-ROW broadcast flattened codebook + LUT; encode = PqCodesE native projection per vector (no join rows), ADC = m O(1) element_at lookups in the same scan — NO aggregation state before TopKPairs' partial top-R (the old explode(m)->join->keyed-argmin form spilled 39 GB at sf50); only <= q·R re-rank rows join back to full vectors",
     "q81_ann_recall_pq" -> "PQ recall audit: q35's broadcast-query-batch ground-truth shape + the q80 plan; hit join is (q_id, neighbor)-keyed",
     "q82_stratified_sample" -> "stratified sampling: ONE stratum-keyed TopKPairs partial aggregate (<= n rows per stratum per partition into the exchange) — never a per-stratum window sort over all rows",
-    "q83_containment" -> "containment dedup: bottom-k sketch equi-joins a df-capped posting list (candidates <= sketchK x dfCap per doc, scale-constant); exact intersection by (doc, h) KEY joins; one staged shingle-hash table feeds all five consumers",
+    "q83_containment" -> "containment dedup: bottom-k sketch equi-joins a df-capped posting list (candidates <= sketchK x dfCap per doc, scale-constant); exact intersection by (doc, h) KEY joins; ONE staged shingle table with the df count attached in-pass (r18 count-over-window riding the staging exchange — the posting face is a filter, no df aggregate exchange + no df-cap join) feeds all consumers",
     "q84_lm_perplexity" -> "bigram-LM scoring: scan-local bigram extraction (zip_with), model counts as TWO keyed aggregations with map-side partials, probability table joined back by (w1, w2) KEY (not broadcast — bigram vocabulary grows with the corpus), one-row vocab broadcast, doc-keyed rollup",
     "q85_quality_classifier" -> "NB quality classifier: ONE explode -> (doc,token)-keyed tf aggregation; model re-aggregates tf by token (no second corpus scan); scoring join by token KEY (not broadcast — vocabulary grows with the corpus); totals/priors one-row broadcast; doc-keyed rollup",
     "q86_ann_ivfpq" -> "IVFADC composite: coarse assign + residual + m-code encode in ONE scan-local projection (PqCodesE over one-row broadcasts, zero exchange, no aggregation state); ADC only inside probed cells via a broadcast HASH join on the cell key (an equi-join, not a nested loop); TopKPairs partial top-R; <= q·R exact re-rank rows join back",
@@ -58,7 +58,7 @@ object PlanAudit {
     "q89_pii_redact" -> "PII audit (v2 classes): detection for all five classes (incl. the per-match Luhn fold) and the email->intl->card->NANP->IPv4->IPv6 redaction chain are all SCAN-LOCAL regex projections (zero joins, zero pre-rollup aggregation state); the only exchange is the final tiny per-group partial aggregate — one pass over the text bytes per pattern, the scrubber floor at any corpus size",
     "q90_ann_ivfpq_2level" -> "two-level IVFADC: coarse assign over the cbrt(n) ONE-ROW broadcast (scan-local), fine cell + residual via the cell1-keyed fine-codebook equi-join (<= c1 rows — broadcastable here, a keyed shuffle join at 10^12, either way linear) with the argmin as a scan-local array_min; ADC only inside probed (cell1, cell2) cells via a broadcast HASH join on the composite key; TopKPairs partial top-R; <= q·R exact re-rank rows join back — no broadcast past cbrt(n) rows",
     "q91_ann_recall_ivfpq2" -> "two-level IVFADC recall audit: q35's broadcast-query-batch ground-truth shape + the q90 plan; hit join is (q_id, neighbor)-keyed",
-    "q92_posting_incremental" -> "incremental posting-index update: batch shingled ONCE (scan-local explode + distinct); old df/posting state touched only through h-KEYED equi-joins on the batch's hash set (never rescanned); retired-bucket deletes are a keyed join of the crossed set against old postings; fingerprint rollup is one doc-keyed aggregation",
+    "q92_posting_incremental" -> "incremental posting-index update: ONE staged (doc_id, h, c) table carries both old-index faces (r18: count-over-window rides the hash(h) staging exchange; df face = dedup-by-h projection, posting face = filter — three checkpoints became one); the batch side keeps its hash(h) partitioning live so the delta joins are exchange-free; deltas applied at the FINGERPRINT level (old - deletes + inserts as exact BIGINT aggregate merges — no 30M-row anti-join re-shuffle)",
     "q93_curation_report" -> "curation funnel: ONE corpus scan serves the four scan-local gates (pii kernel + langid argmax + quality ratios + md5 distinct, fused into one aggregate, exploded to gate rows); simhash gate adds only its sig-key pair machinery, contamination its broadcast 8-gram probe; union of three tiny aggregates — no gate rescans another gate's work",
     "q94_ivfpq_encode_incremental" -> "incremental IVFADC encode: existing-part quantizer build staged once (bounded codebooks); BOTH the staged existing encode and the delta encode are ONE scan-local projection each (coarse argmin -> residual -> PQ codes over one-row broadcasts, zero exchange, zero aggregation state before the per-cell fingerprint rollup) — the delta step's cost is O(|batch|), independent of index size",
     "q95_exactsubstr" -> "ExactSubstr substring dedup: ONE corpus scan through the native window_md5s kernel (Generate — no per-window slice/concat/hex allocation), ONE keyed shuffle of the window table by 16-byte fingerprint for the count-over-window frequency, then the per-doc LAG span merge (keyed by doc) and two keyed folds — corpus-linear, nothing pairwise; the fingerprint shuffle is the only corpus-sized exchange")

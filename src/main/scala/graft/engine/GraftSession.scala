@@ -617,14 +617,18 @@ class GraftSession(val spark: SparkSession, warehouse: String,
     // decisions must all read one file set)
     val snap = Bridge.freezeFileIndexes(
       catalog.mergedWithSeq(dbC, tC).drop(Catalog.SeqCol))
-    val shd = graft.operators.Containment
-      .shingles(snap, idCol, textCol, shingleK)
+    // ONE staged table carries both reference faces (round 18, the q92
+    // shape): the count-over-window form attaches the df count in the
+    // same h-keyed pass that builds the shingle table, so the df face
+    // is a dedup-by-h projection and the posting face a filter — three
+    // checkpoints and their derivation exchanges become one.
+    val shdC = graft.operators.Containment
+      .shinglesWithDf(snap, idCol, textCol, shingleK)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val dfRef = graft.operators.Containment.dfIndexFrom(shd)
-      .localCheckpoint()
-    val postRef = graft.operators.Containment
-      .postingIndexFrom(shd, dfRef, dfCap).localCheckpoint()
+    val dfRef = shdC.select(col("h"), col("c")).dropDuplicates("h")
+    val postRef = shdC.filter(col("c") <= dfCap)
+      .select(col("h"), col("doc_id").as("doc_b"))
     // df table: retire hashes the rebuild lacks, REPLACE disagreeing
     // counts (covers both the decrement and the missing-hash case)
     val liveDf = catalog.read(dbD, tD)

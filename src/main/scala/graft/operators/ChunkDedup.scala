@@ -39,8 +39,16 @@ object ChunkDedup {
       .filter(size(toks) >= cs)
       .select(col(idCol).as("id"), explode(chunks).as("c"))
       .select(col("id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
-    val freq = ch.groupBy(col("chunk")).agg(count(lit(1)).as("freq"))
-    ch.join(freq, Seq("chunk"))
+    // corpus frequency as a count-over-window (ONE chunk-keyed shuffle
+    // of the chunk table, the ExactSubstr r15 lesson applied here at
+    // the r18 sf10 lens): the agg+join form pays a second exchange for
+    // the frequency table once the corpus outgrows the broadcast
+    // threshold, and its SMJ sorts the chunk table by chunk anyway —
+    // exactly the sort the window needs (sf10 receipt in
+    // OPTIMIZATION_r18.md).
+    val byChunk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk"))
+    ch.withColumn("freq", count(lit(1)).over(byChunk))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("freq") >= 2, 1L).otherwise(0L)).as("n_dup"),

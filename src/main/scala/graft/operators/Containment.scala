@@ -54,6 +54,30 @@ object Containment {
       .select(col("doc_id"), md5Prefix48(col("gram")).as("h"))
       .distinct()
 
+  /** `shingleTable` partitioned by hash(h) instead of the dedup key:
+    * HashPartitioning(h) satisfies the ClusteredDistribution of every
+    * h-keyed consumer (a groupBy(h), an equi-join on h, or on (h, x) —
+    * h is a subset of each clustering), so when the result feeds those
+    * consumers LAZILY (no checkpoint in between — `localCheckpoint`
+    * records UnknownPartitioning and forfeits this), the frequency
+    * aggregation and the posting joins plan with ZERO additional
+    * exchanges (guide §2.4: establish the partitioning once). The dedup
+    * is still complete — equal (doc_id, h) rows share h, hence a
+    * partition — and loses no map-side reduction because textShingles
+    * is per-doc distinct already. Measured at sf10 (r18): the delta
+    * path of q92 dropped 6 exchanges and −41% wall; NOT used for the
+    * checkpointed q83 staging, where the checkpoint erases the
+    * partitioning and the h-only exchange costs extra (measured +20%).
+    */
+  private def shingleTableByH(docs: DataFrame, idCol: String,
+                              textCol: String, shingleK: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(textShingles(col(textCol), shingleK)).as("gram"))
+      .select(col("doc_id"), md5Prefix48(col("gram")).as("h"))
+      .repartition(col("h"))
+      .dropDuplicates("doc_id", "h")
+
   /** The distinct (doc_id, h) shingle-hash table, exposed for callers
     * building BOTH index faces of one corpus: stage THIS once (q92's
     * round-13 shape called dfIndex and postingIndex back to back, each
@@ -65,6 +89,23 @@ object Containment {
                shingleK: Int = 5): DataFrame =
     shingleTable(docs, idCol, textCol, shingleK)
 
+  /** The shingle table with each row's corpus document-frequency
+    * attached in place: (doc_id, h, c) — BOTH index faces in ONE
+    * h-keyed pass (guide §2.4). The count-over-window needs exactly the
+    * hash(h) clustering `shingleTableByH` establishes, so the whole
+    * staging is one exchange + one sort; the df face is then a
+    * dedup-by-h projection and the df-capped posting face a plain
+    * filter — versus the agg+join derivation, which pays a groupBy(h)
+    * exchange AND an h-keyed join over the staged table. Callers that
+    * checkpoint should checkpoint THIS (one materialization instead of
+    * three: sf10 receipt in OPTIMIZATION_r18.md, q92).
+    */
+  def shinglesWithDf(docs: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int = 5): DataFrame =
+    shingleTableByH(docs, idCol, textCol, shingleK)
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+
   /** The df-capped posting index (h, doc_b) — the static side the
     * streaming ingest face (C15) probes: ubiquitous boilerplate
     * shingles (df > dfCap) are dropped FIRST, so any single probe hash
@@ -73,10 +114,12 @@ object Containment {
     * (rebuilt with the corpus, like C14's seen-index).
     */
   def postingIndex(docs: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 5, dfCap: Int = 32): DataFrame = {
-    val shd = shingleTable(docs, idCol, textCol, shingleK)
-    postingIndexFrom(shd, dfIndexFrom(shd), dfCap)
-  }
+                   shingleK: Int = 5, dfCap: Int = 32): DataFrame =
+    // window form (round 18): the df count rides the staging exchange,
+    // so the cap is a filter — no groupBy(h) exchange + h-keyed join
+    shinglesWithDf(docs, idCol, textCol, shingleK)
+      .filter(col("c") <= dfCap)
+      .select(col("h"), col("doc_id").as("doc_b"))
 
   /** Posting index derived from an already-staged shingle table and its
     * df face (one shuffle instead of re-shingling the corpus).
@@ -136,7 +179,11 @@ object Containment {
                    batch: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, dfCap: Int = 32)
       : (DataFrame, DataFrame, DataFrame) = {
-    val bsh = shingleTable(batch, idCol, textCol, shingleK)
+    // h-partitioned staging: the batch shingle table feeds ONLY h-keyed
+    // consumers (the bcnt aggregation and the insert join), so the
+    // hash(h) exchange established here is the last one the batch side
+    // pays (guide §2.4; sf10 receipt in OPTIMIZATION_r18.md)
+    val bsh = shingleTableByH(batch, idCol, textCol, shingleK)
     val bcnt = bsh.groupBy(col("h")).agg(count(lit(1)).as("bc"))
     val joined = bcnt
       .join(oldDf.select(col("h"), col("c").as("oc")), Seq("h"), "left_outer")
@@ -179,8 +226,16 @@ object Containment {
                        shingleK: Int = 5, sketchK: Int = 16,
                        dfCap: Int = 32, minMatch: Int = 8,
                        threshold: Double = 0.8): DataFrame = {
-    val shd = shingleTable(docs, idCol, textCol, shingleK)
+    // staged WITH the df count attached (count-over-window in the same
+    // h-keyed staging pass): the posting face becomes a filter of the
+    // checkpoint instead of a groupBy(h) exchange + h-keyed join over
+    // it. Round 17 rejected this form on sf0.1 telemetry, where AQE
+    // answers the df-cap join with a broadcast; at the decades the df
+    // table is corpus-sized and the join was a real two-sided SMJ —
+    // sf10 receipt in OPTIMIZATION_r18.md.
+    val shdC = shinglesWithDf(docs, idCol, textCol, shingleK)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val shd = shdC.select(col("doc_id"), col("h"))
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // bottom-k sketch per doc: the KMV pattern — partial top-k on -h
     val bk = shd
@@ -188,8 +243,7 @@ object Containment {
       .agg(topKPairs((-col("h")).cast("double"), col("h"), sketchK).as("top"))
       .select(col("doc_id").as("doc_a"), explode(col("top.id")).as("h"))
     // posting list with the ubiquitous-shingle cap
-    val dfreq = shd.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val post = shd.join(dfreq.filter(col("c") <= dfCap).select("h"), Seq("h"))
+    val post = shdC.filter(col("c") <= dfCap)
       .select(col("h"), col("doc_id").as("doc_b"))
     val cand = bk.join(post, Seq("h"))
       .filter(col("doc_a") =!= col("doc_b"))

@@ -2258,23 +2258,45 @@ object Pipeline {
       // the staged "index on disk" is shingle-scale (~90 rows/doc) —
       // DISK_ONLY residency, the q83 round-9 lesson: memory-first
       // checkpoint blocks pin the very heap the delta's aggregation
-      // maps need (measured: 16 GiB heap OOM at sf50). Round 14: the
-      // old corpus is shingled ONCE (staged) and both index faces
-      // derive from it — the r13 shape ran the explode+md5+distinct
-      // shuffle twice (dfIndex and postingIndex each from raw docs),
-      // paying the staging setup's dominant scan double.
-      val shdOld = Containment.shingles(old, "doc_id", "text")
+      // maps need (measured: 16 GiB heap OOM at sf50). Round 18: ONE
+      // staged table instead of three — the count-over-window form
+      // (Containment.shinglesWithDf) computes the df count in the same
+      // h-keyed pass that builds the shingle table, so the df face is a
+      // dedup-by-h projection and the posting face a filter of the one
+      // checkpoint; the r14-r17 shape materialized shd, then paid a
+      // groupBy(h) exchange + checkpoint for the df face and an h-keyed
+      // join + checkpoint for the posting face (sf10 receipt in
+      // OPTIMIZATION_r18.md).
+      val shdC = Containment.shinglesWithDf(old, "doc_id", "text")
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val oldDf = Containment.dfIndexFrom(shdOld)
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val oldPost = Containment.postingIndexFrom(shdOld, oldDf)
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val oldDf = shdC.select(col("h"), col("c")).dropDuplicates("h")
+      val oldPost = shdC.filter(col("c") <= 32)
+        .select(col("h"), col("doc_id").as("doc_b"))
       val (_, postIns, postDel) =
         Containment.postingDelta(oldDf, oldPost, delta, "doc_id", "text")
-      oldPost.join(postDel, Seq("h", "doc_b"), "left_anti")
-        .unionByName(postIns)
-        .groupBy(col("doc_b"))
-        .agg(count(lit(1)).as("n_post"), sum(col("h")).as("h_sum"))
+      // apply the deltas at the FINGERPRINT level (guide §2.3 —
+      // aggregate before you shuffle): COUNT and SUM(h) are exact
+      // BIGINT aggregates, postDeletes is a sub-multiset of oldPost and
+      // postInserts is disjoint new-doc rows, so per-doc
+      // (old − deletes + inserts) equals aggregating the materialized
+      // updated index row-by-row — but shuffles three pre-aggregated
+      // doc-keyed tables instead of anti-joining and re-shuffling the
+      // whole 30M-row posting face (sf10: the LeftAnti's (h, doc_b)
+      // exchange of oldPost disappears). A doc whose postings all
+      // retire drops out via the n_post > 0 filter, exactly as the
+      // row-level form loses its group.
+      def fp(df: org.apache.spark.sql.DataFrame, n: String, s: String) =
+        df.groupBy(col("doc_b"))
+          .agg(count(lit(1)).as(n), sum(col("h")).as(s))
+      fp(oldPost, "n0", "s0")
+        .join(fp(postDel, "nd", "sd"), Seq("doc_b"), "full_outer")
+        .join(fp(postIns, "ni", "si"), Seq("doc_b"), "full_outer")
+        .select(col("doc_b"),
+          (coalesce(col("n0"), lit(0L)) - coalesce(col("nd"), lit(0L)) +
+            coalesce(col("ni"), lit(0L))).as("n_post"),
+          (coalesce(col("s0"), lit(0L)) - coalesce(col("sd"), lit(0L)) +
+            coalesce(col("si"), lit(0L))).as("h_sum"))
+        .filter(col("n_post") > 0)
         .orderBy(col("doc_b"))
     },
     Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk

@@ -81,6 +81,65 @@ class ContainmentSpec extends AnyFunSuite {
       rows(Containment.postingIndex(all, "doc_id", "text", dfCap = cap)))
   }
 
+  test("r18 shinglesWithDf == shingle table + aggregated df, at every row") {
+    // the count-over-window staging form (one h-keyed pass for both
+    // index faces) must be row-identical to the agg-derived df counts
+    val docs = (Seq((1L, quote), (2L, host)) ++ filler).toDF("doc_id", "text")
+    val viaWindow = Containment.shinglesWithDf(docs, "doc_id", "text")
+      .select("doc_id", "h", "c")
+    val shd = docs
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.textShingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.md5Prefix48(col("g")).as("h"))
+      .distinct()
+    val viaAgg = shd.join(
+      shd.groupBy(col("h")).agg(count(lit(1)).as("c")), Seq("h"))
+      .select("doc_id", "h", "c")
+    assert(viaWindow.collect().map(_.toSeq).toSet ==
+      viaAgg.collect().map(_.toSeq).toSet)
+  }
+
+  test("r18 fingerprint-level delta merge == aggregating the materialized updated index") {
+    // q92's (old - deletes + inserts) aggregate algebra must equal the
+    // row-level anti-join/union form, INCLUDING the fully-retired-doc
+    // edge: doc 9's only postings sit in a bucket the delta pushes past
+    // the cap, so it must drop out of the merged fingerprints entirely
+    val crosser = "alpha beta gamma delta epsilon"
+    def body(d: Int) = (1 to 20).map(i => s"d${d}w$i").mkString(" ")
+    val old = Seq(
+      (1L, s"$crosser ${body(1)}"), (2L, s"$crosser ${body(2)}"),
+      (9L, crosser)) // doc 9 = ONLY the crosser phrase: fully retires
+      .toDF("doc_id", "text")
+    val delta = Seq((4L, s"$crosser ${body(4)}")).toDF("doc_id", "text")
+    val cap = 3
+    val oldDf = Containment.dfIndex(old, "doc_id", "text").localCheckpoint()
+    val oldPost = Containment.postingIndex(old, "doc_id", "text", dfCap = cap)
+      .localCheckpoint()
+    val (_, ins, del) = Containment.postingDelta(
+      oldDf, oldPost, delta, "doc_id", "text", dfCap = cap)
+    def fp(df: org.apache.spark.sql.DataFrame, n: String, s: String) =
+      df.groupBy(col("doc_b")).agg(count(lit(1)).as(n), sum(col("h")).as(s))
+    val merged = fp(oldPost, "n0", "s0")
+      .join(fp(del, "nd", "sd"), Seq("doc_b"), "full_outer")
+      .join(fp(ins, "ni", "si"), Seq("doc_b"), "full_outer")
+      .select(col("doc_b"),
+        (coalesce(col("n0"), lit(0L)) - coalesce(col("nd"), lit(0L)) +
+          coalesce(col("ni"), lit(0L))).as("n_post"),
+        (coalesce(col("s0"), lit(0L)) - coalesce(col("sd"), lit(0L)) +
+          coalesce(col("si"), lit(0L))).as("h_sum"))
+      .filter(col("n_post") > 0)
+    val rowLevel = oldPost.join(del, Seq("h", "doc_b"), "left_anti")
+      .unionByName(ins)
+      .groupBy(col("doc_b"))
+      .agg(count(lit(1)).as("n_post"), sum(col("h")).as("h_sum"))
+    assert(merged.collect().map(_.toSeq).toSet ==
+      rowLevel.collect().map(_.toSeq).toSet)
+    // the retirement actually fired and doc 9 is absent from BOTH forms
+    assert(del.filter(col("doc_b") === 9L).count() > 0)
+    assert(merged.filter(col("doc_b") === 9L).count() == 0)
+  }
+
   test("D30 ubiquitous shingles are df-capped out of candidate generation") {
     // 40 docs all sharing one boilerplate sentence (df = 40 > cap) plus
     // disjoint bodies: the boilerplate alone must not produce candidates
