@@ -2087,6 +2087,11 @@ object Pipeline {
     "q85_quality_classifier",
     (s, dir) =>
       graft.operators.NbQuality
+        // stage=false STANDS (re-measured r18 at sf10: staging the tf
+        // table cost MORE on every axis — 7.34 s / 519.7 MB / 40.3M
+        // records vs 6.38 / 463.4 / 32.6M — because the checkpoint
+        // records UnknownPartitioning, so every consumer re-exchanges
+        // what the lazy form's exchange reuse already shared)
         .nbLogOdds(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")),
     Some("""WITH base AS (
